@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * The reference (uk27/MapReduce-Framework-For-MergeSort) exposes two physical
+  * knobs: `chunkSize` (bytes per map task, `Client.java:21`) and `mergeJobs`
+  * (merge fan-in, `Server.java:300`). Their Spark equivalents are
+  * `spark.sql.files.maxPartitionBytes` (scan split size) and
+  * `spark.sql.shuffle.partitions` (reduce fan-in); both are set here and
+  * overridable per-session. Fault tolerance (the bulk of the reference's code:
+  * heartbeats `Server.java:588-650`, retry `Server.java:183-188`, speculation
+  * `Server.java:194-259`) maps to Spark conf, not code: `spark.task.maxFailures`,
+  * `spark.speculation`, `spark.network.timeout`.
+  *
+  * Scale notes (100 TB / 1000 executors): AQE is on so skewed shuffles re-plan
+  * at runtime (`skewJoin`, partition coalescing); shuffle partition count here
+  * is a local[32] default — a real cluster wants ~2-3x total cores or AQE's
+  * `spark.sql.adaptive.coalescePartitions.initialPartitionNum` sized to
+  * data/128MB.
+  */
+object GraftSession {
+
+  def builder(
+      master: String = "local[32]",
+      shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries ns-precision timestamps; read as-is.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+      // mirrors the reference's task retry (`Server.java:183-188`)
+      .config("spark.task.maxFailures", "4")
+
+  def get(): SparkSession = builder().getOrCreate()
+
+  /** Load one of the standard test tables from a scale-factor directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
