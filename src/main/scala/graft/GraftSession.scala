@@ -36,8 +36,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries ns-precision timestamps; read as-is.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+      // events.parquet carries ns-precision timestamps, which Spark's parquet
+      // reader rejects ([PARQUET_TYPE_ILLEGAL]); read them as raw nano longs
+      // and convert explicitly (EventOps.normalizeTs).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // mirrors the reference's task retry (`Server.java:183-188`)
       .config("spark.task.maxFailures", "4")
 

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the `events` table (batch form; the streaming
+  * equivalents live in graft.streaming). The reference has no data-plane
+  * time/stream surface — its only periodic behavior is the 5 s heartbeat
+  * control loop (`Server.java:588-650`) — so these are north-star extensions.
+  *
+  * Scale: every operator here is a single hash-shuffle on its grouping key
+  * (partial aggregation map-side); sessionization is one shuffle on `user_id`
+  * followed by a per-partition sorted window — no driver-side state. Skewed
+  * users/hours re-plan under AQE.
+  */
+object EventOps {
+
+  /** The events table carries ns-precision parquet timestamps, which Spark
+    * reads only as raw nano longs (`spark.sql.legacy.parquet.nanosAsLong`).
+    * Truncate to µs — integer DIV, not `/`, because ns epochs (~1.7e18)
+    * exceed double's exact range — matching DuckDB's own ns→µs truncation.
+    */
+  def normalizeTs(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events.withColumn(tsCol, expr(s"timestamp_micros($tsCol DIV 1000)"))
+      case _ => events
+    }
+
+  /** Tumbling-window aggregation: per (truncated time bucket, event type)
+    * counts and sums. `date_trunc` keeps the bucket SQL-portable; the
+    * Structured Streaming twin uses `window(ts, ...)` + watermark.
+    */
+  def tumblingAgg(events: DataFrame, unit: String): DataFrame =
+    normalizeTs(events)
+      .groupBy(date_trunc(unit, col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** Gap-based sessionization: a new session starts when a user is idle
+    * longer than `gapSeconds`. Ties on `ts` are broken by `event_id` so the
+    * session assignment is fully deterministic.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val newSession = when(
+      lag(us, 1).over(w).isNull ||
+        us - lag(us, 1).over(w) > gapSeconds * 1000000L,
+      1).otherwise(0)
+    normalizeTs(events)
+      .withColumn("is_new", newSession)
+      .withColumn("session_seq", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Sessions rolled up per user: session count + event count. */
+  def sessionStats(events: DataFrame, gapSeconds: Long): DataFrame =
+    sessionize(events, gapSeconds)
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_seq")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** Extract a numeric field from the JSON `props` column and aggregate.
+    * Uses the codegen'd `get_json_object` path — no UDF.
+    */
+  def jsonFieldStats(events: DataFrame, field: String): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), s"$$.$field").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+}
