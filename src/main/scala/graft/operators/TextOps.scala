@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+
+/** Text-analysis operators over the `documents` table (north-star extension;
+  * the reference's only string handling is `split`/`trim` while parsing ints,
+  * `NodeHandler.java:66,69`).
+  *
+  * Everything here is built from codegen'd `functions._` / higher-order array
+  * functions — no UDFs — so whole-stage codegen spans the full pipeline and
+  * the same expressions are reproducible in the DuckDB oracle. Scale: all
+  * operators are embarrassingly parallel per-document projections except
+  * [[tokenFrequency]], which is one explode + hash-shuffle with map-side
+  * partial aggregation.
+  */
+object TextOps {
+
+  /** Normalized whitespace tokenization: lowercase, split on `\s+`, drop
+    * empties. Identical to DuckDB
+    * `list_filter(string_split_regex(lower(trim(x)),'\s+'), t -> length(t)>0)`.
+    */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+
+  /** Word-level k-shingles (1-based indexing to mirror DuckDB lists).
+    * Guarded: Spark's `sequence(1, 0)` counts DOWN (`[1,0]`), so short docs
+    * must short-circuit to an empty array.
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Corpus-wide token frequency: explode + count. */
+  def tokenFrequency(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("token"))
+
+  /** Per-document token statistics, including a BPE-ish subword count:
+    * runs of letters count 1, each digit counts 1, each other non-space
+    * symbol counts 1 — the standard cheap proxy for tokenizer load.
+    */
+  def tokenStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      length(col(textCol)).as("n_chars_raw"),
+      expr(s"size(regexp_extract_all(lower($textCol), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0))")
+        .as("n_bpeish_tokens"))
+      .orderBy(col(idCol))
+  }
+
+  /** Document fingerprints: `fp_md5` = md5 of the normalized token stream
+    * (exact-dedup key) and `fp_min_shingle` = min 60-bit hash over word
+    * 3-shingles (winnowing-style rolling fingerprint: stable under small
+    * edits away from the minimizing shingle).
+    */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      md5(concat_ws(" ", toks)).as("fp_md5"),
+      array_min(transform(shingles(toks, 3), s => StableHash.hash60(s)))
+        .as("fp_min_shingle"))
+      .orderBy(col(idCol))
+  }
+
+  /** Stopword marker lists per language for [[langId]]. Tiny on purpose:
+    * the heuristic must be reproducible in plain SQL on both engines.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "a"),
+    "es" -> Seq("el", "la", "de", "que", "los", "es", "una"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans"))
+
+  /** N-gram/stopword language-ID heuristic: score each language by marker-
+    * token hits; predict the first language (in `langMarkers` order) whose
+    * score equals the max, or "unknown" when no marker hits at all.
+    */
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val withScores = docs.select(
+      (col(idCol) +: langMarkers.map { case (lang, ws) =>
+        size(filter(toks, t => t.isInCollection(ws))).as(s"score_$lang")
+      }): _*)
+    val maxScore = greatest(langMarkers.map { case (lang, _) => col(s"score_$lang") }: _*)
+    // CASE ladder in declaration order: first max-scoring language wins
+    val ladder = langMarkers.reverse.foldLeft(lit("unknown")) { case (els, (lang, _)) =>
+      when(maxScore > 0 && col(s"score_$lang") === maxScore, lit(lang)).otherwise(els)
+    }
+    withScores
+      .select(col(idCol), ladder.as("lang_pred"))
+      .orderBy(col(idCol))
+  }
+
+  /** Quality scoring: fraction of distinct tokens, stopword ratio, a length
+    * saturation term, combined into one rounded score. All terms are exact
+    * integer ratios so the double arithmetic is bit-identical across engines.
+    */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val allStops = langMarkers.flatMap(_._2).distinct.sorted
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / n
+    val stopRatio = size(filter(toks, t => t.isInCollection(allStops))).cast("double") / n
+    val lenTerm = least(n / lit(100.0), lit(1.0))
+    docs
+      .filter(size(toks) > 0)
+      .select(
+        col(idCol),
+        size(toks).as("n_tokens"),
+        round(distinctRatio, 4).as("distinct_ratio"),
+        round(stopRatio, 4).as("stopword_ratio"),
+        round(distinctRatio * 0.5 + stopRatio * 0.2 + lenTerm * 0.3, 4).as("quality"))
+      .orderBy(col(idCol))
+  }
+}
