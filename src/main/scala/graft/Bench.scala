@@ -1,26 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — the driver's per-round BENCH_r{N}.json source.
+  *
+  * Executes every declared query with a `noop`-format write (NOT `count()`:
+  * Catalyst's `EliminateSorts` removes an `orderBy` under an aggregate, so a
+  * count-based harness would skip the very sorts this engine exists to
+  * measure — the full physical plan, range shuffle + sort included, only runs
+  * when every row is consumed by a sink). A warm-up pass at sf0.001 absorbs
+  * JVM/codegen warm-up so the first timed query isn't charged ~7 s of JIT.
+  * Failures are never swallowed: a failed query reports `-1` and the error
+  * goes to stderr.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = GraftSession
+      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def execute(name: String, dir: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Left(e.getClass.getSimpleName)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Warm-up at the smallest SF: JIT + codegen caches, not data volume.
+    names.foreach(execute(_, "/root/testdata/sf0.001"))
+    val results = names.map(n => n -> execute(n, sfDir))
+
+    val qs = results.map {
+      case (k, Right(v)) => s"\"$k\":$v"
+      case (k, Left(_)) => s"\"$k\":-1"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, Left(err)) => s"\"$k\":\"$err\"" }
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val errJson = if (failed.isEmpty) "" else s""","errors":${failed.mkString("{", ",", "}")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -42,6 +42,15 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // mirrors the reference's task retry (`Server.java:183-188`)
       .config("spark.task.maxFailures", "4")
+      // mirrors the reference's proactive redundant execution
+      // (`Server.java:194-259,431-508`: same task on NumForRedundantTasks
+      // nodes, first winner kills the rest). Spark's version is reactive —
+      // only stragglers past the quantile/multiplier get a second copy —
+      // which the reference's own Performance Evaluation argues for: its
+      // proactive mode measured ~3x SLOWER than single-fault mode (PDF p.4).
+      .config("spark.speculation", "true")
+      .config("spark.speculation.multiplier", "3")
+      .config("spark.speculation.quantile", "0.9")
 
   def get(): SparkSession = builder().getOrCreate()
 

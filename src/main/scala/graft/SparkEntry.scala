@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{EventOps, SortOps}
+import graft.functions.StableHash
+import graft.operators.{EventOps, SortOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,11 +46,11 @@ object SparkEntry {
         liKeys.map(col))
     }),
     // O6 — k-way merge of sorted runs ≡ duplicate-preserving sorted union-all
-    // (`mergeSortedChunks`, `NodeHandler.java:204-290`).
+    // (`mergeSortedChunks`, `NodeHandler.java:204-290`). Runs are
+    // range-disjoint on l_orderkey so each run's filter prunes parquet row
+    // groups: total IO ≈ one scan (the r1 pmod version scanned 4x).
     "q_merge_union" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val runs = (0 until 4).map(i => li.filter(pmod(col("l_orderkey"), lit(4)) === i))
-      SortOps.mergeRuns(runs, liKeys.map(col))
+      SortOps.mergeRangeRuns(t(s, dir, "lineitem"), col("l_orderkey"), 4, liKeys.map(col))
     }),
     // O1 generalization — top-k (`TakeOrderedAndProject`: per-partition heap,
     // k-sized driver merge; no full shuffle).
@@ -125,6 +126,27 @@ object SparkEntry {
         .orderBy(col("l_partkey"), col("l_suppkey"))
     }),
 
+    // --- Text analysis over `documents` (north star; TextOps) -----------
+
+    // Corpus token frequency: one explode + hash shuffle with map-side
+    // partial aggregation — the canonical word-count shape.
+    "q_text_tokens" -> ((s, dir) =>
+      TextOps.tokenFrequency(t(s, dir, "documents"))),
+    // Per-document token statistics incl. a BPE-ish subword count —
+    // embarrassingly parallel projections, no shuffle except the final sort.
+    "q_text_stats" -> ((s, dir) =>
+      TextOps.tokenStats(t(s, dir, "documents"))),
+    // Exact + near-dup fingerprints (md5 of token stream, min-hashed
+    // 3-shingle) — the keys the dedup queries group on.
+    "q_doc_fingerprints" -> ((s, dir) =>
+      TextOps.fingerprints(t(s, dir, "documents"))),
+    // Stopword-marker language ID heuristic (reproducible CASE ladder).
+    "q_lang_id" -> ((s, dir) =>
+      TextOps.langId(t(s, dir, "documents"))),
+    // Quality scoring: distinct ratio + stopword ratio + length saturation.
+    "q_quality" -> ((s, dir) =>
+      TextOps.qualityScore(t(s, dir, "documents"))),
+
     // --- Time-series / events (north star; EventOps) --------------------
 
     "q_events_hourly" -> ((s, dir) =>
@@ -135,6 +157,17 @@ object SparkEntry {
       EventOps.jsonFieldStats(t(s, dir, "events"), "k")),
   )
 
+  /** DuckDB fragment computing exactly [[TextOps.tokens]] over `text`. */
+  private val duckToks =
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> length(t) > 0)"
+
+  /** DuckDB fragment for word 3-shingles of token list `t` ([[TextOps.shingles]]). */
+  private val duckShingles3 =
+    "CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE CAST([] AS VARCHAR[]) END"
+
+  private def duckInList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -144,13 +177,10 @@ object SparkEntry {
     "q_sort_runs" ->
       ("SELECT *, l_orderkey % 16 AS run_id FROM lineitem " +
         "ORDER BY run_id, l_extendedprice, l_orderkey, l_linenumber"),
+    // Range-disjoint runs cover every row exactly once, so the merged result
+    // is the full table in total order.
     "q_merge_union" ->
-      ("SELECT * FROM (" +
-        "SELECT * FROM lineitem WHERE l_orderkey % 4 = 0 UNION ALL " +
-        "SELECT * FROM lineitem WHERE l_orderkey % 4 = 1 UNION ALL " +
-        "SELECT * FROM lineitem WHERE l_orderkey % 4 = 2 UNION ALL " +
-        "SELECT * FROM lineitem WHERE l_orderkey % 4 = 3) " +
-        "ORDER BY l_extendedprice, l_orderkey, l_linenumber"),
+      "SELECT * FROM lineitem ORDER BY l_extendedprice, l_orderkey, l_linenumber",
     "q_topk" ->
       ("SELECT * FROM lineitem " +
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"),
@@ -186,6 +216,49 @@ object SparkEntry {
     "q_distinct" ->
       ("SELECT DISTINCT l_partkey, l_suppkey FROM lineitem " +
         "ORDER BY l_partkey, l_suppkey"),
+    "q_text_tokens" ->
+      (s"WITH tok AS (SELECT unnest($duckToks) AS token FROM documents) " +
+        "SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok " +
+        "GROUP BY token ORDER BY token"),
+    "q_text_stats" ->
+      (s"SELECT doc_id, len($duckToks) AS n_tokens, " +
+        s"len(list_distinct($duckToks)) AS n_distinct_tokens, " +
+        "length(text) AS n_chars_raw, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpeish_tokens " +
+        "FROM documents ORDER BY doc_id"),
+    "q_doc_fingerprints" ->
+      (s"WITH d AS (SELECT doc_id, $duckToks AS t FROM documents) " +
+        "SELECT doc_id, md5(array_to_string(t, ' ')) AS fp_md5, " +
+        s"list_min(list_transform($duckShingles3, s -> ${StableHash.hash60Sql("s")})) " +
+        "AS fp_min_shingle FROM d ORDER BY doc_id"),
+    "q_lang_id" -> {
+      val scores = TextOps.langMarkers.map { case (lang, ws) =>
+        s"len(list_filter(t, x -> x IN (${duckInList(ws)}))) AS score_$lang"
+      }.mkString(", ")
+      val mx = TextOps.langMarkers.map { case (lang, _) => s"score_$lang" }
+        .mkString("greatest(", ", ", ")")
+      val ladder = TextOps.langMarkers.map { case (lang, _) =>
+        s"WHEN mx > 0 AND score_$lang = mx THEN '$lang'"
+      }.mkString(" ")
+      s"WITH d AS (SELECT doc_id, $duckToks AS t FROM documents), " +
+        s"sc AS (SELECT doc_id, $scores FROM d), " +
+        s"m AS (SELECT *, $mx AS mx FROM sc) " +
+        s"SELECT doc_id, CASE $ladder ELSE 'unknown' END AS lang_pred " +
+        "FROM m ORDER BY doc_id"
+    },
+    "q_quality" -> {
+      val allStops = TextOps.langMarkers.flatMap(_._2).distinct.sorted
+      s"WITH d AS (SELECT doc_id, $duckToks AS t FROM documents), " +
+        "f AS (SELECT doc_id, len(t)::DOUBLE AS n, " +
+        "len(list_distinct(t))::DOUBLE AS nd, " +
+        s"len(list_filter(t, x -> x IN (${duckInList(allStops)})))::DOUBLE AS ns " +
+        "FROM d WHERE len(t) > 0) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, " +
+        s"${TextOps.roundBpSql("nd / n")} AS distinct_bp, " +
+        s"${TextOps.roundBpSql("ns / n")} AS stopword_bp, " +
+        s"${TextOps.roundBpSql("(nd / n) * 0.5 + (ns / n) * 0.2 + least(n / 100.0, 1.0) * 0.3")} AS quality_bp " +
+        "FROM f ORDER BY doc_id"
+    },
     "q_events_hourly" ->
       ("SELECT date_trunc('hour', ts) AS bucket, event_type, " +
         "CAST(count(*) AS BIGINT) AS n_events, " +

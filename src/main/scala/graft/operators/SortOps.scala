@@ -53,7 +53,14 @@ object SortOps {
     */
   def rangeSortedRuns(df: DataFrame, runId: Column, keys: Seq[Column]): DataFrame =
     df.withColumn("run_id", runId)
-      .repartitionByRange(col("run_id"))
+      // Range-partition on (run_id, keys), not run_id alone: a
+      // low-cardinality run id (the reference uses ceil(fileSize/chunkSize)
+      // chunks, `ServerHandler.java:43-52`) would cap the partition count at
+      // the number of distinct run ids — at 100 TB all sorting would funnel
+      // through those few tasks. Including the sort keys lets the range
+      // sampler split WITHIN a run, so parallelism scales with data while
+      // partition concatenation order still yields (run_id, keys) order.
+      .repartitionByRange(col("run_id") +: keys: _*)
       .sortWithinPartitions(col("run_id") +: keys: _*)
 
   /** K-way merge of sorted runs — the reference's reduce phase
@@ -65,6 +72,27 @@ object SortOps {
     */
   def mergeRuns(runs: Seq[DataFrame], keys: Seq[Column]): DataFrame =
     runs.reduce(_ unionByName _).orderBy(keys: _*)
+
+  /** [[mergeRuns]] over k RANGE-disjoint runs of one table — the
+    * scale-efficient formulation of "merge k sorted run files"
+    * (`NodeHandler.java:204-290`). The r1 version split runs with mod
+    * predicates, which cannot prune parquet, so k runs cost k full scans.
+    * Range predicates on a min/max-indexed key DO prune row groups
+    * (PushedFilters: GreaterThanOrEqual/LessThan), so the k filtered scans
+    * read disjoint row-group subsets — total IO ≈ one scan. The one-row
+    * min/max aggregate to compute the split points is the same O(1) driver
+    * exchange Spark's own range-bounds sampling performs.
+    */
+  def mergeRangeRuns(df: DataFrame, splitKey: Column, nRuns: Int, keys: Seq[Column]): DataFrame = {
+    val Array(lo, hi) = df.agg(min(splitKey).cast("long"), max(splitKey).cast("long"))
+      .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val step = math.max(1L, (hi - lo) / nRuns + 1)
+    val runs = (0 until nRuns).map { i =>
+      val (l, h) = (lo + i * step, lo + (i + 1) * step)
+      df.filter(splitKey >= l && splitKey < h)
+    }
+    mergeRuns(runs, keys)
+  }
 
   /** Top-k: the natural generalization of the reference's full sort. Catalyst
     * plans `TakeOrderedAndProject` — per-partition heap of k then a k-sized

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("tokens: lowercases, splits on whitespace runs, drops empties") {
+    val got = docs((1L, "  Hello   WORLD\tfoo\nbar "))
+      .select(TextOps.tokens(col("text"))).as[Seq[String]].head()
+    assert(got == Seq("hello", "world", "foo", "bar"))
+  }
+
+  test("tokens: empty and whitespace-only text yield an empty array") {
+    val got = docs((1L, ""), (2L, "   \t  "))
+      .select(TextOps.tokens(col("text"))).as[Seq[String]].collect()
+    assert(got.forall(_.isEmpty))
+  }
+
+  test("shingles: sliding word 3-grams; short docs yield empty (sequence(1,0) guard)") {
+    val df = docs((1L, "a b c d"), (2L, "a b"), (3L, ""))
+    val got = df
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L).isEmpty)
+    assert(got(3L).isEmpty)
+  }
+
+  test("tokenFrequency: corpus counts match a JVM-side count") {
+    val df = docs((1L, "the cat sat"), (2L, "the cat"), (3L, "THE"))
+    val got = TextOps.tokenFrequency(df).as[(String, Long)].collect().toMap
+    assert(got == Map("the" -> 3L, "cat" -> 2L, "sat" -> 1L))
+  }
+
+  test("tokenStats: counts on a hand-checked doc") {
+    val df = docs((7L, "One two, two 3 three!"))
+    val r = TextOps.tokenStats(df).head()
+    assert(r.getAs[Long]("n_tokens") == 5L)       // one two, two 3 three!
+    assert(r.getAs[Long]("n_distinct_tokens") == 5L) // "two," != "two"
+    assert(r.getAs[Long]("n_chars_raw") == 21L)
+    // [a-z]+ runs: one,two,two,three ; digits: 3 ; symbols: ',' '!' => 7
+    assert(r.getAs[Long]("n_bpeish_tokens") == 7L)
+  }
+
+  test("fingerprints: identical normalized token streams share fp_md5") {
+    val df = docs((1L, "Hello  world"), (2L, "hello world"), (3L, "hello world!"))
+    val fps = TextOps.fingerprints(df).as[(Long, String, java.lang.Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("fingerprints: fp_min_shingle is null for docs shorter than 3 tokens") {
+    val df = docs((1L, "just two"), (2L, "one two three four"))
+    val got = TextOps.fingerprints(df).as[(Long, String, java.lang.Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(1L) == null)
+    assert(got(2L) != null)
+  }
+
+  test("StableHash.hash60 is deterministic, non-negative, 60-bit") {
+    val vals = Seq("a", "b", "a longer string", "").toDF("s")
+      .select(StableHash.hash60(col("s"))).as[Long].collect()
+    val again = Seq("a", "b", "a longer string", "").toDF("s")
+      .select(StableHash.hash60(col("s"))).as[Long].collect()
+    assert(vals.sameElements(again))
+    assert(vals.forall(v => v >= 0 && v < (1L << 60)))
+    assert(vals.distinct.length == 4)
+  }
+
+  test("StableHash.seeded gives independent families") {
+    val h = (0 until 4).map(i =>
+      Seq("token").toDF("s").select(StableHash.seeded(col("s"), i)).as[Long].head())
+    assert(h.distinct.length == 4)
+  }
+
+  test("langId: marker-heavy docs are classified, no-marker docs unknown") {
+    val df = docs(
+      (1L, "the cat and the dog is in a house"),
+      (2L, "der Hund und die Katze ist nicht ein"),
+      (3L, "el perro es una casa de los gatos que"),
+      (4L, "le chat est dans les maisons des et une"),
+      (5L, "zzz qqq xxx"))
+    val got = TextOps.langId(df).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "unknown"))
+  }
+
+  test("langId: ties resolve in langMarkers declaration order") {
+    // "de" appears in both es and fr marker lists? no — craft a tie between
+    // en ("the") and de ("der"): 1 hit each -> first declared (de) wins.
+    val got = TextOps.langId(docs((1L, "der the"))).as[(Long, String)].head()._2
+    assert(got == "de")
+  }
+
+  test("qualityScore: hand-computed basis points") {
+    // tokens: the the cat -> n=3, distinct=2, stopwords(the)=2, lenTerm=0.03
+    val r = TextOps.qualityScore(docs((1L, "the the cat"))).head()
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("distinct_bp") == 6667L)
+    assert(r.getAs[Long]("stopword_bp") == 6667L)
+    // 2/3*0.5 + 2/3*0.2 + 0.03*0.3 = 0.4756666... -> 4757
+    assert(r.getAs[Long]("quality_bp") == 4757L)
+  }
+
+  test("qualityScore: empty docs are filtered out") {
+    assert(TextOps.qualityScore(docs((1L, " "), (2L, "a b"))).count() == 1L)
+  }
+}
