@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.StableHash
-import graft.operators.{EventOps, SortOps, TextOps}
+import graft.operators.{DedupOps, EventOps, SortOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -147,6 +147,26 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(t(s, dir, "documents"))),
 
+    // --- Document dedup over a dup-planted corpus (north star; DedupOps).
+    // --- Both engines construct the identical corpus (plantedCorpus /
+    // --- the corpus CTE in the oracle), so results hash-compare.
+
+    // Exact dedup: hash-groupBy on the content fingerprint.
+    "q_dedup_docs" -> ((s, dir) =>
+      DedupOps.exactDedup(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+    // MinHash + LSH banding: bucketed candidate generation, never all-pairs.
+    "q_dedup_minhash" -> ((s, dir) =>
+      DedupOps.minhashBandPairs(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+    // SimHash sketches + identical-sketch grouping.
+    "q_dedup_simhash" -> ((s, dir) =>
+      DedupOps.simhash(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+    // Exact 3-shingle Jaccard via inverted index (the verify step).
+    "q_dedup_jaccard" -> ((s, dir) =>
+      DedupOps.jaccardPairs(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+    // The production pipeline: LSH candidates → exact-Jaccard verify.
+    "q_dedup_verified" -> ((s, dir) =>
+      DedupOps.verifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+
     // --- Time-series / events (north star; EventOps) --------------------
 
     "q_events_hourly" -> ((s, dir) =>
@@ -167,6 +187,34 @@ object SparkEntry {
       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE CAST([] AS VARCHAR[]) END"
 
   private def duckInList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Shared CTE chain for the MinHash oracles: planted corpus → token lists
+    * → distinct-shingle lists (`sl`) → exploded shingles → 8-hash signature
+    * → 4 band keys. Mirrors [[DedupOps.minhashBandPairs]] (numHashes=8,
+    * bands=4).
+    */
+  private lazy val duckMinhashCtes: String = {
+    val numHashes = 8; val bands = 4; val r = numHashes / bands
+    val sigCols = (0 until numHashes)
+      .map(i => s"min(${StableHash.seededSql("s", i)}) AS s$i").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val parts = (s"'$b'" +: (0 until r).map(j => s"s${b * r + j}")).mkString(", ")
+      s"SELECT doc_id, concat_ws(':', $parts) AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"corpus AS ($duckCorpus), " +
+      s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
+      s"sl AS (SELECT doc_id, list_distinct($duckShingles3) AS shs FROM t), " +
+      "sh AS (SELECT doc_id, unnest(shs) AS s FROM sl), " +
+      s"sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id), " +
+      s"bands AS ($bandSelects)"
+  }
+
+  /** DuckDB CTE body matching [[DedupOps.plantedCorpus]]. */
+  private val duckCorpus =
+    "SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0 " +
+      "UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' graftdup' AS text " +
+      "FROM documents WHERE doc_id % 10 = 5"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -259,6 +307,53 @@ object SparkEntry {
         s"${TextOps.roundBpSql("(nd / n) * 0.5 + (ns / n) * 0.2 + least(n / 100.0, 1.0) * 0.3")} AS quality_bp " +
         "FROM f ORDER BY doc_id"
     },
+    "q_dedup_docs" ->
+      (s"WITH corpus AS ($duckCorpus), " +
+        s"fp AS (SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp_md5 FROM corpus) " +
+        "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies, fp_md5 " +
+        "FROM fp GROUP BY fp_md5 ORDER BY keep_id"),
+    "q_dedup_minhash" ->
+      (s"WITH $duckMinhashCtes " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared_bands " +
+        "FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id " +
+        "GROUP BY id_a, id_b ORDER BY id_a, id_b"),
+    "q_dedup_verified" -> {
+      val jac = TextOps.roundBpSql(
+        "CAST(len(list_filter(x.shs, e -> list_contains(y.shs, e))) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE)")
+      s"WITH $duckMinhashCtes, " +
+        "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
+        "JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        s"SELECT * FROM (SELECT id_a, id_b, $jac AS jac_bp FROM cand " +
+        "JOIN sl x ON x.doc_id = cand.id_a JOIN sl y ON y.doc_id = cand.id_b) " +
+        "WHERE jac_bp >= 8000 ORDER BY id_a, id_b"
+    },
+    "q_dedup_simhash" -> {
+      val bits = 16
+      val votes = (0 until bits)
+        .map(k => s"CAST(sum(((h >> $k) & 1) * 2 - 1) AS BIGINT) AS b$k").mkString(", ")
+      val sketch = (0 until bits)
+        .map(k => s"(CASE WHEN b$k > 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"WITH corpus AS ($duckCorpus), " +
+        s"tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM corpus), " +
+        s"h AS (SELECT doc_id, ${StableHash.hash60Sql("tok")} AS h FROM tk), " +
+        s"v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id), " +
+        s"s AS (SELECT doc_id, $sketch AS simhash FROM v) " +
+        "SELECT doc_id, simhash, min(doc_id) OVER (PARTITION BY simhash) AS keep_id " +
+        "FROM s ORDER BY doc_id"
+    },
+    "q_dedup_jaccard" ->
+      (s"WITH corpus AS ($duckCorpus), " +
+        s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
+        s"s AS (SELECT doc_id, list_distinct($duckShingles3) AS shs FROM t), " +
+        "z AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM s WHERE len(shs) > 0), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, " +
+        "count(*) AS inter FROM z a JOIN z b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2, 3, 4) " +
+        "SELECT * FROM (SELECT id_a, id_b, " +
+        s"${TextOps.roundBpSql("CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)")} AS jac_bp " +
+        "FROM p) WHERE jac_bp >= 8000 ORDER BY id_a, id_b"),
     "q_events_hourly" ->
       ("SELECT date_trunc('hour', ts) AS bucket, event_type, " +
         "CAST(count(*) AS BIGINT) AS n_events, " +

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("plantedCorpus: adds an exact copy per id%10==0 and a near copy per id%10==5") {
+    val base = docs((0L, "a b c"), (5L, "d e f"), (7L, "g h i"))
+    val got = DedupOps.plantedCorpus(base).as[(Long, String)].collect().toMap
+    assert(got.keySet == Set(0L, 5L, 7L, 100000L, 200005L))
+    assert(got(100000L) == "a b c")
+    assert(got(200005L) == "d e f graftdup")
+  }
+
+  test("exactDedup: keeps min id per content group, counts copies") {
+    val corpus = docs(
+      (1L, "same text here"), (2L, "SAME   text HERE"), (3L, "different"))
+    val got = DedupOps.exactDedup(corpus)
+      .as[(Long, Long, String)].collect().map(r => (r._1, r._2)).toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("exactDedup is idempotent: dedup of dedup keeps every group") {
+    val corpus = DedupOps.plantedCorpus(docs(
+      (0L, "w x y z"), (5L, "p q r s"), (9L, "k l m n")))
+    val once = DedupOps.exactDedup(corpus)
+    val keepers = corpus.join(once.select(col("keep_id").as("doc_id")), "doc_id")
+    val twice = DedupOps.exactDedup(keepers)
+    assert(twice.count() == once.count())
+    assert(twice.agg(max(col("n_copies"))).head().getLong(0) == 1L)
+  }
+
+  test("minhashBandPairs: exact copies share all bands; disjoint docs share none") {
+    val corpus = docs(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),        // exact copy -> 4/4 bands
+      (3L, "alpha beta gamma delta epsilon zeta")) // disjoint -> no pair
+    val got = DedupOps.minhashBandPairs(corpus)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4L)))
+  }
+
+  test("simhash: identical docs share a sketch and group under min id") {
+    val corpus = docs(
+      (1L, "quick brown fox jumps"), (2L, "quick brown fox jumps"),
+      (3L, "entirely unrelated words appear"))
+    val got = DedupOps.simhash(corpus)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 == got(2L)._1)
+    assert(got(2L)._2 == 1L) // doc 2 groups under keeper 1
+    assert(got(3L)._2 == 3L)
+  }
+
+  test("jaccardPairs: hand-computed similarity in basis points") {
+    // shingles(5 tokens) = 3 per doc; docs differ in last token ->
+    // intersection 2, union 4 -> 5000 bp
+    val corpus = docs(
+      (1L, "a b c d e"),
+      (2L, "a b c d f"))
+    val got = DedupOps.jaccardPairs(corpus, thresholdBp = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 5000L)))
+  }
+
+  test("jaccardPairs: threshold filters, maxDocFreq drops boilerplate shingles") {
+    val corpus = docs(
+      (1L, "x y z w"), (2L, "x y z w"), (3L, "x y z q"), (4L, "r s t u"))
+    val all = DedupOps.jaccardPairs(corpus, thresholdBp = 1)
+    assert(all.count() == 3L) // (1,2), (1,3), (2,3)
+    val strict = DedupOps.jaccardPairs(corpus, thresholdBp = 10000)
+    assert(strict.as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 10000L)))
+    // shingle "x y z" appears in 3 docs; cutoff at 2 removes it from the
+    // index, dropping the pairs glued together only by it
+    val cut = DedupOps.jaccardPairs(corpus, thresholdBp = 1, maxDocFreq = 2)
+    assert(cut.count() < all.count())
+  }
+
+  test("verifiedNearDups: candidates verified with exact jaccard, ordered pairs") {
+    val corpus = DedupOps.plantedCorpus(docs(
+      (0L, "one two three four five six seven"),
+      (5L, "eight nine ten eleven twelve thirteen fourteen"),
+      (7L, "completely different content entirely here now yes")))
+    val got = DedupOps.verifiedNearDups(corpus, thresholdBp = 5000)
+      .as[(Long, Long, Long)].collect().toSeq
+    // exact copy of doc 0 at 10000 bp; near copy of doc 5 above 5000 bp
+    assert(got.map(p => (p._1, p._2)).contains((0L, 100000L)))
+    assert(got.find(p => (p._1, p._2) == (0L, 100000L)).get._3 == 10000L)
+    assert(got.map(p => (p._1, p._2)).contains((5L, 200005L)))
+  }
+}
