@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.StableHash
-import graft.operators.{DedupOps, EventOps, SortOps, TextOps}
+import graft.operators.{DedupOps, EventOps, SimOps, SortOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -167,6 +167,22 @@ object SparkEntry {
     "q_dedup_verified" -> ((s, dir) =>
       DedupOps.verifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents")))),
 
+    // --- Similarity search over `embeddings` (north star; SimOps) -------
+
+    // Brute-force cosine top-10 for 5 fixed query vectors (broadcast) —
+    // the exact baseline every ANN variant is measured against.
+    "q_sim_topk" -> ((s, dir) =>
+      SimOps.bruteTopK(t(s, dir, "embeddings"), col("vec_id") < 5)),
+    // Sign-bucket LSH variant: equi-join on the bucket key, the 100 TB path.
+    "q_sim_lsh" -> ((s, dir) =>
+      SimOps.lshTopK(t(s, dir, "embeddings"), col("vec_id") < 5)),
+    // Per-vector dimension + L2 norm — the corpus shape check.
+    "q_embed_norms" -> ((s, dir) =>
+      SimOps.norms(t(s, dir, "embeddings"))),
+    // k-NN majority-label prediction over the brute-force neighbors.
+    "q_embed_knn" -> ((s, dir) =>
+      SimOps.knnLabel(t(s, dir, "embeddings"), col("vec_id") < 5)),
+
     // --- Time-series / events (north star; EventOps) --------------------
 
     "q_events_hourly" -> ((s, dir) =>
@@ -208,6 +224,31 @@ object SparkEntry {
       s"sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id), " +
       s"bands AS ($bandSelects)"
   }
+
+  /** Shared CTE chain for the similarity oracles, mirroring
+    * [[SimOps.bruteTopK]]/[[SimOps.lshTopK]] (queries = vec_id < 5, k = 10).
+    * `list_dot_product` over `DOUBLE[]` folds left-to-right like Spark's
+    * `aggregate(zip_with(...))`, so the doubles are bit-identical.
+    */
+  private def duckSimCtes(lsh: Boolean): String = {
+    val bucket = (0 until 4)
+      .map(i => s"(CASE WHEN e[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    val joinCond = if (lsh) "n.bucket = q.bucket AND " else ""
+    "n AS (SELECT vec_id, label, embedding::DOUBLE[] AS e, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm, " +
+      s"$bucket AS bucket FROM embeddings), " +
+      "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, bucket FROM n WHERE vec_id < 5), " +
+      "p AS (SELECT q_id, n.vec_id AS vec_id, " +
+      "list_dot_product(qe, e) / (qn * nrm) AS cos " +
+      s"FROM n JOIN q ON $joinCond n.vec_id <> q.q_id), " +
+      "r AS (SELECT q_id, vec_id, cos, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM p)"
+  }
+
+  private val duckTopKSelect =
+    s"SELECT q_id, rank, vec_id, ${TextOps.roundBpSql("cos")} AS cos_bp " +
+      "FROM r WHERE rank <= 10 ORDER BY q_id, rank"
 
   /** DuckDB CTE body matching [[DedupOps.plantedCorpus]]. */
   private val duckCorpus =
@@ -354,6 +395,20 @@ object SparkEntry {
         "SELECT * FROM (SELECT id_a, id_b, " +
         s"${TextOps.roundBpSql("CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)")} AS jac_bp " +
         "FROM p) WHERE jac_bp >= 8000 ORDER BY id_a, id_b"),
+    "q_sim_topk" -> s"WITH ${duckSimCtes(lsh = false)} $duckTopKSelect",
+    "q_sim_lsh" -> s"WITH ${duckSimCtes(lsh = true)} $duckTopKSelect",
+    "q_embed_norms" ->
+      ("SELECT vec_id, label, len(embedding) AS dim, " +
+        s"${TextOps.roundBpSql("sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))")} AS norm_bp " +
+        "FROM embeddings ORDER BY vec_id"),
+    "q_embed_knn" ->
+      (s"WITH ${duckSimCtes(lsh = false)}, " +
+        "t AS (SELECT q_id, vec_id FROM r WHERE rank <= 10), " +
+        "v AS (SELECT q_id, label, CAST(count(*) AS BIGINT) AS n_votes " +
+        "FROM t JOIN embeddings USING (vec_id) GROUP BY q_id, label), " +
+        "rr AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY n_votes DESC, label) AS rn FROM v) " +
+        "SELECT q_id, label AS pred_label, n_votes FROM rr WHERE rn = 1 ORDER BY q_id"),
     "q_events_hourly" ->
       ("SELECT date_trunc('hour', ts) AS bucket, event_type, " +
         "CAST(count(*) AS BIGINT) AS n_events, " +

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — north-star
+  * extension; the reference has no second dataset to compare, let alone
+  * vectors (SURVEY §2.2).
+  *
+  * All arithmetic is double-precision, element-sequential (`zip_with` +
+  * `aggregate` fold left-to-right), which DuckDB's `list_dot_product` over
+  * `DOUBLE[]` reproduces bit-for-bit — so cosine scores and the rankings
+  * derived from them hash-compare across engines. No UDFs anywhere.
+  *
+  * Scale shapes:
+  *  - [[bruteTopK]] is O(candidates x queries) with the query side
+  *    broadcast: the right baseline when the query set is small (every
+  *    executor streams its candidate partition once; no shuffle of the
+  *    candidate table at all). Norms are computed once per row BEFORE the
+  *    join, not per pair.
+  *  - [[lshTopK]] buckets both sides by the sign pattern of the leading
+  *    dimensions (axis-aligned random-hyperplane LSH): the join becomes
+  *    equi on the bucket key, so candidate fan-out per query is the bucket
+  *    population, not the corpus. Recall loss is the standard LSH trade —
+  *    near-neighbors on a bucket boundary (a near-zero leading dim) can
+  *    land apart; more tables (OR of several sign-slices) buys recall.
+  *    At 100 TB this is the only shape that survives; brute force stays as
+  *    the per-bucket kernel.
+  */
+object SimOps {
+
+  /** Sequential double dot product — `zip_with` + left fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** (vec_id, emb as double[], norm) — norms precomputed once per row. */
+  private def normalized(emb: DataFrame, idCol: String, embCol: String): DataFrame =
+    emb.select(
+      col(idCol),
+      transform(col(embCol), _.cast("double")).as("e"),
+      l2Norm(col(embCol)).as("nrm"))
+
+  /** Brute-force cosine top-k: every candidate scored against every query
+    * vector (queries broadcast), `row_number` per query over
+    * (cosine desc, vec_id). Output: (q_id, rank, vec_id, cos_bp).
+    */
+  def bruteTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val n = normalized(emb, idCol, embCol)
+    val q = n.filter(queryPred)
+      .select(col(idCol).as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val pairs = n.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+    rankTopK(pairs, k, idCol)
+  }
+
+  /** Bucket id from the sign bits of the first `bits` dimensions —
+    * axis-aligned hyperplane LSH for cosine similarity.
+    */
+  def signBucket(embCol: Column, bits: Int = 4): Column =
+    (0 until bits)
+      .map(i => when(element_at(embCol, i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** LSH-bucketed cosine top-k: queries only meet candidates sharing their
+    * sign-bucket, turning the crossJoin into an equi-join on the bucket key.
+    * Same output shape as [[bruteTopK]]; approximate by design.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int = 10,
+      bits: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val n = normalized(emb, idCol, embCol).withColumn("bucket", signBucket(col("e"), bits))
+    val q = n.filter(queryPred)
+      .select(col(idCol).as("q_id"), col("e").as("qe"), col("nrm").as("qn"), col("bucket"))
+    val pairs = n.join(broadcast(q), "bucket")
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+    rankTopK(pairs, k, idCol)
+  }
+
+  private def rankTopK(pairs: DataFrame, k: Int, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol), TextOps.roundBp(col("cos")).as("cos_bp"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Per-vector metadata: dimension and L2 norm (basis points). The shape
+    * check every embedding pipeline runs before trusting a corpus.
+    */
+  def norms(emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    emb.select(
+      col(idCol),
+      col("label"),
+      size(col(embCol)).cast("long").as("dim"),
+      TextOps.roundBp(l2Norm(col(embCol))).as("norm_bp"))
+      .orderBy(col(idCol))
+
+  /** k-NN label prediction: majority label among the brute-force top-k
+    * neighbors, ties broken toward the smaller label. The "nearest-label
+    * aggregation" a labeling/curation pipeline runs.
+    */
+  def knnLabel(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val topk = bruteTopK(emb, queryPred, k, idCol, embCol)
+    val votes = topk
+      .join(emb.select(col(idCol), col("label")), idCol)
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("label"))
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("n_votes"))
+      .orderBy(col("q_id"))
+  }
+}

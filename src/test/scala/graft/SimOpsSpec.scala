@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimOps
+
+class SimOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("dot and l2Norm on hand-checked vectors") {
+    val df = emb((1L, Seq(3f, 4f), 0))
+    assert(df.select(SimOps.dot(col("embedding"), col("embedding"))).as[Double].head() == 25.0)
+    assert(df.select(SimOps.l2Norm(col("embedding"))).as[Double].head() == 5.0)
+  }
+
+  test("bruteTopK: ranks by cosine, excludes self, breaks ties by vec_id") {
+    val df = emb(
+      (0L, Seq(1f, 0f), 0),   // query
+      (1L, Seq(2f, 0f), 0),   // cos 1 (scale-invariant)
+      (2L, Seq(1f, 1f), 0),   // cos ~0.707
+      (3L, Seq(0f, 1f), 0),   // cos 0
+      (4L, Seq(-1f, 0f), 0))  // cos -1
+    val got = SimOps.bruteTopK(df, col("vec_id") === 0, k = 3)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1, 1L, 10000L), (0L, 2, 2L, 7071L), (0L, 3, 3L, 0L)))
+  }
+
+  test("bruteTopK: identical vectors tie-break by vec_id") {
+    val df = emb(
+      (0L, Seq(1f, 2f), 0), (5L, Seq(1f, 2f), 0), (3L, Seq(1f, 2f), 0))
+    val got = SimOps.bruteTopK(df, col("vec_id") === 0, k = 2)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got.map(_._3) == Seq(3L, 5L))
+    assert(got.forall(_._4 == 10000L))
+  }
+
+  test("signBucket: 4 sign bits of the leading dims") {
+    val df = emb(
+      (1L, Seq(1f, -1f, 1f, -1f, 9f), 0),
+      (2L, Seq(-1f, -1f, -1f, -1f, 9f), 0),
+      (3L, Seq(1f, 1f, 1f, 1f, -9f), 0))
+    val got = df.select(col("vec_id"), SimOps.signBucket(col("embedding")))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 5, 2L -> 0, 3L -> 15))
+  }
+
+  test("lshTopK: only same-bucket candidates are returned") {
+    val df = emb(
+      (0L, Seq(1f, 1f, 1f, 1f), 0),    // bucket 15, query
+      (1L, Seq(2f, 1f, 1f, 1f), 0),    // bucket 15 — candidate
+      (2L, Seq(-1f, -1f, -1f, -1f), 0)) // bucket 0 — invisible to query 0
+    val got = SimOps.lshTopK(df, col("vec_id") === 0, k = 10)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got.map(_._3) == Seq(1L))
+  }
+
+  test("lshTopK ⊆ bruteTopK scores: LSH never invents a neighbor") {
+    val df = sf("embeddings")
+    val brute = SimOps.bruteTopK(df, col("vec_id") < 3, k = 50)
+      .select("q_id", "vec_id", "cos_bp").as[(Long, Long, Long)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    val lsh = SimOps.lshTopK(df, col("vec_id") < 3, k = 10)
+      .select("q_id", "vec_id", "cos_bp").as[(Long, Long, Long)].collect()
+    // every LSH hit is a real vector pair with the same cosine wherever
+    // brute force also ranked it
+    lsh.foreach { case (q, v, c) =>
+      brute.get((q, v)).foreach(bc => assert(bc == c))
+    }
+    assert(lsh.nonEmpty)
+  }
+
+  test("norms: dimension and unit-ish norms on the fixture table") {
+    val got = SimOps.norms(sf("embeddings")).as[(Long, Int, Long, Long)].collect()
+    assert(got.length == 500)
+    assert(got.forall(_._3 == 64L))
+    assert(got.forall(r => r._4 > 0L))
+  }
+
+  test("knnLabel: majority label of the nearest cluster wins") {
+    // query 0 near three label-7 vectors and one label-3 vector
+    val df = emb(
+      (0L, Seq(1f, 0f), 9),
+      (1L, Seq(1f, 0.1f), 7), (2L, Seq(1f, -0.1f), 7), (3L, Seq(1f, 0.2f), 7),
+      (4L, Seq(0.9f, 0f), 3))
+    val got = SimOps.knnLabel(df, col("vec_id") === 0, k = 4)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((0L, 7, 3L)))
+  }
+}
