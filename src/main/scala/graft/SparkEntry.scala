@@ -182,6 +182,10 @@ object SparkEntry {
     // k-NN majority-label prediction over the brute-force neighbors.
     "q_embed_knn" -> ((s, dir) =>
       SimOps.knnLabel(t(s, dir, "embeddings"), col("vec_id") < 5)),
+    // Embedding-cosine near-dup pairs within LSH buckets, over a corpus
+    // with planted duplicate vectors.
+    "q_embed_neardup" -> ((s, dir) =>
+      SimOps.nearDupPairs(SimOps.plantedVectors(t(s, dir, "embeddings")))),
 
     // --- Time-series / events (north star; EventOps) --------------------
 
@@ -409,6 +413,21 @@ object SparkEntry {
         "rr AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
         "ORDER BY n_votes DESC, label) AS rn FROM v) " +
         "SELECT q_id, label AS pred_label, n_votes FROM rr WHERE rn = 1 ORDER BY q_id"),
+    "q_embed_neardup" -> {
+      val bucket = (0 until 4)
+        .map(i => s"(CASE WHEN e[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      "WITH base AS (SELECT vec_id, embedding, label FROM embeddings " +
+        "UNION ALL SELECT vec_id + 100000 AS vec_id, embedding, label " +
+        "FROM embeddings WHERE vec_id % 100 = 0), " +
+        "n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm, " +
+        s"$bucket AS bucket FROM base) " +
+        "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} AS cos_bp " +
+        "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "WHERE cos_bp >= 4000 ORDER BY id_a, id_b"
+    },
     "q_events_hourly" ->
       ("SELECT date_trunc('hour', ts) AS bucket, event_type, " +
         "CAST(count(*) AS BIGINT) AS n_events, " +

@@ -103,6 +103,39 @@ object SimOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** `embeddings` plus planted exact-duplicate vectors (every 100th vec_id,
+    * id + 100000) — the embedding analog of [[DedupOps.plantedCorpus]], so
+    * the near-dup query demonstrably finds known duplicates.
+    */
+  def plantedVectors(emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), col(embCol), col("label"))
+      .unionByName(emb.filter(col(idCol) % 100 === 0)
+        .select((col(idCol) + 100000).as(idCol), col(embCol), col("label")))
+
+  /** Embedding-cosine near-duplicate pairs: self-join WITHIN sign-LSH
+    * buckets (never corpus x corpus), keep pairs with cosine ≥
+    * `thresholdBp`. Exact duplicates always share a bucket, so recall on
+    * true dups is 1; boundary near-dups follow the LSH trade documented on
+    * [[lshTopK]]. Output: (id_a, id_b, cos_bp), id_a < id_b.
+    */
+  def nearDupPairs(
+      emb: DataFrame,
+      thresholdBp: Int = 4000,
+      bits: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val n = normalized(emb, idCol, embCol).withColumn("bucket", signBucket(col("e"), bits))
+    n.alias("a")
+      .join(n.alias("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        TextOps.roundBp(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_bp"))
+      .filter(col("cos_bp") >= thresholdBp)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Per-vector metadata: dimension and L2 norm (basis points). The shape
     * check every embedding pipeline runs before trusting a corpus.
     */

@@ -79,6 +79,25 @@ class SimOpsSpec extends SparkSpec {
     assert(got.forall(r => r._4 > 0L))
   }
 
+  test("nearDupPairs: finds planted duplicate vectors at cos_bp 10000") {
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    val got = SimOps.nearDupPairs(planted, thresholdBp = 9999)
+      .as[(Long, Long, Long)].collect().toSeq
+    // every 100th vec (0,100,200,300,400) has an exact copy at id+100000
+    val expected = Seq(0L, 100L, 200L, 300L, 400L).map(i => (i, i + 100000L))
+    expected.foreach(p => assert(got.map(g => (g._1, g._2)).contains(p)))
+    assert(got.forall(_._3 >= 9999L))
+  }
+
+  test("nearDupPairs: never pairs across different sign buckets") {
+    val df = emb(
+      (1L, Seq(1f, 1f, 1f, 1f), 0), (2L, Seq(1f, 1f, 1f, 1f), 0),
+      (3L, Seq(-1f, 1f, 1f, 1f), 0)) // bucket differs from 1/2
+    val got = SimOps.nearDupPairs(df, thresholdBp = 0)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(g => (g._1, g._2)) == Seq((1L, 2L)))
+  }
+
   test("knnLabel: majority label of the nearest cluster wins") {
     // query 0 near three label-7 vectors and one label-3 vector
     val df = emb(
