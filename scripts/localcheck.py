@@ -5,9 +5,16 @@ Usage: python3 scripts/localcheck.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the
-parquet tables in <sfDir>, and compares: schema (column names), row count, and
-a hash over values with columns sorted by name (rows compared in order AND as
-a sorted multiset, so we catch both kinds of mismatch).
+parquet tables in <sfDir>, and compares: schema (column names), row count,
+and values row-by-row in order (float columns with rtol=1e-9 — the driver's
+hash compare is exact, so engine-identical doubles are still required there;
+the tolerance here only keeps diagnostics readable). When the ordered compare
+fails, a sorted-multiset compare runs too, to distinguish "wrong order" from
+"wrong rows".
+
+Every key of oracle_sql.json is checked: a query that crashed in Verify (no
+output directory) is a FAIL, not a silent absence. Output dirs with no oracle
+entry are reported as rows-only WARNs.
 """
 import sys, os, json, glob
 import duckdb
@@ -20,6 +27,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     return df
 
+def frames_equal(g: pd.DataFrame, e: pd.DataFrame) -> str | None:
+    """None if equal; otherwise a human-readable mismatch description."""
+    try:
+        pd.testing.assert_frame_equal(
+            g.reset_index(drop=True), e.reset_index(drop=True),
+            check_dtype=False, check_exact=False, rtol=1e-9, atol=0)
+        return None
+    except AssertionError as ex:
+        ordered_err = str(ex)[:400]
+    # ordered compare failed — is it just ordering?
+    try:
+        gs = g.sort_values(by=list(g.columns)).reset_index(drop=True)
+        es = e.sort_values(by=list(e.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(gs, es, check_dtype=False,
+                                      check_exact=False, rtol=1e-9, atol=0)
+        return f"rows match as a multiset but NOT in order: {ordered_err}"
+    except AssertionError:
+        return f"value mismatch (ordered): {ordered_err}"
+
 def main(sf_dir, out_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
@@ -31,9 +57,13 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     n_pass = n_fail = 0
-    names = sorted([os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*"))
-                    if os.path.isdir(d)])
+    out_dirs = {os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*"))
+                if os.path.isdir(d)}
+    names = sorted(out_dirs | set(oracle))
     for name in names:
+        if name not in out_dirs:
+            print(f"FAIL {name}: declared oracle but no Spark output (query crashed in Verify?)")
+            n_fail += 1; continue
         try:
             got = pd.read_parquet(os.path.join(out_dir, name))
         except Exception as e:
@@ -52,11 +82,9 @@ def main(sf_dir, out_dir):
         elif len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} != {len(e)}"); ok = False
         else:
-            try:
-                pd.testing.assert_frame_equal(g.reset_index(drop=True), e.reset_index(drop=True),
-                                              check_dtype=False, check_exact=True)
-            except AssertionError as ex:
-                print(f"FAIL {name}: value mismatch (ordered): {str(ex)[:500]}")
+            err = frames_equal(g, e)
+            if err is not None:
+                print(f"FAIL {name}: {err}")
                 ok = False
         if ok:
             print(f"PASS {name}: rows={len(g)}")

@@ -64,6 +64,17 @@ object SparkEntry {
     "q_chunk_stats" -> ((s, dir) => {
       SortOps.chunkStats(t(s, dir, "lineitem"), pmod(col("l_orderkey"), lit(16)))
     }),
+    // O2/O4/O14 under the oracle — the reference's native format end to end:
+    // dump ints to a space-delimited text file (partitioned TeraSort-order
+    // sink, the scale path), read it back through the chunked text source,
+    // total-sort. The oracle sees only the parquet table, so a format bug
+    // anywhere in the round trip breaks the hash match.
+    "q_textint_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_textint").toString
+      val ints = t(s, dir, "lineitem").select(col("l_orderkey").cast("int").as("value"))
+      graft.sources.TextIntIO.writePartitioned(ints, s"$tmp/ints")
+      graft.sources.TextIntIO.sort(graft.sources.TextIntIO.read(s, s"$tmp/ints"))
+    }),
 
     // --- Relational support ops (SURVEY §2.2: absent in the reference,
     // --- added as the engine's general query surface) -------------------
@@ -280,6 +291,8 @@ object SparkEntry {
     "q_chunk_stats" ->
       ("SELECT l_orderkey % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_rows " +
         "FROM lineitem GROUP BY bucket ORDER BY bucket"),
+    "q_textint_roundtrip" ->
+      "SELECT CAST(l_orderkey AS INT) AS value FROM lineitem ORDER BY value",
     "q_filter_project" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
         "WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_discount > 0.05 " +

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{DedupOps, SortOps}
+import graft.sources.TextIntIO
+
+/** Property-based suite promised in SURVEY §5.2: randomized inputs against
+  * JVM-side oracles (`xs.sorted` etc.), including values ≥ 999,999 — the
+  * reference's sentinel range (`NodeHandler.java:223,236-238`) where its
+  * merge corrupts output; ours must not.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(label: String, samples: Int, p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(samples)
+        .withMaxSize(60),
+      p)
+    assert(res.passed, s"$label: ${res.status}")
+  }
+
+  // Includes the reference's sentinel range and both int extremes.
+  private val genInts: Gen[List[Int]] = Gen.listOf(Gen.frequency(
+    6 -> Gen.chooseNum(Int.MinValue, Int.MaxValue),
+    2 -> Gen.chooseNum(999998, 1000001),
+    1 -> Gen.const(999999999),
+    1 -> Gen.oneOf(Int.MinValue, Int.MaxValue, 0)))
+
+  test("property: engine sort == JVM sort for arbitrary ints (sentinel regression)") {
+    check("sort", 15, Prop.forAll(genInts) { xs =>
+      val got = SortOps.totalSort(xs.toDF("value"), Seq(col("value"))).as[Int].collect()
+      got.toList == xs.sorted
+    })
+  }
+
+  test("property: merge of any k-way split == sort of the whole") {
+    val gen = for { xs <- genInts; k <- Gen.chooseNum(1, 5) } yield (xs, k)
+    check("merge", 15, Prop.forAll(gen) { case (xs, k) =>
+      val runs = (0 until k).map(i => xs.zipWithIndex.collect {
+        case (v, idx) if idx % k == i => v
+      }.toDF("value"))
+      val merged = SortOps.mergeRuns(runs, Seq(col("value"))).as[Int].collect()
+      merged.toList == xs.sorted
+    })
+  }
+
+  test("property: topK == sorted prefix") {
+    val gen = for { xs <- genInts; k <- Gen.chooseNum(0, 20) } yield (xs, k)
+    check("topk", 15, Prop.forAll(gen) { case (xs, k) =>
+      val got = SortOps.topK(xs.toDF("value"), k, Seq(col("value"))).as[Int].collect()
+      got.toList == xs.sorted.take(k)
+    })
+  }
+
+  test("property: text-int round trip preserves the multiset, sorted") {
+    check("textint", 10, Prop.forAll(genInts) { xs =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_prop").toString
+      TextIntIO.writePartitioned(xs.toDF("value"), s"$tmp/t")
+      val back = TextIntIO.sort(TextIntIO.read(spark, s"$tmp/t")).as[Int].collect()
+      back.toList == xs.sorted
+    })
+  }
+
+  private val genDocs: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val text = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, text).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))
+  }
+
+  test("property: exactDedup partitions the corpus and is idempotent") {
+    check("dedup", 10, Prop.forAll(genDocs) { docRows =>
+      val corpus = docRows.toDF("doc_id", "text")
+      val once = DedupOps.exactDedup(corpus).collect()
+      val total = once.map(_.getAs[Long]("n_copies")).sum
+      val keepers = once.map(_.getAs[Long]("keep_id")).toSet
+      val kept = corpus.filter(col("doc_id").isInCollection(keepers))
+      val twice = DedupOps.exactDedup(kept).collect()
+      total == docRows.length &&
+        twice.length == once.length &&
+        twice.forall(_.getAs[Long]("n_copies") == 1L)
+    })
+  }
+}
