@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.StableHash
-import graft.operators.{DedupOps, EventOps, SimOps, SortOps, TextOps}
+import graft.operators.{DedupOps, EventOps, MultimodalOps, SimOps, SortOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -198,6 +198,18 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) =>
       SimOps.nearDupPairs(SimOps.plantedVectors(t(s, dir, "embeddings")))),
 
+    // --- Multimodal binary columns (north star; MultimodalOps) ----------
+
+    // Header sniff: length, fingerprint, magic bytes of opaque payloads.
+    "q_media_meta" -> ((s, dir) =>
+      MultimodalOps.mediaMeta(MultimodalOps.asMedia(t(s, dir, "documents")))),
+    // Evenly-spaced frame/byte sampling from binary payloads.
+    "q_media_frames" -> ((s, dir) =>
+      MultimodalOps.frameSample(MultimodalOps.asMedia(t(s, dir, "documents")))),
+    // Typed per-partition batch decode (stubbed codec, real plumbing).
+    "q_media_features" -> ((s, dir) =>
+      MultimodalOps.mediaFeatures(MultimodalOps.asMedia(t(s, dir, "documents")))),
+
     // --- Time-series / events (north star; EventOps) --------------------
 
     "q_events_hourly" -> ((s, dir) =>
@@ -264,6 +276,16 @@ object SparkEntry {
   private val duckTopKSelect =
     s"SELECT q_id, rank, vec_id, ${TextOps.roundBpSql("cos")} AS cos_bp " +
       "FROM r WHERE rank <= 10 ORDER BY q_id, rank"
+
+  /** DuckDB CTE matching [[MultimodalOps.asMedia]] — payload handled as a
+    * hex string because DuckDB 1.0 has no BLOB substr/md5; `md5(text)`
+    * hashes the UTF-8 bytes, i.e. exactly Spark's `md5(payload)`.
+    */
+  private val duckMedia =
+    "media AS (SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+      "ELSE 'video' END AS kind, text, hex(encode(text)) AS h, " +
+      "octet_length(encode(text)) AS n FROM documents)"
 
   /** DuckDB CTE body matching [[DedupOps.plantedCorpus]]. */
   private val duckCorpus =
@@ -441,6 +463,24 @@ object SparkEntry {
         "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
         "WHERE cos_bp >= 4000 ORDER BY id_a, id_b"
     },
+    "q_media_meta" ->
+      (s"WITH $duckMedia " +
+        "SELECT media_id, kind, n AS n_bytes, md5(text) AS fp_md5, " +
+        "lower(substr(h, 1, 8)) AS magic FROM media ORDER BY media_id"),
+    "q_media_frames" -> {
+      val parts = (0 until 8).map(j => s"substr(h, $j * step * 2 + 1, 2)").mkString(", ")
+      s"WITH $duckMedia, m2 AS (SELECT *, n // 8 AS step FROM media WHERE n >= 8) " +
+        s"SELECT media_id, kind, n AS n_bytes, lower(concat($parts)) AS frame_hex " +
+        "FROM m2 ORDER BY media_id"
+    },
+    "q_media_features" ->
+      (s"WITH $duckMedia " +
+        "SELECT media_id, kind, n_bytes, b_first, b_last, " +
+        "(b_first + b_last) % 256 AS checksum FROM (" +
+        "SELECT media_id, kind, n AS n_bytes, " +
+        "('0x' || substr(h, 1, 2))::BIGINT AS b_first, " +
+        "('0x' || substr(h, n * 2 - 1, 2))::BIGINT AS b_last FROM media) " +
+        "ORDER BY media_id"),
     "q_events_hourly" ->
       ("SELECT date_trunc('hour', ts) AS bucket, event_type, " +
         "CAST(count(*) AS BIGINT) AS n_events, " +

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the stream (mirrors the `events` table's queryable core). */
+case class StreamEvent(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured Streaming surface — north-star extension; the reference has no
+  * data-plane streaming (its only loop is the 5 s control-plane heartbeat,
+  * `Server.java:588-650`, which Spark replaces with executor heartbeats).
+  *
+  * Batch/stream parity: [[hourlyCounts]] is the streaming twin of
+  * `EventOps.tumblingAgg` — same grouping, same aggregates — so a pipeline
+  * can run one definition over history (batch parquet) and the live tail
+  * (stream) and get consistent rollups. State never grows unboundedly: the
+  * watermark bounds window state, and the running-count state uses explicit
+  * processing-time timeouts.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour counts with a watermark: late events beyond
+    * `watermarkDelay` are dropped and window state is reclaimed — the only
+    * viable contract for an unbounded 100 TB/day stream.
+    */
+  def hourlyCounts(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Custom keyed state via `mapGroupsWithState`: a per-user running event
+    * count that survives across micro-batches. State is one Long per user.
+    *
+    * `timeout = Some(duration)` evicts state after that much inactivity
+    * (processing-time timeout) so the store stays bounded by the active-user
+    * set — the production setting. `None` uses NoTimeout: state lives for
+    * the query's lifetime, and (usefully for tests) the engine schedules no
+    * timeout-only batches, so `processAllAvailable` quiesces.
+    */
+  def runningUserCounts(
+      events: Dataset[StreamEvent],
+      timeout: Option[String] = None): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    val conf = timeout.map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(conf) {
+        (user: Long, batch: Iterator[StreamEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            (user, last)
+          } else {
+            val n = state.getOption.getOrElse(0L) + batch.size
+            state.update(n)
+            timeout.foreach(state.setTimeoutDuration)
+            (user, n)
+          }
+      }
+  }
+
+  /** Output mode under which [[hourlyCounts]] emits only finalized windows. */
+  val finalizedWindows: OutputMode = OutputMode.Append()
+}

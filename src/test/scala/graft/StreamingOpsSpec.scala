@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+// Spark 4.x moved MemoryStream under execution.streaming.runtime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventOps
+import graft.streaming.{StreamEvent, StreamingOps}
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+  private val sample = Seq(
+    StreamEvent(ts("10:05"), 1L, "click", 1.0),
+    StreamEvent(ts("10:15"), 2L, "click", 2.0),
+    StreamEvent(ts("10:45"), 1L, "view", 3.0),
+    StreamEvent(ts("11:05"), 1L, "click", 4.0),
+    StreamEvent(ts("11:30"), 3L, "view", 5.0))
+
+  test("hourlyCounts(stream) == the same aggregation over the batch") {
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      input.addData(sample.take(3))
+      q.processAllAvailable()
+      input.addData(sample.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+        .select("bucket", "event_type", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = StreamingOps.hourlyCounts(sample.toDF())
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 4) // (10h click, 10h view, 11h click, 11h view)
+    } finally q.stop()
+  }
+
+  test("hourlyCounts parity with the batch EventOps rollup shape") {
+    // same grouping keys and counts as EventOps.tumblingAgg over raw-long ts
+    val batchDf = sample.toDF()
+      .select(unix_timestamp(col("ts")).cast("long").multiply(1000000000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit(0L).as("event_id"), lit("{}").as("props"))
+    val viaEventOps = EventOps.tumblingAgg(batchDf, "hour")
+      .select("event_type", "n_events").as[(String, Long)].collect().toSet
+    val viaStreamingDef = StreamingOps.hourlyCounts(sample.toDF())
+      .select("event_type", "n_events").as[(String, Long)].collect().toSet
+    assert(viaEventOps == viaStreamingDef)
+  }
+
+  test("runningUserCounts: state accumulates across micro-batches") {
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.runningUserCounts(input.toDS())
+      .toDF("user_id", "n_events")
+      .writeStream.format("memory").queryName("running").outputMode("update").start()
+    try {
+      input.addData(sample.take(3)) // user1 x2, user2 x1
+      q.processAllAvailable()
+      input.addData(sample.drop(3)) // user1 +1, user3 +1
+      q.processAllAvailable()
+      val last = spark.table("running").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).max }
+      assert(last == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    } finally q.stop()
+  }
+}
