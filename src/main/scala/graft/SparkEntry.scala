@@ -427,7 +427,7 @@ object SparkEntry {
       (s"WITH corpus AS ($duckCorpus), " +
         s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
         s"s AS (SELECT doc_id, list_distinct($duckShingles3) AS shs FROM t), " +
-        "z AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM s WHERE len(shs) > 0), " +
+        "z AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM s), " +
         "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, " +
         "count(*) AS inter FROM z a JOIN z b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2, 3, 4) " +

@@ -138,8 +138,10 @@ object DedupOps {
     val s = corpus.select(
       col(idCol),
       array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), 3)).as("shs"))
-    val allInv = s.filter(size(col("shs")) > 0)
-      .select(col(idCol), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+    // no size(shs) > 0 pre-filter: explode already drops empty arrays, and
+    // a pushed-down filter would re-evaluate the whole tokenize+shingle
+    // tree once more per row at the scan
+    val allInv = s.select(col(idCol), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
     // Stop-shingle cutoff: a shingle present in d documents contributes
     // O(d^2) join pairs, so boilerplate shingles dominate cost at scale.
     // Dropping shingles with doc-freq > maxDocFreq bounds the per-bucket

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: every scale claim made in the operator scaladocs is
+  * asserted against the actual Catalyst plan, so a regression that silently
+  * un-pushes a filter, drops a broadcast, or turns an equi-join into a
+  * cartesian product fails the suite — not a 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_filter_project: both predicates reach the parquet scan; schema pruned") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThan(l_discount"), "discount filter not pushed")
+    assert(p.contains("LessThan(l_shipdate"), "shipdate filter not pushed")
+    // projection pruning: the 11-column table is read as ≤5 columns
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(readSchema.count(_ == ',') <= 4, s"scan reads too many columns: $readSchema")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_quantity"))
+  }
+
+  test("q_join: the small dim is broadcast, never shuffled") {
+    val p = plan("q_join")
+    assert(p.contains("BroadcastHashJoin"), "nation join is not broadcast")
+  }
+
+  test("q_topk: TakeOrderedAndProject, not a full sort-shuffle") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    assert(!p.contains("rangepartitioning"), "top-k must not range-shuffle the table")
+  }
+
+  test("q_sort_total: exactly one range exchange (TeraSort shape)") {
+    val p = plan("q_sort_total")
+    assert("rangepartitioning\\(".r.findAllIn(p).size == 1, "expected exactly one range shuffle")
+  }
+
+  test("q_sort_runs: range partitioning includes the sort keys (no 16-run ceiling)") {
+    val p = plan("q_sort_runs")
+    val exchange = p.linesIterator.filter(_.contains("rangepartitioning")).mkString
+    assert(exchange.contains("run_id"), exchange)
+    assert(exchange.contains("l_extendedprice"),
+      "range partitioning on run_id alone caps parallelism at the distinct-run count")
+  }
+
+  test("q_sim_topk: broadcast nested loop over the 5 query rows, no CartesianProduct") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"), "corpus x corpus cartesian is a scale-killer")
+  }
+
+  test("q_sim_lsh and q_embed_neardup: LSH turns similarity into equi-joins") {
+    for (q <- Seq("q_sim_lsh", "q_embed_neardup")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+        s"$q: bucket join is not an equi-join")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: LSH bucketing failed to produce an equi-join")
+    }
+  }
+
+  test("q_dedup_minhash: band-bucket join is an equi-join with partial aggregation") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      "minhash signature aggregation should be partial+final")
+  }
+
+  test("aggregation queries use map-side partial aggregation") {
+    for (q <- Seq("q_agg", "q_text_tokens", "q_chunk_stats")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: no map-side combine in plan")
+    }
+  }
+
+  test("no query plan contains a CartesianProduct") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = planOf(fn(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+}
