@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.VecDot
+
+/** Engine extensions, registered via `spark.sql.extensions` (the public
+  * `SparkSessionExtensions` hook — set in [[GraftSession.builder]]).
+  * Currently: the codegen'd `vec_dot` vector kernel ([[VecDot]]), callable
+  * from SQL and from `functions.call_function("vec_dot", ...)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"vec_dot expects 2 arguments, got ${children.length}")
+        VecDot(children.head, children(1))
+      }))
+  }
+}

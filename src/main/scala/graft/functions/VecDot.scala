@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd dot product over `array<float>` / `array<double>`.
+  *
+  * The composable formulation — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` —
+  * is correct but interpreted: Spark's higher-order functions never enter
+  * whole-stage codegen, they allocate an intermediate product array per row,
+  * and every lambda invocation boxes. This expression generates a tight
+  * primitive loop instead (preference order per the build brief: built-ins
+  * first, then a native `Expression` with `doGenCode` — NOT a Scala UDF).
+  *
+  * Semantics match the interpreted form exactly: elements multiplied in
+  * double precision, accumulated left-to-right (the order the DuckDB
+  * oracle's `list_dot_product` uses too, so results stay bit-identical).
+  * Mismatched lengths stop at the shorter array; null elements contribute
+  * 0.0 (the fixture embeddings contain neither).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_dot"
+
+  // `ExpectsInputTypes`/`TypeCollection` are private[sql], so input types
+  // are validated here: each side must be array<float> or array<double>.
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"vec_dot expects array<float> or array<double> arguments, got ${other.simpleString(10)}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val xGet = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val yGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $xGet * $yGet;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}

@@ -30,8 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object SimOps {
 
-  /** Sequential double dot product — `zip_with` + left fold. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential double dot product — the codegen'd [[graft.functions.VecDot]]
+    * kernel (registered by `GraftExtensions`). Bit-identical to [[dotHof]];
+    * the kernel stays inside whole-stage codegen while higher-order
+    * functions force interpreted evaluation with a boxed intermediate array
+    * per row.
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** The built-ins-only formulation (`zip_with` + left fold) — kept as the
+    * reference implementation [[dot]] is equivalence-tested against, and as
+    * the fallback for sessions without GraftExtensions.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
