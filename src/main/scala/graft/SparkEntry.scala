@@ -136,6 +136,59 @@ object SparkEntry {
         .dropDuplicates()
         .orderBy(col("l_partkey"), col("l_suppkey"))
     }),
+    // Hierarchical aggregation (rollup = grouping sets): subtotal rows per
+    // returnflag and a grand total; null group keys coalesced so the output
+    // order is engine-independent (Spark sorts NULLS FIRST, DuckDB LAST).
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy(col("rflag"), col("lstatus"))
+    }),
+    // Set operations: INTERSECT and EXCEPT of two key sets, tagged and
+    // unioned into one deterministic result.
+    "q_set_ops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey").as("k")).distinct()
+      val pa = t(s, dir, "part").filter(col("p_size") > 25).select(col("p_partkey").as("k"))
+      li.intersect(pa).withColumn("src", lit("both"))
+        .unionByName(li.except(pa).withColumn("src", lit("lineitem_only")))
+        .select(col("src"), col("k"))
+        .orderBy(col("src"), col("k"))
+    }),
+    // Left-semi join: customers with at least one order (EXISTS).
+    "q_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "leftsemi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    // Left-anti join: customers with no high-value order (NOT EXISTS).
+    "q_anti_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "leftanti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    // Date + math function surface: extraction, date arithmetic, sqrt in
+    // basis points (floor-based — engine round() on doubles is not portable).
+    "q_date_math" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"),
+        // ISO string, not a date: engines hand pandas different date dtypes
+        date_add(to_date(col("o_orderdate")), 30).cast("string").as("deadline"),
+        TextOps.roundBp(sqrt(col("o_totalprice"))).as("sqrt_price_bp"),
+        pmod(col("o_orderkey"), lit(7)).as("bucket7"))
+        .orderBy(col("o_orderkey"))
+    }),
 
     // --- Text analysis over `documents` (north star; TextOps) -----------
 
@@ -344,6 +397,36 @@ object SparkEntry {
     "q_distinct" ->
       ("SELECT DISTINCT l_partkey, l_suppkey FROM lineitem " +
         "ORDER BY l_partkey, l_suppkey"),
+    "q_rollup" ->
+      ("SELECT coalesce(l_returnflag, '(all)') AS rflag, " +
+        "coalesce(l_linestatus, '(all)') AS lstatus, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY rflag, lstatus"),
+    "q_set_ops" ->
+      ("WITH li AS (SELECT DISTINCT l_partkey AS k FROM lineitem), " +
+        "pa AS (SELECT p_partkey AS k FROM part WHERE p_size > 25) " +
+        "SELECT 'both' AS src, k FROM (SELECT k FROM li INTERSECT SELECT k FROM pa) " +
+        "UNION ALL " +
+        "SELECT 'lineitem_only' AS src, k FROM (SELECT k FROM li EXCEPT SELECT k FROM pa) " +
+        "ORDER BY src, k"),
+    "q_semi_join" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY c_custkey"),
+    "q_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +
+        "ORDER BY c_custkey"),
+    "q_date_math" ->
+      ("SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
+        "day(o_orderdate) AS dom, " +
+        "date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since, " +
+        "(o_orderdate::DATE + 30)::VARCHAR AS deadline, " +
+        s"${TextOps.roundBpSql("sqrt(o_totalprice)")} AS sqrt_price_bp, " +
+        "o_orderkey % 7 AS bucket7 " +
+        "FROM orders ORDER BY o_orderkey"),
     "q_text_tokens" ->
       (s"WITH tok AS (SELECT unnest($duckToks) AS token FROM documents) " +
         "SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok " +
