@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.StableHash
-import graft.operators.{DedupOps, EventOps, MultimodalOps, SimOps, SortOps, TextOps}
+import graft.operators.{AsofOps, DedupOps, EventOps, MultimodalOps, SimOps, SortOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -127,6 +127,24 @@ object SparkEntry {
         .filter(col("rn") <= 3)
         .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
           col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+    // Same result as q_window via the bounded top-k AGGREGATOR: map-side
+    // partial aggregation keeps ≤k rows per group before the shuffle,
+    // instead of shuffling + fully sorting every group. Shares q_window's
+    // oracle SQL — two physical strategies, one semantic contract.
+    "q_topk_groups" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .as[(Long, Double, Long, Int)]
+        .map { case (g, score, id1, id2) => (g, graft.functions.ScoredRow(score, id1, id2)) }
+      val topk = rows.groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.functions.TopKAgg(3).toColumn.name("top"))
+      topk.flatMap { case (g, rs) =>
+        rs.zipWithIndex.map { case (r, i) => (g, i + 1, r.id1, r.id2, r.score) }
+      }.toDF("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
         .orderBy(col("l_suppkey"), col("rn"))
     }),
     // Distinct = hash aggregation without aggregates.
@@ -267,6 +285,10 @@ object SparkEntry {
 
     "q_events_hourly" -> ((s, dir) =>
       EventOps.tumblingAgg(t(s, dir, "events"), "hour")),
+    // As-of join: each purchase matched to the user's latest prior click —
+    // one shuffle + one window pass, never a range-condition nested loop.
+    "q_asof_join" -> ((s, dir) =>
+      AsofOps.lastEventBefore(t(s, dir, "events"), "purchase", "click")),
     "q_events_sessions" -> ((s, dir) =>
       EventOps.sessionStats(t(s, dir, "events"), gapSeconds = 1800)),
     "q_events_json" -> ((s, dir) =>
@@ -397,6 +419,13 @@ object SparkEntry {
     "q_distinct" ->
       ("SELECT DISTINCT l_partkey, l_suppkey FROM lineitem " +
         "ORDER BY l_partkey, l_suppkey"),
+    // identical semantics to q_window — deliberately the same oracle
+    "q_topk_groups" ->
+      ("SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice FROM (" +
+        "SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, " +
+        "row_number() OVER (PARTITION BY l_suppkey " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn " +
+        "FROM lineitem) WHERE rn <= 3 ORDER BY l_suppkey, rn"),
     "q_rollup" ->
       ("SELECT coalesce(l_returnflag, '(all)') AS rflag, " +
         "coalesce(l_linestatus, '(all)') AS lstatus, " +
@@ -564,6 +593,18 @@ object SparkEntry {
         "('0x' || substr(h, 1, 2))::BIGINT AS b_first, " +
         "('0x' || substr(h, n * 2 - 1, 2))::BIGINT AS b_last FROM media) " +
         "ORDER BY media_id"),
+    // DuckDB has native ASOF JOIN — the right side is pre-deduped per
+    // (user, ts) to the max event_id, matching AsofOps' tie-break.
+    "q_asof_join" ->
+      ("WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+        "r0 AS (SELECT event_id, user_id, ts, row_number() OVER " +
+        "(PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
+        "FROM events WHERE event_type = 'click'), " +
+        "r AS (SELECT event_id, user_id, ts FROM r0 WHERE rn = 1) " +
+        "SELECT l.event_id AS l_event_id, l.user_id, r.event_id AS r_event_id, " +
+        "epoch_us(l.ts) - epoch_us(r.ts) AS gap_us " +
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts " +
+        "ORDER BY l_event_id"),
     "q_events_hourly" ->
       ("SELECT date_trunc('hour', ts) AS bucket, event_type, " +
         "CAST(count(*) AS BIGINT) AS n_events, " +

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored row inside the top-k buffer: score + two tie-break ids. */
+case class ScoredRow(score: Double, id1: Long, id2: Int)
+
+/** Bounded top-k-per-group aggregator (UDAF surface via the typed
+  * `Aggregator` API).
+  *
+  * The window formulation (`row_number().over(partitionBy(g).orderBy(s))`)
+  * must shuffle EVERY row of every group and sort whole groups before
+  * discarding all but k. This aggregator keeps at most k rows per group in
+  * the aggregation buffer, so map-side partial aggregation discards losers
+  * before the shuffle — the shuffle carries ≤ k rows per (mapper, group)
+  * instead of the full table. Order: score descending, ties broken by
+  * (id1, id2) ascending — identical to the window query's ORDER BY, so the
+  * two formulations share one oracle.
+  */
+class TopKAgg(k: Int) extends Aggregator[ScoredRow, Seq[ScoredRow], Seq[ScoredRow]] {
+
+  private def ord: Ordering[ScoredRow] =
+    Ordering.by((r: ScoredRow) => (-r.score, r.id1, r.id2))
+
+  override def zero: Seq[ScoredRow] = Vector.empty
+
+  override def reduce(buf: Seq[ScoredRow], row: ScoredRow): Seq[ScoredRow] =
+    // k is small (top-N per group); insert + re-sort of ≤ k+1 elements is
+    // cheaper than heap bookkeeping at these sizes
+    ((buf :+ row).sorted(ord)).take(k)
+
+  override def merge(a: Seq[ScoredRow], b: Seq[ScoredRow]): Seq[ScoredRow] =
+    (a ++ b).sorted(ord).take(k)
+
+  override def finish(buf: Seq[ScoredRow]): Seq[ScoredRow] = buf.sorted(ord)
+
+  override def bufferEncoder: Encoder[Seq[ScoredRow]] = ExpressionEncoder()
+
+  override def outputEncoder: Encoder[Seq[ScoredRow]] = ExpressionEncoder()
+}
