@@ -102,6 +102,29 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+    // q_agg's semantics via explicit SALTED two-phase aggregation (SkewOps):
+    // the hot-key mitigation, verified against the same oracle as a direct
+    // groupBy would be. avg recombined as sum/count — salting only splits
+    // algebraic aggregates.
+    "q_agg_salted" -> ((s, dir) => {
+      import graft.operators.SkewOps
+      val salted = SkewOps.saltedSumCount(
+        t(s, dir, "lineitem"),
+        keys = Seq("l_returnflag", "l_linestatus"),
+        sums = Seq(
+          "qty" -> col("l_quantity"),
+          "base" -> col("l_extendedprice"),
+          "disc_price" -> (col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          "disc" -> col("l_discount")))
+      salted.select(
+        col("l_returnflag"), col("l_linestatus"),
+        round(col("qty"), 2).as("sum_qty"),
+        round(col("base"), 2).as("sum_base_price"),
+        round(col("disc_price"), 2).as("sum_disc_price"),
+        round(col("disc") / col("n_rows"), 6).as("avg_disc"),
+        col("n_rows").as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
     // Shuffle join on the fact keys + broadcast of the small dim (nation):
     // the 100 TB shape — never shuffle the small side.
     "q_join" -> ((s, dir) => {
@@ -400,6 +423,16 @@ object SparkEntry {
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
         "round(avg(l_discount), 6) AS avg_disc, " +
+        "CAST(count(*) AS BIGINT) AS count_order " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+    // same shape as q_agg; n_rows/count recombined from salted partials
+    "q_agg_salted" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "round(sum(l_discount) / count(*), 6) AS avg_disc, " +
         "CAST(count(*) AS BIGINT) AS count_order " +
         "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
         "ORDER BY l_returnflag, l_linestatus"),

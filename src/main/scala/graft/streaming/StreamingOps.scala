@@ -7,6 +7,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One event on the stream (mirrors the `events` table's queryable core). */
 case class StreamEvent(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
 
+/** Open-session state for [[StreamingOps.sessionize]] (epoch millis). */
+case class OpenSession(start: Long, end: Long, n: Long)
+
+/** A closed session emitted by [[StreamingOps.sessionize]]. */
+case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
 /** Structured Streaming surface — north-star extension; the reference has no
   * data-plane streaming (its only loop is the 5 s control-plane heartbeat,
   * `Server.java:588-650`, which Spark replaces with executor heartbeats).
@@ -67,4 +73,53 @@ object StreamingOps {
 
   /** Output mode under which [[hourlyCounts]] emits only finalized windows. */
   val finalizedWindows: OutputMode = OutputMode.Append()
+
+  /** Streaming gap sessionization via `flatMapGroupsWithState` with
+    * EVENT-TIME timeouts: the streaming twin of `EventOps.sessionStats`.
+    * A user's events extend their open session; when the watermark passes
+    * session end + gap, the timeout fires and the closed session is
+    * emitted downstream (append mode — each session exactly once).
+    *
+    * State is one `OpenSession` per active user, reclaimed on close, so
+    * the store is bounded by concurrently-active users. Within one
+    * micro-batch, events are folded in timestamp order and a batch-internal
+    * gap closes the open session immediately (emitted that batch).
+    */
+  def sessionize(
+      events: Dataset[StreamEvent],
+      gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, batch: Iterator[StreamEvent], state: GroupState[OpenSession]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.start, s.end, s.n))
+          } else {
+            val times = batch.map(_.ts.getTime).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.start, s.end, s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+        })
+  }
 }

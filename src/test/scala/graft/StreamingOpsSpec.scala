@@ -55,6 +55,45 @@ class StreamingOpsSpec extends SparkSpec {
     assert(viaEventOps == viaStreamingDef)
   }
 
+  test("sessionize: event-time timeout closes sessions across micro-batches") {
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // session 1: two events 10 min apart
+      input.addData(
+        StreamEvent(ts("10:00"), 1L, "click", 1.0),
+        StreamEvent(ts("10:10"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2 advances event time far past session1 end + gap
+      input.addData(StreamEvent(ts("12:00"), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // batch 3: watermark (11:50) now exceeds 10:10 + 30min -> timeout fires
+      input.addData(StreamEvent(ts("12:01"), 2L, "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val expected = (1L, ts("10:00").getTime, ts("10:10").getTime, 2L)
+      assert(closed.contains(expected), s"got: ${closed.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("sessionize: a batch-internal gap closes the earlier session immediately") {
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.sessionize(input.toDS(), gapMs = 5L * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions2").outputMode("append").start()
+    try {
+      input.addData(
+        StreamEvent(ts("09:00"), 7L, "click", 1.0),
+        StreamEvent(ts("09:02"), 7L, "click", 1.0),
+        StreamEvent(ts("10:00"), 7L, "click", 1.0)) // > 5 min after 09:02
+      q.processAllAvailable()
+      val closed = spark.table("sessions2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(closed.toSeq == Seq((7L, ts("09:00").getTime, ts("09:02").getTime, 2L)))
+    } finally q.stop()
+  }
+
   test("runningUserCounts: state accumulates across micro-batches") {
     val input = MemoryStream[StreamEvent]
     val q = StreamingOps.runningUserCounts(input.toDS())
