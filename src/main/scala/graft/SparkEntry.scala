@@ -312,6 +312,11 @@ object SparkEntry {
     // one shuffle + one window pass, never a range-condition nested loop.
     "q_asof_join" -> ((s, dir) =>
       AsofOps.lastEventBefore(t(s, dir, "events"), "purchase", "click")),
+    // Range join: view -> purchase conversions within 1 hour, via
+    // time-bucketed equi-join (RangeJoinOps) instead of an inequality NLJ.
+    "q_range_join" -> ((s, dir) =>
+      graft.operators.RangeJoinOps.withinWindowPairs(
+        t(s, dir, "events"), "view", "purchase")),
     "q_events_sessions" -> ((s, dir) =>
       EventOps.sessionStats(t(s, dir, "events"), gapSeconds = 1800)),
     "q_events_json" -> ((s, dir) =>
@@ -638,6 +643,14 @@ object SparkEntry {
         "epoch_us(l.ts) - epoch_us(r.ts) AS gap_us " +
         "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts " +
         "ORDER BY l_event_id"),
+    "q_range_join" ->
+      ("SELECT l.event_id AS l_event_id, r.event_id AS r_event_id, l.user_id, " +
+        "epoch_us(r.ts) - epoch_us(l.ts) AS gap_us " +
+        "FROM events l JOIN events r ON l.user_id = r.user_id " +
+        "AND epoch_us(r.ts) > epoch_us(l.ts) " +
+        "AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000 " +
+        "WHERE l.event_type = 'view' AND r.event_type = 'purchase' " +
+        "ORDER BY l_event_id, r_event_id"),
     "q_events_hourly" ->
       ("SELECT date_trunc('hour', ts) AS bucket, event_type, " +
         "CAST(count(*) AS BIGINT) AS n_events, " +

@@ -46,6 +46,25 @@ class AsofOpsSpec extends SparkSpec {
     assert(got.values.flatten.nonEmpty)
   }
 
+  test("RangeJoinOps.withinWindowPairs matches a JVM-side inequality join") {
+    import graft.operators.RangeJoinOps
+    val ev = sf("events").select("event_id", "user_id", "ts", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val views = ev.filter(_._4 == "view")
+    val purchases = ev.filter(_._4 == "purchase").groupBy(_._2)
+    val windowUs = 60L * 60 * 1000 * 1000
+    val expected = (for {
+      (lid, u, lts, _) <- views
+      (rid, _, rts, _) <- purchases.getOrElse(u, Array())
+      ltUs = lts / 1000; rtUs = rts / 1000
+      if rtUs > ltUs && rtUs <= ltUs + windowUs
+    } yield (lid, rid)).toSet
+    val got = RangeJoinOps.withinWindowPairs(sf("events"), "view", "purchase")
+      .select("l_event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("TopKAgg keeps the k best with deterministic ties, any merge order") {
     val agg = new TopKAgg(3)
     val rows = Seq(
