@@ -69,6 +69,20 @@ object SparkEntry {
     // sink, the scale path), read it back through the chunked text source,
     // total-sort. The oracle sees only the parquet table, so a format bug
     // anywhere in the round trip breaks the hash match.
+    // JSON-lines sink + source round trip: documents (arbitrary text,
+    // quoting/escaping in play) written as JSONL and read back with an
+    // explicit schema; the oracle sees only the original parquet, so any
+    // escaping infidelity breaks the hash match.
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").json(s"$tmp/docs")
+      s.read
+        .schema("doc_id LONG, text STRING, lang STRING")
+        .json(s"$tmp/docs")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     "q_textint_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_textint").toString
       val ints = t(s, dir, "lineitem").select(col("l_orderkey").cast("int").as("value"))
@@ -418,6 +432,8 @@ object SparkEntry {
         "FROM lineitem GROUP BY bucket ORDER BY bucket"),
     "q_textint_roundtrip" ->
       "SELECT CAST(l_orderkey AS INT) AS value FROM lineitem ORDER BY value",
+    "q_jsonl_roundtrip" ->
+      "SELECT doc_id, length(text) AS n_chars, lang FROM documents ORDER BY doc_id",
     "q_filter_project" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
         "WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_discount > 0.05 " +
