@@ -33,6 +33,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // engine extensions: codegen'd vector kernels (GraftExtensions)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // bucketed-table demos write here, never into the repo working dir
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
