@@ -295,6 +295,12 @@ object SparkEntry {
     // Sign-bucket LSH variant: equi-join on the bucket key, the 100 TB path.
     "q_sim_lsh" -> ((s, dir) =>
       SimOps.lshTopK(t(s, dir, "embeddings"), col("vec_id") < 5)),
+    // IVF variant: sampled-centroid coarse quantizer, queries probe their
+    // 4 nearest cells — the other standard ANN scale path.
+    "q_sim_ivf" -> ((s, dir) =>
+      SimOps.ivfTopK(t(s, dir, "embeddings"),
+        queryPred = col("vec_id") < 5,
+        centroidPred = col("vec_id").between(100, 115))),
     // Per-vector dimension + L2 norm — the corpus shape check.
     "q_embed_norms" -> ((s, dir) =>
       SimOps.norms(t(s, dir, "embeddings"))),
@@ -602,6 +608,25 @@ object SparkEntry {
         "FROM p) WHERE jac_bp >= 8000 ORDER BY id_a, id_b"),
     "q_sim_topk" -> s"WITH ${duckSimCtes(lsh = false)} $duckTopKSelect",
     "q_sim_lsh" -> s"WITH ${duckSimCtes(lsh = true)} $duckTopKSelect",
+    "q_sim_ivf" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 100 AND 115), " +
+        "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
+        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n CROSS JOIN c), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
+        "asg AS (SELECT vec_id, e, nrm, c_id FROM rk WHERE crn = 1), " +
+        "pr AS (SELECT vec_id AS q_id, c_id FROM rk WHERE vec_id < 5 AND crn <= 4), " +
+        "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5), " +
+        "p AS (SELECT pr.q_id, a.vec_id, " +
+        "list_dot_product(q.qe, a.e) / (q.qn * a.nrm) AS cos " +
+        "FROM pr JOIN asg a ON pr.c_id = a.c_id JOIN q ON q.q_id = pr.q_id " +
+        "WHERE a.vec_id <> pr.q_id), " +
+        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY cos DESC, vec_id) AS rank FROM p) " +
+        s"SELECT q_id, rank, vec_id, ${TextOps.roundBpSql("cos")} AS cos_bp " +
+        "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
     "q_embed_norms" ->
       ("SELECT vec_id, label, len(embedding) AS dim, " +
         s"${TextOps.roundBpSql("sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))")} AS norm_bp " +

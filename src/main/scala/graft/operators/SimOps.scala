@@ -105,6 +105,51 @@ object SimOps {
     rankTopK(pairs, k, idCol)
   }
 
+  /** IVF-style ANN: a coarse quantizer of sampled centroid vectors; every
+    * vector is assigned to its nearest centroid (one broadcast pass), and a
+    * query probes only the vectors in its `nProbe` nearest cells — the
+    * candidate set shrinks from the corpus to ~nProbe/C of it.
+    *
+    * Centroids here are a fixed id-range SAMPLE of the corpus (random-
+    * sample init is a standard coarse-quantizer baseline and keeps the
+    * DuckDB oracle exact); a production build would k-means-refine them,
+    * which changes only the centroid table. Scale: assignment is
+    * O(N*C) with C broadcastable (thousands), probing is an equi-join on
+    * cell id — no all-pairs anywhere.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      centroidPred: Column,
+      k: Int = 10,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val n = normalized(emb, idCol, embCol)
+    val cents = n.filter(centroidPred)
+      .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val cellSim = n.crossJoin(broadcast(cents))
+      .select(col(idCol), col("e"), col("nrm"),
+        col("c_id"), (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("csim"))
+    val byCell = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("c_id"))
+    val ranked = cellSim.withColumn("crn", row_number().over(byCell))
+    // every vector lives in exactly its nearest cell...
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col(idCol), col("e"), col("nrm"), col("c_id"))
+    // ...and each query probes its nProbe nearest cells
+    val probes = ranked.filter(queryPred && col("crn") <= nProbe)
+      .select(col(idCol).as("q_id"), col("c_id"))
+    val queries = n.filter(queryPred)
+      .select(col(idCol).as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val pairs = probes
+      .join(assigned, "c_id")
+      .join(broadcast(queries), "q_id")
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+    rankTopK(pairs, k, idCol)
+  }
+
   private def rankTopK(pairs: DataFrame, k: Int, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
     pairs

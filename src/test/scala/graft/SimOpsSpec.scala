@@ -72,6 +72,25 @@ class SimOpsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("ivfTopK: real cosines, reasonable recall vs brute force on the fixture") {
+    val df = sf("embeddings")
+    val brute = SimOps.bruteTopK(df, col("vec_id") < 3, k = 10)
+      .select("q_id", "vec_id", "cos_bp").as[(Long, Long, Long)].collect()
+    val bruteScores = brute.map { case (q, v, c) => (q, v) -> c }.toMap
+    val ivf = SimOps.ivfTopK(df, col("vec_id") < 3, col("vec_id").between(100, 115))
+      .select("q_id", "vec_id", "cos_bp").as[(Long, Long, Long)].collect()
+    // every IVF hit carries the true cosine (no approximation of scores,
+    // only of the candidate set)
+    ivf.foreach { case (q, v, c) =>
+      bruteScores.get((q, v)).foreach(bc => assert(bc == c))
+    }
+    // probing 4/16 cells should still recover a good share of the true top-10
+    val recall = ivf.count { case (q, v, _) => bruteScores.contains((q, v)) }.toDouble /
+      brute.length
+    assert(recall >= 0.3, s"suspiciously low IVF recall: $recall")
+    assert(ivf.nonEmpty)
+  }
+
   test("norms: dimension and unit-ish norms on the fixture table") {
     val got = SimOps.norms(sf("embeddings")).as[(Long, Int, Long, Long)].collect()
     assert(got.length == 500)
