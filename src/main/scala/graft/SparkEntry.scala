@@ -339,6 +339,12 @@ object SparkEntry {
         t(s, dir, "events"), "view", "purchase")),
     "q_events_sessions" -> ((s, dir) =>
       EventOps.sessionStats(t(s, dir, "events"), gapSeconds = 1800)),
+    // Sliding windows: 1-hour windows every 30 minutes.
+    "q_events_sliding" -> ((s, dir) =>
+      EventOps.slidingAgg(t(s, dir, "events"), widthSec = 3600, slideSec = 1800)),
+    // Exact per-group percentiles (sorted linear interpolation).
+    "q_events_percentiles" -> ((s, dir) =>
+      EventOps.percentiles(t(s, dir, "events"))),
     "q_events_json" -> ((s, dir) =>
       EventOps.jsonFieldStats(t(s, dir, "events"), "k")),
   )
@@ -706,6 +712,20 @@ object SparkEntry {
         "SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, " +
         "CAST(count(*) AS BIGINT) AS n_events " +
         "FROM s GROUP BY user_id ORDER BY user_id"),
+    // each event lands in 2 windows (width 3600s, slide 1800s): starts
+    // floor(t/1800)*1800 and that minus 1800
+    "q_events_sliding" ->
+      ("WITH e AS (SELECT event_type, value, " +
+        "(epoch_us(ts) // 1800000000) * 1800 AS b1 FROM events), " +
+        "w AS (SELECT event_type, value, unnest([b1 - 1800, b1]) AS bucket_s FROM e) " +
+        "SELECT bucket_s, event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        "round(sum(value), 2) AS sum_value " +
+        "FROM w GROUP BY bucket_s, event_type ORDER BY bucket_s, event_type"),
+    "q_events_percentiles" ->
+      ("SELECT event_type, " +
+        s"${TextOps.roundBpSql("quantile_cont(value, 0.5)")} AS p50_bp, " +
+        s"${TextOps.roundBpSql("quantile_cont(value, 0.95)")} AS p95_bp " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_events_json" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
         "CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 4) AS avg_k FROM (" +

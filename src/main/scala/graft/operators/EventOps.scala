@@ -40,6 +40,37 @@ object EventOps {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("bucket"), col("event_type"))
 
+  /** Sliding-window aggregation: `width`-second windows every `slide`
+    * seconds (each event lands in width/slide windows). Buckets are emitted
+    * as epoch SECONDS (long) — engine-independent, unlike timestamp dtypes.
+    */
+  def slidingAgg(events: DataFrame, widthSec: Long, slideSec: Long): DataFrame =
+    normalizeTs(events)
+      .groupBy(
+        window(col("ts"), s"$widthSec seconds", s"$slideSec seconds"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").cast("long").as("bucket_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("bucket_s"), col("event_type"))
+
+  /** Exact percentiles per group (Spark's `percentile` = sorted linear
+    * interpolation, the same contract as DuckDB `quantile_cont`), in basis
+    * points for cross-engine hashing.
+    */
+  def percentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.5D, 0.95D))").as("qs"))
+      .select(
+        col("event_type"),
+        TextOps.roundBp(element_at(col("qs"), 1)).as("p50_bp"),
+        TextOps.roundBp(element_at(col("qs"), 2)).as("p95_bp"))
+      .orderBy(col("event_type"))
+
   /** Gap-based sessionization: a new session starts when a user is idle
     * longer than `gapSeconds`. Ties on `ts` are broken by `event_id` so the
     * session assignment is fully deterministic.
