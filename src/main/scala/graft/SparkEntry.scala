@@ -265,6 +265,9 @@ object SparkEntry {
     // Quality scoring: distinct ratio + stopword ratio + length saturation.
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(t(s, dir, "documents"))),
+    // Top-3 terms per doc by integer-exact tf-idf weighting.
+    "q_text_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(t(s, dir, "documents"))),
 
     // --- Document dedup over a dup-planted corpus (north star; DedupOps).
     // --- Both engines construct the identical corpus (plantedCorpus /
@@ -285,6 +288,16 @@ object SparkEntry {
     // The production pipeline: LSH candidates → exact-Jaccard verify.
     "q_dedup_verified" -> ((s, dir) =>
       DedupOps.verifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+    // Incremental ingestion dedup: new batch (src0 + planted re-ingests of
+    // existing docs) anti-joined against the existing corpus fingerprints.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(col("source") === "src0").select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("source") === "src1" && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      val existing = docs.filter(col("source") =!= "src0").select(col("doc_id"), col("text"))
+      DedupOps.incrementalNew(batch, existing)
+    }),
 
     // --- Similarity search over `embeddings` (north star; SimOps) -------
 
@@ -565,6 +578,25 @@ object SparkEntry {
         s"${TextOps.roundBpSql("(nd / n) * 0.5 + (ns / n) * 0.2 + least(n / 100.0, 1.0) * 0.3")} AS quality_bp " +
         "FROM f ORDER BY doc_id"
     },
+    "q_text_tfidf" ->
+      (s"WITH tk AS (SELECT doc_id, unnest($duckToks) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2), " +
+        "dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf), " +
+        "s AS (SELECT tf.doc_id, tf.token, tf.tf * ((n.n_docs * 10000) // dfreq.df) AS score " +
+        "FROM tf JOIN dfreq USING (token) CROSS JOIN n), " +
+        "r AS (SELECT doc_id, token, score, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, token) AS rank FROM s) " +
+        "SELECT doc_id, rank, token, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
+    "q_dedup_incremental" ->
+      ("WITH b AS (SELECT doc_id, text FROM documents WHERE source = 'src0' " +
+        "UNION ALL SELECT doc_id + 300000 AS doc_id, text FROM documents " +
+        "WHERE source = 'src1' AND doc_id % 5 = 0), " +
+        "ex AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'), " +
+        s"fb AS (SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp_md5 FROM b), " +
+        s"fe AS (SELECT md5(array_to_string($duckToks, ' ')) AS fp_md5 FROM ex) " +
+        "SELECT doc_id, fp_md5 FROM fb " +
+        "WHERE fp_md5 NOT IN (SELECT fp_md5 FROM fe) ORDER BY doc_id"),
     "q_dedup_docs" ->
       (s"WITH corpus AS ($duckCorpus), " +
         s"fp AS (SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp_md5 FROM corpus) " +

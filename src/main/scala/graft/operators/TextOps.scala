@@ -83,6 +83,33 @@ object TextOps {
       .orderBy(col(idCol))
   }
 
+  /** Top-k terms per document by tf-idf-style weighting.
+    *
+    * Classic tf-idf takes `ln(N/df)`; engine `ln` is libm-dependent, so the
+    * idf here is the INTEGER-scaled ratio `(N * 10000) div df` — same
+    * monotonicity (rare terms weigh more), exact in any engine. Score =
+    * tf * scaled_idf; ties broken by token. Two shuffles (doc-term counts,
+    * term doc-frequency) + a window per doc — no driver-side vocabulary.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr("(n_docs * 10000) div df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("token"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("score"))
+      .orderBy(col(idCol), col("rank"))
+  }
+
   /** Stopword marker lists per language for [[langId]]. Tiny on purpose:
     * the heuristic must be reproducible in plain SQL on both engines.
     */

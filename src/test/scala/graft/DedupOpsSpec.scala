@@ -80,6 +80,16 @@ class DedupOpsSpec extends SparkSpec {
     assert(cut.count() < all.count())
   }
 
+  test("incrementalNew: batch docs already in the corpus are filtered out") {
+    val existing = docs((1L, "old doc one"), (2L, "old doc two"))
+    val batch = docs(
+      (10L, "a genuinely new document"),
+      (11L, "OLD   doc ONE"))  // same normalized content as existing doc 1
+    val got = DedupOps.incrementalNew(batch, existing)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(10L))
+  }
+
   test("verifiedNearDups: candidates verified with exact jaccard, ordered pairs") {
     val corpus = DedupOps.plantedCorpus(docs(
       (0L, "one two three four five six seven"),

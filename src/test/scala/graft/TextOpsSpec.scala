@@ -80,6 +80,18 @@ class TextOpsSpec extends SparkSpec {
     assert(h.distinct.length == 4)
   }
 
+  test("tfidfTopTerms: rare terms outrank common ones; ties break by token") {
+    // "zebra" appears in 1 of 3 docs, "the" in all 3: idf 30000 vs 10000
+    val df = docs(
+      (1L, "the zebra the"),   // tf(the)=2*10000=20000 < tf(zebra)=1*30000
+      (2L, "the cat"),
+      (3L, "the dog"))
+    val got = TextOps.tfidfTopTerms(df, k = 2)
+      .as[(Long, Int, String, Long)].collect()
+      .filter(_._1 == 1L).map(r => (r._2, r._3, r._4)).toSeq
+    assert(got == Seq((1, "zebra", 30000L), (2, "the", 20000L)))
+  }
+
   test("langId: marker-heavy docs are classified, no-marker docs unknown") {
     val df = docs(
       (1L, "the cat and the dog is in a house"),
