@@ -69,6 +69,19 @@ object SparkEntry {
     // sink, the scale path), read it back through the chunked text source,
     // total-sort. The oracle sees only the parquet table, so a format bug
     // anywhere in the round trip breaks the hash match.
+    // CSV sink + source round trip on numeric columns (header + explicit
+    // read schema); oracle sees only the parquet original.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .write.mode("overwrite").option("header", "true").csv(s"$tmp/li")
+      s.read
+        .schema("l_orderkey LONG, l_linenumber INT, l_quantity DOUBLE")
+        .option("header", "true").csv(s"$tmp/li")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_orderkey"))
+    }),
     // JSON-lines sink + source round trip: documents (arbitrary text,
     // quoting/escaping in play) written as JSONL and read back with an
     // explicit schema; the oracle sees only the original parquet, so any
@@ -459,6 +472,10 @@ object SparkEntry {
       "SELECT CAST(l_orderkey AS INT) AS value FROM lineitem ORDER BY value",
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, length(text) AS n_chars, lang FROM documents ORDER BY doc_id",
+    "q_csv_roundtrip" ->
+      ("SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "round(sum(l_quantity), 2) AS sum_qty FROM lineitem " +
+        "GROUP BY l_orderkey ORDER BY l_orderkey"),
     "q_filter_project" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
         "WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_discount > 0.05 " +

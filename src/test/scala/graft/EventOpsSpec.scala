@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventOps
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ms(hhmm: String): Long =
+    Timestamp.valueOf(s"2026-01-01 $hhmm:00").getTime
+
+  /** Rows shaped like the events table with raw-ns ts (nanosAsLong read). */
+  private def ev(rows: (Long, Long, String, Double)*) =
+    rows.map { case (id, tMs, typ, v) => (id, tMs * 1000000L, 7L, typ, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("normalizeTs converts raw ns longs to timestamps, passes timestamps through") {
+    val df = ev((1L, ms("10:00"), "click", 1.0))
+    val once = EventOps.normalizeTs(df)
+    assert(once.schema("ts").dataType.typeName == "timestamp")
+    val twice = EventOps.normalizeTs(once)
+    assert(twice.select("ts").head() == once.select("ts").head())
+  }
+
+  test("sessionize: gap splits sessions, ties broken by event_id") {
+    val df = ev(
+      (1L, ms("10:00"), "a", 1.0), (2L, ms("10:10"), "a", 1.0),
+      (3L, ms("11:30"), "a", 1.0)) // > 30 min after event 2
+    val got = EventOps.sessionStats(df, gapSeconds = 1800)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 2L, 3L))) // 2 sessions, 3 events
+  }
+
+  test("tumblingAgg buckets by hour with per-type counts") {
+    val df = ev(
+      (1L, ms("10:05"), "click", 1.0), (2L, ms("10:55"), "click", 2.0),
+      (3L, ms("11:05"), "view", 4.0))
+    val got = EventOps.tumblingAgg(df, "hour")
+      .select("event_type", "n_events", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("click", 2L, 3.0), ("view", 1L, 4.0)))
+  }
+
+  test("slidingAgg: every event lands in width/slide windows") {
+    val df = ev((1L, ms("10:05"), "click", 1.0))
+    val got = EventOps.slidingAgg(df, widthSec = 3600, slideSec = 1800)
+      .select("bucket_s").as[Long].collect().toSeq
+    // 10:05 belongs to windows starting 09:30 and 10:00
+    assert(got.length == 2)
+    assert(got.map(_ % 1800).forall(_ == 0))
+  }
+
+  test("percentiles: hand-checked median and p95") {
+    val df = ev((1 to 5).map(i => (i.toLong, ms("10:00") + i, "x", i.toDouble)): _*)
+    val r = EventOps.percentiles(df).head()
+    assert(r.getAs[Long]("p50_bp") == 30000L)  // median of 1..5 = 3
+    assert(r.getAs[Long]("p95_bp") == 48000L)  // 4.8 at linear interpolation
+  }
+}
