@@ -204,6 +204,17 @@ object SparkEntry {
         .dropDuplicates()
         .orderBy(col("l_partkey"), col("l_suppkey"))
     }),
+    // Pivot: wide per-status columns from the long fact table.
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        // absent (flag, status) combos: Spark pivot yields null, the
+        // oracle's FILTER count yields 0 — align on 0
+        .na.fill(0)
+        .orderBy(col("l_returnflag"))
+    }),
     // Hierarchical aggregation (rollup = grouping sets): subtotal rows per
     // returnflag and a grand total; null group keys coalesced so the output
     // order is engine-independent (Spark sorts NULLS FIRST, DuckDB LAST).
@@ -522,6 +533,13 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY l_suppkey " +
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn " +
         "FROM lineitem) WHERE rn <= 3 ORDER BY l_suppkey, rn"),
+    "q_pivot" ->
+      ("SELECT l_returnflag, " +
+        "CAST(count(*) FILTER (l_linestatus = 'F') AS BIGINT) AS F_n, " +
+        "round(coalesce(sum(l_quantity) FILTER (l_linestatus = 'F'), 0), 2) AS F_qty, " +
+        "CAST(count(*) FILTER (l_linestatus = 'O') AS BIGINT) AS O_n, " +
+        "round(coalesce(sum(l_quantity) FILTER (l_linestatus = 'O'), 0), 2) AS O_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_rollup" ->
       ("SELECT coalesce(l_returnflag, '(all)') AS rflag, " +
         "coalesce(l_linestatus, '(all)') AS lstatus, " +

@@ -70,6 +70,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_window/q_topk_groups oracle pattern: rank filter pushes into the window sort") {
+    // Spark's WindowGroupLimit keeps only k rows per group through the
+    // window sort — assert it stays active for the top-k-per-group pattern
+    val p = SparkEntry.queries("q_window")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(400))
+  }
+
   test("q_dedup_minhash: band-bucket join is an equi-join with partial aggregation") {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
