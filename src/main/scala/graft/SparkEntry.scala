@@ -384,6 +384,18 @@ object SparkEntry {
       EventOps.percentiles(t(s, dir, "events"))),
     "q_events_json" -> ((s, dir) =>
       EventOps.jsonFieldStats(t(s, dir, "events"), "k")),
+    // Map-typed columns: JSON props parsed to map<string,string>, key-set
+    // ops (sorted keys, cardinality) per event.
+    "q_map_funcs" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          from_json(col("props"), lit("map<string,string>")).as("m"))
+        .select(
+          col("event_id"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"))
+        .orderBy(col("event_id"))),
   )
 
   /** DuckDB fragment computing exactly [[TextOps.tokens]] over `text`. */
@@ -793,6 +805,10 @@ object SparkEntry {
         s"${TextOps.roundBpSql("quantile_cont(value, 0.5)")} AS p50_bp, " +
         s"${TextOps.roundBpSql("quantile_cont(value, 0.95)")} AS p95_bp " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_map_funcs" ->
+      ("SELECT event_id, array_to_string(list_sort(json_keys(props)), ',') AS keys_csv, " +
+        "CAST(len(json_keys(props)) AS BIGINT) AS n_keys " +
+        "FROM events ORDER BY event_id"),
     "q_events_json" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
         "CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 4) AS avg_k FROM (" +
