@@ -49,11 +49,15 @@ object SimOps {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** (vec_id, emb as double[], norm) — norms precomputed once per row. */
+  /** (vec_id, emb, norm) — norms precomputed once per row. The embedding
+    * stays `array<float>`: VecDot casts elements in its loop, so a
+    * `transform(_.cast("double"))` here would only allocate a second array
+    * per row for identical arithmetic.
+    */
   private def normalized(emb: DataFrame, idCol: String, embCol: String): DataFrame =
     emb.select(
       col(idCol),
-      transform(col(embCol), _.cast("double")).as("e"),
+      col(embCol).as("e"),
       l2Norm(col(embCol)).as("nrm"))
 
   /** Brute-force cosine top-k: every candidate scored against every query

@@ -28,13 +28,25 @@ object TextIntIO {
   /** Read a space/whitespace-delimited integer text file into a single-column
     * DataFrame `value: int`. Scales: one scan, no shuffle; split size is
     * governed by `spark.sql.files.maxPartitionBytes`.
+    *
+    * Malformed tokens: the reference crashes the whole job on the first
+    * non-numeric token (`Integer.parseInt`, `NodeHandler.java:69`). Here the
+    * behavior is explicit: lenient mode (default) DROPS unparseable tokens
+    * (`try_cast`); `lenient = false` keeps Spark 4's ANSI cast, which fails
+    * the query naming the offending value (CAST_INVALID_INPUT) — the
+    * reference's semantics with a better error.
     */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read
+  def read(spark: SparkSession, path: String, lenient: Boolean = true): DataFrame = {
+    val toks = spark.read
       .text(path)
       .select(explode(split(trim(col("value")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .select(col("tok").cast(IntegerType).as("value"))
+    if (lenient)
+      toks.select(expr("try_cast(tok AS int)").as("value"))
+        .filter(col("value").isNotNull)
+    else
+      toks.select(col("tok").cast(IntegerType).as("value"))
+  }
 
   /** The reference's whole query: total-order ascending sort
     * (`ServerHandler.java:23-80`).

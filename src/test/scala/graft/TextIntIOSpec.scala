@@ -6,6 +6,21 @@ import graft.sources.TextIntIO
 
 class TextIntIOSpec extends SparkSpec {
 
+  test("read: lenient mode drops malformed tokens, strict mode raises") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bad").resolve("f.txt")
+    java.nio.file.Files.writeString(tmp, "1 2 oops 4")
+    import spark.implicits._
+    val lenientVals = graft.sources.TextIntIO.read(spark, tmp.toString)
+      .as[Int].collect().sorted
+    assert(lenientVals.toSeq == Seq(1, 2, 4))
+    val strict = graft.sources.TextIntIO.read(spark, tmp.toString, lenient = false)
+    val ex = intercept[Exception](strict.collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m => m.contains("oops") || m.contains("CAST_INVALID_INPUT")),
+      messages(ex).mkString(" | "))
+  }
+
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
