@@ -292,6 +292,9 @@ object SparkEntry {
     // Top-3 terms per doc by integer-exact tf-idf weighting.
     "q_text_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"))),
+    // Context-window packing: 40-token chunks every 30 tokens.
+    "q_text_chunks" -> ((s, dir) =>
+      TextOps.chunkDocs(t(s, dir, "documents"), width = 40, stride = 30)),
 
     // --- Document dedup over a dup-planted corpus (north star; DedupOps).
     // --- Both engines construct the identical corpus (plantedCorpus /
@@ -635,6 +638,19 @@ object SparkEntry {
         "r AS (SELECT doc_id, token, score, row_number() OVER (PARTITION BY doc_id " +
         "ORDER BY score DESC, token) AS rank FROM s) " +
         "SELECT doc_id, rank, token, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
+    // DuckDB list_slice is END-INCLUSIVE (start..end), Spark slice takes a
+    // LENGTH — start*stride+1 .. start*stride+width on the DuckDB side
+    "q_text_chunks" ->
+      (s"WITH t AS (SELECT doc_id, $duckToks AS t FROM documents), " +
+        "p AS (SELECT doc_id, t, len(t) AS n, " +
+        "CASE WHEN len(t) <= 40 THEN 1 ELSE ((len(t) - 40 + 29) // 30) + 1 END AS nc " +
+        "FROM t WHERE len(t) > 0), " +
+        "c AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_id, t FROM p), " +
+        "s AS (SELECT doc_id, chunk_id, " +
+        "list_slice(t, chunk_id * 30 + 1, chunk_id * 30 + 40) AS l FROM c) " +
+        "SELECT doc_id, chunk_id, CAST(len(l) AS BIGINT) AS n_tokens, " +
+        "md5(array_to_string(l, ' ')) AS chunk_md5 " +
+        "FROM s ORDER BY doc_id, chunk_id"),
     "q_dedup_incremental" ->
       ("WITH b AS (SELECT doc_id, text FROM documents WHERE source = 'src0' " +
         "UNION ALL SELECT doc_id + 300000 AS doc_id, text FROM documents " +

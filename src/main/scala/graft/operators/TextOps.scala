@@ -83,6 +83,34 @@ object TextOps {
       .orderBy(col(idCol))
   }
 
+  /** Split documents into overlapping fixed-width token chunks — the
+    * context-window packing step of a training pipeline. Chunk i covers
+    * tokens [i*stride, i*stride + width); the last chunk may be short;
+    * docs of ≤ width tokens yield one chunk. Embarrassingly parallel
+    * per-document (an explode, no shuffle until the caller aggregates);
+    * chunk content is emitted as an md5 + token count so rows stay narrow.
+    */
+  def chunkDocs(docs: DataFrame, width: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stride > 0 && width >= stride, "need 0 < stride <= width")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = when(n <= width, lit(1))
+      .otherwise(floor((n - width + stride - 1).cast("double") / stride).cast("int") + 1)
+    val chunks = when(n === 0, array().cast("array<struct<idx:int,ctoks:array<string>>>"))
+      .otherwise(transform(
+        sequence(lit(0), nChunks - 1),
+        i => struct(i.as("idx"), slice(toks, i * stride + 1, lit(width)).as("ctoks"))))
+    docs
+      .select(col(idCol), explode(chunks).as("c"))
+      .select(
+        col(idCol),
+        col("c.idx").cast("long").as("chunk_id"),
+        size(col("c.ctoks")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("c.ctoks"))).as("chunk_md5"))
+      .orderBy(col(idCol), col("chunk_id"))
+  }
+
   /** Top-k terms per document by tf-idf-style weighting.
     *
     * Classic tf-idf takes `ln(N/df)`; engine `ln` is libm-dependent, so the

@@ -80,6 +80,27 @@ class TextOpsSpec extends SparkSpec {
     assert(h.distinct.length == 4)
   }
 
+  test("chunkDocs: overlapping windows, short last chunk, one chunk for short docs") {
+    // 7 tokens, width 3, stride 2 -> chunks at 0,2,4 cover [1-3],[3-5],[5-7]
+    val df = docs((1L, "a b c d e f g"), (2L, "x y"), (3L, ""))
+    val got = TextOps.chunkDocs(df, width = 3, stride = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    assert(got((1L, 0L)) == 3L && got((1L, 1L)) == 3L && got((1L, 2L)) == 3L)
+    assert(got((2L, 0L)) == 2L) // short doc: single chunk, no padding
+  }
+
+  test("chunkDocs: consecutive chunks overlap by width - stride tokens") {
+    val df = docs((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+    val hashes = TextOps.chunkDocs(df, width = 4, stride = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    // 10 tokens, width 4, stride 2 -> ceil((10-4)/2)+1 = 4 chunks
+    assert(hashes.length == 4)
+    assert(hashes.map(_._3).toSeq == Seq(4L, 4L, 4L, 4L))
+    assert(hashes.map(_._4).distinct.length == 4) // all chunks distinct content
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones; ties break by token") {
     // "zebra" appears in 1 of 3 docs, "the" in all 3: idf 30000 vs 10000
     val df = docs(
