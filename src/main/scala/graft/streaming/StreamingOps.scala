@@ -71,9 +71,6 @@ object StreamingOps {
       }
   }
 
-  /** Output mode under which [[hourlyCounts]] emits only finalized windows. */
-  val finalizedWindows: OutputMode = OutputMode.Append()
-
   /** Streaming gap sessionization via `flatMapGroupsWithState` with
     * EVENT-TIME timeouts: the streaming twin of `EventOps.sessionStats`.
     * A user's events extend their open session; when the watermark passes
