@@ -85,6 +85,16 @@ class PlanSpec extends SparkSpec {
       "minhash signature aggregation should be partial+final")
   }
 
+  test("q_dedup_verified: the doc-relation shuffle is reused, not recomputed") {
+    // one groupBy produces sigs + shingle sets; bands and both verify
+    // joins must share that exchange
+    val df = SparkEntry.queries("q_dedup_verified")(spark, dir)
+    df.collect() // finalize the adaptive plan on THIS query execution
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("TableCacheQueryStage"),
+      s"expected exchange reuse in the verified-dedup plan:\n${executed.take(600)}")
+  }
+
   test("aggregation queries use map-side partial aggregation") {
     for (q <- Seq("q_agg", "q_text_tokens", "q_chunk_stats")) {
       val p = plan(q)
