@@ -295,6 +295,10 @@ object SparkEntry {
     // Context-window packing: 40-token chunks every 30 tokens.
     "q_text_chunks" -> ((s, dir) =>
       TextOps.chunkDocs(t(s, dir, "documents"), width = 40, stride = 30)),
+    // Winnowing (MOSS) fingerprint sets: min hash per sliding window of 4
+    // shingle hashes.
+    "q_doc_winnow" -> ((s, dir) =>
+      TextOps.winnow(t(s, dir, "documents"))),
 
     // --- Document dedup over a dup-planted corpus (north star; DedupOps).
     // --- Both engines construct the identical corpus (plantedCorpus /
@@ -638,6 +642,15 @@ object SparkEntry {
         "r AS (SELECT doc_id, token, score, row_number() OVER (PARTITION BY doc_id " +
         "ORDER BY score DESC, token) AS rank FROM s) " +
         "SELECT doc_id, rank, token, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
+    "q_doc_winnow" ->
+      (s"WITH t AS (SELECT doc_id, $duckToks AS t FROM documents), " +
+        s"h AS (SELECT doc_id, list_transform($duckShingles3, " +
+        s"s -> ${StableHash.hash60Sql("s")}) AS hs FROM t), " +
+        "wd AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN " +
+        "list_transform(range(1, len(hs) - 2), " +
+        "i -> least(hs[i], hs[i+1], hs[i+2], hs[i+3])) " +
+        "WHEN len(hs) > 0 THEN [list_min(hs)] ELSE CAST([] AS BIGINT[]) END AS ws FROM h) " +
+        "SELECT doc_id, unnest(list_distinct(ws)) AS fp FROM wd ORDER BY doc_id, fp"),
     // DuckDB list_slice is END-INCLUSIVE (start..end), Spark slice takes a
     // LENGTH — start*stride+1 .. start*stride+width on the DuckDB side
     "q_text_chunks" ->

@@ -80,6 +80,22 @@ class TextOpsSpec extends SparkSpec {
     assert(h.distinct.length == 4)
   }
 
+  test("winnow: docs sharing a long run share a fingerprint; short docs get one") {
+    val shared = "one two three four five six seven eight nine"
+    val df = docs(
+      (1L, s"intro words here $shared"),
+      (2L, s"$shared totally different tail"),
+      (3L, "tiny doc"),               // < 3 tokens: no shingles -> no rows
+      (4L, "just four little words")) // 2 shingles < w: single min fingerprint
+    val got = TextOps.winnow(df).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // winnowing guarantee: a shared run of >= w+k-1 = 6 tokens yields a
+    // shared fingerprint
+    assert(got(1L).intersect(got(2L)).nonEmpty)
+    assert(!got.contains(3L))
+    assert(got(4L).size == 1)
+  }
+
   test("chunkDocs: overlapping windows, short last chunk, one chunk for short docs") {
     // 7 tokens, width 3, stride 2 -> chunks at 0,2,4 cover [1-3],[3-5],[5-7]
     val df = docs((1L, "a b c d e f g"), (2L, "x y"), (3L, ""))
