@@ -319,6 +319,11 @@ object SparkEntry {
     // The production pipeline: LSH candidates → exact-Jaccard verify.
     "q_dedup_verified" -> ((s, dir) =>
       DedupOps.verifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+    // Connected components over the verified pairs: the final dedup step
+    // (cluster id = min reachable doc id; keep one doc per cluster).
+    "q_dedup_clusters" -> ((s, dir) =>
+      DedupOps.dedupClusters(
+        DedupOps.verifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents"))))),
     // Incremental ingestion dedup: new batch (src0 + planted re-ingests of
     // existing docs) anti-joined against the existing corpus fingerprints.
     "q_dedup_incremental" -> ((s, dir) => {
@@ -471,6 +476,21 @@ object SparkEntry {
       "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
       "ELSE 'video' END AS kind, text, hex(encode(text)) AS h, " +
       "octet_length(encode(text)) AS n FROM documents)"
+
+  /** CTE yielding the verified near-dup pairs `vp(id_a, id_b, jac_bp)` —
+    * appended after [[duckMinhashCtes]]; mirrors
+    * [[DedupOps.verifiedNearDups]] (threshold 8000 bp).
+    */
+  private lazy val duckVerifiedPairsCte: String = {
+    val jac = TextOps.roundBpSql(
+      "CAST(len(list_filter(x.shs, e -> list_contains(y.shs, e))) AS DOUBLE) / " +
+        "CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE)")
+    "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
+      "JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      s"vp AS (SELECT * FROM (SELECT id_a, id_b, $jac AS jac_bp FROM cand " +
+      "JOIN sl x ON x.doc_id = cand.id_a JOIN sl y ON y.doc_id = cand.id_b) " +
+      "WHERE jac_bp >= 8000)"
+  }
 
   /** DuckDB CTE body matching [[DedupOps.plantedCorpus]]. */
   private val duckCorpus =
@@ -683,17 +703,18 @@ object SparkEntry {
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared_bands " +
         "FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id " +
         "GROUP BY id_a, id_b ORDER BY id_a, id_b"),
-    "q_dedup_verified" -> {
-      val jac = TextOps.roundBpSql(
-        "CAST(len(list_filter(x.shs, e -> list_contains(y.shs, e))) AS DOUBLE) / " +
-          "CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE)")
-      s"WITH $duckMinhashCtes, " +
-        "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
-        "JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        s"SELECT * FROM (SELECT id_a, id_b, $jac AS jac_bp FROM cand " +
-        "JOIN sl x ON x.doc_id = cand.id_a JOIN sl y ON y.doc_id = cand.id_b) " +
-        "WHERE jac_bp >= 8000 ORDER BY id_a, id_b"
-    },
+    "q_dedup_verified" ->
+      (s"WITH $duckMinhashCtes, $duckVerifiedPairsCte " +
+        "SELECT id_a, id_b, jac_bp FROM vp ORDER BY id_a, id_b"),
+    "q_dedup_clusters" ->
+      (s"WITH RECURSIVE $duckMinhashCtes, $duckVerifiedPairsCte, " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM vp " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM vp), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM e), " +
+        "reach AS (SELECT id, id AS lab FROM nodes " +
+        "UNION SELECT e.src AS id, reach.lab FROM e JOIN reach ON e.dst = reach.id) " +
+        "SELECT id AS doc_id, min(lab) AS cluster_id FROM reach " +
+        "GROUP BY id ORDER BY doc_id"),
     "q_dedup_simhash" -> {
       val bits = 16
       val votes = (0 until bits)

@@ -80,6 +80,15 @@ class DedupOpsSpec extends SparkSpec {
     assert(cut.count() < all.count())
   }
 
+  test("dedupClusters: transitive chains collapse to the min id") {
+    // chain 1-2-3-4 (pairwise links only), separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("incrementalNew: batch docs already in the corpus are filtered out") {
     val existing = docs((1L, "old doc one"), (2L, "old doc two"))
     val batch = docs(
