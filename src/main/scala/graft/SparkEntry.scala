@@ -307,18 +307,24 @@ object SparkEntry {
     // Exact dedup: hash-groupBy on the content fingerprint.
     "q_dedup_docs" -> ((s, dir) =>
       DedupOps.exactDedup(DedupOps.plantedCorpus(t(s, dir, "documents")))),
-    // MinHash + LSH banding: bucketed candidate generation, never all-pairs.
+    // MinHash + LSH banding: bucketed candidate generation, never all-pairs;
+    // hot buckets capped (mirrored in the oracle's okb CTE).
     "q_dedup_minhash" -> ((s, dir) =>
-      DedupOps.minhashBandPairs(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+      DedupOps.minhashBandPairs(DedupOps.plantedCorpus(t(s, dir, "documents")),
+        maxBucket = DedupOps.DefaultMaxBucket)),
     // SimHash sketches + identical-sketch grouping.
     "q_dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(DedupOps.plantedCorpus(t(s, dir, "documents")))),
-    // Exact 3-shingle Jaccard via inverted index (the verify step).
+    // Exact 3-shingle Jaccard via inverted index (the verify step), with the
+    // stop-shingle cutoff ENABLED (postings in > 64 docs dropped — the
+    // boilerplate-shingle skew guard; mirrored in the oracle's zc CTE).
     "q_dedup_jaccard" -> ((s, dir) =>
-      DedupOps.jaccardPairs(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+      DedupOps.jaccardPairs(DedupOps.plantedCorpus(t(s, dir, "documents")),
+        maxDocFreq = DedupOps.DefaultMaxBucket)),
     // The production pipeline: LSH candidates → exact-Jaccard verify.
     "q_dedup_verified" -> ((s, dir) =>
-      DedupOps.verifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+      DedupOps.verifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents")),
+        maxBucket = DedupOps.DefaultMaxBucket)),
     // Connected components over the verified pairs: the final dedup step
     // (cluster id = min reachable doc id; keep one doc per cluster).
     "q_dedup_clusters" -> ((s, dir) =>
@@ -423,8 +429,9 @@ object SparkEntry {
 
   /** Shared CTE chain for the MinHash oracles: planted corpus → token lists
     * → distinct-shingle lists (`sl`) → exploded shingles → 8-hash signature
-    * → 4 band keys. Mirrors [[DedupOps.minhashBandPairs]] (numHashes=8,
-    * bands=4).
+    * → 4 band keys → `okb`, the band buckets that survive the hot-bucket
+    * cap (2..[[DedupOps.DefaultMaxBucket]] docs). Mirrors
+    * [[DedupOps.minhashBandPairs]] (numHashes=8, bands=4, maxBucket=64).
     */
   private lazy val duckMinhashCtes: String = {
     val numHashes = 8; val bands = 4; val r = numHashes / bands
@@ -439,7 +446,9 @@ object SparkEntry {
       s"sl AS (SELECT doc_id, list_distinct($duckShingles3) AS shs FROM t), " +
       "sh AS (SELECT doc_id, unnest(shs) AS s FROM sl), " +
       s"sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id), " +
-      s"bands AS ($bandSelects)"
+      s"bands AS ($bandSelects), " +
+      "okb AS (SELECT bkey FROM bands GROUP BY bkey " +
+      s"HAVING count(*) > 1 AND count(*) <= ${DedupOps.DefaultMaxBucket})"
   }
 
   /** Shared CTE chain for the similarity oracles, mirroring
@@ -486,7 +495,8 @@ object SparkEntry {
       "CAST(len(list_filter(x.shs, e -> list_contains(y.shs, e))) AS DOUBLE) / " +
         "CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE)")
     "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
-      "JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id " +
+      "JOIN okb ON okb.bkey = a.bkey GROUP BY 1, 2), " +
       s"vp AS (SELECT * FROM (SELECT id_a, id_b, $jac AS jac_bp FROM cand " +
       "JOIN sl x ON x.doc_id = cand.id_a JOIN sl y ON y.doc_id = cand.id_b) " +
       "WHERE jac_bp >= 8000)"
@@ -702,6 +712,7 @@ object SparkEntry {
       (s"WITH $duckMinhashCtes " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared_bands " +
         "FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id " +
+        "JOIN okb ON okb.bkey = a.bkey " +
         "GROUP BY id_a, id_b ORDER BY id_a, id_b"),
     "q_dedup_verified" ->
       (s"WITH $duckMinhashCtes, $duckVerifiedPairsCte " +
@@ -735,8 +746,12 @@ object SparkEntry {
         s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
         s"s AS (SELECT doc_id, list_distinct($duckShingles3) AS shs FROM t), " +
         "z AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM s), " +
+        // stop-shingle cutoff mirror: only shingles in 2..64 docs pair
+        "zc AS (SELECT sh FROM z GROUP BY sh " +
+        s"HAVING count(*) > 1 AND count(*) <= ${DedupOps.DefaultMaxBucket}), " +
         "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, " +
         "count(*) AS inter FROM z a JOIN z b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "JOIN zc ON zc.sh = a.sh " +
         "GROUP BY 1, 2, 3, 4) " +
         "SELECT * FROM (SELECT id_a, id_b, " +
         s"${TextOps.roundBpSql("CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)")} AS jac_bp " +

@@ -40,6 +40,20 @@ import graft.functions.StableHash
   */
 object DedupOps {
 
+  /** Default hot-bucket cap for the LSH candidate generators: band buckets
+    * (and Jaccard postings lists) larger than this are dropped before
+    * pairing. A bucket of d docs expands to d(d-1)/2 candidate pairs in ONE
+    * collected row, so an unbounded boilerplate bucket is the OOM shape at
+    * 100 TB — 64 docs caps a bucket's pair fan-out at ~2k pairs (~32 KB),
+    * while genuine near-dup groups (a handful of copies) pass untouched.
+    * Docs dropped this way can only lose pairs glued together by
+    * corpus-wide boilerplate — the standard LSH recall trade. The declared
+    * queries mirror the same cap in their DuckDB oracles, so the contract
+    * is cross-engine exact whether or not the cap engages. Use
+    * [[bandBucketHistogram]] to see what a given corpus would drop.
+    */
+  val DefaultMaxBucket = 64
+
   /** `documents` plus planted duplicates: an exact copy of every 10th doc
     * (id + 100000) and a near copy (one appended token, id + 200000) of
     * every doc ≡ 5 (mod 10).
@@ -78,6 +92,42 @@ object DedupOps {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Bucket keep-predicate: pairable (≥2 docs) and, when `maxBucket` > 0,
+    * no larger than the cap. Applied to the collected `ds` array of every
+    * LSH bucket / postings list before in-array pairing.
+    */
+  private def capBucket(maxBucket: Int): Column =
+    if (maxBucket <= 0) size(col("ds")) > 1
+    else size(col("ds")) > 1 && size(col("ds")) <= maxBucket
+
+  /** Band-bucket size histogram — the observability side of the hot-bucket
+    * cap: (bucket_size, n_buckets, dropped) per distinct size, `dropped`
+    * flagging sizes a given `maxBucket` would skip. Run this (cheap: the
+    * same one aggregation minus the pairing) when tuning the cap for a new
+    * corpus; the dropped row counts ARE the "what did the cap cost" log.
+    */
+  def bandBucketHistogram(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSigs(corpus, idCol, textCol, numHashes)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws(":", lit(b) +: (0 until r).map(j => col(s"s${b * r + j}")): _*)
+    }
+    sigs
+      .select(col(idCol), explode(array(bandKeys: _*)).as("bkey"))
+      .groupBy(col("bkey")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+      .withColumn("dropped",
+        lit(maxBucket > 0) && col("bucket_size") > maxBucket)
+      .orderBy(col("bucket_size"))
+  }
+
   /** MinHash-LSH candidate pairs: signature of `numHashes` min-hashes over
     * distinct word 3-shingles, split into `bands` bands of `numHashes/bands`
     * rows; docs sharing any band signature become a candidate pair. Output:
@@ -88,16 +138,18 @@ object DedupOps {
     * whole corpus→tokenize→shingle→minhash pipeline TWICE (a diamond with
     * no exchange reuse — measured 6 parquet scans of the corpus in the
     * plan), while bucket-collect runs it once and shuffles only (band,
-    * doc_id) pairs. Bucket arrays are bounded by the same hot-bucket
-    * consideration as the join fan-out would be (boilerplate-heavy corpora
-    * want a bucket-size cutoff before pairing).
+    * doc_id) pairs. Bucket arrays are bounded by `maxBucket`
+    * ([[DefaultMaxBucket]]): buckets larger than the cap are dropped before
+    * pairing, so no single row ever carries more than maxBucket²/2 pairs —
+    * the boilerplate-heavy-corpus OOM guard. Pass 0 to disable (exact).
     */
   def minhashBandPairs(
       corpus: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       numHashes: Int = 8,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = minhashSigs(corpus, idCol, textCol, numHashes)
@@ -108,7 +160,7 @@ object DedupOps {
       .select(col(idCol), explode(array(bandKeys: _*)).as("bkey"))
       .groupBy(col("bkey"))
       .agg(sort_array(collect_list(col(idCol))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(capBucket(maxBucket))
     // ordered pairs (ds is sorted ascending): element i with every later one
     val pairs = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
@@ -170,10 +222,9 @@ object DedupOps {
     // Dropping postings longer than maxDocFreq bounds the per-bucket
     // fan-out; it UNDERcounts intersections for the affected pairs, which
     // only lowers recall for pairs glued together by boilerplate — the
-    // standard trade. 0 = disabled (exact), as the declared query uses.
-    val kept =
-      if (maxDocFreq <= 0) postings.filter(size(col("ds")) > 1)
-      else postings.filter(size(col("ds")) > 1 && size(col("ds")) <= maxDocFreq)
+    // standard trade. 0 = disabled (exact); the declared query enables it
+    // at DefaultMaxBucket, mirrored in its DuckDB oracle.
+    val kept = postings.filter(capBucket(maxDocFreq))
     val pairs = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
         struct(x("id").as("id_a"), y("id").as("id_b"),
@@ -277,7 +328,8 @@ object DedupOps {
       textCol: String = "text",
       numHashes: Int = 8,
       bands: Int = 4,
-      thresholdBp: Int = 8000): DataFrame = {
+      thresholdBp: Int = 8000,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val exploded = corpus.select(
@@ -293,7 +345,7 @@ object DedupOps {
       .select(col(idCol), explode(array(bandKeys: _*)).as("bkey"))
       .groupBy(col("bkey"))
       .agg(sort_array(collect_list(col(idCol))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(capBucket(maxBucket))
     val pairExprs = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
         struct(x.as("a"), y.as("b")))))

@@ -80,6 +80,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(cut.count() < all.count())
   }
 
+  test("hot-bucket cap: oversized LSH buckets are dropped, histogram flags them") {
+    // 8 identical boilerplate docs -> every band bucket holds all 8
+    val boiler = (1L to 8L).map(i => (i, "alpha beta gamma delta epsilon zeta eta"))
+    val corpus = docs(boiler :+ ((100L, "totally different words appear here instead")): _*)
+    val unbounded = DedupOps.minhashBandPairs(corpus, maxBucket = 0)
+    assert(unbounded.count() == 28L) // C(8,2) pairs, all 4 bands shared
+    val capped = DedupOps.minhashBandPairs(corpus, maxBucket = 5)
+    assert(capped.count() == 0L) // the hot bucket is skipped, not exploded
+    val hist = DedupOps.bandBucketHistogram(corpus, maxBucket = 5)
+      .as[(Long, Long, Boolean)].collect()
+    assert(hist.exists(h => h._1 == 8L && h._3), hist.mkString(","))
+    // the verified pipeline honors the same cap
+    assert(DedupOps.verifiedNearDups(corpus, maxBucket = 5).count() == 0L)
+    assert(DedupOps.verifiedNearDups(corpus, maxBucket = 0).count() == 28L)
+    // a genuine small dup group passes through an engaged cap untouched
+    val mixed = docs(
+      (boiler :+ ((100L, "totally different words appear here instead"))
+        :+ ((200L, "twin content lives right here now")) :+ ((201L, "twin content lives right here now"))): _*)
+    val got = DedupOps.minhashBandPairs(mixed, maxBucket = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((200L, 201L, 4L)))
+  }
+
   test("dedupClusters: transitive chains collapse to the min id") {
     // chain 1-2-3-4 (pairwise links only), separate pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
