@@ -5,11 +5,17 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.VecDot
+import graft.plans.{GroupTopKRewrite, GroupTopKStrategy}
 
 /** Engine extensions, registered via `spark.sql.extensions` (the public
-  * `SparkSessionExtensions` hook — set in [[GraftSession.builder]]).
-  * Currently: the codegen'd `vec_dot` vector kernel ([[VecDot]]), callable
-  * from SQL and from `functions.call_function("vec_dot", ...)`.
+  * `SparkSessionExtensions` hook — set in [[GraftSession.builder]]):
+  *
+  *  - the codegen'd `vec_dot` vector kernel ([[VecDot]]), callable from SQL
+  *    and from `functions.call_function("vec_dot", ...)`;
+  *  - the [[graft.plans.GroupTopK]] rewrite: an optimizer rule turning the
+  *    `row_number() <= k` window pattern into a bounded top-k-per-group
+  *    operator, plus the planner strategy for its partial/final physical
+  *    form (gate: `spark.graft.topk.rewrite.enabled`, default true).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -21,5 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, s"vec_dot expects 2 arguments, got ${children.length}")
         VecDot(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => new GroupTopKRewrite)
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }

@@ -70,12 +70,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_window/q_topk_groups oracle pattern: rank filter pushes into the window sort") {
-    // Spark's WindowGroupLimit keeps only k rows per group through the
-    // window sort — assert it stays active for the top-k-per-group pattern
+  test("q_window: rank filter becomes the bounded GroupTopK operator pair") {
+    // the GroupTopKRewrite rule replaces Filter+Window entirely: partial
+    // bounded heaps before the exchange, final heaps + rank emission after
     val p = SparkEntry.queries("q_window")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(p.contains("WindowGroupLimit"), p.take(400))
+    assert(p.contains("GroupTopKFinal") && p.contains("GroupTopKPartial"), p.take(400))
+  }
+
+  test("q_window with the rewrite gated off: Spark's WindowGroupLimit still engages") {
+    // the stock path stays one conf away for A/B comparison — and must
+    // retain Spark's own rank-limit pushdown when used
+    spark.conf.set("spark.graft.topk.rewrite.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q_window")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"), p.take(400))
+    } finally spark.conf.unset("spark.graft.topk.rewrite.enabled")
   }
 
   test("q_dedup_minhash: band-bucket join is an equi-join with partial aggregation") {
