@@ -246,48 +246,90 @@ object DedupOps {
     * say who matches whom, clusters say what to DROP (keep the minimum id
     * per component, drop the rest).
     *
-    * Iterative min-label propagation: every node starts labeled with its
-    * own id; each round takes the min of its own and its neighbors'
-    * labels; the unique fixpoint labels every node with the smallest id
-    * reachable from it — deterministic regardless of execution order, so
-    * oracle-comparable (DuckDB side: recursive CTE closure). Rounds are
-    * bounded by component diameter (near-dup clusters are shallow). Each
-    * round is one join + one aggregate, executor-parallel; lineage is
-    * truncated per round (`localCheckpoint`) so plans don't snowball —
-    * the standard Spark iterative-algorithm shape.
+    * Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): edges are
+    * kept canonically oriented big→small, and each round runs
+    *
+    *  - large-star: every node connects its LARGER neighbors to its
+    *    minimum neighbor (or itself) — long chains halve;
+    *  - small-star: every node connects its smaller neighbors (and
+    *    itself) to its minimum neighbor — local stars flatten.
+    *
+    * The edge set converges in O(log n) rounds to stars rooted at each
+    * component's minimum id — vs O(component diameter) for min-label
+    * propagation, which a boilerplate-chained corpus can drive to hundreds
+    * of rounds. Each half-round is ONE groupBy-aggregate (no join), and
+    * the convergence signal is a per-group `changed` flag computed inside
+    * that same aggregate — checking it is a scan of the just-checkpointed
+    * edge list, never a second join or a recompute. Deterministic
+    * (min-based), so oracle-comparable (DuckDB: recursive-CTE closure).
     *
     * Output: (doc_id, cluster_id) for every doc appearing in ≥1 pair.
     */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def dedupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    dedupClustersDetailed(pairs, maxRounds)._1
+
+  /** [[dedupClusters]] plus the round count it took — the contract the
+    * chain-topology regression pins (a 33-node path must converge in
+    * O(log n), not O(n), rounds).
+    */
+  def dedupClustersDetailed(pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    // canonical big→small orientation; `u` is always the larger endpoint
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
-      .persist()
-    try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint(true)
-      var converged = false
-      while (!converged) {
-        val neighborMin = edges
-          .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
-          .groupBy(col("src").as("id"))
-          .agg(min(col("dlabel")).as("nlabel"))
-        val next = labels
-          .join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-          .localCheckpoint(true)
-        val changed = next.alias("n")
-          .join(labels.alias("o"), "id")
-          .filter(col("n.label") =!= col("o.label"))
-          .limit(1).count()
-        labels = next
-        converged = changed == 0L
-      }
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    } finally edges.unpersist(false)
+      .localCheckpoint(true)
+
+    // large-star over node x with neighbor set vs (both directions):
+    // m = min(x, min(vs)); emit (v, m) for each v in vs with v > x.
+    // x's edges change iff it HAS a larger neighbor to re-point and a
+    // smaller neighbor to point it at — both facts local to the group.
+    def largeStar(e: DataFrame): DataFrame =
+      e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+        .groupBy(col("x"))
+        .agg(collect_set(col("y")).as("vs"))
+        .select(col("x"), least(col("x"), array_min(col("vs"))).as("m"),
+          filter(col("vs"), _ > col("x")).as("bigger"),
+          (array_max(col("vs")) > col("x") && array_min(col("vs")) < col("x"))
+            .as("changed"))
+        .select(explode(col("bigger")).as("u"), col("m").as("v"), col("changed"))
+        .groupBy(col("u"), col("v")).agg(max(col("changed")).as("changed"))
+
+    // small-star over node u with its smaller neighbors vs:
+    // m = min(vs); emit (w, m) for w in vs∪{u}, w ≠ m. u's edges change
+    // iff it had more than one smaller neighbor.
+    def smallStar(e: DataFrame): DataFrame =
+      e.groupBy(col("u"))
+        .agg(collect_set(col("v")).as("vs"))
+        .select(
+          explode(array_union(col("vs"), array(col("u")))).as("w"),
+          array_min(col("vs")).as("m"),
+          (size(col("vs")) > 1).as("changed"))
+        .filter(col("w") =!= col("m"))
+        .select(col("w").as("u"), col("m").as("v"), col("changed"))
+        .groupBy(col("u"), col("v")).agg(max(col("changed")).as("changed"))
+
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val ls = largeStar(edges).localCheckpoint(true)
+      val lsChanged = ls.agg(coalesce(max(col("changed")), lit(false))).head.getBoolean(0)
+      val ss = smallStar(ls.drop("changed")).localCheckpoint(true)
+      val ssChanged = ss.agg(coalesce(max(col("changed")), lit(false))).head.getBoolean(0)
+      edges = ss.drop("changed")
+      rounds += 1
+      converged = !lsChanged && !ssChanged
+    }
+
+    // fixpoint edges are stars (v = component min): leaves point at their
+    // center, centers label themselves
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+      .orderBy(col("doc_id"))
+    (labels, rounds)
   }
 
   /** Incremental dedup — the ingestion-pipeline shape: which documents of a

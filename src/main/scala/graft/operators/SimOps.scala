@@ -177,6 +177,12 @@ object SimOps {
     * `thresholdBp`. Exact duplicates always share a bucket, so recall on
     * true dups is 1; boundary near-dups follow the LSH trade documented on
     * [[lshTopK]]. Output: (id_a, id_b, cos_bp), id_a < id_b.
+    *
+    * The two join inputs are the SAME derived frame; a naive self-join
+    * plans the scan→normalize→bucket pipeline twice (a diamond with no
+    * exchange reuse). Repartitioning on the bucket key first makes both
+    * sides end in identical exchanges, which Spark's ReuseExchange
+    * collapses — one scan, one normalize pass (plan-asserted in PlanSpec).
     */
   def nearDupPairs(
       emb: DataFrame,
@@ -184,7 +190,9 @@ object SimOps {
       bits: Int = 4,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val n = normalized(emb, idCol, embCol).withColumn("bucket", signBucket(col("e"), bits))
+    val n = normalized(emb, idCol, embCol)
+      .withColumn("bucket", signBucket(col("e"), bits))
+      .repartition(col("bucket"))
     n.alias("a")
       .join(n.alias("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -112,6 +112,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupClusters: 33-node chain converges in O(log n) rounds, one cluster") {
+    // a path graph is the worst case for min-label propagation (O(n)
+    // rounds); large-star/small-star must collapse it logarithmically
+    val n = 33
+    val pairs = scala.util.Random.shuffle((1 until n).map(i => (i.toLong, (i + 1).toLong)))
+      .toDF("id_a", "id_b")
+    val (labels, rounds) = DedupOps.dedupClustersDetailed(pairs)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 1L), got.toSeq.sorted.take(10).mkString(","))
+    assert(rounds <= 8, s"chain of $n should need ~log2(n) rounds, took $rounds")
+  }
+
   test("incrementalNew: batch docs already in the corpus are filtered out") {
     val existing = docs((1L, "old doc one"), (2L, "old doc two"))
     val batch = docs(

@@ -89,6 +89,17 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.rewrite.enabled")
   }
 
+  test("q_embed_neardup: the normalize pipeline is planned once, not per join side") {
+    // self-join on the bucket key: both sides repartition on bucket, so the
+    // second side must reuse the first side's exchange instead of
+    // re-scanning + re-normalizing the corpus
+    val df = SparkEntry.queries("q_embed_neardup")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("TableCacheQueryStage"),
+      s"expected exchange reuse in the near-dup self-join:\n${executed.take(600)}")
+  }
+
   test("q_dedup_minhash: band-bucket join is an equi-join with partial aggregation") {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
