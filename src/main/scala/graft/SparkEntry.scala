@@ -315,6 +315,11 @@ object SparkEntry {
     // SimHash sketches + identical-sketch grouping.
     "q_dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+    // Hamming-ball SimHash: banded bit-slice LSH + popcount verify — finds
+    // the near-copies (sketch distance 1..3) identical-sketch grouping
+    // misses; full recall within the ball by pigeonhole (maxDist < bands).
+    "q_dedup_simhash_ball" -> ((s, dir) =>
+      DedupOps.simhashBallPairs(DedupOps.plantedCorpus(t(s, dir, "documents")))),
     // Exact 3-shingle Jaccard via inverted index (the verify step), with the
     // stop-shingle cutoff ENABLED (postings in > 64 docs dropped — the
     // boilerplate-shingle skew guard; mirrored in the oracle's zc CTE).
@@ -449,6 +454,22 @@ object SparkEntry {
       s"bands AS ($bandSelects), " +
       "okb AS (SELECT bkey FROM bands GROUP BY bkey " +
       s"HAVING count(*) > 1 AND count(*) <= ${DedupOps.DefaultMaxBucket})"
+  }
+
+  /** CTE chain computing the `bits`-bit SimHash sketch per planted-corpus
+    * doc (`s(doc_id, simhash)`), mirroring [[DedupOps.simhashSketch]].
+    */
+  private def duckSimhashCtes(bits: Int): String = {
+    val votes = (0 until bits)
+      .map(k => s"CAST(sum(((h >> $k) & 1) * 2 - 1) AS BIGINT) AS b$k").mkString(", ")
+    val sketch = (0 until bits)
+      .map(k => s"(CASE WHEN b$k > 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"corpus AS ($duckCorpus), " +
+      s"tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM corpus), " +
+      s"h AS (SELECT doc_id, ${StableHash.hash60Sql("tok")} AS h FROM tk), " +
+      s"v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id), " +
+      s"s AS (SELECT doc_id, $sketch AS simhash FROM v)"
   }
 
   /** Shared CTE chain for the similarity oracles, mirroring
@@ -726,20 +747,25 @@ object SparkEntry {
         "UNION SELECT e.src AS id, reach.lab FROM e JOIN reach ON e.dst = reach.id) " +
         "SELECT id AS doc_id, min(lab) AS cluster_id FROM reach " +
         "GROUP BY id ORDER BY doc_id"),
-    "q_dedup_simhash" -> {
-      val bits = 16
-      val votes = (0 until bits)
-        .map(k => s"CAST(sum(((h >> $k) & 1) * 2 - 1) AS BIGINT) AS b$k").mkString(", ")
-      val sketch = (0 until bits)
-        .map(k => s"(CASE WHEN b$k > 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)")
-        .mkString(" + ")
-      s"WITH corpus AS ($duckCorpus), " +
-        s"tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM corpus), " +
-        s"h AS (SELECT doc_id, ${StableHash.hash60Sql("tok")} AS h FROM tk), " +
-        s"v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id), " +
-        s"s AS (SELECT doc_id, $sketch AS simhash FROM v) " +
+    "q_dedup_simhash" ->
+      (s"WITH ${duckSimhashCtes(16)} " +
         "SELECT doc_id, simhash, min(doc_id) OVER (PARTITION BY simhash) AS keep_id " +
-        "FROM s ORDER BY doc_id"
+        "FROM s ORDER BY doc_id"),
+    // mirrors DedupOps.simhashBallPairs (bits=32, bands=4 x 8-bit slices,
+    // maxDist=3, hot-bucket cap 64)
+    "q_dedup_simhash_ball" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, simhash, '$b:' || ((simhash >> ${b * 8}) & 255) AS bkey FROM s"
+      }.mkString(" UNION ALL ")
+      s"WITH ${duckSimhashCtes(32)}, " +
+        s"bd AS ($bandSelects), " +
+        "okb AS (SELECT bkey FROM bd GROUP BY bkey " +
+        s"HAVING count(*) > 1 AND count(*) <= ${DedupOps.DefaultMaxBucket}) " +
+        "SELECT * FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(min(bit_count(xor(a.simhash, b.simhash))) AS BIGINT) AS hamming " +
+        "FROM bd a JOIN bd b ON a.bkey = b.bkey AND a.doc_id < b.doc_id " +
+        "JOIN okb ON okb.bkey = a.bkey GROUP BY 1, 2) " +
+        "WHERE hamming <= 3 ORDER BY id_a, id_b"
     },
     "q_dedup_jaccard" ->
       (s"WITH corpus AS ($duckCorpus), " +

@@ -172,13 +172,13 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash: per-document `bits`-bit sketch. Each token votes ±1 on every
-    * bit of its 60-bit stable hash; the sketch bit is the vote's sign.
-    * `keep_id` = min id among docs sharing a sketch — identical-sketch
-    * grouping is the dedup step (Hamming-ball grouping would add banded
-    * joins over bit slices, same LSH shape as [[minhashBandPairs]]).
+  /** Per-document `bits`-bit SimHash sketch (doc_id, simhash): each token
+    * votes ±1 on every bit of its 60-bit stable hash; the sketch bit is the
+    * vote's sign. One explode + one groupBy(doc) with map-side partial sums.
     */
-  def simhash(corpus: DataFrame, idCol: String = "doc_id", textCol: String = "text", bits: Int = 16): DataFrame = {
+  private def simhashSketch(
+      corpus: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    require(bits <= 60, "sketch bits limited by the 60-bit token hash")
     val tok = corpus
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col(idCol), StableHash.hash60(col("tok")).as("h"))
@@ -188,8 +188,64 @@ object DedupOps {
       .reduce(_ + _)
     tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
       .select(col(idCol), sketch.as("simhash"))
+  }
+
+  /** SimHash dedup: `keep_id` = min id among docs sharing a sketch —
+    * identical-sketch grouping. [[simhashBallPairs]] is the recall upgrade
+    * (Hamming-distance ≤ d neighbors, not just distance 0).
+    */
+  def simhash(corpus: DataFrame, idCol: String = "doc_id", textCol: String = "text", bits: Int = 16): DataFrame =
+    simhashSketch(corpus, idCol, textCol, bits)
       .withColumn("keep_id", min(col(idCol)).over(Window.partitionBy(col("simhash"))))
       .orderBy(col(idCol))
+
+  /** Hamming-ball SimHash near-dup pairs: docs whose `bits`-bit sketches
+    * differ in at most `maxDist` bits. Identical-sketch grouping
+    * ([[simhash]]) misses a near-copy the moment one flipped bit sneaks
+    * into the sketch; this is the standard fix — banded bit slices as an
+    * LSH over Hamming space:
+    *
+    *  - slice the sketch into `bands` contiguous slices of bits/bands bits;
+    *  - bucket docs on (band, slice value): by pigeonhole, two sketches
+    *    within distance maxDist < bands agree EXACTLY on ≥1 slice, so
+    *    recall within the ball is 1 — no all-pairs scan anywhere;
+    *  - verify candidates with a popcount of the XOR (both sketches ride
+    *    along in the bucket array, so verification needs no join back).
+    *
+    * Same bucket-collect shape and [[DefaultMaxBucket]] hot-bucket cap as
+    * [[minhashBandPairs]]. Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def simhashBallPairs(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bits: Int = 32,
+      bands: Int = 4,
+      maxDist: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxDist < bands, s"recall guarantee needs maxDist < bands")
+    val r = bits / bands
+    val mask = (1L << r) - 1
+    val sk = simhashSketch(corpus, idCol, textCol, bits)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws(":", lit(b), shiftright(col("simhash"), b * r).bitwiseAND(lit(mask)))
+    }
+    val buckets = sk
+      .select(col(idCol), col("simhash"), explode(array(bandKeys: _*)).as("bkey"))
+      .groupBy(col("bkey"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("simhash").as("sk")))).as("ds"))
+      .filter(capBucket(maxBucket))
+    val pairs = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+        struct(x("id").as("id_a"), y("id").as("id_b"),
+          bit_count(x("sk").bitwiseXOR(y("sk"))).as("d")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(min(col("p.d")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Exact n-gram (word 3-shingle) Jaccard over an inverted index: explode

@@ -56,6 +56,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(3L)._2 == 3L)
   }
 
+  test("simhashBallPairs: exactly the brute-force Hamming<=3 pairs (pigeonhole recall)") {
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (4L, "completely unrelated content about databases and distributed systems"),
+      (5L, "another entirely different document mentioning graphs and clusters"))
+    val sketches = DedupOps.simhash(corpus, bits = 32)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- sketches.keys; b <- sketches.keys if a < b
+      d = java.lang.Long.bitCount(sketches(a) ^ sketches(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = DedupOps.simhashBallPairs(corpus).as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.contains((1L, 2L, 0L))) // the exact copy
+    // the near-copy differs in >0 sketch bits: identical-sketch grouping
+    // would miss it whenever ball grouping still finds it
+    assert(sketches(1L) != sketches(4L))
+  }
+
   test("jaccardPairs: hand-computed similarity in basis points") {
     // shingles(5 tokens) = 3 per doc; docs differ in last token ->
     // intersection 2, union 4 -> 5000 bp
