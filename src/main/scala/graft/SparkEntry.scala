@@ -472,23 +472,44 @@ object SparkEntry {
       s"s AS (SELECT doc_id, $sketch AS simhash FROM v)"
   }
 
-  /** Shared CTE chain for the similarity oracles, mirroring
-    * [[SimOps.bruteTopK]]/[[SimOps.lshTopK]] (queries = vec_id < 5, k = 10).
+  /** Shared CTE chain for the brute-force similarity oracles, mirroring
+    * [[SimOps.bruteTopK]] (queries = vec_id < 5, k = 10).
     * `list_dot_product` over `DOUBLE[]` folds left-to-right like Spark's
     * `aggregate(zip_with(...))`, so the doubles are bit-identical.
     */
-  private def duckSimCtes(lsh: Boolean): String = {
-    val bucket = (0 until 4)
-      .map(i => s"(CASE WHEN e[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
-      .mkString(" + ")
-    val joinCond = if (lsh) "n.bucket = q.bucket AND " else ""
+  private def duckSimCtes: String =
     "n AS (SELECT vec_id, label, embedding::DOUBLE[] AS e, " +
-      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm, " +
-      s"$bucket AS bucket FROM embeddings), " +
-      "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, bucket FROM n WHERE vec_id < 5), " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+      "FROM embeddings), " +
+      "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5), " +
       "p AS (SELECT q_id, n.vec_id AS vec_id, " +
       "list_dot_product(qe, e) / (qn * nrm) AS cos " +
-      s"FROM n JOIN q ON $joinCond n.vec_id <> q.q_id), " +
+      "FROM n JOIN q ON n.vec_id <> q.q_id), " +
+      "r AS (SELECT q_id, vec_id, cos, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM p)"
+
+  /** CTE chain mirroring the multi-table [[SimOps.lshTopK]] (8 tables of
+    * 4 sign bits over dims [4t, 4t+4), queries = vec_id < 5): per-table
+    * bucket keys, equi-join on the key, duplicate collisions collapsed
+    * before ranking.
+    */
+  private def duckLshCtes: String = {
+    val tableSelects = (0 until 8).map { t =>
+      val bucket = (0 until 4)
+        .map(i => s"(CASE WHEN e[${t * 4 + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT vec_id, e, nrm, '$t:' || ($bucket) AS tb FROM n"
+    }.mkString(" UNION ALL ")
+    "n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+      "FROM embeddings), " +
+      s"tb AS ($tableSelects), " +
+      "q AS (SELECT vec_id AS q_id, qe, qn, tb FROM (SELECT vec_id, e AS qe, nrm AS qn, tb " +
+      "FROM tb) WHERE vec_id < 5), " +
+      "p0 AS (SELECT q_id, c.vec_id AS vec_id, " +
+      "list_dot_product(qe, e) / (qn * nrm) AS cos " +
+      "FROM tb c JOIN q ON c.tb = q.tb AND c.vec_id <> q.q_id), " +
+      "p AS (SELECT q_id, vec_id, min(cos) AS cos FROM p0 GROUP BY q_id, vec_id), " +
       "r AS (SELECT q_id, vec_id, cos, row_number() OVER " +
       "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM p)"
   }
@@ -782,8 +803,8 @@ object SparkEntry {
         "SELECT * FROM (SELECT id_a, id_b, " +
         s"${TextOps.roundBpSql("CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)")} AS jac_bp " +
         "FROM p) WHERE jac_bp >= 8000 ORDER BY id_a, id_b"),
-    "q_sim_topk" -> s"WITH ${duckSimCtes(lsh = false)} $duckTopKSelect",
-    "q_sim_lsh" -> s"WITH ${duckSimCtes(lsh = true)} $duckTopKSelect",
+    "q_sim_topk" -> s"WITH $duckSimCtes $duckTopKSelect",
+    "q_sim_lsh" -> s"WITH $duckLshCtes $duckTopKSelect",
     "q_sim_ivf" ->
       ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
         "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
@@ -808,7 +829,7 @@ object SparkEntry {
         s"${TextOps.roundBpSql("sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))")} AS norm_bp " +
         "FROM embeddings ORDER BY vec_id"),
     "q_embed_knn" ->
-      (s"WITH ${duckSimCtes(lsh = false)}, " +
+      (s"WITH $duckSimCtes, " +
         "t AS (SELECT q_id, vec_id FROM r WHERE rank <= 10), " +
         "v AS (SELECT q_id, label, CAST(count(*) AS BIGINT) AS n_votes " +
         "FROM t JOIN embeddings USING (vec_id) GROUP BY q_id, label), " +

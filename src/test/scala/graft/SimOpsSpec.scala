@@ -52,7 +52,7 @@ class SimOpsSpec extends SparkSpec {
       (0L, Seq(1f, 1f, 1f, 1f), 0),    // bucket 15, query
       (1L, Seq(2f, 1f, 1f, 1f), 0),    // bucket 15 — candidate
       (2L, Seq(-1f, -1f, -1f, -1f), 0)) // bucket 0 — invisible to query 0
-    val got = SimOps.lshTopK(df, col("vec_id") === 0, k = 10)
+    val got = SimOps.lshTopK(df, col("vec_id") === 0, k = 10, tables = 1)
       .as[(Long, Int, Long, Long)].collect().toSeq
     assert(got.map(_._3) == Seq(1L))
   }
@@ -89,6 +89,22 @@ class SimOpsSpec extends SparkSpec {
       brute.length
     assert(recall >= 0.3, s"suspiciously low IVF recall: $recall")
     assert(ivf.nonEmpty)
+  }
+
+  test("ANN recall vs exact: multi-table LSH >= 0.6, IVF(nProbe=4) >= 0.4") {
+    // the declared-query settings, measured against q_sim_topk's exact
+    // answer — the approximation trade made visible and pinned
+    val df = sf("embeddings")
+    val brute = SimOps.bruteTopK(df, col("vec_id") < 5, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = SimOps.lshTopK(df, col("vec_id") < 5, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lshRecall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(lshRecall >= 0.6, s"multi-table LSH recall dropped to $lshRecall")
+    val ivf = SimOps.ivfTopK(df, col("vec_id") < 5, col("vec_id").between(100, 115))
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(ivfRecall >= 0.4, s"IVF recall dropped to $ivfRecall")
   }
 
   test("norms: dimension and unit-ish norms on the fixture table") {
