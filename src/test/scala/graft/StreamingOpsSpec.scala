@@ -94,6 +94,46 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize parity: closed sessions equal EventOps.sessionStats per user") {
+    // the batch/stream parity contract already asserted for hourly counts,
+    // extended to sessionization: same events, same gap -> same per-user
+    // (n_sessions, n_events) once every streaming session has closed
+    val events = Seq(
+      StreamEvent(ts("09:00"), 1L, "click", 1.0),
+      StreamEvent(ts("09:10"), 1L, "view", 1.0),
+      StreamEvent(ts("10:30"), 1L, "click", 1.0), // 80 min gap -> session 2
+      StreamEvent(ts("09:05"), 2L, "click", 1.0),
+      StreamEvent(ts("11:00"), 2L, "view", 1.0),  // session 2
+      StreamEvent(ts("11:20"), 2L, "view", 1.0),  // same session (20 min)
+      StreamEvent(ts("09:30"), 3L, "click", 1.0))
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_parity").outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      // two far-future batches: the first advances the watermark past every
+      // open session's end + gap, the second gives the timeouts a batch to fire
+      input.addData(StreamEvent(ts("23:00"), 999L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(StreamEvent(ts("23:30"), 999L, "view", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_parity")
+        .filter(col("user_id") < 900)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .as[(Long, Long, Long)].collect().toSet
+      val batchDf = events.zipWithIndex.toDF("e", "event_id")
+        .select(col("e.ts").as("ts"), col("e.user_id").as("user_id"),
+          col("e.event_type").as("event_type"), col("e.value").as("value"),
+          col("event_id").cast("long").as("event_id"))
+      val batch = EventOps.sessionStats(batchDf, gapSeconds = 1800)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.map(_._1) == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("runningUserCounts: state accumulates across micro-batches") {
     val input = MemoryStream[StreamEvent]
     val q = StreamingOps.runningUserCounts(input.toDS())
