@@ -361,6 +361,12 @@ object SparkEntry {
       SimOps.ivfTopK(t(s, dir, "embeddings"),
         queryPred = col("vec_id") < 5,
         centroidPred = col("vec_id").between(100, 115))),
+    // IVF with the sampled centroids Lloyd-refined first (one integer-exact
+    // assign+average round) — the production coarse quantizer.
+    "q_sim_ivf_kmeans" -> ((s, dir) =>
+      SimOps.ivfKmeansTopK(t(s, dir, "embeddings"),
+        queryPred = col("vec_id") < 5,
+        centroidPred = col("vec_id").between(100, 115))),
     // Per-vector dimension + L2 norm — the corpus shape check.
     "q_embed_norms" -> ((s, dir) =>
       SimOps.norms(t(s, dir, "embeddings"))),
@@ -809,6 +815,41 @@ object SparkEntry {
       ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
         "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
         "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 100 AND 115), " +
+        "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
+        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n CROSS JOIN c), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
+        "asg AS (SELECT vec_id, e, nrm, c_id FROM rk WHERE crn = 1), " +
+        "pr AS (SELECT vec_id AS q_id, c_id FROM rk WHERE vec_id < 5 AND crn <= 4), " +
+        "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5), " +
+        "p AS (SELECT pr.q_id, a.vec_id, " +
+        "list_dot_product(q.qe, a.e) / (q.qn * a.nrm) AS cos " +
+        "FROM pr JOIN asg a ON pr.c_id = a.c_id JOIN q ON q.q_id = pr.q_id " +
+        "WHERE a.vec_id <> pr.q_id), " +
+        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY cos DESC, vec_id) AS rank FROM p) " +
+        s"SELECT q_id, rank, vec_id, ${TextOps.roundBpSql("cos")} AS cos_bp " +
+        "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+    // mirrors SimOps.ivfKmeansTopK (iters=1): one Lloyd round with
+    // bp-quantized integer sums (exact in both engines), then the same
+    // probe chain as q_sim_ivf over the refined centroid table
+    "q_sim_ivf_kmeans" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+        "c0 AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 100 AND 115), " +
+        "a0 AS (SELECT vec_id, c_id FROM (SELECT n.vec_id, c0.c_id, " +
+        "row_number() OVER (PARTITION BY n.vec_id " +
+        "ORDER BY list_dot_product(n.e, c0.ce) / (n.nrm * c0.cn) DESC, c0.c_id) AS crn " +
+        "FROM n CROSS JOIN c0) WHERE crn = 1), " +
+        "z AS (SELECT a0.c_id, unnest(n.e) AS v, unnest(range(1, len(n.e) + 1)) AS pos " +
+        "FROM a0 JOIN n USING (vec_id)), " +
+        "sm AS (SELECT c_id, pos, sum(CAST(floor(v * 10000.0 + 0.5) AS BIGINT)) AS s, " +
+        "count(*) AS cnt FROM z GROUP BY c_id, pos), " +
+        "c1 AS (SELECT c_id, list(CAST(s AS DOUBLE) / (cnt * 10000.0) ORDER BY pos) AS ce " +
+        "FROM sm GROUP BY c_id), " +
+        "c AS (SELECT c0.c_id, coalesce(c1.ce, c0.ce) AS ce, " +
+        "coalesce(sqrt(list_dot_product(c1.ce, c1.ce)), c0.cn) AS cn " +
+        "FROM c0 LEFT JOIN c1 USING (c_id)), " +
         "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
         "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n CROSS JOIN c), " +
         "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +

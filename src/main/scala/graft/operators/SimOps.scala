@@ -138,8 +138,8 @@ object SimOps {
     *
     * Centroids here are a fixed id-range SAMPLE of the corpus (random-
     * sample init is a standard coarse-quantizer baseline and keeps the
-    * DuckDB oracle exact); a production build would k-means-refine them,
-    * which changes only the centroid table. Scale: assignment is
+    * DuckDB oracle exact); [[ivfKmeansTopK]] is the production variant that
+    * Lloyd-refines them first. Scale: assignment is
     * O(N*C) with C broadcastable (thousands), probing is an equi-join on
     * cell id — no all-pairs anywhere.
     *
@@ -158,11 +158,33 @@ object SimOps {
     val n = normalized(emb, idCol, embCol)
     val cents = n.filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    val cellSim = n.crossJoin(broadcast(cents))
+    ivfProbe(n, cents, queryPred, k, nProbe, idCol)
+  }
+
+  /** Every vector scored against every centroid (centroids broadcast),
+    * ranked per vector by (cosine desc, c_id): `crn = 1` is the vector's
+    * home cell, `crn <= nProbe` are a query's probe cells.
+    */
+  private def cellRank(n: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
+    val byCell = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("c_id"))
+    n.crossJoin(broadcast(cents))
       .select(col(idCol), col("e"), col("nrm"),
         col("c_id"), (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("csim"))
-    val byCell = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("c_id"))
-    val ranked = cellSim.withColumn("crn", row_number().over(byCell))
+      .withColumn("crn", row_number().over(byCell))
+  }
+
+  /** IVF probe phase shared by the sampled and k-means-refined quantizers:
+    * assign every vector to its nearest cell, probe each query's `nProbe`
+    * nearest cells, brute-force only within the probed cells.
+    */
+  private def ivfProbe(
+      n: DataFrame,
+      cents: DataFrame,
+      queryPred: Column,
+      k: Int,
+      nProbe: Int,
+      idCol: String): DataFrame = {
+    val ranked = cellRank(n, cents, idCol)
     // every vector lives in exactly its nearest cell...
     val assigned = ranked.filter(col("crn") === 1)
       .select(col(idCol), col("e"), col("nrm"), col("c_id"))
@@ -178,6 +200,73 @@ object SimOps {
       .select(col("q_id"), col(idCol),
         (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
     rankTopK(pairs, k, idCol)
+  }
+
+  /** Lloyd (k-means) refinement of an IVF coarse quantizer — `iters`
+    * assign-then-average rounds over the whole corpus.
+    *
+    * Determinism is the hard part: a naive `avg(dim)` sums doubles in
+    * partition order, so Spark's own result varies run to run and can never
+    * hash-match DuckDB. Instead each dimension is quantized to integer basis
+    * points (`floor(x*1e4+0.5)`, [[TextOps.roundBp]] semantics) and summed
+    * as longs — exact, commutative, order-independent — then the centroid
+    * dimension is the single double division `sum_bp / (count*1e4)`. Both
+    * engines compute identical integers and identical one-step divisions,
+    * so refined centroids (and everything downstream: cell assignment,
+    * probing, final ranking) stay bit-comparable.
+    *
+    * Scale shape per iteration: one broadcast assignment pass (O(N*C), no
+    * shuffle of the corpus), one posexplode to (cell, dim) — dims-fold map
+    * fan-out, never a collect — and a hash aggregation whose key space is
+    * C x dims (thousands), tiny by construction. Empty cells keep their
+    * previous centroid (left join + coalesce).
+    */
+  def refineCentroids(
+      n: DataFrame,
+      cents: DataFrame,
+      iters: Int = 1,
+      idCol: String = "vec_id"): DataFrame = {
+    var c = cents
+    for (_ <- 0 until iters) {
+      val assigned = cellRank(n, c, idCol).filter(col("crn") === 1)
+        .select(col("c_id"), col("e"))
+      val dims = assigned.select(col("c_id"),
+        posexplode(transform(col("e"), x => TextOps.roundBp(x))))
+      val rebuilt = dims
+        .groupBy(col("c_id"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+        .groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / (col("cnt") * lit(10000.0))).as("v")))).as("pv"))
+        .select(col("c_id"), transform(col("pv"), p => p.getField("v")).as("ce"))
+        .select(col("c_id"), col("ce"), sqrt(dot(col("ce"), col("ce"))).as("cn"))
+      c = c.select(col("c_id"), col("ce").as("ce_prev"), col("cn").as("cn_prev"))
+        .join(rebuilt, Seq("c_id"), "left")
+        .select(col("c_id"),
+          coalesce(col("ce"), col("ce_prev")).as("ce"),
+          coalesce(col("cn"), col("cn_prev")).as("cn"))
+    }
+    c
+  }
+
+  /** IVF with a k-means-refined coarse quantizer: the sampled centroids of
+    * [[ivfTopK]] are Lloyd-refined ([[refineCentroids]]) before the probe
+    * phase — the production IVF shape (sampled init is only the seed).
+    * Output shape and determinism guarantees match [[ivfTopK]].
+    */
+  def ivfKmeansTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      centroidPred: Column,
+      k: Int = 10,
+      nProbe: Int = 4,
+      iters: Int = 1,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val n = normalized(emb, idCol, embCol)
+    val cents0 = n.filter(centroidPred)
+      .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    ivfProbe(n, refineCentroids(n, cents0, iters, idCol), queryPred, k, nProbe, idCol)
   }
 
   private def rankTopK(pairs: DataFrame, k: Int, idCol: String): DataFrame = {

@@ -91,6 +91,55 @@ class SimOpsSpec extends SparkSpec {
     assert(ivf.nonEmpty)
   }
 
+  test("refineCentroids: one Lloyd round averages bp-quantized members exactly") {
+    val df = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.8f, 0.2f), 0),
+      (2L, Seq(0f, 1f), 0),
+      (3L, Seq(0.2f, 0.8f), 0))
+    val n = df.select(col("vec_id"), col("embedding").as("e"),
+      SimOps.l2Norm(col("embedding")).as("nrm"))
+    val cents = n.filter(col("vec_id").isin(0L, 2L))
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val got = SimOps.refineCentroids(n, cents, iters = 1)
+      .select(col("c_id"), col("ce"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    // cell 0 = {0, 1} -> mean of bp-quantized dims = (0.9, 0.1); cell 2 = {2, 3}
+    assert(got == Seq((0L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.9))))
+  }
+
+  test("refineCentroids: a cell with no members keeps its previous centroid") {
+    val n = emb((0L, Seq(1f, 0f), 0), (1L, Seq(0.9f, 0.1f), 0))
+      .select(col("vec_id"), col("embedding").as("e"),
+        SimOps.l2Norm(col("embedding")).as("nrm"))
+    val cents = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)))
+      .toDF("c_id", "ce")
+      .select(col("c_id"), col("ce"), SimOps.l2Norm(col("ce")).as("cn"))
+    val got = SimOps.refineCentroids(n, cents, iters = 1)
+      .select(col("c_id"), col("ce"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(got.length == 2)
+    // both vectors join cell 1; cell 2 is empty and survives unchanged
+    assert(got(0) == (1L, Seq(0.95, 0.05)))
+    assert(got(1) == (2L, Seq(-1.0, 0.0)))
+  }
+
+  test("ivfKmeansTopK: scores are true cosines; refinement holds recall") {
+    val df = sf("embeddings")
+    val brute = SimOps.bruteTopK(df, col("vec_id") < 5, k = 10)
+      .select("q_id", "vec_id", "cos_bp").as[(Long, Long, Long)].collect()
+    val bruteScores = brute.map { case (q, v, c) => (q, v) -> c }.toMap
+    val km = SimOps.ivfKmeansTopK(df, col("vec_id") < 5, col("vec_id").between(100, 115))
+      .select("q_id", "vec_id", "cos_bp").as[(Long, Long, Long)].collect()
+    // approximation is of the candidate set only — scores stay exact
+    km.foreach { case (q, v, c) =>
+      bruteScores.get((q, v)).foreach(bc => assert(bc == c))
+    }
+    val recall = km.count { case (q, v, _) => bruteScores.contains((q, v)) }.toDouble /
+      brute.length
+    assert(recall >= 0.4, s"refined-IVF recall dropped to $recall")
+  }
+
   test("ANN recall vs exact: multi-table LSH >= 0.6, IVF(nProbe=4) >= 0.4") {
     // the declared-query settings, measured against q_sim_topk's exact
     // answer — the approximation trade made visible and pinned
