@@ -319,6 +319,46 @@ object SimOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Int8 scalar quantization of the embedding corpus — the 4x storage
+    * compression every vector store applies before serving (FAISS SQ8
+    * shape): per-DIMENSION [min, max] bounds trained over the corpus, each
+    * value encoded to `floor((x-lo)/(hi-lo)*255+0.5)` ∈ [0, 255].
+    * Output per vector: dims, sum of codes (an exact integer fingerprint of
+    * the code matrix), and L1 reconstruction error in basis points.
+    *
+    * Determinism: bounds are min/max (exact, order-free); codes are one
+    * float-exact affine map + floor; the error sum is over bp-quantized
+    * integers ([[TextOps.roundBp]]), never a float accumulation — so the
+    * result hash-matches DuckDB like [[refineCentroids]] does.
+    *
+    * Scale shape: the bounds table is `dims` rows — broadcast back; encode
+    * is a pure map; the per-vector rollup is a partial+final aggregation.
+    * Nothing grows with corpus size except the one narrow (id, pos, x)
+    * explode, which is map-local.
+    */
+  def scalarQuantize(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val dims = emb.select(col(idCol), posexplode(col(embCol)))
+      .select(col(idCol), col("pos"), col("col").cast("double").as("x"))
+    val bounds = dims.groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val span = col("hi") - col("lo")
+    val code = when(span === lit(0.0), lit(0L))
+      .otherwise(floor((col("x") - col("lo")) / span * lit(255.0) + lit(0.5)).cast("long"))
+    dims.join(broadcast(bounds), "pos")
+      .select(col(idCol), code.as("code"),
+        TextOps.roundBp(abs(col("x") - (col("lo") + code.cast("double") / lit(255.0) * span)))
+          .as("err_bp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum(col("code")).as("code_sum"),
+        sum(col("err_bp")).as("l1_err_bp"))
+      .orderBy(col(idCol))
+  }
+
   /** Per-vector metadata: dimension and L2 norm (basis points). The shape
     * check every embedding pipeline runs before trusting a corpus.
     */

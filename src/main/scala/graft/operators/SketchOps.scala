@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+
+/** Distinct-count sketches — the capability a 100 TB pipeline uses where an
+  * exact `COUNT(DISTINCT x)` would shuffle every distinct key. Absent in the
+  * reference (SURVEY §2.2: "Distinct-count sketches: No"); first-class here.
+  *
+  * Spark ships `approx_count_distinct` (HyperLogLog++), but its register
+  * layout and hash are Spark-private, so no other engine can reproduce its
+  * estimate and the DuckDB oracle could never verify it. This is an explicit
+  * HyperLogLog built from the cross-engine [[StableHash.hash60]] (md5) with
+  * the registers, the bit arithmetic, and the estimator all in plain
+  * relational algebra — both engines compute the identical integer register
+  * table, so the final estimate hash-matches bit-for-bit.
+  *
+  * Scale shape: the only shuffle carries (group, register-index, rho) with
+  * at most `m`=256 registers per group — constant per group, independent of
+  * cardinality — and both aggregations are partial+final (map-side combine
+  * folds each executor's rows into ≤ m registers before the exchange).
+  * Register tables are also mergeable across batches by `max` — the
+  * incremental-ingestion property exact distinct fundamentally lacks.
+  *
+  * Estimator: standard HLL (Flajolet et al. 2007): `E = α_m · m² / Σ 2^-M_j`
+  * with linear counting `m·ln(m/V)` when `E ≤ 2.5m` and some register is
+  * empty. All Σ terms are powers of two ≥ 2^-33, so the register sum is
+  * EXACT (order-independent) in doubles — determinism needs no quantizing
+  * here, unlike [[SimOps.refineCentroids]].
+  */
+object SketchOps {
+
+  /** Register count m = 2^p. p=8 → 256 registers, ~6.5% standard error. */
+  val P = 8
+  val M: Int = 1 << P // 256
+
+  /** Bit length of a 32-bit non-negative value — an exact 32-branch CASE
+    * chain rather than `floor(log2(w))`: libm `log2` differs between
+    * engines by ULPs exactly where it matters (w just below a power of 2).
+    */
+  private def bitLen32(w: Column): Column =
+    (30 to 0 by -1).foldLeft(when(w >= lit(1L << 31), lit(32))) {
+      case (acc, k) => acc.when(w >= lit(1L << k), lit(k + 1))
+    }.otherwise(lit(0))
+
+  /** DuckDB fragment matching [[bitLen32]]. */
+  private def bitLen32Sql(w: String): String =
+    (31 to 0 by -1).map(k => s"WHEN $w >= ${1L << k} THEN ${k + 1}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** HLL distinct estimate of `valueCol` per `groupCol`.
+    * Output: (groupCol, `outName`: bigint), ordered by group.
+    *
+    * Hash layout (60-bit md5 prefix): low 8 bits pick the register, the
+    * next 32 bits feed rho (leading-zero count + 1, so rho ∈ [1, 33];
+    * an all-zero window gives rho = 33).
+    */
+  def hllDistinct(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: Column,
+      outName: String = "est_distinct"): DataFrame = {
+    val h = StableHash.hash60(valueCol.cast("string"))
+    val hashed = df.select(
+      col(groupCol),
+      h.bitwiseAND(lit(255L)).as("idx"),
+      shiftright(h, P).bitwiseAND(lit(4294967295L)).as("w"))
+    // per-register max rho; registers never hit are completed as 0 so the
+    // estimator sees all m of them (and V counts them)
+    val perReg = hashed
+      .groupBy(col(groupCol), col("idx"))
+      .agg(max(lit(33) - bitLen32(col("w"))).as("rho"))
+    val dense = df.select(col(groupCol)).distinct()
+      .select(col(groupCol), explode(sequence(lit(0), lit(M - 1))).as("idx"))
+    val regs = dense.join(perReg, Seq(groupCol, "idx"), "left")
+      .select(col(groupCol), coalesce(col("rho"), lit(0)).as("mj"))
+    val agg = regs.groupBy(col(groupCol)).agg(
+      // 2^-mj as 1/(1<<mj): exact powers of two, so the sum is exact and
+      // order-independent (each term is a multiple of 2^-33, total < 2^9)
+      sum(lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), mj) AS DOUBLE)")).as("s"),
+      count(when(col("mj") === 0, true)).as("v"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(M.toDouble))
+    val eRaw = alpha * lit((M.toLong * M).toDouble) / col("s")
+    val est = when(eRaw <= lit(2.5 * M) && col("v") > 0,
+      lit(M.toDouble) * log(lit(M.toDouble) / col("v"))).otherwise(eRaw)
+    agg
+      .select(col(groupCol), floor(est + lit(0.5)).cast("long").as(outName))
+      .orderBy(col(groupCol))
+  }
+
+  /** DuckDB SQL matching [[hllDistinct]] on table `table`. */
+  def hllDistinctSql(
+      table: String,
+      groupCol: String,
+      valueExpr: String,
+      outName: String = "est_distinct"): String = {
+    val h = StableHash.hash60Sql(s"CAST($valueExpr AS VARCHAR)")
+    s"WITH hx AS (SELECT $groupCol, $h AS h FROM $table), " +
+      s"b AS (SELECT $groupCol, h & 255 AS idx, (h >> $P) & 4294967295 AS w FROM hx), " +
+      s"pr AS (SELECT $groupCol, idx, max(33 - (${bitLen32Sql("w")})) AS rho " +
+      s"FROM b GROUP BY $groupCol, idx), " +
+      s"dense AS (SELECT $groupCol, unnest(range(0, $M)) AS idx " +
+      s"FROM (SELECT DISTINCT $groupCol FROM $table)), " +
+      s"regs AS (SELECT dense.$groupCol, coalesce(pr.rho, 0) AS mj " +
+      s"FROM dense LEFT JOIN pr ON dense.$groupCol = pr.$groupCol AND dense.idx = pr.idx), " +
+      s"ag AS (SELECT $groupCol, sum(1.0 / CAST(1::BIGINT << mj AS DOUBLE)) AS s, " +
+      s"count(*) FILTER (WHERE mj = 0) AS v FROM regs GROUP BY $groupCol), " +
+      s"e AS (SELECT $groupCol, (0.7213 / (1.0 + 1.079 / ${M.toDouble})) * ${(M.toLong * M).toDouble} / s AS eraw, v FROM ag) " +
+      s"SELECT $groupCol, CAST(floor((CASE WHEN eraw <= ${2.5 * M} AND v > 0 " +
+      s"THEN ${M.toDouble} * ln(${M.toDouble} / v) ELSE eraw END) + 0.5) AS BIGINT) AS $outName " +
+      s"FROM e ORDER BY $groupCol"
+  }
+}

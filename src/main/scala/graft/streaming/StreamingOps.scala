@@ -71,6 +71,53 @@ object StreamingOps {
       }
   }
 
+  /** Streaming ingestion dedup: keep the first arrival per `keys` and
+    * suppress repeats arriving within the watermark horizon — the streaming
+    * twin of `DedupOps.incrementalNew`'s batch anti-join against the seen-
+    * fingerprint table. `dropDuplicatesWithinWatermark` (not plain
+    * `dropDuplicates`) is the only shape that survives an unbounded stream:
+    * per-key state expires with the watermark instead of growing with every
+    * key ever seen. The trade is documented honestly: a duplicate arriving
+    * LATER than the horizon is re-admitted (at 100 TB/day the horizon is
+    * sized to the dedup SLA, and a downstream batch [[graft.operators.DedupOps]]
+    * pass catches stragglers).
+    */
+  def dedupIngest(
+      events: DataFrame,
+      keys: Seq[String] = Seq("user_id", "event_type"),
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Watermarked stream-stream interval self-join: view → purchase
+    * conversions within `withinSec` — the streaming twin of
+    * `RangeJoinOps.withinWindowPairs`. The time-bound join condition plus
+    * watermarks on BOTH sides is what lets Spark reclaim join state (a view
+    * older than watermark + window can never match again); without the
+    * bound the state store grows forever. Batch parity: the same definition
+    * runs on a batch DataFrame (`EliminateEventTimeWatermark` drops the
+    * watermark node), asserted in StreamingOpsSpec.
+    */
+  def conversionPairs(
+      events: DataFrame,
+      leftType: String = "view",
+      rightType: String = "purchase",
+      withinSec: Long = 3600,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val v = events.filter(col("event_type") === leftType)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val p = events.filter(col("event_type") === rightType)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    v.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $withinSec SECONDS"))
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming gap sessionization via `flatMapGroupsWithState` with
     * EVENT-TIME timeouts: the streaming twin of `EventOps.sessionStats`.
     * A user's events extend their open session; when the watermark passes

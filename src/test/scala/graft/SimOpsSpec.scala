@@ -156,6 +156,27 @@ class SimOpsSpec extends SparkSpec {
     assert(ivfRecall >= 0.4, s"IVF recall dropped to $ivfRecall")
   }
 
+  test("scalarQuantize: hand-checked codes and reconstruction error") {
+    val df = emb(
+      (0L, Seq(0f, 10f), 0),
+      (1L, Seq(5f, 20f), 0),
+      (2L, Seq(10f, 30f), 0))
+    val got = SimOps.scalarQuantize(df)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // dim bounds [0,10] and [10,30]; midpoints encode to 128, ends to 0/255
+    // vec1 recon err: dim1 |5 - 128/255*10| and dim2 |20 - (10 + 128/255*20)|
+    assert(got == Seq((0L, 2L, 0L, 0L), (1L, 2L, 256L, 588L), (2L, 2L, 510L, 0L)))
+  }
+
+  test("scalarQuantize: fixture corpus reconstructs within 1% per dimension") {
+    val got = SimOps.scalarQuantize(sf("embeddings"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 500)
+    assert(got.forall(_._2 == 64L))
+    // average reconstruction error per dimension under 100 bp (1% of range)
+    assert(got.forall(r => r._4 / 64 < 100), "int8 quantization error too large")
+  }
+
   test("norms: dimension and unit-ish norms on the fixture table") {
     val got = SimOps.norms(sf("embeddings")).as[(Long, Int, Long, Long)].collect()
     assert(got.length == 500)

@@ -134,6 +134,51 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngest: repeats within the watermark horizon collapse to first arrival") {
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.dedupIngest(input.toDF())
+      .writeStream.format("memory").queryName("dedup_ingest").outputMode("append").start()
+    try {
+      input.addData(
+        StreamEvent(ts("10:00"), 1L, "click", 1.0),
+        StreamEvent(ts("10:00"), 1L, "click", 1.0), // in-batch dup
+        StreamEvent(ts("10:05"), 2L, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(
+        StreamEvent(ts("10:01"), 1L, "click", 9.0), // cross-batch dup of (1, click)
+        StreamEvent(ts("10:30"), 1L, "view", 3.0))  // new key
+      q.processAllAvailable()
+      val got = spark.table("dedup_ingest")
+        .select("user_id", "event_type").as[(Long, String)].collect().toSeq
+      // exactly one row per (user, type); the duplicate arrivals are dropped
+      assert(got.sorted == Seq((1L, "click"), (1L, "view"), (2L, "view")))
+    } finally q.stop()
+  }
+
+  test("conversionPairs: stream-stream interval join equals its batch run") {
+    val events = Seq(
+      StreamEvent(ts("10:00"), 1L, "view", 0.0),
+      StreamEvent(ts("10:30"), 1L, "purchase", 5.0),  // within 1h of the view
+      StreamEvent(ts("12:00"), 1L, "purchase", 7.0),  // too late for any view
+      StreamEvent(ts("09:00"), 2L, "purchase", 9.0),  // no prior view
+      StreamEvent(ts("11:40"), 3L, "view", 0.0),
+      StreamEvent(ts("11:45"), 3L, "purchase", 2.0))  // within 5 min
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.conversionPairs(input.toDF())
+      .writeStream.format("memory").queryName("conversions").outputMode("append").start()
+    try {
+      // split across micro-batches: the view arrives a batch before its purchase
+      input.addData(events.take(1))
+      q.processAllAvailable()
+      input.addData(events.drop(1))
+      q.processAllAvailable()
+      val streamed = spark.table("conversions").collect().map(_.toSeq).toSet
+      val batch = StreamingOps.conversionPairs(events.toDF()).collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.map(r => (r(0), r(3))) == Set((1L, 5.0), (3L, 2.0)))
+    } finally q.stop()
+  }
+
   test("runningUserCounts: state accumulates across micro-batches") {
     val input = MemoryStream[StreamEvent]
     val q = StreamingOps.runningUserCounts(input.toDS())
