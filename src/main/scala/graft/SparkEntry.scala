@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.StableHash
-import graft.operators.{AsofOps, DedupOps, EventOps, MultimodalOps, SimOps, SortOps, TextOps}
+import graft.operators.{AsofOps, DedupOps, EventOps, MultimodalOps, SimOps, SketchOps, SortOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -102,6 +102,17 @@ object SparkEntry {
       graft.sources.TextIntIO.writePartitioned(ints, s"$tmp/ints")
       graft.sources.TextIntIO.sort(graft.sources.TextIntIO.read(s, s"$tmp/ints"))
     }),
+    // Same round trip through the DataSourceV2 connector: byte-range
+    // InputPartitions + boundary-snap protocol owned by our code
+    // (TextIntSource) instead of LineRecordReader. chunkSize forces many
+    // splits so the snap protocol is exercised, not just planned.
+    "q_textint_v2" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_textint_v2").toString
+      val ints = t(s, dir, "lineitem").select(col("l_orderkey").cast("int").as("value"))
+      graft.sources.TextIntIO.writePartitioned(ints, s"$tmp/ints")
+      s.read.format("textint").option("chunkSize", 16 * 1024)
+        .load(s"$tmp/ints").orderBy("value")
+    }),
 
     // --- Relational support ops (SURVEY §2.2: absent in the reference,
     // --- added as the engine's general query surface) -------------------
@@ -151,6 +162,20 @@ object SparkEntry {
         round(col("disc") / col("n_rows"), 6).as("avg_disc"),
         col("n_rows").as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // Salted shuffle join: a hot fact key's rows spread over 16 reducers,
+    // the dim side replicated per salt — identical output to the plain
+    // join (the oracle IS the plain join), for when the dim is too big to
+    // broadcast and AQE can't split a single hot key.
+    "q_join_salted" -> ((s, dir) => {
+      import graft.operators.SkewOps
+      SkewOps.saltedJoin(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          col("o_totalprice").as("price"))
+        .orderBy(col("o_orderkey"))
     }),
     // Shuffle join on the fact keys + broadcast of the small dim (nation):
     // the 100 TB shape — never shuffle the small side.
@@ -221,6 +246,18 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy(col("rflag"), col("lstatus"))
+    }),
+    // Full grouping-sets lattice (CUBE) — rollup's 3 sets plus the
+    // (linestatus-only) slice.
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
@@ -370,6 +407,10 @@ object SparkEntry {
     // Per-vector dimension + L2 norm — the corpus shape check.
     "q_embed_norms" -> ((s, dir) =>
       SimOps.norms(t(s, dir, "embeddings"))),
+    // Int8 scalar quantization: per-dim trained bounds, exact code
+    // fingerprint + L1 reconstruction error per vector.
+    "q_embed_quant" -> ((s, dir) =>
+      SimOps.scalarQuantize(t(s, dir, "embeddings"))),
     // k-NN majority-label prediction over the brute-force neighbors.
     "q_embed_knn" -> ((s, dir) =>
       SimOps.knnLabel(t(s, dir, "embeddings"), col("vec_id") < 5)),
@@ -413,6 +454,11 @@ object SparkEntry {
       EventOps.percentiles(t(s, dir, "events"))),
     "q_events_json" -> ((s, dir) =>
       EventOps.jsonFieldStats(t(s, dir, "events"), "k")),
+    // HyperLogLog distinct-count sketch: per-type distinct event ids from
+    // 256 explicit registers over the cross-engine md5 hash — fixed-size
+    // state instead of shuffling every distinct key (SketchOps scaladoc).
+    "q_hll_distinct" -> ((s, dir) =>
+      SketchOps.hllDistinct(t(s, dir, "events"), "event_type", col("event_id"), "est_ids")),
     // Map-typed columns: JSON props parsed to map<string,string>, key-set
     // ops (sorted keys, cardinality) per event.
     "q_map_funcs" -> ((s, dir) =>
@@ -578,6 +624,8 @@ object SparkEntry {
         "FROM lineitem GROUP BY bucket ORDER BY bucket"),
     "q_textint_roundtrip" ->
       "SELECT CAST(l_orderkey AS INT) AS value FROM lineitem ORDER BY value",
+    "q_textint_v2" ->
+      "SELECT CAST(l_orderkey AS INT) AS value FROM lineitem ORDER BY value",
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, length(text) AS n_chars, lang FROM documents ORDER BY doc_id",
     "q_csv_roundtrip" ->
@@ -614,6 +662,12 @@ object SparkEntry {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY n_name, o_orderpriority ORDER BY n_name, o_orderpriority"),
+    // the salt routes rows but never reaches the result, so the oracle is
+    // simply the unsalted join
+    "q_join_salted" ->
+      ("SELECT o_orderkey, c_custkey, c_name, o_totalprice AS price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY o_orderkey"),
     "q_window" ->
       ("SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice FROM (" +
         "SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, " +
@@ -642,6 +696,12 @@ object SparkEntry {
         "coalesce(l_linestatus, '(all)') AS lstatus, " +
         "CAST(count(*) AS BIGINT) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY rflag, lstatus"),
+    "q_cube" ->
+      ("SELECT coalesce(l_returnflag, '(all)') AS rflag, " +
+        "coalesce(l_linestatus, '(all)') AS lstatus, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
         "ORDER BY rflag, lstatus"),
     "q_set_ops" ->
       ("WITH li AS (SELECT DISTINCT l_partkey AS k FROM lineitem), " +
@@ -865,6 +925,22 @@ object SparkEntry {
         "ORDER BY cos DESC, vec_id) AS rank FROM p) " +
         s"SELECT q_id, rank, vec_id, ${TextOps.roundBpSql("cos")} AS cos_bp " +
         "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+    // mirrors SimOps.scalarQuantize: per-dim min/max bounds, affine int8
+    // encode, bp-quantized L1 reconstruction error
+    "q_embed_quant" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), " +
+        "d AS (SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos FROM n), " +
+        "b AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM d GROUP BY pos), " +
+        "qc AS (SELECT vec_id, x, lo, hi, " +
+        "CASE WHEN hi - lo = 0 THEN 0 " +
+        "ELSE CAST(floor((x - lo) / (hi - lo) * 255.0 + 0.5) AS BIGINT) END AS code " +
+        "FROM d JOIN b USING (pos)), " +
+        "rc AS (SELECT vec_id, code, " +
+        "abs(x - (lo + CAST(code AS DOUBLE) / 255.0 * (hi - lo))) AS err FROM qc) " +
+        "SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims, " +
+        "CAST(sum(code) AS BIGINT) AS code_sum, " +
+        s"CAST(sum(${TextOps.roundBpSql("err")}) AS BIGINT) AS l1_err_bp " +
+        "FROM rc GROUP BY vec_id ORDER BY vec_id"),
     "q_embed_norms" ->
       ("SELECT vec_id, label, len(embedding) AS dim, " +
         s"${TextOps.roundBpSql("sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))")} AS norm_bp " +
@@ -967,5 +1043,7 @@ object SparkEntry {
         "CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 4) AS avg_k FROM (" +
         "SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k " +
         "FROM events) GROUP BY event_type ORDER BY event_type"),
+    "q_hll_distinct" ->
+      SketchOps.hllDistinctSql("events", "event_type", "event_id", "est_ids"),
   )
 }

@@ -45,4 +45,37 @@ object SkewOps {
       .groupBy(keys.map(col): _*)
       .agg(finals.head, finals.tail: _*)
   }
+
+  /** Salted shuffle join — the hot-key mitigation when the SMALL side is
+    * still too big to broadcast (AQE's skew-join splits oversized shuffle
+    * partitions, but a single hot KEY whose rows exceed one partition still
+    * lands on one reducer; salting splits the key itself).
+    *
+    * The fact (big, skewed) side gets a random salt in [0, salts); the dim
+    * side is replicated `salts` times (explode of a literal range) so every
+    * (key, salt) pair finds its dim row. The join is then an equi-join on
+    * (key, salt): the hot key's rows spread over `salts` reducers. Cost:
+    * dim shuffle volume x salts — the classic trade, worth it only for the
+    * skewed keys (a production variant salts ONLY keys above a frequency
+    * threshold; here every key is salted to keep the demo oracle-exact).
+    *
+    * Deterministic for the oracle because the salt never reaches the
+    * result — it only routes rows; the joined output is identical to the
+    * unsalted join (oracle = the plain SQL join).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      salts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn(
+      "__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val repDim = dim.withColumn(
+      "__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedFact
+      .join(repDim, saltedFact(factKey) === repDim(dimKey) &&
+        saltedFact("__salt") === repDim("__salt"))
+      .drop("__salt")
+  }
 }

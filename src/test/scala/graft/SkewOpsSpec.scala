@@ -36,6 +36,24 @@ class SkewOpsSpec extends SparkSpec {
     assert(result("cold") == ((1.0, 1L)))
   }
 
+  test("saltedJoin == plain join, including a hot key's full fan-out") {
+    import spark.implicits._
+    // fact side: one hot customer with 5000 orders, plus a long tail
+    val fact = ((1 to 5000).map(i => (i.toLong, 7L)) ++
+      (5001 to 5100).map(i => (i.toLong, (i % 50).toLong)))
+      .toDF("order_id", "cust_id").repartition(8)
+    val dim = (0 to 60).map(i => (i.toLong, s"cust_$i")).toDF("id", "name")
+    val salted = SkewOps.saltedJoin(fact, dim, "cust_id", "id", salts = 8)
+      .select("order_id", "cust_id", "name")
+      .collect().map(_.toSeq).toSet
+    val plain = fact.join(dim, col("cust_id") === col("id"))
+      .select("order_id", "cust_id", "name")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    // 5000 hot rows + the two tail orders (5007, 5057) with cust_id 7
+    assert(salted.count(_(1) == 7L) == 5002)
+  }
+
   test("distinct-count sketch: approx_count_distinct within 5% of exact") {
     val li = sf("lineitem")
     val exact = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
