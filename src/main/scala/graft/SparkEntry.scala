@@ -326,6 +326,10 @@ object SparkEntry {
     // Quality scoring: distinct ratio + stopword ratio + length saturation.
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(t(s, dir, "documents"))),
+    // PII redaction over a corpus with deterministically planted emails/
+    // phones/ids: match counts + md5 of the masked text.
+    "q_text_redact" -> ((s, dir) =>
+      TextOps.piiRedact(TextOps.plantedPii(t(s, dir, "documents")))),
     // Top-3 terms per doc by integer-exact tf-idf weighting.
     "q_text_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"))),
@@ -770,6 +774,22 @@ object SparkEntry {
         s"${TextOps.roundBpSql("(nd / n) * 0.5 + (ns / n) * 0.2 + least(n / 100.0, 1.0) * 0.3")} AS quality_bp " +
         "FROM f ORDER BY doc_id"
     },
+    // mirrors TextOps.piiRedact over TextOps.plantedPii: same regexes
+    // (RE2 ∩ Java dialect), same replacement order, 'g' for global
+    "q_text_redact" ->
+      ("WITH pc AS (SELECT doc_id, CASE WHEN doc_id % 50 = 0 " +
+        "THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com call 555-123-4567 acct 900123456780' " +
+        "ELSE text END AS text FROM documents) " +
+        "SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones, " +
+        s"CAST(len(regexp_extract_all(text, '${TextOps.IdRe}')) AS BIGINT) AS n_ids, " +
+        "md5(regexp_replace(regexp_replace(regexp_replace(text, " +
+        s"'${TextOps.EmailRe}', '<EMAIL>', 'g'), " +
+        s"'${TextOps.PhoneRe}', '<PHONE>', 'g'), " +
+        s"'${TextOps.IdRe}', '<ID>', 'g')) AS fp_md5 " +
+        "FROM pc ORDER BY doc_id"),
     "q_text_tfidf" ->
       (s"WITH tk AS (SELECT doc_id, unnest($duckToks) AS token FROM documents), " +
         "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2), " +

@@ -217,6 +217,50 @@ object TextOps {
     * integer basis points ([[roundBp]]) so the result hashes identically
     * across engines.
     */
+  /** PII patterns shared by [[piiRedact]] and its DuckDB mirror. Kept to the
+    * RE2 ∩ java.util.regex dialect (char classes, `\b`, `\d`, bounded
+    * repeats — no lookarounds) so both engines match identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+  val IdRe = "\\b\\d{9,}\\b"
+
+  /** Deterministic PII planting: every 50th doc gets an email (derived from
+    * its id), a phone number, and a 12-digit account id appended — so the
+    * redaction query demonstrably finds and masks known PII.
+    */
+  def plantedPii(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol,
+      when(col(idCol) % 50 === 0,
+        concat(col(textCol), lit(" contact user"), col(idCol).cast("string"),
+          lit("@example.com call 555-123-4567 acct 900123456780")))
+        .otherwise(col(textCol)))
+
+  /** PII redaction — the scrub pass every training-data pipeline runs before
+    * a corpus ships: emails → `<EMAIL>`, phone numbers → `<PHONE>`, long
+    * digit runs → `<ID>`, applied in that order (emails first so their
+    * digits never count as ids). Output per doc: match counts (on the
+    * original text) and the md5 of the redacted text — the fingerprint a
+    * downstream exact-dedup would consume, proving the masked text itself
+    * is deterministic. Pure per-document projection; scales as a map.
+    */
+  def piiRedact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        IdRe, "<ID>")
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(IdRe), lit(0))).cast("long").as("n_ids"),
+      md5(redacted).as("fp_md5"))
+      .orderBy(col(idCol))
+  }
+
   def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val allStops = langMarkers.flatMap(_._2).distinct.sorted
     val toks = tokens(col(textCol))

@@ -124,6 +124,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_hll_distinct: register aggregation combines map-side") {
+    val p = plan("q_hll_distinct")
+    assert(p.contains("partial_"), "HLL register max should fold before the exchange")
+  }
+
+  test("q_join_salted: the salted join is still an equi-join") {
+    val p = plan("q_join_salted")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "salt must join as an equality, not a residual condition")
+  }
+
+  test("q_textint_v2: scan is the custom DataSourceV2 BatchScan") {
+    val p = plan("q_textint_v2")
+    assert(p.contains("BatchScan") && p.contains("textint"), p.take(400))
+  }
+
   test("no query plan contains a CartesianProduct") {
     for ((name, fn) <- SparkEntry.queries) {
       val p = planOf(fn(spark, dir))

@@ -140,6 +140,44 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "unknown"))
   }
 
+  test("piiRedact: finds and masks emails, phones, and long digit runs") {
+    val df = docs(
+      (1L, "mail me at a.user+tag@foo-bar.org or b@x.io thanks"),
+      (2L, "call 555-123-4567 or 555-9876-0001, acct 123456789012"),
+      (3L, "clean text, short number 1234"))
+    val got = TextOps.piiRedact(df)
+      .select("doc_id", "n_emails", "n_phones", "n_ids")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L, 0L), (2L, 0L, 2L, 1L), (3L, 0L, 0L, 0L)))
+    // masked text is deterministic: same input, same fingerprint
+    val fp1 = TextOps.piiRedact(df).select("fp_md5").as[String].collect().toSeq
+    val fp2 = TextOps.piiRedact(df).select("fp_md5").as[String].collect().toSeq
+    assert(fp1 == fp2)
+    // doc 3 has no PII, so its fingerprint is md5 of the unchanged text
+    val clean = df.filter(col("doc_id") === 3)
+      .select(md5(col("text"))).as[String].head()
+    assert(fp1(2) == clean)
+  }
+
+  test("piiRedact: masked text contains no original PII (round-trip re-scan)") {
+    val planted = TextOps.plantedPii(docs((0L, "hello world"), (1L, "plain")))
+    // re-redact the redacted text: zero matches left
+    val redacted = planted.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        TextOps.EmailRe, "<EMAIL>"), TextOps.PhoneRe, "<PHONE>"),
+        TextOps.IdRe, "<ID>").as("text"))
+    val rescan = TextOps.piiRedact(redacted)
+      .select("n_emails", "n_phones", "n_ids")
+      .as[(Long, Long, Long)].collect()
+    assert(rescan.forall(r => r._1 == 0 && r._2 == 0 && r._3 == 0))
+    // and the planted doc 0 did contain all three kinds before masking
+    val before = TextOps.piiRedact(planted)
+      .filter(col("doc_id") === 0)
+      .select("n_emails", "n_phones", "n_ids")
+      .as[(Long, Long, Long)].head()
+    assert(before == ((1L, 1L, 1L)))
+  }
+
   test("langId: ties resolve in langMarkers declaration order") {
     // "de" appears in both es and fr marker lists? no — craft a tie between
     // en ("the") and de ("der"): 1 hit each -> first declared (de) wins.
