@@ -330,6 +330,12 @@ object SparkEntry {
     // phones/ids: match counts + md5 of the masked text.
     "q_text_redact" -> ((s, dir) =>
       TextOps.piiRedact(TextOps.plantedPii(t(s, dir, "documents")))),
+    // Reproducible stratified sampling: 5 docs per language by id-hash
+    // order — rand()-free, engine-portable, and (being a row_number<=k
+    // shape) executed through the bounded GroupTopK rewrite.
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.operators.SampleOps.stratifiedSample(
+        t(s, dir, "documents"), "lang", "doc_id", n = 5)),
     // Top-3 terms per doc by integer-exact tf-idf weighting.
     "q_text_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"))),
@@ -774,6 +780,12 @@ object SparkEntry {
         s"${TextOps.roundBpSql("(nd / n) * 0.5 + (ns / n) * 0.2 + least(n / 100.0, 1.0) * 0.3")} AS quality_bp " +
         "FROM f ORDER BY doc_id"
     },
+    "q_sample_stratified" ->
+      (s"WITH h AS (SELECT lang, doc_id, " +
+        s"${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents), " +
+        "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY h, doc_id) AS rn FROM h) " +
+        "SELECT lang, rn, doc_id FROM r WHERE rn <= 5 ORDER BY lang, rn"),
     // mirrors TextOps.piiRedact over TextOps.plantedPii: same regexes
     // (RE2 ∩ Java dialect), same replacement order, 'g' for global
     "q_text_redact" ->

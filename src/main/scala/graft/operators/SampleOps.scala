@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+
+/** Reproducible sampling — absent in the reference (its only "selection" is
+  * the whole file), essential in a training-data pipeline: a sample taken
+  * for eval/labeling must be REPRODUCIBLE across runs, machines, and
+  * engines, which `TABLESAMPLE`/`rand()` are not. Both operators order by
+  * the content-independent [[StableHash.hash60]] of the row id, so the
+  * "random" choice is a pure function of the data.
+  *
+  * Scale shapes: [[hashSample]] is a pure filter (pushes to the scan side
+  * of any plan, no shuffle); [[stratifiedSample]] is the `row_number <= n`
+  * pattern, which the GroupTopK optimizer rule rewrites into a bounded
+  * per-stratum aggregation — each map task keeps ≤ n rows per stratum
+  * before the exchange, so the shuffle carries O(strata x n), not the
+  * corpus.
+  */
+object SampleOps {
+
+  /** Deterministic ~1/k row sample: keep rows where hash(id) ≡ 0 (mod k). */
+  def hashSample(df: DataFrame, idCol: Column, k: Int): DataFrame =
+    df.filter(pmod(StableHash.hash60(idCol.cast("string")), lit(k.toLong)) === 0)
+
+  /** Deterministic n-per-stratum sample: the n smallest id-hashes within
+    * each stratum (ties impossible: the hash is keyed by the unique id, and
+    * the id itself tie-breaks). Output: (strataCol, rn, idCol).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val h = StableHash.hash60(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col(strataCol), col("rn"), col(idCol))
+      .orderBy(col(strataCol), col("rn"))
+  }
+}

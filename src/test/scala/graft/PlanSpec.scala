@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan audits: every scale claim made in the operator scaladocs is
   * asserted against the actual Catalyst plan, so a regression that silently
@@ -140,6 +141,42 @@ class PlanSpec extends SparkSpec {
   test("q_textint_v2: scan is the custom DataSourceV2 BatchScan") {
     val p = plan("q_textint_v2")
     assert(p.contains("BatchScan") && p.contains("textint"), p.take(400))
+  }
+
+  test("q_sample_stratified: sampling executes through the bounded GroupTopK pair") {
+    val p = SparkEntry.queries("q_sample_stratified")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GroupTopKFinal") && p.contains("GroupTopKPartial"), p.take(400))
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB the probe side of fact-join-filtered-dim is the dominant
+    // scan; Spark's InjectRuntimeFilter turns the dim filter into a bloom
+    // filter applied before the fact shuffle. Thresholds are sized for
+    // production scans, so they are lowered here to prove the engine config
+    // leaves the optimization reachable (it is on by default in
+    // GraftSession).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val part = spark.read.parquet(s"$dir/part.parquet").filter(col("p_size") === 1)
+      val joined = li.join(part, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_name"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n${optimized.take(600)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("no query plan contains a CartesianProduct") {

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SampleOps
+
+class SampleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSample: deterministic, layout-invariant, roughly 1/k") {
+    val df = sf("documents")
+    val a = SampleOps.hashSample(df, col("doc_id"), 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = SampleOps.hashSample(df.repartition(13), col("doc_id"), 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    val total = df.count()
+    assert(a.nonEmpty && math.abs(a.length - total / 10.0) / total < 0.1)
+  }
+
+  test("stratifiedSample: n rows per stratum, rn dense from 1") {
+    val got = SampleOps.stratifiedSample(sf("documents"), "lang", "doc_id", n = 5)
+      .as[(String, Int, Long)].collect().toSeq
+    val byLang = got.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.map(_._2).sorted == (1 to rows.length), s"$lang rn not dense")
+      assert(rows.length <= 5)
+    }
+  }
+
+  test("stratifiedSample: GroupTopK rewrite path equals the stock window path") {
+    val viaRewrite = SampleOps.stratifiedSample(sf("documents"), "lang", "doc_id", 5)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.topk.rewrite.enabled", "false")
+    try {
+      val stock = SampleOps.stratifiedSample(sf("documents"), "lang", "doc_id", 5)
+        .collect().map(_.toSeq).toSeq
+      assert(viaRewrite == stock)
+    } finally spark.conf.unset("spark.graft.topk.rewrite.enabled")
+  }
+
+  test("stratifiedSample: re-running on the same data is bit-stable") {
+    val df = (1L to 500L).map(i => (i, s"s${i % 4}")).toDF("id", "grp")
+    val a = SampleOps.stratifiedSample(df, "grp", "id", 3).collect().map(_.toSeq).toSeq
+    val b = SampleOps.stratifiedSample(df.repartition(7), "grp", "id", 3)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.length == 12) // 4 strata x 3
+  }
+}
