@@ -36,7 +36,12 @@ object Bench {
       }
     }
 
+    // optional comma-separated subset for isolated profiling runs; the
+    // driver sets no filter and measures everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Warm-up at the smallest SF: JIT + codegen caches, not data volume.
     names.foreach(execute(_, "/root/testdata/sf0.001"))
     // Two timed passes, per-query MIN: single-pass numbers on a shared box

@@ -384,6 +384,14 @@ object SparkEntry {
         DedupOps.verifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents"))))),
     // Incremental ingestion dedup: new batch (src0 + planted re-ingests of
     // existing docs) anti-joined against the existing corpus fingerprints.
+    // Benchmark decontamination: training docs sharing any word 3-gram
+    // with the simulated eval set (every 97th doc), by gram-hash semi-join.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.contaminated(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+    }),
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val batch = docs.filter(col("source") === "src0").select(col("doc_id"), col("text"))
@@ -834,6 +842,17 @@ object SparkEntry {
         "SELECT doc_id, chunk_id, CAST(len(l) AS BIGINT) AS n_tokens, " +
         "md5(array_to_string(l, ' ')) AS chunk_md5 " +
         "FROM s ORDER BY doc_id, chunk_id"),
+    // mirrors DedupOps.contaminated (k=3): distinct gram hashes per doc,
+    // eval set = every 97th doc, inner join on the hash
+    "q_decontaminate" ->
+      (s"WITH t AS (SELECT doc_id, $duckToks AS t FROM documents), " +
+        s"sh AS (SELECT doc_id, list_distinct($duckShingles3) AS gs FROM t), " +
+        "z AS (SELECT doc_id, unnest(gs) AS gram FROM sh), " +
+        s"zh AS (SELECT doc_id, ${StableHash.hash60Sql("gram")} AS g FROM z), " +
+        "b AS (SELECT DISTINCT g FROM zh WHERE doc_id % 97 = 0), " +
+        "tr AS (SELECT doc_id, g FROM zh WHERE doc_id % 97 <> 0) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits " +
+        "FROM tr JOIN b USING (g) GROUP BY doc_id ORDER BY doc_id"),
     "q_dedup_incremental" ->
       ("WITH b AS (SELECT doc_id, text FROM documents WHERE source = 'src0' " +
         "UNION ALL SELECT doc_id + 300000 AS doc_id, text FROM documents " +

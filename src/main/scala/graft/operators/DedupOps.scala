@@ -420,6 +420,40 @@ object DedupOps {
     * the SAME shuffle (Spark's ReuseExchange collapses the identical
     * exchanges — asserted in PlanSpec).
     */
+  /** Benchmark decontamination — the overlap check every training pipeline
+    * runs before shipping a corpus: which training documents share any
+    * word k-gram with the held-out eval/benchmark set? A contaminated doc
+    * inflates eval scores; this query is the evidence table feeding the
+    * drop decision. Output: (doc_id, n_hits = distinct shared k-grams),
+    * contaminated docs only.
+    *
+    * Scale shape: both sides explode to (doc, gram-hash) — the 60-bit
+    * [[graft.functions.StableHash.hash60]] instead of the raw gram string,
+    * so the join key is 8 bytes, not a sentence. The benchmark side
+    * (eval sets are MBs even when the corpus is TBs) dedupes to a bare
+    * hash set that Spark broadcasts; the training side streams through the
+    * hash join with no shuffle. Production uses k of 8-13; the declared
+    * query uses k=3 because the synthetic corpus is too diverse for larger
+    * k to collide at test scale (the operator is k-parameterized).
+    */
+  def contaminated(
+      train: DataFrame,
+      bench: DataFrame,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol),
+        explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), k))).as("gram"))
+      .select(col(idCol), StableHash.hash60(col("gram")).as("g"))
+    val benchGrams = grams(bench).select(col("g")).distinct()
+    grams(train)
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col(idCol))
+  }
+
   def verifiedNearDups(
       corpus: DataFrame,
       idCol: String = "doc_id",

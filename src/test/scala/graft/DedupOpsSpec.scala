@@ -156,6 +156,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == Seq(10L))
   }
 
+  test("contaminated: flags training docs sharing a k-gram with the benchmark") {
+    val bench = docs((100L, "the quick brown fox jumps over dogs"))
+    val train = docs(
+      (1L, "totally unrelated content in this one"),
+      // shares "quick brown fox" and "brown fox jumps" (2 distinct 3-grams)
+      (2L, "a quick brown fox jumps here"),
+      // shares exactly one 3-gram ("fox jumps over")
+      (3L, "watch the fox jumps over everything"),
+      (4L, "short doc"))
+    val got = DedupOps.contaminated(train, bench, k = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L), (3L, 1L)))
+  }
+
+  test("contaminated: clean corpus yields zero rows; self-check flags everything") {
+    val bench = docs((9L, "alpha beta gamma delta"))
+    val clean = docs((1L, "epsilon zeta eta theta"))
+    assert(DedupOps.contaminated(clean, bench, k = 3).count() == 0)
+    // a doc checked against itself is fully contaminated
+    val self = DedupOps.contaminated(bench, bench, k = 3)
+      .as[(Long, Long)].head()
+    assert(self == ((9L, 2L))) // "alpha beta gamma", "beta gamma delta"
+  }
+
   test("verifiedNearDups: candidates verified with exact jaccard, ordered pairs") {
     val corpus = DedupOps.plantedCorpus(docs(
       (0L, "one two three four five six seven"),
