@@ -336,6 +336,9 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) =>
       graft.operators.SampleOps.stratifiedSample(
         t(s, dir, "documents"), "lang", "doc_id", n = 5)),
+    // Data mixing: per-language sampling multipliers toward a uniform mix.
+    "q_mix_weights" -> ((s, dir) =>
+      graft.operators.SampleOps.mixWeights(t(s, dir, "documents"), "lang")),
     // Top-3 terms per doc by integer-exact tf-idf weighting.
     "q_text_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"))),
@@ -788,6 +791,12 @@ object SparkEntry {
         s"${TextOps.roundBpSql("(nd / n) * 0.5 + (ns / n) * 0.2 + least(n / 100.0, 1.0) * 0.3")} AS quality_bp " +
         "FROM f ORDER BY doc_id"
     },
+    "q_mix_weights" ->
+      ("WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM documents GROUP BY lang) " +
+        "SELECT lang, n_docs, " +
+        s"${TextOps.roundBpSql("CAST(sum(n_docs) OVER () AS DOUBLE) / (count(*) OVER ()) / n_docs")} " +
+        "AS weight_bp FROM c ORDER BY lang"),
     "q_sample_stratified" ->
       (s"WITH h AS (SELECT lang, doc_id, " +
         s"${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents), " +

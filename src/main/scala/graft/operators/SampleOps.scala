@@ -26,6 +26,31 @@ object SampleOps {
   def hashSample(df: DataFrame, idCol: Column, k: Int): DataFrame =
     df.filter(pmod(StableHash.hash60(idCol.cast("string")), lit(k.toLong)) === 0)
 
+  /** Corpus mix rebalancing — the "data mixing" step of a training
+    * pipeline: given the observed per-stratum counts (language, domain,
+    * source), emit the sampling multiplier that moves the corpus to a
+    * UNIFORM target mix (weight = target share / observed share; > 1e4 bp
+    * means upsample, < 1e4 bp means downsample). The multiplier feeds
+    * [[hashSample]]-style rate selection downstream.
+    *
+    * One aggregation (strata-sized) + window totals over the tiny
+    * aggregate — nothing here scales with corpus rows except the first
+    * groupBy, which partial-aggregates map-side.
+    */
+  def mixWeights(df: DataFrame, strataCol: String): DataFrame = {
+    val whole = Window.partitionBy()
+    df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum(col("n_docs")).over(whole))
+      .withColumn("n_strata", count(lit(1)).over(whole))
+      .select(
+        col(strataCol),
+        col("n_docs"),
+        TextOps.roundBp(col("total").cast("double") / col("n_strata") / col("n_docs"))
+          .as("weight_bp"))
+      .orderBy(col(strataCol))
+  }
+
   /** Deterministic n-per-stratum sample: the n smallest id-hashes within
     * each stratum (ties impossible: the hash is keyed by the unique id, and
     * the id itself tie-breaks). Output: (strataCol, rn, idCol).

@@ -72,6 +72,22 @@ class PropertySpec extends SparkSpec {
       Gen.listOfN(n, text).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))
   }
 
+  test("property: V2 textint scan preserves the multiset for any chunkSize") {
+    val gen = for {
+      xs <- genInts
+      cs <- Gen.chooseNum(1, 64)
+      sep <- Gen.oneOf(" ", "  ", "\n", " \n ")
+    } yield (xs, cs, sep)
+    check("textint-v2", 15, Prop.forAll(gen) { case (xs, cs, sep) =>
+      val dir = java.nio.file.Files.createTempDirectory("prop_v2")
+      java.nio.file.Files.write(dir.resolve("f.txt"),
+        xs.mkString(sep).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val got = spark.read.format("textint").option("chunkSize", cs.toLong)
+        .load(dir.toString).as[Int].collect().toList
+      got.sorted == xs.sorted
+    })
+  }
+
   test("property: exactDedup partitions the corpus and is idempotent") {
     check("dedup", 10, Prop.forAll(genDocs) { docRows =>
       val corpus = docRows.toDF("doc_id", "text")

@@ -40,6 +40,15 @@ class SampleOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.rewrite.enabled")
   }
 
+  test("mixWeights: hand-checked uniform-target multipliers") {
+    val df = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c"))
+      .zipWithIndex.map(_.swap).toDF("id", "grp")
+    val got = SampleOps.mixWeights(df, "grp")
+      .as[(String, Long, Long)].collect().toSeq
+    // total 6 over 3 strata -> target 2 each: a x2.0, b x1.0, c x0.667
+    assert(got == Seq(("a", 1L, 20000L), ("b", 2L, 10000L), ("c", 3L, 6667L)))
+  }
+
   test("stratifiedSample: re-running on the same data is bit-stable") {
     val df = (1L to 500L).map(i => (i, s"s${i % 4}")).toDF("id", "grp")
     val a = SampleOps.stratifiedSample(df, "grp", "id", 3).collect().map(_.toSeq).toSeq
