@@ -50,32 +50,50 @@ object SketchOps {
     (31 to 0 by -1).map(k => s"WHEN $w >= ${1L << k} THEN ${k + 1}")
       .mkString("CASE ", " ", " ELSE 0 END")
 
-  /** HLL distinct estimate of `valueCol` per `groupCol`.
-    * Output: (groupCol, `outName`: bigint), ordered by group.
-    *
-    * Hash layout (60-bit md5 prefix): low 8 bits pick the register, the
-    * next 32 bits feed rho (leading-zero count + 1, so rho ∈ [1, 33];
-    * an all-zero window gives rho = 33).
+  /** Register index of a value: low [[P]] bits of the 60-bit stable hash. */
+  def registerIndex(valueCol: Column): Column =
+    StableHash.hash60(valueCol.cast("string")).bitwiseAND(lit((M - 1).toLong))
+
+  /** rho of a value: leading-zero count + 1 over the 32-bit hash window
+    * above the index bits (rho ∈ [1, 33]; an all-zero window gives 33).
     */
-  def hllDistinct(
-      df: DataFrame,
-      groupCol: String,
-      valueCol: Column,
-      outName: String = "est_distinct"): DataFrame = {
+  def rho(valueCol: Column): Column =
+    lit(33) - bitLen32(
+      shiftright(StableHash.hash60(valueCol.cast("string")), P)
+        .bitwiseAND(lit(4294967295L)))
+
+  /** Sparse register table: per (group, idx) max rho. Mergeable: the
+    * register table of a union of batches is the per-cell `max` of their
+    * register tables — the property streaming/incremental ingestion needs
+    * and exact COUNT(DISTINCT) fundamentally lacks
+    * ([[graft.streaming.StreamingOps.hllRegisters]] exploits it).
+    */
+  def registers(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
     val h = StableHash.hash60(valueCol.cast("string"))
-    val hashed = df.select(
+    df.select(
       col(groupCol),
-      h.bitwiseAND(lit(255L)).as("idx"),
-      shiftright(h, P).bitwiseAND(lit(4294967295L)).as("w"))
-    // per-register max rho; registers never hit are completed as 0 so the
-    // estimator sees all m of them (and V counts them)
-    val perReg = hashed
+      h.bitwiseAND(lit((M - 1).toLong)).as("idx"),
+      (lit(33) - bitLen32(shiftright(h, P).bitwiseAND(lit(4294967295L)))).as("r"))
       .groupBy(col(groupCol), col("idx"))
-      .agg(max(lit(33) - bitLen32(col("w"))).as("rho"))
-    val dense = df.select(col(groupCol)).distinct()
-      .select(col(groupCol), explode(sequence(lit(0), lit(M - 1))).as("idx"))
-    val regs = dense.join(perReg, Seq(groupCol, "idx"), "left")
-      .select(col(groupCol), coalesce(col("rho"), lit(0)).as("mj"))
+      .agg(max(col("r")).as("rho"))
+  }
+
+  /** HLL estimate from a sparse register table (groupCol, idx, rho ≥ 1).
+    * Registers never hit are completed as 0 so the estimator sees all m of
+    * them (and V counts them). Output: (groupCol, outName), ordered.
+    */
+  def estimateFromRegisters(
+      perReg: DataFrame,
+      groupCol: String,
+      outName: String = "est_distinct"): DataFrame = {
+    // the dense side derives from perReg itself; aliasing to fresh column
+    // names gives its output new attribute ids, so the left join below is
+    // never a conflicting self-reference
+    val dense = perReg.select(col(groupCol).as("__g")).distinct()
+      .select(col("__g"), explode(sequence(lit(0), lit(M - 1))).as("__i"))
+    val regs = dense.join(perReg,
+      dense("__g") === perReg(groupCol) && dense("__i") === perReg("idx"), "left")
+      .select(col("__g").as(groupCol), coalesce(col("rho"), lit(0)).as("mj"))
     val agg = regs.groupBy(col(groupCol)).agg(
       // 2^-mj as 1/(1<<mj): exact powers of two, so the sum is exact and
       // order-independent (each term is a multiple of 2^-33, total < 2^9)
@@ -89,6 +107,19 @@ object SketchOps {
       .select(col(groupCol), floor(est + lit(0.5)).cast("long").as(outName))
       .orderBy(col(groupCol))
   }
+
+  /** HLL distinct estimate of `valueCol` per `groupCol`.
+    * Output: (groupCol, `outName`: bigint), ordered by group.
+    *
+    * Hash layout (60-bit md5 prefix): low 8 bits pick the register, the
+    * next 32 bits feed rho.
+    */
+  def hllDistinct(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: Column,
+      outName: String = "est_distinct"): DataFrame =
+    estimateFromRegisters(registers(df, groupCol, valueCol), groupCol, outName)
 
   /** DuckDB SQL matching [[hllDistinct]] on table `table`. */
   def hllDistinctSql(

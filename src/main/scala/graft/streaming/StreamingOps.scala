@@ -71,6 +71,28 @@ object StreamingOps {
       }
   }
 
+  /** Streaming per-window HLL registers: watermarked distinct-user sketches
+    * per (hour, event_type) — the streaming face of
+    * [[graft.operators.SketchOps]]. The state Spark keeps is the register
+    * table itself: at most m=256 (window, type, idx) cells per group,
+    * CONSTANT in the number of distinct users, merged across micro-batches
+    * by `max` (the sketch's mergeability) and reclaimed by the watermark.
+    * A streaming exact COUNT(DISTINCT) would instead hold every user id in
+    * state — unbounded; Spark rejects it in append mode for exactly that
+    * reason. Downstream (or a test) finalizes the estimate with
+    * `SketchOps.estimateFromRegisters` over any register snapshot.
+    */
+  def hllRegisters(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        window(col("ts"), "1 hour").as("w"), col("event_type"),
+        graft.operators.SketchOps.registerIndex(col("user_id")).as("idx"),
+        graft.operators.SketchOps.rho(col("user_id")).as("r"))
+      .groupBy(col("w"), col("event_type"), col("idx"))
+      .agg(max(col("r")).as("rho"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("idx"), col("rho"))
+
   /** Streaming ingestion dedup: keep the first arrival per `keys` and
     * suppress repeats arriving within the watermark horizon — the streaming
     * twin of `DedupOps.incrementalNew`'s batch anti-join against the seen-

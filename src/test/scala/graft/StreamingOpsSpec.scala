@@ -134,6 +134,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllRegisters: streamed registers merge to the batch sketch exactly") {
+    import graft.operators.SketchOps
+    val events = (1L to 120L).map(u =>
+      StreamEvent(ts(f"10:${u % 60}%02d"), u % 40, "click", 1.0)) // 40 distinct users
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.hllRegisters(input.toDF())
+      .writeStream.format("memory").queryName("hll_regs").outputMode("complete").start()
+    try {
+      input.addData(events.take(60))
+      q.processAllAvailable()
+      input.addData(events.drop(60)) // same users again: registers must not move
+      q.processAllAvailable()
+      val streamed = spark.table("hll_regs")
+        .groupBy(col("event_type"), col("idx")).agg(max(col("rho")).as("rho"))
+      val batch = SketchOps.registers(events.toDF(), "event_type", col("user_id"))
+      assert(streamed.collect().map(_.toSeq).toSet == batch.collect().map(_.toSeq).toSet)
+      // finalizing the streamed snapshot gives the batch estimate
+      val streamedEst = SketchOps.estimateFromRegisters(streamed, "event_type", "est")
+        .as[(String, Long)].head()._2
+      val batchEst = SketchOps.hllDistinct(events.toDF(), "event_type", col("user_id"), "est")
+        .as[(String, Long)].head()._2
+      assert(streamedEst == batchEst)
+      assert(math.abs(streamedEst - 40.0) / 40.0 < 0.25, s"est $streamedEst far from 40")
+    } finally q.stop()
+  }
+
   test("dedupIngest: repeats within the watermark horizon collapse to first arrival") {
     val input = MemoryStream[StreamEvent]
     val q = StreamingOps.dedupIngest(input.toDF())
