@@ -82,6 +82,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("l_orderkey"))
     }),
+    // ORC sink + source round trip (columnar format #2 beside parquet):
+    // predicate pushdown into the ORC scan on read-back, oracle sees only
+    // the original parquet.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_returnflag"))
+        .write.mode("overwrite").orc(s"$tmp/li")
+      s.read.orc(s"$tmp/li")
+        .filter(col("l_returnflag") === "A")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_partkey"))
+    }),
     // JSON-lines sink + source round trip: documents (arbitrary text,
     // quoting/escaping in play) written as JSONL and read back with an
     // explicit schema; the oracle sees only the original parquet, so any
@@ -387,6 +401,22 @@ object SparkEntry {
         DedupOps.verifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents"))))),
     // Incremental ingestion dedup: new batch (src0 + planted re-ingests of
     // existing docs) anti-joined against the existing corpus fingerprints.
+    // The operators composed as a real curation pipeline: quality gate ->
+    // exact dedup (keep representatives) -> per-language corpus stats.
+    // Each stage is one of the declared operators; this query pins that
+    // they compose (the library's actual usage mode).
+    "q_curate_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val good = TextOps.qualityScore(docs)
+        .filter(col("quality_bp") >= 4200).select(col("doc_id"))
+      val kept = docs.join(good, Seq("doc_id"), "leftsemi")
+      val reps = DedupOps.exactDedup(kept).select(col("keep_id").as("doc_id"))
+      kept.join(reps, Seq("doc_id"), "leftsemi")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .orderBy(col("lang"))
+    }),
     // Benchmark decontamination: training docs sharing any word 3-gram
     // with the simulated eval set (every 97th doc), by gram-hash semi-join.
     "q_decontaminate" -> ((s, dir) => {
@@ -647,6 +677,10 @@ object SparkEntry {
       "SELECT CAST(l_orderkey AS INT) AS value FROM lineitem ORDER BY value",
     "q_textint_v2" ->
       "SELECT CAST(l_orderkey AS INT) AS value FROM lineitem ORDER BY value",
+    "q_orc_roundtrip" ->
+      ("SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "round(sum(l_quantity), 2) AS sum_qty FROM lineitem " +
+        "WHERE l_returnflag = 'A' GROUP BY l_partkey ORDER BY l_partkey"),
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, length(text) AS n_chars, lang FROM documents ORDER BY doc_id",
     "q_csv_roundtrip" ->
@@ -851,6 +885,26 @@ object SparkEntry {
         "SELECT doc_id, chunk_id, CAST(len(l) AS BIGINT) AS n_tokens, " +
         "md5(array_to_string(l, ' ')) AS chunk_md5 " +
         "FROM s ORDER BY doc_id, chunk_id"),
+    // mirrors the composed pipeline: q_quality's gate -> md5 dedup
+    // representatives -> per-lang rollup
+    "q_curate_pipeline" -> {
+      val allStops = TextOps.langMarkers.flatMap(_._2).distinct.sorted
+      s"WITH d AS (SELECT doc_id, $duckToks AS t FROM documents), " +
+        "f AS (SELECT doc_id, len(t)::DOUBLE AS n, " +
+        "len(list_distinct(t))::DOUBLE AS nd, " +
+        s"len(list_filter(t, x -> x IN (${duckInList(allStops)})))::DOUBLE AS ns " +
+        "FROM d WHERE len(t) > 0), " +
+        "good AS (SELECT doc_id FROM f WHERE " +
+        s"${TextOps.roundBpSql("(nd / n) * 0.5 + (ns / n) * 0.2 + least(n / 100.0, 1.0) * 0.3")} >= 4200), " +
+        "kept AS (SELECT doc_id, text, lang FROM documents " +
+        "WHERE doc_id IN (SELECT doc_id FROM good)), " +
+        s"fp AS (SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp_md5 FROM kept), " +
+        "reps AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp_md5) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars FROM kept " +
+        "WHERE doc_id IN (SELECT doc_id FROM reps) " +
+        "GROUP BY lang ORDER BY lang"
+    },
     // mirrors DedupOps.contaminated (k=3): distinct gram hashes per doc,
     // eval set = every 97th doc, inner join on the hash
     "q_decontaminate" ->
