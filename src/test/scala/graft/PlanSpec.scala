@@ -179,6 +179,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_decontaminate: benchmark gram set broadcasts; training side never shuffles") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "the eval-set gram table must broadcast, not shuffle the corpus")
+  }
+
+  test("q_curate_pipeline: both selection stages are semi-joins") {
+    val p = plan("q_curate_pipeline")
+    assert(p.contains("LeftSemi"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query plan contains a CartesianProduct") {
     for ((name, fn) <- SparkEntry.queries) {
       val p = planOf(fn(spark, dir))
