@@ -500,6 +500,9 @@ object SparkEntry {
     // Sliding windows: 1-hour windows every 30 minutes.
     "q_events_sliding" -> ((s, dir) =>
       EventOps.slidingAgg(t(s, dir, "events"), widthSec = 3600, slideSec = 1800)),
+    // Analytic frames: per-user running totals (bp-exact), lag, gaps.
+    "q_events_running" -> ((s, dir) =>
+      EventOps.runningStats(t(s, dir, "events"))),
     // Exact per-group percentiles (sorted linear interpolation).
     "q_events_percentiles" -> ((s, dir) =>
       EventOps.percentiles(t(s, dir, "events"))),
@@ -1134,6 +1137,19 @@ object SparkEntry {
         "SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, " +
         "CAST(count(*) AS BIGINT) AS n_events " +
         "FROM s GROUP BY user_id ORDER BY user_id"),
+    // mirrors EventOps.runningStats: bp-quantized integer running sums
+    // (window sum association differs between engines on doubles)
+    "q_events_running" -> {
+      val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
+      s"WITH w AS (SELECT user_id, event_id, " +
+        s"CAST(sum(${TextOps.roundBpSql("value")}) $over " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_bp, " +
+        s"coalesce(lag(${TextOps.roundBpSql("value")}) $over), 0) AS prev_bp, " +
+        s"coalesce(epoch_us(ts) - lag(epoch_us(ts)) $over), 0) AS gap_us " +
+        "FROM events) " +
+        "SELECT user_id, event_id, running_bp, prev_bp, gap_us FROM w " +
+        "ORDER BY user_id, event_id"
+    },
     // each event lands in 2 windows (width 3600s, slide 1800s): starts
     // floor(t/1800)*1800 and that minus 1800
     "q_events_sliding" ->

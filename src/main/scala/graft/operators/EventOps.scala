@@ -57,6 +57,37 @@ object EventOps {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("bucket_s"), col("event_type"))
 
+  /** Analytic window FRAMES — the running-state view of each user's event
+    * stream: cumulative value (unbounded-preceding ROWS frame), previous
+    * event's value (`lag`), and microseconds since it. Completes the
+    * window-function surface next to the ranking windows (`q_window`) and
+    * group limits (SURVEY §2.2 "ranking/analytic/frames").
+    *
+    * Running sums are over bp-quantized LONGS, not doubles: engines
+    * evaluate running window sums with different association (segment
+    * trees vs sequential accumulation), so float partials can differ in
+    * the last ulp — integer sums are exact under any association. Frame
+    * order is fully tie-broken by (ts, event_id).
+    *
+    * Scale: one hash shuffle on user_id + per-partition sort (the
+    * sessionization shape); the ROWS frame is streaming — O(1) state per
+    * row, unlike an unbounded-FOLLOWING frame which buffers the partition.
+    */
+  def runningStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val vBp = TextOps.roundBp(col("value"))
+    normalizeTs(events)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("running_bp",
+        sum(vBp).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_bp", coalesce(lag(vBp, 1).over(w), lit(0L)))
+      .withColumn("gap_us",
+        coalesce(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w), lit(0L)))
+      .select(col("user_id"), col("event_id"), col("running_bp"),
+        col("prev_bp"), col("gap_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Exact percentiles per group (Spark's `percentile` = sorted linear
     * interpolation, the same contract as DuckDB `quantile_cont`), in basis
     * points for cross-engine hashing.

@@ -53,6 +53,20 @@ class EventOpsSpec extends SparkSpec {
     assert(got.map(_ % 1800).forall(_ == 0))
   }
 
+  test("runningStats: cumulative bp sums, lag, and gaps per user") {
+    val df = ev(
+      (1L, ms("10:00"), "a", 1.5),
+      (2L, ms("10:10"), "a", 2.25),
+      (3L, ms("11:00"), "a", 0.5))
+    val got = EventOps.runningStats(df)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // bp values 15000, 22500, 5000; gaps 0, 10 min, 50 min (in us)
+    assert(got == Seq(
+      (7L, 1L, 15000L, 0L, 0L),
+      (7L, 2L, 37500L, 15000L, 600000000L),
+      (7L, 3L, 42500L, 22500L, 3000000000L)))
+  }
+
   test("percentiles: hand-checked median and p95") {
     val df = ev((1 to 5).map(i => (i.toLong, ms("10:00") + i, "x", i.toDouble)): _*)
     val r = EventOps.percentiles(df).head()
