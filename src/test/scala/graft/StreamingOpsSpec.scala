@@ -134,6 +134,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourlyCounts append mode: events later than the watermark are dropped") {
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.hourlyCounts(input.toDF(), watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("late_drop").outputMode("append").start()
+    try {
+      input.addData(
+        StreamEvent(ts("10:00"), 1L, "click", 1.0),
+        StreamEvent(ts("10:10"), 2L, "click", 1.0))
+      q.processAllAvailable()
+      // advance event time: watermark 12:30 finalizes and emits the 10:00 window
+      input.addData(StreamEvent(ts("13:00"), 3L, "view", 1.0))
+      q.processAllAvailable()
+      // a straggler for the already-finalized window: must be DROPPED
+      input.addData(StreamEvent(ts("10:20"), 4L, "click", 9.0))
+      q.processAllAvailable()
+      input.addData(StreamEvent(ts("14:30"), 5L, "view", 1.0))
+      q.processAllAvailable()
+      val hour10 = spark.table("late_drop")
+        .filter(col("bucket") === ts("10:00")).select("n_events", "sum_value")
+        .as[(Long, Double)].collect().toSeq
+      // finalized exactly once, without the late event's count or value
+      assert(hour10 == Seq((2L, 2.0)), s"got $hour10")
+    } finally q.stop()
+  }
+
   test("hllRegisters: streamed registers merge to the batch sketch exactly") {
     import graft.operators.SketchOps
     val events = (1L to 120L).map(u =>
