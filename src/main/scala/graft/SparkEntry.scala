@@ -513,6 +513,20 @@ object SparkEntry {
     // state instead of shuffling every distinct key (SketchOps scaladoc).
     "q_hll_distinct" -> ((s, dir) =>
       SketchOps.hllDistinct(t(s, dir, "events"), "event_type", col("event_id"), "est_ids")),
+    // Count-Min frequency sketch over corpus tokens: estimated vs exact
+    // counts for a fixed probe set (est >= exact always — CMS guarantee).
+    "q_cms_freq" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val est = SketchOps.cmsEstimate(
+        SketchOps.cmsTable(toks, col("token")), cmsProbes.toDF("token"))
+      val exact = toks.filter(col("token").isin(cmsProbes: _*))
+        .groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      est.join(exact, Seq("token"), "left")
+        .select(col("token"), col("est_n"), coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+        .orderBy(col("token"))
+    }),
     // Map-typed columns: JSON props parsed to map<string,string>, key-set
     // ops (sorted keys, cardinality) per event.
     "q_map_funcs" -> ((s, dir) =>
@@ -528,6 +542,12 @@ object SparkEntry {
   )
 
   /** DuckDB fragment computing exactly [[TextOps.tokens]] over `text`. */
+  /** Fixed probe tokens for the CMS query — frequent corpus tokens across
+    * the count range, plus one guaranteed absent (the 0-estimate path).
+    */
+  private val cmsProbes =
+    Seq("batch", "column", "filter", "hash", "join", "row", "scan", "the", "zzz_absent")
+
   private val duckToks =
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> length(t) > 0)"
 
@@ -1175,5 +1195,25 @@ object SparkEntry {
         "FROM events) GROUP BY event_type ORDER BY event_type"),
     "q_hll_distinct" ->
       SketchOps.hllDistinctSql("events", "event_type", "event_id", "est_ids"),
+    // mirrors SketchOps.cmsTable/cmsEstimate (depth 4, width 256) over
+    // corpus tokens, probes from cmsProbes
+    "q_cms_freq" -> {
+      def cellRows(src: String): String = (0 until SketchOps.CmsDepth).map { i =>
+        s"SELECT token, $i AS d, (${StableHash.seededSql("token", i)}) % ${SketchOps.CmsWidth} AS bucket FROM $src"
+      }.mkString(" UNION ALL ")
+      val probeValues = cmsProbes.map(t => s"('$t')").mkString(", ")
+      s"WITH tok AS (SELECT unnest($duckToks) AS token FROM documents), " +
+        s"cells AS (${cellRows("tok")}), " +
+        "cms AS (SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM cells GROUP BY d, bucket), " +
+        s"probes(token) AS (VALUES $probeValues), " +
+        s"pc AS (${cellRows("probes")}), " +
+        "pj AS (SELECT pc.token, coalesce(cms.cnt, 0) AS cnt " +
+        "FROM pc LEFT JOIN cms ON pc.d = cms.d AND pc.bucket = cms.bucket), " +
+        "est AS (SELECT token, min(cnt) AS est_n FROM pj GROUP BY token), " +
+        "ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY token) " +
+        "SELECT est.token, est_n, coalesce(ex.exact_n, 0) AS exact_n " +
+        "FROM est LEFT JOIN ex ON est.token = ex.token ORDER BY est.token"
+    },
   )
 }

@@ -121,6 +121,48 @@ object SketchOps {
       outName: String = "est_distinct"): DataFrame =
     estimateFromRegisters(registers(df, groupCol, valueCol), groupCol, outName)
 
+  /** Count-Min depth (independent hash rows) and width (buckets per row). */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Count-Min sketch table: `depth x width` counters, counter (d, b) =
+    * number of rows whose d-th seeded hash lands in bucket b. Pure integer
+    * counting — exact in both engines with zero quantization care — and
+    * mergeable by cell-wise `+` (the frequency-sketch counterpart of the
+    * HLL registers' `max`). At 100 TB the shuffle carries ≤ depth*width
+    * cells per partition after map-side combine, never the token
+    * distribution itself.
+    */
+  def cmsTable(df: DataFrame, valueCol: Column): DataFrame = {
+    val cells = (0 until CmsDepth).map { i =>
+      struct(lit(i).as("d"),
+        pmod(StableHash.seeded(valueCol, i), lit(CmsWidth.toLong)).as("bucket"))
+    }
+    df.select(explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.d").as("d"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a CMS table: est(x) = min over rows of
+    * the counter x hashes to. Overestimates only (CMS guarantee: collisions
+    * add, never subtract), which the spec pins against exact counts.
+    * `probes` must have a `token` string column; the sketch table is tiny
+    * (depth*width rows) and broadcasts.
+    */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame): DataFrame = {
+    val cells = (0 until CmsDepth).map { i =>
+      struct(lit(i).as("d"),
+        pmod(StableHash.seeded(col("token"), i), lit(CmsWidth.toLong)).as("bucket"))
+    }
+    probes.select(col("token"), explode(array(cells: _*)).as("c"))
+      .select(col("token"), col("c.d").as("d"), col("c.bucket").as("bucket"))
+      // LEFT join: a counter cell no row ever hashed to is 0, and the min
+      // must see it (an inner join would silently overestimate)
+      .join(broadcast(cms), Seq("d", "bucket"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+  }
+
   /** DuckDB SQL matching [[hllDistinct]] on table `table`. */
   def hllDistinctSql(
       table: String,

@@ -40,6 +40,41 @@ class SketchOpsSpec extends SparkSpec {
     assert(a.length == 3)
   }
 
+  test("cms: estimates never undercount, exact on a collision-free corpus") {
+    val df = (Seq.fill(10)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma"))
+      .toDF("token")
+    val cms = SketchOps.cmsTable(df, col("token"))
+    val probes = Seq("alpha", "beta", "gamma", "absent").toDF("token")
+    val got = SketchOps.cmsEstimate(cms, probes)
+      .as[(String, Long)].collect().toMap
+    // 3 tokens in 4x256 counters: collisions impossible to matter here
+    assert(got("alpha") == 10L && got("beta") == 3L && got("gamma") == 1L)
+    assert(got("absent") == 0L)
+  }
+
+  test("cms: overestimate-only guarantee under heavy collision pressure") {
+    // 2000 distinct tokens into 256-wide rows: collisions everywhere, yet
+    // min-over-rows must never drop below the true count
+    val df = (0 until 2000).flatMap(i => Seq.fill(i % 5 + 1)(s"t$i")).toDF("token")
+    val cms = SketchOps.cmsTable(df, col("token"))
+    val probes = (0 until 50).map(i => s"t${i * 40}").toDF("token")
+    val est = SketchOps.cmsEstimate(cms, probes).as[(String, Long)].collect().toMap
+    val exact = df.groupBy("token").count().as[(String, Long)].collect().toMap
+    probes.as[String].collect().foreach { t =>
+      assert(est(t) >= exact(t), s"$t: est ${est(t)} < exact ${exact(t)}")
+    }
+  }
+
+  test("cms: tables merge by cell-wise addition") {
+    val a = Seq("x", "x", "y").toDF("token")
+    val b = Seq("x", "z").toDF("token")
+    val merged = SketchOps.cmsTable(a, col("token"))
+      .unionByName(SketchOps.cmsTable(b, col("token")))
+      .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = SketchOps.cmsTable(a.unionByName(b), col("token"))
+    assert(merged.collect().map(_.toSeq).toSet == whole.collect().map(_.toSeq).toSet)
+  }
+
   test("hllDistinct: per-group estimates track per-group cardinalities") {
     // groups of very different cardinality in one pass
     val df = ((0 until 2000).map(i => ("big", i.toLong)) ++
