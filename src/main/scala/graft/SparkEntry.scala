@@ -566,8 +566,10 @@ object SparkEntry {
     */
   private lazy val duckMinhashCtes: String = {
     val numHashes = 8; val bands = 4; val r = numHashes / bands
+    // one md5 per shingle (hh), 8 affine family members derived from it —
+    // mirrors DedupOps.minhashSigs after its seeded→familyOf switch
     val sigCols = (0 until numHashes)
-      .map(i => s"min(${StableHash.seededSql("s", i)}) AS s$i").mkString(", ")
+      .map(i => s"min(${StableHash.familyOfSql("hh", i)}) AS s$i").mkString(", ")
     val bandSelects = (0 until bands).map { b =>
       val parts = (s"'$b'" +: (0 until r).map(j => s"s${b * r + j}")).mkString(", ")
       s"SELECT doc_id, concat_ws(':', $parts) AS bkey FROM sig"
@@ -576,7 +578,8 @@ object SparkEntry {
       s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
       s"sl AS (SELECT doc_id, list_distinct($duckShingles3) AS shs FROM t), " +
       "sh AS (SELECT doc_id, unnest(shs) AS s FROM sl), " +
-      s"sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id), " +
+      s"shh AS (SELECT doc_id, s, ${StableHash.hash60Sql("s")} AS hh FROM sh), " +
+      s"sig AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id), " +
       s"bands AS ($bandSelects), " +
       "okb AS (SELECT bkey FROM bands GROUP BY bkey " +
       s"HAVING count(*) > 1 AND count(*) <= ${DedupOps.DefaultMaxBucket})"

@@ -82,13 +82,17 @@ object DedupOps {
   /** MinHash signature rows: one row per (doc, minhash_i) via explode +
     * min-aggregate — the explode keeps tokenization to once per document
     * (computing each of the `numHashes` mins over a repeated shingle
-    * expression would re-tokenize per hash).
+    * expression would re-tokenize per hash). Each shingle is md5-hashed
+    * ONCE; the `numHashes` family members derive affinely from that value
+    * ([[graft.functions.StableHash.familyOf]]) — md5 dominated signature
+    * cost when every hash was an independent [[StableHash.seeded]] call.
     */
   private def minhashSigs(corpus: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame = {
     val sh = corpus.select(
       col(idCol),
       explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), 3))).as("sh"))
-    val aggs = (0 until numHashes).map(i => min(StableHash.seeded(col("sh"), i)).as(s"s$i"))
+      .select(col(idCol), StableHash.hash60(col("sh")).as("h"))
+    val aggs = (0 until numHashes).map(i => min(StableHash.familyOf(col("h"), i)).as(s"s$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -467,7 +471,9 @@ object DedupOps {
     val exploded = corpus.select(
       col(idCol),
       explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), 3))).as("sh"))
-    val aggs = (0 until numHashes).map(i => min(StableHash.seeded(col("sh"), i)).as(s"s$i")) :+
+      // one md5 per shingle; the signature hashes derive affinely from it
+      .select(col(idCol), col("sh"), StableHash.hash60(col("sh")).as("h"))
+    val aggs = (0 until numHashes).map(i => min(StableHash.familyOf(col("h"), i)).as(s"s$i")) :+
       collect_list(col("sh")).as("shs")
     val docRel = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val bandKeys = (0 until bands).map { b =>
