@@ -269,6 +269,13 @@ object DedupOps {
     // no size(shs) > 0 pre-filter: explode already drops empty arrays, and
     // a pushed-down filter would re-evaluate the whole tokenize+shingle
     // tree once more per row at the scan
+    //
+    // postings key = the raw shingle STRING, deliberately: hashing it to a
+    // 60-bit long narrows the exchange but costs one md5 per posting, and
+    // measured at sf0.1 the md5 LOST (4.5 s → 5.8 s) — the 3-word keys are
+    // short enough that hashing is the bottleneck, not the shuffle. At a
+    // scale where shuffle IO dominates, swap in StableHash.hash60 (or the
+    // Spark-only xxhash64) here and in the oracle's `z` CTE.
     val inv = s.select(col(idCol), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
     // Postings-list collect + in-array pairing, NOT an inverted self-join:
     // the self-join is a diamond that computes the tokenize+shingle
