@@ -497,6 +497,10 @@ object SparkEntry {
         t(s, dir, "events"), "view", "purchase")),
     "q_events_sessions" -> ((s, dir) =>
       EventOps.sessionStats(t(s, dir, "events"), gapSeconds = 1800)),
+    // The same rollup through Spark's native session_window operator;
+    // boundary-equivalent to the lag form (shares its oracle SQL).
+    "q_events_sessions_native" -> ((s, dir) =>
+      EventOps.sessionStatsNative(t(s, dir, "events"), gapSeconds = 1800)),
     // Sliding windows: 1-hour windows every 30 minutes.
     "q_events_sliding" -> ((s, dir) =>
       EventOps.slidingAgg(t(s, dir, "events"), widthSec = 3600, slideSec = 1800)),
@@ -1173,6 +1177,17 @@ object SparkEntry {
         "SELECT user_id, event_id, running_bp, prev_bp, gap_us FROM w " +
         "ORDER BY user_id, event_id"
     },
+    // session_window merges touching windows — boundary-identical to the
+    // lag formulation, so the oracle is q_events_sessions' SQL verbatim
+    "q_events_sessions_native" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS us, " +
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev " +
+        "FROM events), " +
+        "s AS (SELECT user_id, CASE WHEN prev IS NULL OR us - prev > 1800000000 " +
+        "THEN 1 ELSE 0 END AS is_new FROM e) " +
+        "SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, " +
+        "CAST(count(*) AS BIGINT) AS n_events " +
+        "FROM s GROUP BY user_id ORDER BY user_id"),
     // each event lands in 2 windows (width 3600s, slide 1800s): starts
     // floor(t/1800)*1800 and that minus 1800
     "q_events_sliding" ->

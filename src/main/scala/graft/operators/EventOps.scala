@@ -128,6 +128,25 @@ object EventOps {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** [[sessionStats]] via Spark's NATIVE `session_window` operator — the
+    * same rollup through the built-in merging-session machinery instead of
+    * the lag/running-sum window formulation. Boundary semantics agree with
+    * the lag form's `diff > gap` (touching windows MERGE — pinned by a
+    * boundary test), so the two share one oracle. The trade: the per-user
+    * shuffle happens once for the session merge and once for the rollup
+    * (the lag form does both in one window pass) — the price of the
+    * operator that also runs unchanged under Structured Streaming.
+    */
+  def sessionStatsNative(events: DataFrame, gapSeconds: Long): DataFrame =
+    normalizeTs(events)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n")).cast("long").as("n_events"))
+      .orderBy(col("user_id"))
+
   /** Extract a numeric field from the JSON `props` column and aggregate.
     * Uses the codegen'd `get_json_object` path — no UDF.
     */

@@ -53,6 +53,24 @@ class EventOpsSpec extends SparkSpec {
     assert(got.map(_ % 1800).forall(_ == 0))
   }
 
+  test("sessionStatsNative: matches sessionStats, including at the exact-gap boundary") {
+    // gaps of 29 and 31 minutes around a 30-minute threshold
+    val offBoundary = ev(
+      (1L, ms("10:00"), "a", 1.0), (2L, ms("10:29"), "a", 1.0), // same session
+      (3L, ms("11:10"), "a", 1.0))                              // 41 min -> new
+    val a = EventOps.sessionStats(offBoundary, 1800).as[(Long, Long, Long)].collect().toSeq
+    val b = EventOps.sessionStatsNative(offBoundary, 1800).as[(Long, Long, Long)].collect().toSeq
+    assert(a == b && a == Seq((7L, 2L, 3L)))
+    // exactly 30 minutes apart: BOTH forms keep one session — Spark's
+    // session_window merges touching windows, matching the lag form's
+    // `diff > gap` semantics (this pin is why they can share an oracle)
+    val boundary = ev((1L, ms("10:00"), "a", 1.0), (2L, ms("10:30"), "a", 1.0))
+    assert(EventOps.sessionStats(boundary, 1800)
+      .as[(Long, Long, Long)].head() == ((7L, 1L, 2L)))
+    assert(EventOps.sessionStatsNative(boundary, 1800)
+      .as[(Long, Long, Long)].head() == ((7L, 1L, 2L)))
+  }
+
   test("runningStats: cumulative bp sums, lag, and gaps per user") {
     val df = ev(
       (1L, ms("10:00"), "a", 1.5),
