@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.StableHash
-import graft.operators.{AsofOps, DedupOps, EventOps, MultimodalOps, SimOps, SketchOps, SortOps, TextOps}
+import graft.operators.{AsofOps, DedupOps, EventOps, MultimodalOps, SimOps, SketchOps, SortOps, StatsOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -340,6 +340,18 @@ object SparkEntry {
     // Quality scoring: distinct ratio + stopword ratio + length saturation.
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(t(s, dir, "documents"))),
+    // Gopher-style repetition/quality rules: per-doc word-shape ratios,
+    // repeated-n-gram ratios, top-2-gram char coverage, combined gate.
+    "q_quality_gopher" -> ((s, dir) =>
+      TextOps.gopherQuality(t(s, dir, "documents"))),
+    // BM25 lexical ranking against a fixed query-term set (integer idf
+    // surrogate, per-term bp rounding so totals are integer-exact).
+    "q_text_bm25" -> ((s, dir) =>
+      TextOps.bm25(t(s, dir, "documents"), bm25Terms)),
+    // Training-sequence packing: docs to 512-token budget bins in id
+    // order via a two-level (shard, in-shard) prefix sum.
+    "q_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(t(s, dir, "documents"), budget = 512)),
     // PII redaction over a corpus with deterministically planted emails/
     // phones/ids: match counts + md5 of the masked text.
     "q_text_redact" -> ((s, dir) =>
@@ -512,6 +524,14 @@ object SparkEntry {
       EventOps.percentiles(t(s, dir, "events"))),
     "q_events_json" -> ((s, dir) =>
       EventOps.jsonFieldStats(t(s, dir, "events"), "k")),
+    // Ordered funnel view→click→purchase: per-user stage-completion times,
+    // each stage's first event strictly after the previous stage's.
+    "q_events_funnel" -> ((s, dir) =>
+      EventOps.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))),
+    // Equi-width histogram of lineitem prices: 1-row bounds broadcast +
+    // one partial+final count per bucket (fixed-size mergeable summary).
+    "q_histogram" -> ((s, dir) =>
+      StatsOps.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20)),
     // HyperLogLog distinct-count sketch: per-type distinct event ids from
     // 256 explicit registers over the cross-engine md5 hash — fixed-size
     // state instead of shuffling every distinct key (SketchOps scaladoc).
@@ -559,6 +579,14 @@ object SparkEntry {
   private val duckShingles3 =
     "CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), " +
       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE CAST([] AS VARCHAR[]) END"
+
+  /** DuckDB fragment for word 2-shingles of token list `t`. */
+  private val duckShingles2 =
+    "CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), " +
+      "i -> t[i] || ' ' || t[i+1]) ELSE CAST([] AS VARCHAR[]) END"
+
+  /** Fixed query terms for the BM25 ranking query. */
+  private val bm25Terms = Seq("join", "merge", "sort")
 
   private def duckInList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
@@ -883,6 +911,84 @@ object SparkEntry {
         s"'${TextOps.PhoneRe}', '<PHONE>', 'g'), " +
         s"'${TextOps.IdRe}', '<ID>', 'g')) AS fp_md5 " +
         "FROM pc ORDER BY doc_id"),
+    // mirrors TextOps.gopherQuality: scalar rules from the token list,
+    // top-2-gram coverage via unnest + per-doc top-1 window
+    "q_quality_gopher" -> {
+      val allStops = TextOps.langMarkers.flatMap(_._2).distinct.sorted
+      s"WITH d AS (SELECT doc_id, text, $duckToks AS t FROM documents), " +
+        s"g AS (SELECT doc_id, text, t, $duckShingles2 AS g2, $duckShingles3 AS g3 " +
+        "FROM d WHERE len(t) > 0), " +
+        "sc AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, " +
+        "CAST(length(text) AS BIGINT) AS n_chars, " +
+        s"${TextOps.roundBpSql(
+          "CAST(length(array_to_string(t, '')) AS DOUBLE) / CAST(len(t) AS DOUBLE)")} " +
+        "AS mean_word_len_bp, " +
+        s"${TextOps.roundBpSql(
+          "CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / " +
+            "CAST(len(t) AS DOUBLE)")} AS alpha_word_bp, " +
+        s"${TextOps.roundBpSql(
+          "CAST(len(list_filter(t, x -> regexp_matches(x, '[^a-z0-9]'))) AS DOUBLE) / " +
+            "CAST(len(t) AS DOUBLE)")} AS symbol_word_bp, " +
+        s"${TextOps.roundBpSql(
+          "CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / " +
+            "CAST(len(g2) AS DOUBLE) ELSE 0.0 END")} AS rep_2gram_bp, " +
+        s"${TextOps.roundBpSql(
+          "CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / " +
+            "CAST(len(g3) AS DOUBLE) ELSE 0.0 END")} AS rep_3gram_bp, " +
+        s"CAST(len(list_filter(t, x -> x IN (${duckInList(allStops)}))) AS BIGINT) AS n_stop " +
+        "FROM g), " +
+        "gg AS (SELECT doc_id, unnest(g2) AS gram FROM g), " +
+        "gc AS (SELECT doc_id, gram, count(*) AS cnt FROM gg GROUP BY 1, 2), " +
+        "top AS (SELECT doc_id, cnt * length(gram) AS top2_chars FROM " +
+        "(SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY cnt DESC, gram) AS rn FROM gc) WHERE rn = 1), " +
+        "j AS (SELECT sc.*, " +
+        s"${TextOps.roundBpSql(
+          "CAST(coalesce(top2_chars, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE)")} " +
+        "AS top_2gram_char_bp FROM sc LEFT JOIN top USING (doc_id)) " +
+        "SELECT doc_id, n_tokens, mean_word_len_bp, alpha_word_bp, symbol_word_bp, " +
+        "rep_2gram_bp, rep_3gram_bp, top_2gram_char_bp, n_stop, " +
+        "CAST(CASE WHEN mean_word_len_bp >= 30000 AND mean_word_len_bp <= 100000 " +
+        "AND alpha_word_bp >= 8000 AND symbol_word_bp <= 1000 " +
+        "AND rep_2gram_bp < 2000 AND top_2gram_char_bp < 2000 " +
+        "AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass " +
+        "FROM j ORDER BY doc_id"
+    },
+    // mirrors TextOps.bm25 (k1=1.2, b=0.75, integer idf surrogate,
+    // per-term bp rounding, top 20)
+    "q_text_bm25" -> {
+      val terms = duckInList(bm25Terms)
+      val score = TextOps.roundBpSql(
+        "CAST((n_docs * 10000) // df AS DOUBLE) * " +
+          "((CAST(tf AS DOUBLE) * 2.2) / " +
+          "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))")
+      s"WITH d AS (SELECT doc_id, $duckToks AS t FROM documents), " +
+        "dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d), " +
+        "corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl), " +
+        "tok AS (SELECT doc_id, unnest(t) AS term FROM d), " +
+        s"tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok " +
+        s"WHERE term IN ($terms) GROUP BY 1, 2), " +
+        "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        s"pt AS (SELECT tf.doc_id, $score AS term_bp FROM tf " +
+        "JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN corpus), " +
+        "sc AS (SELECT doc_id, CAST(sum(term_bp) AS BIGINT) AS score_bp FROM pt " +
+        "GROUP BY doc_id ORDER BY score_bp DESC, doc_id LIMIT 20) " +
+        "SELECT row_number() OVER (ORDER BY score_bp DESC, doc_id) AS rank, " +
+        "doc_id, score_bp FROM sc ORDER BY rank"
+    },
+    // mirrors TextOps.packSequences (budget 512): the oracle's single
+    // global prefix sum equals the engine's two-level shard decomposition
+    "q_pack_sequences" ->
+      (s"WITH d AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nbefore FROM d), " +
+        "b AS (SELECT doc_id, n_tokens, nbefore // 512 AS seq_id FROM r) " +
+        "SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM b GROUP BY seq_id ORDER BY seq_id"),
     "q_text_tfidf" ->
       (s"WITH tk AS (SELECT doc_id, unnest($duckToks) AS token FROM documents), " +
         "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2), " +
@@ -1232,6 +1338,41 @@ object SparkEntry {
         "ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY token) " +
         "SELECT est.token, est_n, coalesce(ex.exact_n, 0) AS exact_n " +
         "FROM est LEFT JOIN ex ON est.token = ex.token ORDER BY est.token"
+    },
+    // mirrors EventOps.funnel(view, click, purchase): each stage's min ts
+    // strictly after the user's previous-stage ts
+    "q_events_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "u AS (SELECT DISTINCT user_id FROM e), " +
+        "s1 AS (SELECT user_id, min(us) AS t1_us FROM e " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(us) AS t2_us FROM e " +
+        "JOIN s1 ON e.user_id = s1.user_id AND e.us > s1.t1_us " +
+        "WHERE event_type = 'click' GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(us) AS t3_us FROM e " +
+        "JOIN s2 ON e.user_id = s2.user_id AND e.us > s2.t2_us " +
+        "WHERE event_type = 'purchase' GROUP BY e.user_id) " +
+        "SELECT u.user_id, " +
+        "CAST(CASE WHEN t1_us IS NULL THEN 0 ELSE 1 END " +
+        "+ CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END " +
+        "+ CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage_reached, " +
+        "coalesce(t1_us, -1) AS t1_us, coalesce(t2_us, -1) AS t2_us, " +
+        "coalesce(t3_us, -1) AS t3_us " +
+        "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) " +
+        "LEFT JOIN s3 USING (user_id) ORDER BY u.user_id"),
+    // mirrors StatsOps.histogram(l_extendedprice, 20): identical IEEE
+    // (x - lo) / ((hi - lo) / 20.0) floor/least arithmetic on both engines
+    "q_histogram" -> {
+      val lo = "CAST(l_extendedprice AS DOUBLE) - lo"
+      s"WITH b AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo, " +
+        "max(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem), " +
+        s"r AS (SELECT CAST(least(floor(($lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT) " +
+        "AS bucket, lo, (hi - lo) / 20.0 AS w FROM lineitem, b), " +
+        "g AS (SELECT bucket, lo, w, CAST(count(*) AS BIGINT) AS n_rows " +
+        "FROM r GROUP BY bucket, lo, w) " +
+        s"SELECT bucket, ${TextOps.roundBpSql("lo + w * CAST(bucket AS DOUBLE)")} AS lo_bp, " +
+        s"${TextOps.roundBpSql("lo + w * CAST(bucket + 1 AS DOUBLE)")} AS hi_bp, " +
+        "n_rows FROM g ORDER BY bucket"
     },
   )
 }

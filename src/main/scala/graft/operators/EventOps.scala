@@ -147,6 +147,49 @@ object EventOps {
         sum(col("n")).cast("long").as("n_events"))
       .orderBy(col("user_id"))
 
+  /** Ordered funnel analysis — the product-analytics staple: for each user,
+    * the first time they completed stage 1, then the first stage-2 event
+    * STRICTLY AFTER that, then the first stage-3 event after that, etc.
+    * (so out-of-order completions don't count — a purchase before the first
+    * view is not funnel progress). Emits one row per user: how far they got
+    * plus the per-stage completion times (µs epoch, -1 when never reached).
+    *
+    * Shape: one aggregation per stage, each keyed on `user_id`. The join of
+    * the big event table against the previous stage's per-user row is a
+    * hash-shuffle equi-join on `user_id`, and every subsequent stage reuses
+    * that partitioning — k stages cost k co-partitioned passes, never a
+    * window over the user's whole history (which would buffer every event
+    * per user; this buffers one timestamp). At 100 TB the per-stage state
+    * is one row per user — the skinny side of every join.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val e = normalizeTs(events).select(col("user_id"), col("event_type"), col("ts"))
+    val users = e.select(col("user_id")).distinct()
+    // stage 1: plain min; stage i+1: min ts after the user's stage-i ts
+    val first = e.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t1_us"))
+    val perStage = stages.zipWithIndex.tail.scanLeft(first) {
+      case (prev, (stage, i)) =>
+        e.filter(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col(s"t${i}_us")), Seq("user_id"))
+          .filter(unix_micros(col("ts")) > col(s"t${i}_us"))
+          .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as(s"t${i + 1}_us"))
+    }
+    val joined = perStage.zipWithIndex.foldLeft(users) {
+      case (acc, (st, i)) =>
+        acc.join(st.select(col("user_id"), col(s"t${i + 1}_us")), Seq("user_id"), "left")
+    }
+    val reached = stages.indices
+      .map(i => when(col(s"t${i + 1}_us").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    joined
+      .select(
+        (col("user_id") +: reached.as("stage_reached") +:
+          stages.indices.map(i => coalesce(col(s"t${i + 1}_us"), lit(-1L)).as(s"t${i + 1}_us"))): _*)
+      .orderBy(col("user_id"))
+  }
+
   /** Extract a numeric field from the JSON `props` column and aggregate.
     * Uses the codegen'd `get_json_object` path — no UDF.
     */

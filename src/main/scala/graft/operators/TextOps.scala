@@ -261,6 +261,190 @@ object TextOps {
       .orderBy(col(idCol))
   }
 
+  /** Gopher-style repetition/quality rules (Rae et al. 2021, App. A —
+    * public filter suite; C4 uses close cousins): per-doc mean word length,
+    * alphabetic-word and symbol-word ratios, repeated 2-/3-gram ratios,
+    * fraction of characters in the single most frequent word 2-gram, and
+    * stopword count, plus the combined pass/fail gate. All ratios are bp
+    * longs ([[roundBp]]) and the gate compares bp integers only, so the
+    * verdict is engine-exact.
+    *
+    * Shape: three narrow scans (tokens, 2-grams, 3-grams), each exploding
+    * ONE tokenize into scalar rows that aggregate per doc — deliberately
+    * NOT a single wide array projection: higher-order array functions are
+    * interpreted (no whole-stage codegen, no common-subexpression
+    * elimination), so a projection computing eight token-array ratios
+    * re-tokenizes the document once per occurrence — measured 12 s at
+    * sf0.1 vs ~2.5 s for this form. The gram-count table feeds both the
+    * repetition ratio and the top-gram pick, so its shuffle is planned
+    * once (ReusedExchange). All per-doc joins are co-partitioned on
+    * doc_id.
+    */
+  def gopherQuality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val allStops = langMarkers.flatMap(_._2).distinct.sorted
+    // scan 1: token scalars (docs with zero tokens drop out, matching the
+    // len(t) > 0 oracle filter)
+    val scalars = docs
+      .select(col(idCol), length(col(textCol)).cast("long").as("n_chars"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol))
+      .agg(
+        max(col("n_chars")).as("n_chars"),
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).cast("long").as("sum_tok_chars"),
+        count_if(col("tok").rlike("[a-z]")).as("n_alpha"),
+        count_if(col("tok").rlike("[^a-z0-9]")).as("n_sym"),
+        count_if(col("tok").isInCollection(allStops)).as("n_stop"))
+    // scan 2: (doc, 2-gram) counts — one table serves the repetition
+    // ratio, the distinct count, and the most-frequent-gram pick
+    val gc2 = docs
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), 2)).as("g"))
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val rep2 = gc2.groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n2"), count(lit(1)).as("nd2"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("cnt").desc, col("g"))
+    val top2 = gc2
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col(idCol), (col("cnt") * length(col("g"))).as("top2_chars"))
+    // scan 3: 3-gram repetition ratio
+    val rep3 = docs
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), 3)).as("g"))
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n3"), count(lit(1)).as("nd3"))
+    val dbl = (c: Column) => c.cast("double")
+    scalars
+      .join(rep2, Seq(idCol), "left")
+      .join(top2, Seq(idCol), "left")
+      .join(rep3, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        roundBp(dbl(col("sum_tok_chars")) / dbl(col("n_tokens"))).as("mean_word_len_bp"),
+        roundBp(dbl(col("n_alpha")) / dbl(col("n_tokens"))).as("alpha_word_bp"),
+        roundBp(dbl(col("n_sym")) / dbl(col("n_tokens"))).as("symbol_word_bp"),
+        roundBp(when(col("n2").isNotNull, lit(1.0) - dbl(col("nd2")) / dbl(col("n2")))
+          .otherwise(lit(0.0))).as("rep_2gram_bp"),
+        roundBp(when(col("n3").isNotNull, lit(1.0) - dbl(col("nd3")) / dbl(col("n3")))
+          .otherwise(lit(0.0))).as("rep_3gram_bp"),
+        roundBp(dbl(coalesce(col("top2_chars"), lit(0L))) / dbl(col("n_chars")))
+          .as("top_2gram_char_bp"),
+        col("n_stop"))
+      .withColumn("gopher_pass",
+        (col("mean_word_len_bp") >= 30000L && col("mean_word_len_bp") <= 100000L &&
+          col("alpha_word_bp") >= 8000L && col("symbol_word_bp") <= 1000L &&
+          col("rep_2gram_bp") < 2000L && col("top_2gram_char_bp") < 2000L &&
+          col("n_stop") >= 2L).cast("long"))
+      .orderBy(col(idCol))
+  }
+
+  /** BM25 ranking of documents against a fixed query-term set — the
+    * production lexical scorer ([[tfidfTopTerms]] is the per-doc keyword
+    * variant; this is the retrieval one). Standard Robertson BM25 with
+    * k1 = 1.2, b = 0.75, except the idf: `ln((N-df+.5)/(df+.5))` is libm-
+    * dependent, so the integer surrogate `(N * 10000) div df` stands in —
+    * same monotonicity (the [[tfidfTopTerms]] rationale). Per-(doc, term)
+    * scores are bp-rounded FIRST and the per-doc total is a sum of longs:
+    * integer addition is associative under any partial-aggregation order,
+    * where a float sum across terms could differ in the last ulp between
+    * engines.
+    *
+    * Shape: one explode filtered to the query terms (predicate applies
+    * before the shuffle — only matching tokens travel), a (doc, term)
+    * count, a broadcast of the term df table and the 1-row corpus stats,
+    * and a final per-doc sum. At 100 TB the shuffled volume is bounded by
+    * occurrences of the query terms, not corpus size.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val dl = docs.select(col(idCol), size(toks).cast("long").as("dl"))
+    val corpus = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = docs
+      .select(col(idCol), explode(toks).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val idfS = expr("(n_docs * 10000) div df").cast("double")
+    val frac = (tfD * lit(2.2)) /
+      (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (dlD / col("avgdl"))))
+    val perTerm = tf
+      .join(broadcast(df), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .select(col(idCol), roundBp(idfS * frac).as("term_bp"))
+    // top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    // k-row driver merge), then rank the k survivors — never a global
+    // single-partition window over every scored doc
+    val topDocs = perTerm
+      .groupBy(col(idCol))
+      .agg(sum(col("term_bp")).as("score_bp"))
+      .orderBy(col("score_bp").desc, col(idCol))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_bp").desc, col(idCol))
+    topDocs
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col(idCol), col("score_bp"))
+      .orderBy(col("rank"))
+  }
+
+  /** Pack documents into fixed token-budget training sequences — the
+    * "concat docs in a deterministic order, cut every `budget` tokens"
+    * step that precedes batch assembly in an LLM pipeline. Doc d goes to
+    * sequence `floor(tokens_before_d / budget)` in doc-id order, so a
+    * sequence may overrun the budget by at most its last doc (the
+    * concat-then-chunk variant that splits the straddling doc is
+    * [[chunkDocs]] composed after this).
+    *
+    * The running token count is a two-level prefix sum, NOT one global
+    * window (a single-partition sort would serialize the corpus through
+    * one task at 100 TB): per-shard token subtotals (shard = id div
+    * `shardSize`) are prefix-summed in a window over the TINY shard-totals
+    * table — one row per shard — and broadcast back as per-shard offsets;
+    * the per-doc running sum then runs inside each shard partition. The
+    * same decomposition as [[SortOps]]' range-partitioned sort: global
+    * order from per-partition order + tiny global metadata.
+    */
+  def packSequences(docs: DataFrame, budget: Long, shardSize: Long = 1000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perDoc = docs.select(
+      col(idCol),
+      expr(s"$idCol div $shardSize").as("shard"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val shardTotals = perDoc.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+    val wShards = org.apache.spark.sql.expressions.Window.orderBy(col("shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = shardTotals
+      .withColumn("offset", coalesce(sum(col("shard_tokens")).over(wShards), lit(0L)))
+      .select(col("shard"), col("offset"))
+    val wInShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perDoc
+      .join(broadcast(offsets), "shard")
+      .withColumn("before",
+        col("offset") + coalesce(sum(col("n_tokens")).over(wInShard), lit(0L)))
+      .withColumn("seq_id", expr(s"before div $budget"))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+      .orderBy(col("seq_id"))
+  }
+
   def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val allStops = langMarkers.flatMap(_._2).distinct.sorted
     val toks = tokens(col(textCol))

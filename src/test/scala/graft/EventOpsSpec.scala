@@ -85,6 +85,33 @@ class EventOpsSpec extends SparkSpec {
       (7L, 3L, 42500L, 22500L, 3000000000L)))
   }
 
+  test("funnel: stages count only when strictly after the previous stage") {
+    val rows = Seq(
+      // user 1: clean view -> click -> purchase
+      (1L, ms("10:00"), 1L, "view"), (2L, ms("10:10"), 1L, "click"),
+      (3L, ms("10:20"), 1L, "purchase"),
+      // user 2: click BEFORE first view doesn't count; purchase without a
+      // counted click doesn't either
+      (4L, ms("10:00"), 2L, "click"), (5L, ms("10:10"), 2L, "view"),
+      (6L, ms("10:20"), 2L, "purchase"),
+      // user 3: never viewed
+      (7L, ms("10:00"), 3L, "purchase"),
+      // user 4: purchase before the click -> stops at stage 2
+      (8L, ms("10:00"), 4L, "view"), (9L, ms("10:05"), 4L, "purchase"),
+      (10L, ms("10:10"), 4L, "click"))
+      .map { case (id, tMs, u, typ) => (id, tMs * 1000000L, u, typ, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.funnel(rows, Seq("view", "click", "purchase"))
+      .select("user_id", "stage_reached")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 1L), (3L, 0L), (4L, 2L)))
+    // completion times: -1 marks never-reached stages
+    val u2 = EventOps.funnel(rows, Seq("view", "click", "purchase"))
+      .filter($"user_id" === 2L)
+      .select("t1_us", "t2_us", "t3_us").as[(Long, Long, Long)].head()
+    assert(u2 == ((ms("10:10") * 1000L, -1L, -1L)))
+  }
+
   test("percentiles: hand-checked median and p95") {
     val df = ev((1 to 5).map(i => (i.toLong, ms("10:00") + i, "x", i.toDouble)): _*)
     val r = EventOps.percentiles(df).head()

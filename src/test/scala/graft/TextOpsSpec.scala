@@ -198,4 +198,75 @@ class TextOpsSpec extends SparkSpec {
   test("qualityScore: empty docs are filtered out") {
     assert(TextOps.qualityScore(docs((1L, " "), (2L, "a b"))).count() == 1L)
   }
+
+  test("gopherQuality: repetition rules catch a boilerplate doc") {
+    val clean = "the quick brown fox jumps over the lazy dog and then rests"
+    val loop = "buy now " * 20 // one 2-gram repeated 20x
+    val got = TextOps.gopherQuality(docs((1L, clean), (2L, loop)))
+      .select("doc_id", "rep_2gram_bp", "top_2gram_char_bp", "gopher_pass")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val (cleanRow, loopRow) = (got(0), got(1))
+    // clean doc: no repeated 2-grams, passes every gate
+    assert(cleanRow._2 == 0L && cleanRow._4 == 1L)
+    // boilerplate: 39 2-grams, only 2 distinct -> rep ~ 0.949; the top
+    // 2-gram ("buy now" or "now buy", 20 or 19 hits x 7 chars) covers most
+    // of the 160 chars; both repetition gates fail
+    assert(loopRow._2 > 9000L && loopRow._3 > 8000L && loopRow._4 == 0L)
+  }
+
+  test("gopherQuality: hand-computed word-shape ratios") {
+    // tokens: "ab cde-f 12" -> mean len (2+5+2)/3 = 3.0, alpha 2/3,
+    // symbol (cde-f) 1/3, no stopwords
+    val r = TextOps.gopherQuality(docs((1L, "ab cde-f 12"))).head()
+    assert(r.getAs[Long]("mean_word_len_bp") == 30000L)
+    assert(r.getAs[Long]("alpha_word_bp") == 6667L)
+    assert(r.getAs[Long]("symbol_word_bp") == 3333L)
+    assert(r.getAs[Long]("n_stop") == 0L)
+    assert(r.getAs[Long]("gopher_pass") == 0L)
+  }
+
+  test("bm25: docs dense in query terms outrank long diluted docs") {
+    val d = docs(
+      (1L, "sort merge join sort merge join"), // dense in all three terms
+      (2L, "sort " + ("filler " * 50)), // one term, long doc
+      (3L, "nothing relevant here"))
+    val got = TextOps.bm25(d, Seq("sort", "merge", "join"), k = 10)
+      .select("rank", "doc_id").as[(Int, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 2L)) // doc 3 scores nothing
+  }
+
+  test("bm25: tf saturates (k1 bound) instead of growing linearly") {
+    val d = docs(
+      (1L, ("sort " * 50).trim),
+      (2L, ("sort " * 5).trim + " " + ("x " * 45).trim))
+    val scores = TextOps.bm25(d, Seq("sort"), k = 10)
+      .select("doc_id", "score_bp").as[(Long, Long)].collect().toMap
+    // 10x the tf buys well under 2x the score
+    assert(scores(1L) < scores(2L) * 2)
+  }
+
+  test("packSequences: budget binning with overflow by at most the last doc") {
+    val d = docs(
+      (0L, "a b c"), // 3 tokens, before=0  -> seq 0
+      (1L, "d e f g"), // before=3 -> seq 0 (overflows budget 5 by 2)
+      (2L, "h"), // before=7 -> seq 1
+      (3L, ("w " * 12).trim), // before=8 -> seq 1 (12 tokens, overflow)
+      (4L, "z")) // before=20 -> seq 4 (big doc skipped bins 2-3)
+    val got = TextOps.packSequences(d, budget = 5, shardSize = 2)
+      .select("seq_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 7L, 0L, 1L),
+      (1L, 2L, 13L, 2L, 3L),
+      (4L, 1L, 1L, 4L, 4L)))
+  }
+
+  test("packSequences: sharded prefix sum equals the single-window form") {
+    val d = sf("documents")
+    def run(shard: Long) =
+      TextOps.packSequences(d, budget = 256, shardSize = shard)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // tiny shards vs one giant shard: identical sequences
+    assert(run(7L) == run(1000000L))
+  }
 }
