@@ -474,6 +474,10 @@ object SparkEntry {
     // fingerprint + L1 reconstruction error per vector.
     "q_embed_quant" -> ((s, dir) =>
       SimOps.scalarQuantize(t(s, dir, "embeddings"))),
+    // Product quantization: 4 subspaces x 8-entry codebooks (sampled from
+    // vec_id < 8), packed 12-bit code word + bp-summed L2^2 error.
+    "q_embed_pq" -> ((s, dir) =>
+      SimOps.productQuantize(t(s, dir, "embeddings"), col("vec_id") < 8)),
     // k-NN majority-label prediction over the brute-force neighbors.
     "q_embed_knn" -> ((s, dir) =>
       SimOps.knnLabel(t(s, dir, "embeddings"), col("vec_id") < 5)),
@@ -551,6 +555,32 @@ object SparkEntry {
         .select(col("token"), col("est_n"), coalesce(col("exact_n"), lit(0L)).as("exact_n"))
         .orderBy(col("token"))
     }),
+    // Bloom-filter semi-join reduction: bits built from a selective dim
+    // subset, probe keys tested against the broadcast bit table; per-
+    // priority counts expose the false-positive residue (n_bloom >=
+    // n_exact always; the gap is what the exact join retires).
+    "q_bloom_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      val bits = SketchOps.bloomBits(cust, col("c_custkey"))
+      val hits = SketchOps.bloomHitKeys(t(s, dir, "orders"), col("o_custkey"), bits)
+      t(s, dir, "orders")
+        .join(broadcast(hits.withColumn("bloom", lit(1L))),
+          col("o_custkey") === col("key"), "left").drop("key")
+        .join(broadcast(cust.select(col("c_custkey").as("ck"), lit(1L).as("exact"))),
+          col("o_custkey") === col("ck"), "left").drop("ck")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          count(col("bloom")).as("n_bloom"),
+          count(col("exact")).as("n_exact"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // Z-order locality audit: Morton-interleaved (partkey, suppkey),
+    // per-z-bucket row counts and (x, y) envelopes — the write-layout
+    // that lets parquet stats prune scans on either column.
+    "q_zorder" -> ((s, dir) =>
+      graft.operators.LayoutOps.zorderStats(
+        t(s, dir, "lineitem"), "l_partkey", "l_suppkey", nBuckets = 64)),
     // Map-typed columns: JSON props parsed to map<string,string>, key-set
     // ops (sorted keys, cardinality) per event.
     "q_map_funcs" -> ((s, dir) =>
@@ -1191,6 +1221,24 @@ object SparkEntry {
         "CAST(sum(code) AS BIGINT) AS code_sum, " +
         s"CAST(sum(${TextOps.roundBpSql("err")}) AS BIGINT) AS l1_err_bp " +
         "FROM rc GROUP BY vec_id ORDER BY vec_id"),
+    // mirrors SimOps.productQuantize (m=4, subDim=16, codebook vec_id<8):
+    // same x·x - 2x·c + c·c expansion, same bp-per-subspace error sum
+    "q_embed_pq" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), " +
+        "ss AS (SELECT unnest(range(0, 4)) AS s), " +
+        "sub AS (SELECT vec_id, s, list_slice(e, s * 16 + 1, s * 16 + 16) AS sub FROM e, ss), " +
+        "cb AS (SELECT vec_id AS c_id, s, list_slice(e, s * 16 + 1, s * 16 + 16) AS ce " +
+        "FROM e, ss WHERE vec_id < 8), " +
+        "p AS (SELECT v.vec_id, v.s, c.c_id, " +
+        "list_dot_product(v.sub, v.sub) - 2.0 * list_dot_product(v.sub, c.ce) " +
+        "+ list_dot_product(c.ce, c.ce) AS d2 " +
+        "FROM sub v JOIN cb c ON v.s = c.s), " +
+        "r AS (SELECT vec_id, s, c_id, d2, row_number() OVER (PARTITION BY vec_id, s " +
+        "ORDER BY d2, c_id) AS rn FROM p) " +
+        "SELECT vec_id, CAST(count(*) AS BIGINT) AS n_subs, " +
+        "CAST(sum(c_id * (1::BIGINT << (3 * s))) AS BIGINT) AS code_word, " +
+        s"CAST(sum(${TextOps.roundBpSql("d2")}) AS BIGINT) AS l2sq_err_bp " +
+        "FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"),
     "q_embed_norms" ->
       ("SELECT vec_id, label, len(embedding) AS dim, " +
         s"${TextOps.roundBpSql("sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))")} AS norm_bp " +
@@ -1338,6 +1386,43 @@ object SparkEntry {
         "ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY token) " +
         "SELECT est.token, est_n, coalesce(ex.exact_n, 0) AS exact_n " +
         "FROM est LEFT JOIN ex ON est.token = ex.token ORDER BY est.token"
+    },
+    // mirrors the q_bloom_join pipeline: same md5+affine positions mod
+    // 1024, k=3, HAVING count(*)=3 membership, per-priority flag counts
+    "q_bloom_join" -> {
+      def fams(h: String) = (0 until SketchOps.BloomHashes)
+        .map(i => s"(${StableHash.familyOfSql(h, i)}) % ${SketchOps.BloomBits}")
+        .mkString(", ")
+      s"WITH bk AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000), " +
+        s"bh AS (SELECT ${StableHash.hash60Sql("CAST(k AS VARCHAR)")} AS h FROM bk), " +
+        s"bbits AS (SELECT DISTINCT bit FROM (SELECT unnest([${fams("h")}]) AS bit FROM bh)), " +
+        "pk AS (SELECT DISTINCT o_custkey AS key FROM orders), " +
+        s"ph AS (SELECT key, ${StableHash.hash60Sql("CAST(key AS VARCHAR)")} AS h FROM pk), " +
+        s"pp AS (SELECT key, unnest([${fams("h")}]) AS bit FROM ph), " +
+        "hits AS (SELECT key FROM pp JOIN bbits USING (bit) GROUP BY key " +
+        s"HAVING count(*) = ${SketchOps.BloomHashes}) " +
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(count(*) FILTER (o_custkey IN (SELECT key FROM hits)) AS BIGINT) AS n_bloom, " +
+        "CAST(count(*) FILTER (o_custkey IN (SELECT k FROM bk)) AS BIGINT) AS n_exact " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    },
+    // mirrors LayoutOps.zorderStats(l_partkey, l_suppkey, 64): identical
+    // integer normalize + bit-interleave arithmetic
+    "q_zorder" -> {
+      val bucketWidth = (1L << 32) / 64
+      s"WITH b AS (SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi, " +
+        "min(l_suppkey) AS ylo, max(l_suppkey) AS yhi FROM lineitem), " +
+        "n AS (SELECT l_partkey, l_suppkey, " +
+        "((l_partkey - xlo) * 65535) // greatest(xhi - xlo, 1) AS xb, " +
+        "((l_suppkey - ylo) * 65535) // greatest(yhi - ylo, 1) AS yb " +
+        "FROM lineitem, b), " +
+        s"z AS (SELECT l_partkey, l_suppkey, " +
+        s"(${graft.operators.LayoutOps.interleave16Sql("xb", "yb")}) // $bucketWidth " +
+        "AS zbucket FROM n) " +
+        "SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "min(l_partkey) AS min_x, max(l_partkey) AS max_x, " +
+        "min(l_suppkey) AS min_y, max(l_suppkey) AS max_y " +
+        "FROM z GROUP BY zbucket ORDER BY zbucket"
     },
     // mirrors EventOps.funnel(view, click, purchase): each stage's min ts
     // strictly after the user's previous-stage ts

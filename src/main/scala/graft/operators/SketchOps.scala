@@ -163,6 +163,68 @@ object SketchOps {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
   }
 
+  /** Bloom filter bit count (m) and hash count (k). m is deliberately small
+    * (1024) so the declared query demonstrably exercises the false-positive
+    * path at test scale; a production build sizes m ≈ -n·ln(p)/ln(2)².
+    */
+  val BloomBits = 1024L
+  val BloomHashes = 3
+
+  /** The k bit positions of a key: one md5 ([[StableHash.hash60]]) + k
+    * affine family members mod m — the [[StableHash.familyOf]] pattern the
+    * minhash signatures use (1 md5, not k).
+    */
+  def bloomPositions(keyCol: Column): Seq[Column] = {
+    val h = StableHash.hash60(keyCol.cast("string"))
+    (0 until BloomHashes).map(i => pmod(StableHash.familyOf(h, i), lit(BloomBits)))
+  }
+
+  /** Build side of a Bloom-filter semi-join reduction: the distinct set
+    * bits of the build keys, as rows. ≤ m rows regardless of build size;
+    * mergeable across batches/shards by plain UNION + DISTINCT (bitwise
+    * OR in row form) — the [[registers]]/[[cmsTable]] property again.
+    *
+    * This is the explicit, oracle-verifiable counterpart of Spark's own
+    * runtime `bloom_filter_agg` injection (which PlanSpec pins as
+    * reachable but whose bit layout is Spark-private): at 100 TB you build
+    * this once from the dim side, broadcast ≤ m rows, and drop probe rows
+    * BEFORE they reach the join shuffle.
+    */
+  def bloomBits(build: DataFrame, keyCol: Column): DataFrame =
+    build.select(explode(array(bloomPositions(keyCol): _*)).as("bit")).distinct()
+
+  /** Probe keys that pass the filter (every one of their k bits is set) —
+    * all true matches plus the false-positive residue the exact join
+    * retires. Distinct probe keys explode to k rows, inner-join the
+    * broadcast bit table, and survive on k hits; duplicate positions for
+    * one key still count k because each exploded row matches
+    * independently.
+    */
+  def bloomHitKeys(probe: DataFrame, keyCol: Column, bits: DataFrame): DataFrame =
+    probe.select(keyCol.cast("long").as("key")).distinct()
+      .select(col("key"), explode(array(bloomPositions(col("key")): _*)).as("bit"))
+      .join(broadcast(bits), Seq("bit"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === BloomHashes)
+      .select(col("key"))
+
+  /** Semi-join reduction: probe rows whose key passes the filter, as a
+    * pure per-row predicate — the bit table folds to ONE row holding a
+    * sorted ≤ m-element array, broadcasts, and each probe row tests its k
+    * positions with `array_contains`. No shuffle of the probe side at all;
+    * the filter runs inside the scan stage (at 100 TB this is the point:
+    * rows drop before any exchange). A production filter would pack the
+    * bits into `m/64` longs behind a custom bit-test Expression; the array
+    * form keeps the same plan shape in portable functions.
+    */
+  def bloomReduce(probe: DataFrame, keyCol: Column, bits: DataFrame): DataFrame = {
+    val bitArr = bits.agg(array_sort(collect_list(col("bit"))).as("__bitset"))
+    probe.crossJoin(broadcast(bitArr))
+      .filter(bloomPositions(keyCol).map(p => array_contains(col("__bitset"), p)).reduce(_ && _))
+      .drop("__bitset")
+  }
+
   /** DuckDB SQL matching [[hllDistinct]] on table `table`. */
   def hllDistinctSql(
       table: String,

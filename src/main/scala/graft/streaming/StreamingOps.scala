@@ -7,6 +7,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One event on the stream (mirrors the `events` table's queryable core). */
 case class StreamEvent(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
 
+/** An identified event for the streaming as-of join. */
+case class StreamIdEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
+
+/** Buffered per-key state for [[StreamingOps.asofJoinStream]]: unfinalized
+  * left events and the still-matchable right events (epoch ms, id).
+  */
+case class AsofBuffer(lefts: List[(Long, Long)], rights: List[(Long, Long)])
+
+/** A finalized as-of match (gap in ms; -1 id/gap when no prior right). */
+case class AsofMatch(user_id: Long, l_event_id: Long, l_ts_ms: Long, r_event_id: Long, gap_ms: Long)
+
 /** Open-session state for [[StreamingOps.sessionize]] (epoch millis). */
 case class OpenSession(start: Long, end: Long, n: Long)
 
@@ -138,6 +149,71 @@ object StreamingOps {
         col("purchase_ts") > col("view_ts") &&
         col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $withinSec SECONDS"))
       .select(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
+  /** Streaming as-of join — the streaming twin of
+    * `AsofOps.lastEventBefore`: for every `leftType` event, the same
+    * user's latest `rightType` event at or before it. Stream-stream as-of
+    * is not expressible as a watermarked interval join (the match is
+    * "latest prior", not "within a window"), so this is
+    * `flatMapGroupsWithState` with EVENT-TIME timeouts and an explicit
+    * correctness contract for out-of-order arrival:
+    *
+    *  - A left event is finalized only once the watermark passes its
+    *    timestamp — no earlier-in-event-time right can still arrive — so
+    *    results match the batch operator exactly regardless of arrival
+    *    order or micro-batch slicing (parity-tested).
+    *  - State is bounded: pending lefts live at most the watermark delay;
+    *    buffered rights collapse to the single latest right at or below
+    *    the watermark (any older right is dominated for every future
+    *    left) plus the not-yet-finalizable tail above it.
+    *
+    * Ties on (user, ts) among rights resolve to the greatest event id —
+    * the same `tieBreak` contract as the batch operator.
+    */
+  def asofJoinStream(
+      events: Dataset[StreamIdEvent],
+      leftType: String = "view",
+      rightType: String = "purchase",
+      watermarkDelay: String = "10 minutes"): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == leftType || e.event_type == rightType)
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, batch: Iterator[StreamIdEvent], state: GroupState[AsofBuffer]) => {
+          val buf0 = state.getOption.getOrElse(AsofBuffer(Nil, Nil))
+          val (newL, newR) = batch.partition(_.event_type == leftType)
+          val lefts = buf0.lefts ++ newL.map(e => (e.ts.getTime, e.event_id))
+          val rights = buf0.rights ++ newR.map(e => (e.ts.getTime, e.event_id))
+          val wm = state.getCurrentWatermarkMs()
+          // finalize every left the watermark has passed, in event order
+          val (ready, pending) = lefts.partition(_._1 <= wm)
+          val out = ready.sorted.map { case (lt, lid) =>
+            val prior = rights.filter(_._1 <= lt)
+            if (prior.isEmpty) AsofMatch(user, lid, lt, -1L, -1L)
+            else {
+              val (rt, rid) = prior.max // (ts, id): latest, greatest-id tie
+              AsofMatch(user, lid, lt, rid, lt - rt)
+            }
+          }
+          // dominated rights (older than the latest one at/below the
+          // watermark) can never win for any remaining or future left
+          val settled = rights.filter(_._1 <= wm)
+          val keptRights =
+            (if (settled.nonEmpty) List(settled.max) else Nil) ++ rights.filter(_._1 > wm)
+          if (pending.isEmpty && keptRights.isEmpty) state.remove()
+          else {
+            state.update(AsofBuffer(pending, keptRights))
+            // wake when the watermark reaches the oldest pending left or
+            // unsettled right (all > wm by construction; the one settled
+            // right needs no wake-up — it is already a single cell)
+            val wakes = pending.map(_._1) ++ keptRights.filter(_._1 > wm).map(_._1)
+            if (wakes.nonEmpty) state.setTimeoutTimestamp(wakes.min)
+          }
+          out.iterator
+        })
   }
 
   /** Streaming gap sessionization via `flatMapGroupsWithState` with

@@ -192,6 +192,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The salting operators (SkewOps) are the explicit hot-key mitigation;
+    // this pins the IMPLICIT one: with AQE on (GraftSession default), a
+    // runtime-detected oversized shuffle partition is split into sub-reads
+    // and the join is marked skew=true — no query rewrite required.
+    // Thresholds are production-sized, so they are lowered to make a
+    // test-scale skew detectable.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      import spark.implicits._
+      // 20k of 21k fact rows share key 0 -> one shuffle partition dwarfs
+      // the median. The pad must SURVIVE column pruning (selected through
+      // the join) and resist shuffle compression (md5, not a constant),
+      // or the hot partition's compressed bytes stay under the threshold
+      // and skew is legitimately not detected.
+      val fact = spark.range(0, 21000)
+        .select(org.apache.spark.sql.functions.when(col("id") < 20000, 0L)
+          .otherwise(col("id")).as("key"),
+          org.apache.spark.sql.functions.md5(col("id").cast("string")).as("pad"))
+      val dim = spark.range(0, 2000).select(col("id").as("key"),
+        org.apache.spark.sql.functions.lit(1L).as("d"))
+      val joined = fact.join(dim, "key").select(col("key"), col("pad"), col("d"))
+      // collect() executes THIS dataset's QueryExecution (a write would
+      // plan a fresh one, leaving this adaptive plan un-finalized)
+      assert(joined.collect().length == 20000) // only key 0 matches the dim
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${p.take(800)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("no query plan contains a CartesianProduct") {
     for ((name, fn) <- SparkEntry.queries) {
       val p = planOf(fn(spark, dir))

@@ -203,6 +203,23 @@ class SimOpsSpec extends SparkSpec {
     assert(got.map(g => (g._1, g._2)) == Seq((1L, 2L)))
   }
 
+  test("productQuantize: codebook vectors reconstruct exactly, codes pack to 12 bits") {
+    val e = sf("embeddings")
+    val got = SimOps.productQuantize(e, col("vec_id") < 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == e.count())
+    // every vector: 4 subspaces, code word within 4x3 bits
+    assert(got.forall(r => r._2 == 4L && r._3 >= 0L && r._3 <= 4095L))
+    // a codebook vector's nearest entry in every subspace is itself:
+    // code word = id * (1 + 8 + 64 + 512), zero reconstruction error
+    got.filter(_._1 < 8).foreach { r =>
+      assert(r._3 == r._1 * 585L, s"vec ${r._1} code ${r._3}")
+      assert(r._4 == 0L, s"vec ${r._1} err ${r._4}")
+    }
+    // non-codebook vectors generally do not reconstruct exactly
+    assert(got.count(r => r._1 >= 8 && r._4 > 0L) > (got.length - 8) / 2)
+  }
+
   test("knnLabel: majority label of the nearest cluster wins") {
     // query 0 near three label-7 vectors and one label-3 vector
     val df = emb(

@@ -75,6 +75,41 @@ class SketchOpsSpec extends SparkSpec {
     assert(merged.collect().map(_.toSeq).toSet == whole.collect().map(_.toSeq).toSet)
   }
 
+  test("bloom: no false negatives, bounded false-positive residue") {
+    val build = (0L until 100L).toDF("k")
+    val probe = (0L until 1000L).toDF("k")
+    val bits = SketchOps.bloomBits(build, col("k"))
+    assert(bits.count() <= SketchOps.BloomBits)
+    val hits = SketchOps.bloomHitKeys(probe, col("k"), bits)
+      .as[Long].collect().toSet
+    // every build key passes (Bloom's one-sided guarantee)...
+    assert((0L until 100L).forall(hits.contains))
+    // ...and the false-positive residue stays near the m=1024/k=3 design
+    // point (~2% expected for 300 set bits; 10% is a loose determinism-
+    // safe ceiling — the hash is fixed, so this never flakes)
+    assert((hits.size - 100) < 90, s"false positives: ${hits.size - 100}")
+  }
+
+  test("bloomReduce: the per-row predicate form equals the hit-key join") {
+    val build = (0L until 50L).map(_ * 3).toDF("k")
+    val probe = (0L until 300L).toDF("k")
+    val bits = SketchOps.bloomBits(build, col("k"))
+    val viaReduce = SketchOps.bloomReduce(probe, col("k"), bits)
+      .as[Long].collect().toSet
+    val viaKeys = SketchOps.bloomHitKeys(probe, col("k"), bits)
+      .as[Long].collect().toSet
+    assert(viaReduce == viaKeys)
+  }
+
+  test("bloom: bit tables merge by union (bitwise OR in row form)") {
+    val a = (0L until 40L).toDF("k")
+    val b = (40L until 80L).toDF("k")
+    val merged = SketchOps.bloomBits(a, col("k"))
+      .unionByName(SketchOps.bloomBits(b, col("k"))).distinct()
+    val whole = SketchOps.bloomBits(a.unionByName(b), col("k"))
+    assert(merged.as[Long].collect().toSet == whole.as[Long].collect().toSet)
+  }
+
   test("hllDistinct: per-group estimates track per-group cardinalities") {
     // groups of very different cardinality in one pass
     val df = ((0 until 2000).map(i => ("big", i.toLong)) ++

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.EventOps
-import graft.streaming.{StreamEvent, StreamingOps}
+import graft.streaming.{AsofMatch, StreamEvent, StreamIdEvent, StreamingOps}
 
 class StreamingOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -53,6 +53,83 @@ class StreamingOpsSpec extends SparkSpec {
     val viaStreamingDef = StreamingOps.hourlyCounts(sample.toDF())
       .select("event_type", "n_events").as[(String, Long)].collect().toSet
     assert(viaEventOps == viaStreamingDef)
+  }
+
+  test("asofJoinStream: matches the batch as-of under out-of-order arrival") {
+    // views at 10:00/10:30/11:00 for user 1; purchases at 09:50/10:20;
+    // user 2 has a view with NO prior purchase
+    val evs = Seq(
+      StreamIdEvent(10L, ts("10:00"), 1L, "view"),
+      StreamIdEvent(11L, ts("10:30"), 1L, "view"),
+      StreamIdEvent(12L, ts("11:00"), 1L, "view"),
+      StreamIdEvent(20L, ts("09:50"), 1L, "purchase"),
+      StreamIdEvent(21L, ts("10:20"), 1L, "purchase"),
+      StreamIdEvent(30L, ts("10:15"), 2L, "view"))
+    val input = MemoryStream[StreamIdEvent]
+    // 2 h watermark: the out-of-order arrivals below stay INSIDE the
+    // horizon (an arrival later than the watermark is legitimately
+    // droppable — that contract is the append-mode test's subject)
+    val q = StreamingOps.asofJoinStream(input.toDS(), watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    try {
+      // deliberately out of order ACROSS batches: the 09:50 purchase
+      // arrives after the 10:00 and 10:30 views
+      input.addData(evs(0), evs(1))
+      q.processAllAvailable()
+      input.addData(evs(3), evs(4), evs(5))
+      q.processAllAvailable()
+      input.addData(evs(2)) // advances watermark to 10:50 -> flushes 10:00-10:30
+      q.processAllAvailable()
+      // close the stream: one far-future event pushes the watermark past 11:00
+      input.addData(StreamIdEvent(99L, ts("23:00"), 9L, "view"))
+      q.processAllAvailable()
+      input.addData(StreamIdEvent(98L, ts("23:59"), 9L, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("asof").as[AsofMatch].collect()
+        .filter(_.user_id <= 2L).sortBy(_.l_event_id)
+        .map(m => (m.l_event_id, m.r_event_id, m.gap_ms))
+      // 10:00 view -> 09:50 purchase; 10:30 -> 10:20; 11:00 -> 10:20;
+      // user 2's view -> no prior purchase
+      assert(got.toSeq == Seq(
+        (10L, 20L, 600000L),
+        (11L, 21L, 600000L),
+        (12L, 21L, 2400000L),
+        (30L, -1L, -1L)), s"got: ${got.mkString(", ")}")
+      // and the batch operator agrees on every matched pair
+      val batchDf = evs.toDF()
+        .select(col("event_id"),
+          (unix_timestamp(col("ts")) * 1000000000L).as("ts"),
+          col("user_id"), col("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+      val batch = graft.operators.AsofOps.lastEventBefore(batchDf, "view", "purchase")
+        .select("l_event_id", "r_event_id", "gap_us")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2) / 1000L)).toSeq
+      assert(batch == got.toSeq, s"batch: ${batch.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("asofJoinStream: right-side buffer collapses to one settled cell") {
+    // only purchases, far apart: state must not accumulate them
+    val input = MemoryStream[StreamIdEvent]
+    val q = StreamingOps.asofJoinStream(input.toDS(), watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("asof_trim").outputMode("append").start()
+    try {
+      input.addData(StreamIdEvent(1L, ts("10:00"), 1L, "purchase"))
+      q.processAllAvailable()
+      input.addData(StreamIdEvent(2L, ts("11:00"), 1L, "purchase"))
+      q.processAllAvailable()
+      input.addData(StreamIdEvent(3L, ts("12:00"), 1L, "view"))
+      q.processAllAvailable()
+      input.addData(StreamIdEvent(4L, ts("13:00"), 1L, "view"))
+      q.processAllAvailable()
+      // the 12:00 view flushed once the 13:00 view advanced the watermark;
+      // it must match the LATEST prior purchase even though the older one
+      // was trimmed from state long before
+      val got = spark.table("asof_trim").as[AsofMatch].collect()
+        .filter(_.l_event_id == 3L).map(m => (m.r_event_id, m.gap_ms)).toSeq
+      assert(got == Seq((2L, 3600000L)), s"got: ${got.mkString(", ")}")
+    } finally q.stop()
   }
 
   test("sessionize: event-time timeout closes sessions across micro-batches") {
