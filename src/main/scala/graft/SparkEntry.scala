@@ -532,10 +532,34 @@ object SparkEntry {
     // each stage's first event strictly after the previous stage's.
     "q_events_funnel" -> ((s, dir) =>
       EventOps.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))),
+    // Cohort retention: users by first-active day, per-offset active
+    // counts (offset 0 = cohort size).
+    "q_events_retention" -> ((s, dir) =>
+      EventOps.retentionCohorts(t(s, dir, "events"))),
     // Equi-width histogram of lineitem prices: 1-row bounds broadcast +
     // one partial+final count per bucket (fixed-size mergeable summary).
     "q_histogram" -> ((s, dir) =>
       StatsOps.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20)),
+    // Quantiles from the mergeable histogram state (rank sketch), with
+    // the exact percentile beside the estimate to expose the error.
+    "q_hist_quantiles" -> ((s, dir) =>
+      StatsOps.histogramQuantiles(
+        t(s, dir, "lineitem"), "l_extendedprice", 64, Seq(0.5, 0.95, 0.99))),
+    // FULL OUTER join: per-customer order counts in 1996 vs 1997 — rows
+    // survive from either side, the missing side coalesces to 0.
+    "q_full_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(year(col("o_orderdate")) === 1996)
+        .groupBy(col("o_custkey").as("k1")).agg(count(lit(1)).as("n_1996"))
+      val b = o.filter(year(col("o_orderdate")) === 1997)
+        .groupBy(col("o_custkey").as("k2")).agg(count(lit(1)).as("n_1997"))
+      a.join(b, col("k1") === col("k2"), "full")
+        .select(
+          coalesce(col("k1"), col("k2")).as("custkey"),
+          coalesce(col("n_1996"), lit(0L)).as("n_1996"),
+          coalesce(col("n_1997"), lit(0L)).as("n_1997"))
+        .orderBy(col("custkey"))
+    }),
     // HyperLogLog distinct-count sketch: per-type distinct event ids from
     // 256 explicit registers over the cross-engine md5 hash — fixed-size
     // state instead of shuffling every distinct key (SketchOps scaladoc).
@@ -1445,6 +1469,59 @@ object SparkEntry {
         "coalesce(t3_us, -1) AS t3_us " +
         "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) " +
         "LEFT JOIN s3 USING (user_id) ORDER BY u.user_id"),
+    // mirrors EventOps.retentionCohorts (maxOffset 7)
+    "q_events_retention" ->
+      ("WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id), " +
+        "j AS (SELECT d.user_id, cohort_day, " +
+        "date_diff('day', cohort_day, day) AS day_offset " +
+        "FROM d JOIN c ON d.user_id = c.user_id) " +
+        "SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, " +
+        "CAST(day_offset AS BIGINT) AS day_offset, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM j WHERE day_offset <= 7 GROUP BY cohort_day, day_offset " +
+        "ORDER BY cohort_day, day_offset"),
+    // mirrors StatsOps.histogramQuantiles(64 buckets, q = .5/.95/.99):
+    // same cumulative-rank interpolation, exact side via quantile_cont
+    "q_hist_quantiles" -> {
+      val qs = Seq(0.5, 0.95, 0.99)
+      val exactRows = qs.map(q =>
+        s"SELECT ${TextOps.roundBpSql(q.toString)} AS q_bp, " +
+          s"${TextOps.roundBpSql(s"quantile_cont(CAST(l_extendedprice AS DOUBLE), $q)")} " +
+          "AS exact_bp FROM lineitem").mkString(" UNION ALL ")
+      val est = TextOps.roundBpSql(
+        "lo + w * (CAST(bucket AS DOUBLE) + " +
+          "(r - CAST(cum - n_rows AS DOUBLE)) / CAST(n_rows AS DOUBLE))")
+      s"WITH b AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo, " +
+        "max(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem), " +
+        "rr AS (SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - lo) / " +
+        "((hi - lo) / 64.0)), 63.0) AS BIGINT) AS bucket, lo, (hi - lo) / 64.0 AS w " +
+        "FROM lineitem, b), " +
+        "g AS (SELECT bucket, lo, w, CAST(count(*) AS BIGINT) AS n_rows " +
+        "FROM rr GROUP BY bucket, lo, w), " +
+        "cum AS (SELECT *, sum(n_rows) OVER (ORDER BY bucket ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(n_rows) OVER () AS n_total " +
+        "FROM g), " +
+        s"q(q) AS (VALUES ${qs.map(q => s"($q)").mkString(", ")}), " +
+        "p AS (SELECT q, bucket, lo, w, n_rows, cum, " +
+        "q * CAST(n_total AS DOUBLE) AS r FROM cum, q " +
+        "WHERE CAST(cum AS DOUBLE) >= q * CAST(n_total AS DOUBLE)), " +
+        "f AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY bucket) AS rn FROM p), " +
+        s"est AS (SELECT ${TextOps.roundBpSql("q")} AS q_bp, $est AS est_bp " +
+        "FROM f WHERE rn = 1), " +
+        s"ex AS ($exactRows) " +
+        "SELECT est.q_bp, est_bp, exact_bp FROM est JOIN ex ON est.q_bp = ex.q_bp " +
+        "ORDER BY est.q_bp"
+    },
+    // mirrors the q_full_join full-outer aggregate join
+    "q_full_join" ->
+      ("WITH a AS (SELECT o_custkey AS k1, CAST(count(*) AS BIGINT) AS n_1996 " +
+        "FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey), " +
+        "b AS (SELECT o_custkey AS k2, CAST(count(*) AS BIGINT) AS n_1997 " +
+        "FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey) " +
+        "SELECT coalesce(k1, k2) AS custkey, coalesce(n_1996, 0) AS n_1996, " +
+        "coalesce(n_1997, 0) AS n_1997 FROM a FULL JOIN b ON k1 = k2 " +
+        "ORDER BY custkey"),
     // mirrors StatsOps.histogram(l_extendedprice, 20): identical IEEE
     // (x - lo) / ((hi - lo) / 20.0) floor/least arithmetic on both engines
     "q_histogram" -> {

@@ -190,6 +190,38 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention — the other product-analytics staple next to
+    * [[funnel]]: users cohorted by their first active day; for each
+    * (cohort day, day offset ≤ `maxOffset`) the number of cohort users
+    * active that day. offset 0 is the cohort size itself, so downstream
+    * divides n_users by the offset-0 row for the retention curve (emitted
+    * as counts, not ratios — integers hash across engines).
+    *
+    * Shape: distinct (user, day) — one hash shuffle — then a per-user min
+    * (co-partitioned with the distinct), a join back on user_id (both
+    * sides keyed on user, exchange reusable), and a final small
+    * aggregation on (cohort, offset). Nothing holds more than a day-set
+    * per user, and the output is cohort-days x offsets — tiny at any
+    * corpus scale.
+    */
+  def retentionCohorts(events: DataFrame, maxOffset: Int = 7): DataFrame = {
+    val days = normalizeTs(events)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days
+      .join(cohorts, "user_id")
+      // "day_offset", not "offset" — OFFSET is a reserved word in most
+      // engines and the oracle must alias the same name unquoted
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("cohort_day").cast("string").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Extract a numeric field from the JSON `props` column and aggregate.
     * Uses the codegen'd `get_json_object` path — no UDF.
     */

@@ -28,7 +28,19 @@ object StatsOps {
     * across partitions and across corpus shards) — the fixed-size-summary
     * family next to HLL/CMS in [[SketchOps]].
     */
-  def histogram(df: DataFrame, valueCol: String, nb: Int): DataFrame = {
+  def histogram(df: DataFrame, valueCol: String, nb: Int): DataFrame =
+    histogramCore(df, valueCol, nb)
+      .select(
+        col("bucket"),
+        TextOps.roundBp(col("lo") + col("w") * col("bucket").cast("double")).as("lo_bp"),
+        TextOps.roundBp(col("lo") + col("w") * (col("bucket") + 1).cast("double")).as("hi_bp"),
+        col("n_rows"))
+      .orderBy(col("bucket"))
+
+  /** (bucket, lo, w, n_rows) with unrounded bounds — the mergeable state
+    * [[histogram]] projects to bp and [[histogramQuantiles]] ranks over.
+    */
+  private def histogramCore(df: DataFrame, valueCol: String, nb: Int): DataFrame = {
     require(nb > 0, "need at least one bucket")
     val bounds = df.agg(
       min(col(valueCol).cast("double")).as("lo"),
@@ -41,11 +53,60 @@ object StatsOps {
         col("lo"), width.as("w"))
       .groupBy(col("bucket"), col("lo"), col("w"))
       .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Approximate quantiles FROM the histogram — the rank-query member of
+    * the sketch family ([[SketchOps]]: HLL = distinct, CMS = frequency,
+    * Bloom = membership; this = rank): the histogram's `nb` counters merge
+    * across shards by addition, and any snapshot answers any quantile to
+    * within one bucket width — where exact `percentile` must shuffle and
+    * sort every value. Estimate: linear interpolation inside the first
+    * bucket whose cumulative count reaches `q·N` (the equi-width analog of
+    * the t-digest/KLL contract, exact enough for operational percentiles).
+    *
+    * Emits the exact `percentile` beside the estimate so the declared
+    * query itself documents the sketch error. That exact baseline is the
+    * declared query's dominant cost BY DESIGN (it buffers every value per
+    * group — the very thing the sketch exists to avoid; the sketch half
+    * alone is one scan plus nb counters). All interpolation arithmetic is
+    * plain IEEE multiply/divide replicated in the oracle; outputs are bp
+    * longs.
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String, nb: Int, qs: Seq[Double]): DataFrame = {
+    val core = histogramCore(df, valueCol, nb)
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // nb rows: the windows here run over counter state, never the data —
+    // and n_total comes from the SAME pass (a separate core.agg would
+    // re-plan the whole histogram, doubling the table scans)
+    val cum = core
+      .withColumn("cum", sum(col("n_rows")).over(wCum))
+      .withColumn("n_total", sum(col("n_rows")).over(wAll))
+    val probes = explode(array(qs.map(q => lit(q)): _*)).as("q")
+    val ranked = cum.select(col("*"), probes)
+      .withColumn("r", col("q") * col("n_total").cast("double"))
+      .filter(col("cum").cast("double") >= col("r"))
+    val first = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("bucket"))
+    val est = col("lo") + col("w") *
+      (col("bucket").cast("double") +
+        (col("r") - (col("cum") - col("n_rows")).cast("double")) / col("n_rows").cast("double"))
+    val qArr = array(qs.map(q => lit(q)): _*)
+    val exact = df
+      .agg(expr(s"percentile($valueCol, array(${qs.mkString("D, ")}D))").as("ex"))
+      .select(posexplode(col("ex")).as(Seq("i", "x")))
       .select(
-        col("bucket"),
-        TextOps.roundBp(col("lo") + col("w") * col("bucket").cast("double")).as("lo_bp"),
-        TextOps.roundBp(col("lo") + col("w") * (col("bucket") + 1).cast("double")).as("hi_bp"),
-        col("n_rows"))
-      .orderBy(col("bucket"))
+        TextOps.roundBp(element_at(qArr, col("i") + 1)).as("q_bp"),
+        TextOps.roundBp(col("x")).as("exact_bp"))
+    ranked
+      .withColumn("rn", row_number().over(first))
+      .filter(col("rn") === 1)
+      .select(TextOps.roundBp(col("q")).as("q_bp"), TextOps.roundBp(est).as("est_bp"))
+      .join(broadcast(exact), "q_bp")
+      .orderBy(col("q_bp"))
   }
 }

@@ -112,6 +112,26 @@ class EventOpsSpec extends SparkSpec {
     assert(u2 == ((ms("10:10") * 1000L, -1L, -1L)))
   }
 
+  test("retentionCohorts: offsets measured from each user's first day") {
+    def day(d: Int, hh: String) = Timestamp.valueOf(f"2026-01-$d%02d $hh:00:00").getTime
+    val rows = Seq(
+      // user 1: cohort Jan 1, active day 0, 2 (twice -> still one count)
+      (1L, day(1, "09"), 1L), (2L, day(3, "10"), 1L), (3L, day(3, "11"), 1L),
+      // user 2: cohort Jan 2, active day 0 only
+      (4L, day(2, "09"), 2L),
+      // user 3: cohort Jan 1, active day 0 and 1
+      (5L, day(1, "23"), 3L), (6L, day(2, "01"), 3L))
+      .map { case (id, tMs, u) => (id, tMs * 1000000L, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.retentionCohorts(rows)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2026-01-01", 0L, 2L), // users 1 and 3
+      ("2026-01-01", 1L, 1L), // user 3
+      ("2026-01-01", 2L, 1L), // user 1 (deduped to one day)
+      ("2026-01-02", 0L, 1L))) // user 2
+  }
+
   test("percentiles: hand-checked median and p95") {
     val df = ev((1 to 5).map(i => (i.toLong, ms("10:00") + i, "x", i.toDouble)): _*)
     val r = EventOps.percentiles(df).head()

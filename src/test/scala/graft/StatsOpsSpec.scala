@@ -24,4 +24,29 @@ class StatsOpsSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_rows")).as[Long].head()
     assert(n == df.count())
   }
+
+  test("histogramQuantiles: sketch estimate within one bucket width of exact") {
+    val df = sf("lineitem").select($"l_extendedprice")
+    val nb = 64
+    val got = StatsOps.histogramQuantiles(df, "l_extendedprice", nb, Seq(0.5, 0.95))
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 2)
+    val span = df.agg(
+      org.apache.spark.sql.functions.max($"l_extendedprice") -
+        org.apache.spark.sql.functions.min($"l_extendedprice")).as[Double].head()
+    val bucketBp = span / nb * 10000.0
+    got.foreach { case (q, est, exact) =>
+      assert(math.abs(est - exact) <= bucketBp,
+        s"q=$q est=$est exact=$exact off by more than a bucket")
+    }
+  }
+
+  test("histogramQuantiles: uniform data lands on the analytic quantile") {
+    val df = (0 until 1000).map(_.toDouble).toDF("v")
+    val got = StatsOps.histogramQuantiles(df, "v", 10, Seq(0.5))
+      .as[(Long, Long, Long)].head()
+    // r = 500 falls in bucket 5 ([499.5, 599.4]); interpolation gives
+    // 499.5 + 99.9 * (500-500)/100 = 499.5 -> est 4995000; exact 499.5
+    assert(got == ((5000L, 4995000L, 4995000L)))
+  }
 }
