@@ -344,6 +344,14 @@ object SparkEntry {
     // repeated-n-gram ratios, top-2-gram char coverage, combined gate.
     "q_quality_gopher" -> ((s, dir) =>
       TextOps.gopherQuality(t(s, dir, "documents"))),
+    // Unigram-surprisal LM score (integer perplexity surrogate): corpus
+    // vocab broadcast onto the token stream, per-doc integer mean.
+    "q_lm_surprisal" -> ((s, dir) =>
+      TextOps.lmSurprisal(t(s, dir, "documents"))),
+    // Per-source quality scorecard: the gopher gate rolled up per source
+    // (drop-a-source curation granularity).
+    "q_source_stats" -> ((s, dir) =>
+      TextOps.sourceScorecard(t(s, dir, "documents"))),
     // BM25 lexical ranking against a fixed query-term set (integer idf
     // surrogate, per-term bp rounding so totals are integer-exact).
     "q_text_bm25" -> ((s, dir) =>
@@ -643,6 +651,51 @@ object SparkEntry {
   private val bm25Terms = Seq("join", "merge", "sort")
 
   private def duckInList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB SQL mirroring [[TextOps.gopherQuality]] — also the CTE body
+    * of the q_source_stats rollup oracle.
+    */
+  private lazy val duckGopherSql: String = {
+    val allStops = TextOps.langMarkers.flatMap(_._2).distinct.sorted
+      s"WITH d AS (SELECT doc_id, text, $duckToks AS t FROM documents), " +
+        s"g AS (SELECT doc_id, text, t, $duckShingles2 AS g2, $duckShingles3 AS g3 " +
+        "FROM d WHERE len(t) > 0), " +
+        "sc AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, " +
+        "CAST(length(text) AS BIGINT) AS n_chars, " +
+        s"${TextOps.roundBpSql(
+          "CAST(length(array_to_string(t, '')) AS DOUBLE) / CAST(len(t) AS DOUBLE)")} " +
+        "AS mean_word_len_bp, " +
+        s"${TextOps.roundBpSql(
+          "CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / " +
+            "CAST(len(t) AS DOUBLE)")} AS alpha_word_bp, " +
+        s"${TextOps.roundBpSql(
+          "CAST(len(list_filter(t, x -> regexp_matches(x, '[^a-z0-9]'))) AS DOUBLE) / " +
+            "CAST(len(t) AS DOUBLE)")} AS symbol_word_bp, " +
+        s"${TextOps.roundBpSql(
+          "CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / " +
+            "CAST(len(g2) AS DOUBLE) ELSE 0.0 END")} AS rep_2gram_bp, " +
+        s"${TextOps.roundBpSql(
+          "CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / " +
+            "CAST(len(g3) AS DOUBLE) ELSE 0.0 END")} AS rep_3gram_bp, " +
+        s"CAST(len(list_filter(t, x -> x IN (${duckInList(allStops)}))) AS BIGINT) AS n_stop " +
+        "FROM g), " +
+        "gg AS (SELECT doc_id, unnest(g2) AS gram FROM g), " +
+        "gc AS (SELECT doc_id, gram, count(*) AS cnt FROM gg GROUP BY 1, 2), " +
+        "top AS (SELECT doc_id, cnt * length(gram) AS top2_chars FROM " +
+        "(SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY cnt DESC, gram) AS rn FROM gc) WHERE rn = 1), " +
+        "j AS (SELECT sc.*, " +
+        s"${TextOps.roundBpSql(
+          "CAST(coalesce(top2_chars, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE)")} " +
+        "AS top_2gram_char_bp FROM sc LEFT JOIN top USING (doc_id)) " +
+        "SELECT doc_id, n_tokens, mean_word_len_bp, alpha_word_bp, symbol_word_bp, " +
+        "rep_2gram_bp, rep_3gram_bp, top_2gram_char_bp, n_stop, " +
+        "CAST(CASE WHEN mean_word_len_bp >= 30000 AND mean_word_len_bp <= 100000 " +
+        "AND alpha_word_bp >= 8000 AND symbol_word_bp <= 1000 " +
+        "AND rep_2gram_bp < 2000 AND top_2gram_char_bp < 2000 " +
+        "AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass " +
+        "FROM j ORDER BY doc_id"
+  }
 
   /** Shared CTE chain for the MinHash oracles: planted corpus → token lists
     * → distinct-shingle lists (`sl`) → exploded shingles → 8-hash signature
@@ -967,47 +1020,28 @@ object SparkEntry {
         "FROM pc ORDER BY doc_id"),
     // mirrors TextOps.gopherQuality: scalar rules from the token list,
     // top-2-gram coverage via unnest + per-doc top-1 window
-    "q_quality_gopher" -> {
-      val allStops = TextOps.langMarkers.flatMap(_._2).distinct.sorted
-      s"WITH d AS (SELECT doc_id, text, $duckToks AS t FROM documents), " +
-        s"g AS (SELECT doc_id, text, t, $duckShingles2 AS g2, $duckShingles3 AS g3 " +
-        "FROM d WHERE len(t) > 0), " +
-        "sc AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, " +
-        "CAST(length(text) AS BIGINT) AS n_chars, " +
-        s"${TextOps.roundBpSql(
-          "CAST(length(array_to_string(t, '')) AS DOUBLE) / CAST(len(t) AS DOUBLE)")} " +
-        "AS mean_word_len_bp, " +
-        s"${TextOps.roundBpSql(
-          "CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / " +
-            "CAST(len(t) AS DOUBLE)")} AS alpha_word_bp, " +
-        s"${TextOps.roundBpSql(
-          "CAST(len(list_filter(t, x -> regexp_matches(x, '[^a-z0-9]'))) AS DOUBLE) / " +
-            "CAST(len(t) AS DOUBLE)")} AS symbol_word_bp, " +
-        s"${TextOps.roundBpSql(
-          "CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / " +
-            "CAST(len(g2) AS DOUBLE) ELSE 0.0 END")} AS rep_2gram_bp, " +
-        s"${TextOps.roundBpSql(
-          "CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / " +
-            "CAST(len(g3) AS DOUBLE) ELSE 0.0 END")} AS rep_3gram_bp, " +
-        s"CAST(len(list_filter(t, x -> x IN (${duckInList(allStops)}))) AS BIGINT) AS n_stop " +
-        "FROM g), " +
-        "gg AS (SELECT doc_id, unnest(g2) AS gram FROM g), " +
-        "gc AS (SELECT doc_id, gram, count(*) AS cnt FROM gg GROUP BY 1, 2), " +
-        "top AS (SELECT doc_id, cnt * length(gram) AS top2_chars FROM " +
-        "(SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id " +
-        "ORDER BY cnt DESC, gram) AS rn FROM gc) WHERE rn = 1), " +
-        "j AS (SELECT sc.*, " +
-        s"${TextOps.roundBpSql(
-          "CAST(coalesce(top2_chars, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE)")} " +
-        "AS top_2gram_char_bp FROM sc LEFT JOIN top USING (doc_id)) " +
-        "SELECT doc_id, n_tokens, mean_word_len_bp, alpha_word_bp, symbol_word_bp, " +
-        "rep_2gram_bp, rep_3gram_bp, top_2gram_char_bp, n_stop, " +
-        "CAST(CASE WHEN mean_word_len_bp >= 30000 AND mean_word_len_bp <= 100000 " +
-        "AND alpha_word_bp >= 8000 AND symbol_word_bp <= 1000 " +
-        "AND rep_2gram_bp < 2000 AND top_2gram_char_bp < 2000 " +
-        "AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass " +
-        "FROM j ORDER BY doc_id"
-    },
+    "q_quality_gopher" -> duckGopherSql,
+    // mirrors TextOps.lmSurprisal
+    "q_lm_surprisal" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents), " +
+        "v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok), " +
+        "n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM v), " +
+        "sp AS (SELECT doc_id, (n_total * 10000) // cnt AS s " +
+        "FROM tok JOIN v USING (tok) CROSS JOIN n) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(s) // count(*) AS BIGINT) AS avg_surprisal_bp " +
+        "FROM sp GROUP BY doc_id ORDER BY doc_id"),
+    // mirrors TextOps.sourceScorecard: the gopher oracle as a CTE, rolled
+    // up per source with integer-div means
+    "q_source_stats" ->
+      (s"WITH gq AS ($duckGopherSql) " +
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(gq.n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(gopher_pass) AS BIGINT) AS n_pass, " +
+        "CAST(sum(mean_word_len_bp) // count(*) AS BIGINT) AS mean_word_len_bp, " +
+        "CAST(sum(rep_2gram_bp) // count(*) AS BIGINT) AS mean_rep_2gram_bp " +
+        "FROM gq JOIN documents d ON gq.doc_id = d.doc_id " +
+        "GROUP BY d.source ORDER BY d.source"),
     // mirrors TextOps.bm25 (k1=1.2, b=0.75, integer idf surrogate,
     // per-term bp rounding, top 20)
     "q_text_bm25" -> {

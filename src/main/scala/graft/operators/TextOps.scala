@@ -445,6 +445,56 @@ object TextOps {
       .orderBy(col("seq_id"))
   }
 
+  /** Unigram-surprisal quality score — the integer-exact stand-in for the
+    * KenLM-perplexity filter big pipelines run (docs whose average token
+    * surprisal is an outlier on EITHER tail are suspect: too low =
+    * boilerplate/repetitive, too high = gibberish/OCR noise). True
+    * perplexity needs `ln(p)` (libm-dependent); the surrogate keeps the
+    * ordering with pure integer arithmetic: surprisal(tok) =
+    * `(N * 10000) div count(tok)` (the [[tfidfTopTerms]] idf trick), doc
+    * score = integer mean over its tokens.
+    *
+    * Shape: one corpus-wide token count (hash shuffle with map-side
+    * combine), broadcast back onto the exploded tokens — the vocabulary
+    * is orders of magnitude smaller than the corpus; at 100 TB it would
+    * be top-K truncated with a default surprisal for the tail — then one
+    * per-doc aggregation.
+    */
+  def lmSurprisal(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val n = vocab.agg(sum(col("cnt")).as("n_total"))
+    tok
+      .join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), expr("(n_total * 10000) div cnt").as("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("sum_s"))
+      .select(col(idCol), col("n_tokens"),
+        expr("sum_s div n_tokens").as("avg_surprisal_bp"))
+      .orderBy(col(idCol))
+  }
+
+  /** Per-source scorecard — the aggregation a curation pipeline uses to
+    * DROP whole sources rather than single documents: [[gopherQuality]]
+    * rolled up per source with pass counts and mean gate metrics (integer
+    * sums `div` counts — engine-exact). The per-doc gate output is keyed
+    * by doc id, the rollup by source — one extra join against the narrow
+    * (id, source) projection and one small aggregation.
+    */
+  def sourceScorecard(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source"): DataFrame =
+    gopherQuality(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(srcCol)), idCol)
+      .groupBy(col(srcCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("gopher_pass")).as("n_pass"),
+        expr("sum(mean_word_len_bp) div count(1)").as("mean_word_len_bp"),
+        expr("sum(rep_2gram_bp) div count(1)").as("mean_rep_2gram_bp"))
+      .orderBy(col(srcCol))
+
   def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val allStops = langMarkers.flatMap(_._2).distinct.sorted
     val toks = tokens(col(textCol))

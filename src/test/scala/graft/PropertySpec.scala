@@ -88,6 +88,61 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: packSequences conserves docs/tokens; bins are contiguous") {
+    val gen = for {
+      docRows <- genDocs
+      budget <- Gen.chooseNum(1L, 12L)
+      shard <- Gen.chooseNum(1L, 8L)
+    } yield (docRows, budget, shard)
+    check("pack", 10, Prop.forAll(gen) { case (docRows, budget, shard) =>
+      val d = docRows.toDF("doc_id", "text")
+      val bins = graft.operators.TextOps.packSequences(d, budget, shard)
+        .as[(Long, Long, Long, Long, Long)].collect().toList
+      val totTokens = docRows.map(_._2.split("\\s+").count(_.nonEmpty)).sum
+      bins.map(_._2).sum == docRows.length && // every doc in exactly one bin
+        bins.map(_._3).sum == totTokens && // every token counted once
+        bins.map(_._1) == bins.map(_._1).sorted && // bins ordered
+        // doc-id ranges never interleave across bins (contiguity)
+        bins.sliding(2).forall {
+          case List(a, b) => a._5 < b._4
+          case _ => true
+        }
+    })
+  }
+
+  test("property: Bloom filter never yields a false negative") {
+    val genKeys = for {
+      build <- Gen.listOf(Gen.chooseNum(0L, 5000L))
+      probe <- Gen.listOf(Gen.chooseNum(0L, 5000L))
+    } yield (build, probe)
+    check("bloom", 10, Prop.forAll(genKeys) { case (build, probe) =>
+      (build.isEmpty || probe.isEmpty) || {
+        val bits = graft.operators.SketchOps.bloomBits(build.toDF("k"), col("k"))
+        val hits = graft.operators.SketchOps.bloomHitKeys(probe.toDF("k"), col("k"), bits)
+          .as[Long].collect().toSet
+        build.toSet.intersect(probe.toSet).forall(hits.contains)
+      }
+    })
+  }
+
+  test("property: Morton interleave is a bijection on 16-bit pairs") {
+    val gen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)))
+    check("zorder", 10, Prop.forAll(gen) { pairs =>
+      pairs.isEmpty || {
+        val z = pairs.toDF("xb", "yb")
+          .select(col("xb"), col("yb"),
+            graft.operators.LayoutOps.interleave16(col("xb"), col("yb")).as("z"))
+          .as[(Long, Long, Long)].collect()
+        // deinterleave on the JVM side recovers both coordinates
+        z.forall { case (x, y, zz) =>
+          val xr = (0 until 16).map(i => ((zz >> (2 * i)) & 1L) << i).sum
+          val yr = (0 until 16).map(i => ((zz >> (2 * i + 1)) & 1L) << i).sum
+          xr == x && yr == y
+        }
+      }
+    })
+  }
+
   test("property: exactDedup partitions the corpus and is idempotent") {
     check("dedup", 10, Prop.forAll(genDocs) { docRows =>
       val corpus = docRows.toDF("doc_id", "text")

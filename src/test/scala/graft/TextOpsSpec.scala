@@ -245,6 +245,26 @@ class TextOpsSpec extends SparkSpec {
     assert(scores(1L) < scores(2L) * 2)
   }
 
+  test("lmSurprisal: rare-token docs score higher, integer-exact means") {
+    // counts: a=2, b=2, c=1, N=5; s(a)=s(b)=25000, s(c)=50000
+    val got = TextOps.lmSurprisal(docs((1L, "a a b"), (2L, "b c")))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 25000L), (2L, 2L, 37500L)))
+  }
+
+  test("sourceScorecard: a boilerplate source fails the gate wholesale") {
+    val clean = "the quick brown fox jumps over the lazy dog and then rests"
+    val d = Seq(
+      (1L, clean, "good"), (2L, clean + " again today", "good"),
+      (3L, "spam spam spam spam spam spam", "bad"),
+      (4L, ("buy now " * 10).trim, "bad"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.sourceScorecard(d)
+      .select("source", "n_docs", "n_pass")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("bad", 2L, 0L), ("good", 2L, 2L)))
+  }
+
   test("packSequences: budget binning with overflow by at most the last doc") {
     val d = docs(
       (0L, "a b c"), // 3 tokens, before=0  -> seq 0
