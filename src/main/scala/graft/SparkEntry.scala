@@ -123,7 +123,10 @@ object SparkEntry {
     "q_textint_v2" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_textint_v2").toString
       val ints = t(s, dir, "lineitem").select(col("l_orderkey").cast("int").as("value"))
-      graft.sources.TextIntIO.writePartitioned(ints, s"$tmp/ints")
+      // both halves of the connector: the V2 SINK writes range-partitioned
+      // sorted parts (TeraSort contract), the V2 SCAN chunk-splits them back
+      ints.repartitionByRange(8, col("value")).sortWithinPartitions("value")
+        .write.format("textint").mode("overwrite").save(s"$tmp/ints")
       s.read.format("textint").option("chunkSize", 16 * 1024)
         .load(s"$tmp/ints").orderBy("value")
     }),
@@ -281,6 +284,19 @@ object SparkEntry {
     }),
     // Set operations: INTERSECT and EXCEPT of two key sets, tagged and
     // unioned into one deterministic result.
+    // The SQL entry point: the same engine surface through spark.sql on a
+    // registered view — GROUPING SETS picks a lattice neither rollup nor
+    // cube expresses (pair + right-unit + grand total).
+    "q_sql_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        "SELECT coalesce(l_returnflag, '(all)') AS rflag, " +
+          "coalesce(l_linestatus, '(all)') AS lstatus, " +
+          "CAST(count(*) AS BIGINT) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
+          "FROM lineitem_gs " +
+          "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ()) " +
+          "ORDER BY rflag, lstatus")
+    }),
     "q_set_ops" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_partkey").as("k")).distinct()
       val pa = t(s, dir, "part").filter(col("p_size") > 25).select(col("p_partkey").as("k"))
@@ -922,6 +938,13 @@ object SparkEntry {
         "coalesce(l_linestatus, '(all)') AS lstatus, " +
         "CAST(count(*) AS BIGINT) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY rflag, lstatus"),
+    "q_sql_grouping_sets" ->
+      ("SELECT coalesce(l_returnflag, '(all)') AS rflag, " +
+        "coalesce(l_linestatus, '(all)') AS lstatus, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ()) " +
         "ORDER BY rflag, lstatus"),
     "q_set_ops" ->
       ("WITH li AS (SELECT DISTINCT l_partkey AS k FROM lineitem), " +

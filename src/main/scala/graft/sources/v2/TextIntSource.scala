@@ -7,9 +7,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.SpecificInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,16 +65,114 @@ object TextIntTable {
     StructType(Seq(StructField("value", IntegerType, nullable = false)))
 }
 
-class TextIntTable(path: String) extends Table with SupportsRead {
+class TextIntTable(path: String) extends Table with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty, "textint source requires a path")
 
   override def name(): String = s"textint($path)"
   override def schema(): StructType = TextIntTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TextIntScanBuilder(path, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TextIntWriteBuilder(path, info)
+}
+
+/** Write side of the connector — the V2 spelling of the reference's sorted
+  * text sink (`NodeHandler.java:79-85`: space-joined tokens). Tasks stream
+  * rows to HIDDEN temp files (`.`-prefixed, invisible to both readers); the
+  * driver's job commit renames them to `part-NNNNN.txt` in partition order
+  * — so a failed or speculative task attempt leaves nothing visible, and
+  * `mode("overwrite")` (TRUNCATE capability) removes old parts only inside
+  * the same commit. Partition order is preserved: writing a
+  * range-partitioned, partition-sorted frame yields lexicographic part
+  * files whose concatenation IS the total order — the
+  * [[graft.sources.TextIntIO.writePartitioned]] TeraSort contract, now
+  * owned end-to-end by the connector.
+  */
+class TextIntWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  require(info.schema().fields.length == 1 &&
+    info.schema().fields(0).dataType == IntegerType,
+    s"textint sink writes a single int column, got ${info.schema().catalogString}")
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new TextIntWrite(path, doTruncate, info.queryId())
+}
+
+case class TextIntCommitMessage(partitionId: Int, tmpPath: String) extends WriterCommitMessage
+
+class TextIntWrite(path: String, doTruncate: Boolean, queryId: String)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"textint sink $path truncate=$doTruncate"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    TextIntWriterFactory(path, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    if (doTruncate && fs.exists(root))
+      fs.listStatus(root).filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .foreach(s => fs.delete(s.getPath, false))
+    messages.collect { case m: TextIntCommitMessage => m }
+      .sortBy(_.partitionId)
+      .foreach { m =>
+        fs.rename(new Path(m.tmpPath), new Path(root, f"part-${m.partitionId}%05d.txt")): Unit
+      }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    messages.collect { case m: TextIntCommitMessage => m }
+      .foreach(m => fs.delete(new Path(m.tmpPath), false): Unit)
+  }
+}
+
+case class TextIntWriterFactory(path: String, queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TextIntDataWriter(path, queryId, partitionId, taskId)
+}
+
+/** Streams one partition to a hidden temp file, space-delimited (the
+  * reference's exact format: single spaces, no trailing delimiter).
+  */
+class TextIntDataWriter(path: String, queryId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val tmp = new Path(path, s".$queryId-$partitionId-$taskId.tmp")
+  private val out = {
+    val fs = tmp.getFileSystem(new Configuration())
+    fs.mkdirs(new Path(path))
+    new java.io.BufferedOutputStream(fs.create(tmp, true), 64 * 1024)
+  }
+  private var first = true
+  private var closed = false
+
+  private def closeOnce(): Unit = if (!closed) { closed = true; out.close() }
+
+  override def write(row: InternalRow): Unit = {
+    if (!first) out.write(' ')
+    first = false
+    out.write(java.lang.Integer.toString(row.getInt(0))
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeOnce()
+    TextIntCommitMessage(partitionId, tmp.toString)
+  }
+
+  override def abort(): Unit = {
+    closeOnce()
+    tmp.getFileSystem(new Configuration()).delete(tmp, false): Unit
+  }
+
+  override def close(): Unit = closeOnce()
 }
 
 class TextIntScanBuilder(path: String, options: CaseInsensitiveStringMap) extends ScanBuilder {

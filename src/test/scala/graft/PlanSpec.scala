@@ -192,6 +192,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_bloom_join: every join is broadcast — the probe side never shuffles") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "bloom bits/hits must broadcast; a shuffled probe defeats the reduction")
+  }
+
+  test("q_text_bm25: top-k is TakeOrderedAndProject; term filter applied map-side") {
+    val p = plan("q_text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "BM25 top-k must not be a global-window sort")
+    // the isin(terms) predicate exists as a Filter (tokens drop before the
+    // (doc, term) aggregation's exchange — Catalyst pushes it through the
+    // Generate), and the tiny df/corpus sides broadcast
+    assert(p.contains("IN (join,merge,sort)"), s"term filter missing:\n${p.take(600)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_pack_sequences: the per-doc running sum is partitioned by shard") {
+    val p = plan("q_pack_sequences")
+    // the corpus-wide window must be keyed on the shard column; a global
+    // (partition-less) window over the corpus would serialize it through
+    // one task — only the tiny shard-totals window may be global
+    assert(p.contains("windowspecdefinition(shard"),
+      s"no shard-partitioned window found:\n${p.take(600)}")
+  }
+
+  test("q_histogram and q_zorder: 1-row bounds broadcast back into the scan") {
+    for (q <- Seq("q_histogram", "q_zorder")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q bounds are not broadcast:\n${p.take(400)}")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q_embed_pq: the codebook is broadcast; vectors never shuffle for assignment") {
+    val p = plan("q_embed_pq")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), "codebook must broadcast")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // The salting operators (SkewOps) are the explicit hot-key mitigation;
     // this pins the IMPLICIT one: with AQE on (GraftSession default), a

@@ -78,6 +78,44 @@ class TextIntSourceSpec extends SparkSpec {
     assert(readV2(dir.toString, 100).sorted == Seq(1, 2, 3, 4))
   }
 
+  test("V2 write: round trip preserves the multiset; files are space-joined") {
+    val tmp = Files.createTempDirectory("graft_v2w").toString + "/out"
+    val xs = Seq(5, -3, 999999, 0, 1000000, 42)
+    xs.toDF("value").coalesce(2).write.format("textint").mode("append").save(tmp)
+    assert(readV2(tmp, 16).sorted == xs.sorted)
+    // visible files are committed parts only — no temp residue (hidden
+    // .crc checksums are Hadoop LocalFS artifacts, invisible to readers)
+    // — and the content is the reference's exact format (single spaces,
+    // no trailing delimiter)
+    val files = new java.io.File(tmp).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.nonEmpty && files.forall(_.startsWith("part-")), files.mkString(","))
+    val body = new String(Files.readAllBytes(
+      new java.io.File(tmp, files.head).toPath), StandardCharsets.UTF_8)
+    assert(!body.startsWith(" ") && !body.endsWith(" ") && !body.contains("  "))
+  }
+
+  test("V2 write: overwrite truncates old parts atomically in the commit") {
+    val tmp = Files.createTempDirectory("graft_v2o").toString + "/out"
+    Seq(1, 2, 3).toDF("value").write.format("textint").mode("append").save(tmp)
+    Seq(9, 8).toDF("value").write.format("textint").mode("overwrite").save(tmp)
+    assert(readV2(tmp, 64).sorted == Seq(8, 9))
+  }
+
+  test("V2 write of a range-partitioned sort: part concat IS the total order") {
+    val tmp = Files.createTempDirectory("graft_v2s").toString + "/out"
+    val ints = sf("lineitem").select(col("l_orderkey").cast("int").as("value"))
+    ints.repartitionByRange(4, col("value")).sortWithinPartitions("value")
+      .write.format("textint").mode("append").save(tmp)
+    // concatenating part files in name order must already be sorted —
+    // the TeraSort contract, no post-sort read needed
+    val dir = new java.io.File(tmp)
+    val concat = dir.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .flatMap(f => new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .split("\\s+").filter(_.nonEmpty).map(_.toInt)).toSeq
+    assert(concat == concat.sorted && concat.sorted == ints.as[Int].collect().toSeq.sorted)
+  }
+
   test("end-to-end: V2 scan of a TeraSort-partitioned write, totally sorted") {
     val ints = sf("lineitem").select(col("l_orderkey").cast("int").as("value"))
     val tmp = Files.createTempDirectory("graft_textint_rt").toString
