@@ -284,6 +284,25 @@ object SparkEntry {
     }),
     // Set operations: INTERSECT and EXCEPT of two key sets, tagged and
     // unioned into one deterministic result.
+    // CDC apply (MERGE INTO shape): a deterministic change batch — deletes
+    // (key%10=0), whole-row updates (%10=1), inserts (%10=2, key+1e6) —
+    // applied to customer via anti-join + union.
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val m0 = base.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), lit("D").as("op"))
+      val m1 = base.filter(col("c_custkey") % 10 === 1)
+        .select(col("c_custkey"), concat(col("c_name"), lit("*")).as("c_name"),
+          (col("c_acctbal") + lit(100.0)).as("c_acctbal"), lit("U").as("op"))
+      val m2 = base.filter(col("c_custkey") % 10 === 2)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("new_"), col("c_custkey").cast("string")).as("c_name"),
+          col("c_acctbal"), lit("I").as("op"))
+      graft.operators.MergeOps.applyChanges(
+        base, m0.unionByName(m1).unionByName(m2), "c_custkey")
+        .orderBy(col("c_custkey"))
+    }),
     // The SQL entry point: the same engine surface through spark.sql on a
     // registered view — GROUPING SETS picks a lattice neither rollup nor
     // cube expresses (pair + right-unit + grand total).
@@ -939,6 +958,20 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
         "ORDER BY rflag, lstatus"),
+    // mirrors q_merge_upsert: change keys own their rows; D drops, U/I add
+    "q_merge_upsert" ->
+      ("WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer), " +
+        "chg AS (" +
+        "SELECT c_custkey, c_name, c_acctbal, 'D' AS op FROM base WHERE c_custkey % 10 = 0 " +
+        "UNION ALL SELECT c_custkey, c_name || '*' AS c_name, c_acctbal + 100.0 AS c_acctbal, " +
+        "'U' AS op FROM base WHERE c_custkey % 10 = 1 " +
+        "UNION ALL SELECT c_custkey + 1000000 AS c_custkey, " +
+        "'new_' || CAST(c_custkey AS VARCHAR) AS c_name, c_acctbal, 'I' AS op " +
+        "FROM base WHERE c_custkey % 10 = 2) " +
+        "SELECT c_custkey, c_name, c_acctbal FROM base " +
+        "WHERE c_custkey NOT IN (SELECT c_custkey FROM chg) " +
+        "UNION ALL SELECT c_custkey, c_name, c_acctbal FROM chg WHERE op <> 'D' " +
+        "ORDER BY c_custkey"),
     "q_sql_grouping_sets" ->
       ("SELECT coalesce(l_returnflag, '(all)') AS rflag, " +
         "coalesce(l_linestatus, '(all)') AS lstatus, " +
