@@ -151,6 +151,42 @@ object StreamingOps {
       .select(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** LEFT OUTER variant of [[conversionPairs]]: every view emits exactly
+    * once — matched views as soon as the purchase arrives, UNMATCHED views
+    * with null purchase columns once the watermark proves no in-window
+    * purchase can still arrive. This is the funnel-drop-off stream (who
+    * viewed and never bought); inner joins can't produce it, and without
+    * the watermark + time-bound condition Spark would have to hold every
+    * view forever to know "never". State reclamation contract is identical
+    * to the inner form.
+    *
+    * Operational gotcha (spec-pinned): each side's watermark advances only
+    * on events surviving ITS OWN filter, and the query's effective
+    * watermark is the MIN across sides — a stream with no recent purchases
+    * stalls null emission even while views pour in. Production pipelines
+    * keep both branches fed (heartbeat events) or derive one watermark
+    * upstream of the split.
+    */
+  def conversionPairsOuter(
+      events: DataFrame,
+      leftType: String = "view",
+      rightType: String = "purchase",
+      withinSec: Long = 3600,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val v = events.filter(col("event_type") === leftType)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val p = events.filter(col("event_type") === rightType)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    v.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $withinSec SECONDS"),
+      "left_outer")
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming as-of join — the streaming twin of
     * `AsofOps.lastEventBefore`: for every `leftType` event, the same
     * user's latest `rightType` event at or before it. Stream-stream as-of

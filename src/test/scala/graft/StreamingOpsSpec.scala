@@ -307,6 +307,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("conversionPairsOuter: unmatched views emit nulls after the watermark") {
+    val events = Seq(
+      StreamEvent(ts("10:00"), 1L, "view", 0.0),
+      StreamEvent(ts("10:30"), 1L, "purchase", 5.0), // converts
+      StreamEvent(ts("10:05"), 2L, "view", 0.0)) // never purchases
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.conversionPairsOuter(input.toDF(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("conv_outer").outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      // only the matched pair can emit yet: "never purchased" is unprovable
+      // until the watermark passes view_ts + window
+      val early = spark.table("conv_outer").collect()
+      assert(early.map(r => (r.getLong(0), r.isNullAt(2))).toSet == Set((1L, false)))
+      // advance event time far past 10:05 + 1h window + 10 min delay on
+      // BOTH branches: each side's watermark advances only on events that
+      // survive its own filter, and the global watermark is their MIN
+      input.addData(
+        StreamEvent(ts("13:00"), 9L, "view", 0.0),
+        StreamEvent(ts("13:05"), 9L, "purchase", 0.0))
+      q.processAllAvailable()
+      input.addData(
+        StreamEvent(ts("14:00"), 8L, "view", 0.0),
+        StreamEvent(ts("14:05"), 8L, "purchase", 0.0))
+      q.processAllAvailable()
+      val late = spark.table("conv_outer").collect()
+        .map(r => (r.getLong(0), r.isNullAt(2))).toSet
+      // user 2's view now emitted WITH null purchase — the drop-off row
+      assert(late.contains((2L, true)), s"got $late")
+    } finally q.stop()
+  }
+
   test("runningUserCounts: state accumulates across micro-batches") {
     val input = MemoryStream[StreamEvent]
     val q = StreamingOps.runningUserCounts(input.toDS())
