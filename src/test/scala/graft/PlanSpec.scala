@@ -234,6 +234,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "codebook must broadcast")
   }
 
+  test("q_merge_upsert: CDC apply is a broadcast anti-join, base never shuffles") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("LeftAnti"), p.take(400))
+    assert(p.contains("BroadcastHashJoin"),
+      "the change-key set must broadcast for the anti-join")
+  }
+
+  test("q_lm_surprisal: the vocabulary broadcasts onto the token stream") {
+    val p = plan("q_lm_surprisal")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "vocab join must broadcast — shuffling the exploded tokens defeats the shape")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // The salting operators (SkewOps) are the explicit hot-key mitigation;
     // this pins the IMPLICIT one: with AQE on (GraftSession default), a
