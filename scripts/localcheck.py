@@ -77,7 +77,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle sql error: {e}"); n_fail += 1; continue
         g, e = canon(got), canon(exp)
         ok = True
-        if list(g.columns) != list(e.columns):
+        # The driver's hash compare renders values exactly, so an integer
+        # column on one side vs a float on the other (e.g. DuckDB sum(BIGINT)
+        # -> HUGEINT -> pandas float64) hash-mismatches even when the values
+        # are numerically equal. Catch that class here.
+        kind_diff = [c for c in g.columns if c in e.columns
+                     and {g[c].dtype.kind, e[c].dtype.kind} == {"i", "f"}]
+        if kind_diff:
+            print(f"FAIL {name}: int-vs-float dtype mismatch in {kind_diff} "
+                  f"(spark={[str(g[c].dtype) for c in kind_diff]}, "
+                  f"oracle={[str(e[c].dtype) for c in kind_diff]}) — cast the "
+                  f"oracle sum/window back to BIGINT"); ok = False
+        elif list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}"); ok = False
         elif len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} != {len(e)}"); ok = False

@@ -1122,12 +1122,15 @@ object SparkEntry {
         "doc_id, score_bp FROM sc ORDER BY rank"
     },
     // mirrors TextOps.packSequences (budget 512): the oracle's single
-    // global prefix sum equals the engine's two-level shard decomposition
+    // global prefix sum equals the engine's two-level shard decomposition.
+    // The window sum MUST be cast back to BIGINT: DuckDB's sum(BIGINT) is
+    // HUGEINT, and HUGEINT // 512 stays HUGEINT — which the driver's hash
+    // renders as a float ("0.0" vs Spark's "0") and flags as a mismatch.
     "q_pack_sequences" ->
       (s"WITH d AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens " +
         "FROM documents), " +
-        "r AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER (ORDER BY doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nbefore FROM d), " +
+        "r AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nbefore FROM d), " +
         "b AS (SELECT doc_id, n_tokens, nbefore // 512 AS seq_id FROM r) " +
         "SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
