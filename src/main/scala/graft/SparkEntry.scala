@@ -521,6 +521,19 @@ object SparkEntry {
     // vec_id < 8), packed 12-bit code word + bp-summed L2^2 error.
     "q_embed_pq" -> ((s, dir) =>
       SimOps.productQuantize(t(s, dir, "embeddings"), col("vec_id") < 8)),
+    // PQ with Lloyd-refined codebooks (one integer-exact assign+average
+    // round per subspace) — reconstruction error can only improve on
+    // average vs the sampled books (SimOpsSpec pins the total).
+    "q_embed_pq_refined" -> ((s, dir) =>
+      SimOps.productQuantizeWith(t(s, dir, "embeddings"),
+        SimOps.refinePqCodebooks(t(s, dir, "embeddings"), col("vec_id") < 8))),
+    // IVF-PQ: coarse cells route queries, PQ codes + per-query ADC tables
+    // score candidates approximately, a 32-deep shortlist reranks exactly.
+    "q_sim_ivfpq" -> ((s, dir) =>
+      SimOps.ivfPqTopK(t(s, dir, "embeddings"),
+        queryPred = col("vec_id") < 5,
+        centroidPred = col("vec_id").between(100, 115),
+        codebookPred = col("vec_id") < 8)),
     // k-NN majority-label prediction over the brute-force neighbors.
     "q_embed_knn" -> ((s, dir) =>
       SimOps.knnLabel(t(s, dir, "embeddings"), col("vec_id") < 5)),
@@ -579,6 +592,10 @@ object SparkEntry {
     // counts (offset 0 = cohort size).
     "q_events_retention" -> ((s, dir) =>
       EventOps.retentionCohorts(t(s, dir, "events"))),
+    // Trailing-median/MAD anomaly flags over hourly event volumes — the
+    // integer-exact robust outlier monitor (lower medians, long deviations).
+    "q_events_anomaly" -> ((s, dir) =>
+      EventOps.hourlyAnomalies(t(s, dir, "events"))),
     // Equi-width histogram of lineitem prices: 1-row bounds broadcast +
     // one partial+final count per bucket (fixed-size mergeable summary).
     "q_histogram" -> ((s, dir) =>
@@ -648,6 +665,12 @@ object SparkEntry {
     "q_zorder" -> ((s, dir) =>
       graft.operators.LayoutOps.zorderStats(
         t(s, dir, "lineitem"), "l_partkey", "l_suppkey", nBuckets = 64)),
+    // Small-files compaction plan: per-source byte estimate → target-sized
+    // file counts + rows-per-file split (the OPTIMIZE planning step; pure
+    // metadata aggregation, integer ceiling division throughout).
+    "q_compact_plan" -> ((s, dir) =>
+      graft.operators.LayoutOps.compactionPlan(
+        t(s, dir, "documents"), "source", "n_chars", targetBytes = 16384L)),
     // Map-typed columns: JSON props parsed to map<string,string>, key-set
     // ops (sorted keys, cardinality) per event.
     "q_map_funcs" -> ((s, dir) =>
@@ -853,6 +876,30 @@ object SparkEntry {
       "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0 " +
       "UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' graftdup' AS text " +
       "FROM documents WHERE doc_id % 10 = 5"
+
+  /** DuckDB CTE chain matching [[SimOps.refinePqCodebooks]] (m=4, subDim=16,
+    * seed `vec_id < 8`, one Lloyd round): yields `sb(vec_id, s, sub)` —
+    * every vector's subvectors — and the refined codebook `cb(s, c_id, ce)`.
+    * Mirrors the engine's bp-integer sums + single division exactly.
+    */
+  private val duckPqRefineCtes =
+    "ee AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings), " +
+      "ss AS (SELECT unnest(range(0, 4)) AS s), " +
+      "sb AS (SELECT vec_id, s, list_slice(ev, s * 16 + 1, s * 16 + 16) AS sub FROM ee, ss), " +
+      "cb0 AS (SELECT s, vec_id AS c_id, list_slice(ev, s * 16 + 1, s * 16 + 16) AS ce " +
+      "FROM ee, ss WHERE vec_id < 8), " +
+      "pq0 AS (SELECT v.vec_id, v.s, c.c_id, v.sub, " +
+      "list_dot_product(v.sub, v.sub) - 2.0 * list_dot_product(v.sub, c.ce) " +
+      "+ list_dot_product(c.ce, c.ce) AS d2 FROM sb v JOIN cb0 c ON v.s = c.s), " +
+      "pqa0 AS (SELECT s, c_id, sub FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY vec_id, s ORDER BY d2, c_id) AS rn FROM pq0) WHERE rn = 1), " +
+      "pqz AS (SELECT s, c_id, unnest(sub) AS v, unnest(range(1, len(sub) + 1)) AS pos FROM pqa0), " +
+      "pqsm AS (SELECT s, c_id, pos, sum(CAST(floor(v * 10000.0 + 0.5) AS BIGINT)) AS sm, " +
+      "count(*) AS cnt FROM pqz GROUP BY s, c_id, pos), " +
+      "cb1 AS (SELECT s, c_id, list(CAST(sm AS DOUBLE) / (cnt * 10000.0) ORDER BY pos) AS ce " +
+      "FROM pqsm GROUP BY s, c_id), " +
+      "cb AS (SELECT cb0.s, cb0.c_id, coalesce(cb1.ce, cb0.ce) AS ce " +
+      "FROM cb0 LEFT JOIN cb1 ON cb0.s = cb1.s AND cb0.c_id = cb1.c_id)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1356,6 +1403,81 @@ object SparkEntry {
         "CAST(sum(c_id * (1::BIGINT << (3 * s))) AS BIGINT) AS code_word, " +
         s"CAST(sum(${TextOps.roundBpSql("d2")}) AS BIGINT) AS l2sq_err_bp " +
         "FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"),
+    // mirrors SimOps.productQuantizeWith over refinePqCodebooks (one Lloyd
+    // round per subspace, bp-integer means)
+    "q_embed_pq_refined" ->
+      (s"WITH $duckPqRefineCtes, " +
+        "p AS (SELECT v.vec_id, v.s, c.c_id, " +
+        "list_dot_product(v.sub, v.sub) - 2.0 * list_dot_product(v.sub, c.ce) " +
+        "+ list_dot_product(c.ce, c.ce) AS d2 FROM sb v JOIN cb c ON v.s = c.s), " +
+        "r AS (SELECT vec_id, s, c_id, d2, row_number() OVER (PARTITION BY vec_id, s " +
+        "ORDER BY d2, c_id) AS rn FROM p) " +
+        "SELECT vec_id, CAST(count(*) AS BIGINT) AS n_subs, " +
+        "CAST(sum(c_id * (1::BIGINT << (3 * s))) AS BIGINT) AS code_word, " +
+        s"CAST(sum(${TextOps.roundBpSql("d2")}) AS BIGINT) AS l2sq_err_bp " +
+        "FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"),
+    // mirrors SimOps.ivfPqTopK: coarse probe (q_sim_ivf chain) + refined PQ
+    // codes + per-query ADC tables + bp-summed approximate scores +
+    // 32-deep exact-cosine rerank
+    "q_sim_ivfpq" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 100 AND 115), " +
+        "cs AS (SELECT n.vec_id, n.nrm, c.c_id, " +
+        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n CROSS JOIN c), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
+        "asg AS (SELECT vec_id, nrm, c_id FROM rk WHERE crn = 1), " +
+        "pr AS (SELECT vec_id AS q_id, c_id FROM rk WHERE vec_id < 5 AND crn <= 4), " +
+        s"$duckPqRefineCtes, " +
+        "codes AS (SELECT vec_id, s, c_id AS pq_id FROM (SELECT v.vec_id, v.s, c.c_id, " +
+        "row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY " +
+        "list_dot_product(v.sub, v.sub) - 2.0 * list_dot_product(v.sub, c.ce) " +
+        "+ list_dot_product(c.ce, c.ce), c.c_id) AS rn " +
+        "FROM sb v JOIN cb c ON v.s = c.s) WHERE rn = 1), " +
+        "adc AS (SELECT v.vec_id AS q_id, v.s, c.c_id AS pq_id, " +
+        "list_dot_product(v.sub, c.ce) AS ip FROM sb v JOIN cb c ON v.s = c.s " +
+        "WHERE v.vec_id < 5), " +
+        "qn AS (SELECT vec_id AS q_id, nrm AS qn FROM n WHERE vec_id < 5), " +
+        "sc AS (SELECT pr.q_id, a.vec_id, " +
+        s"CAST(sum(${TextOps.roundBpSql("adc.ip / (qn.qn * a.nrm)")}) AS BIGINT) AS adc_bp " +
+        "FROM pr JOIN asg a ON pr.c_id = a.c_id " +
+        "JOIN codes ON codes.vec_id = a.vec_id " +
+        "JOIN adc ON adc.q_id = pr.q_id AND adc.s = codes.s AND adc.pq_id = codes.pq_id " +
+        "JOIN qn ON qn.q_id = pr.q_id WHERE a.vec_id <> pr.q_id " +
+        "GROUP BY pr.q_id, a.vec_id), " +
+        "sl AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY adc_bp DESC, vec_id) AS srn FROM sc) WHERE srn <= 32), " +
+        "qv AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn2 FROM n WHERE vec_id < 5), " +
+        "pp AS (SELECT sl.q_id, sl.vec_id, " +
+        "list_dot_product(qv.qe, n.e) / (qv.qn2 * n.nrm) AS cos " +
+        "FROM sl JOIN n USING (vec_id) JOIN qv ON qv.q_id = sl.q_id), " +
+        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY cos DESC, vec_id) AS rank FROM pp) " +
+        s"SELECT q_id, rank, vec_id, ${TextOps.roundBpSql("cos")} AS cos_bp " +
+        "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+    // mirrors LayoutOps.compactionPlan (target 16384 bytes, ceil division)
+    "q_compact_plan" ->
+      ("WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(n_chars) AS BIGINT) AS est_bytes FROM documents GROUP BY source), " +
+        "f AS (SELECT source, n_rows, est_bytes, " +
+        "greatest(CAST(1 AS BIGINT), (est_bytes + 16383) // 16384) AS n_files FROM g) " +
+        "SELECT source, n_rows, est_bytes, n_files, " +
+        "(n_rows + n_files - 1) // n_files AS rows_per_file FROM f ORDER BY source"),
+    // mirrors EventOps.hourlyAnomalies (24 h trailing, lower medians,
+    // MAD x 3, 12-hour warm-up)
+    "q_events_anomaly" ->
+      ("WITH h AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s, event_type, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT bucket_s, event_type, n, list_sort(list(n) OVER " +
+        "(PARTITION BY event_type ORDER BY bucket_s " +
+        "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) AS hist FROM h), " +
+        "f AS (SELECT * FROM w WHERE len(hist) >= 12), " +
+        "m AS (SELECT *, hist[(len(hist) + 1) // 2] AS med FROM f), " +
+        "d AS (SELECT *, list_sort(list_transform(hist, x -> abs(x - med)))" +
+        "[(len(hist) + 1) // 2] AS mad FROM m) " +
+        "SELECT bucket_s, event_type, n, med, mad FROM d " +
+        "WHERE abs(n - med) > mad * 3 ORDER BY bucket_s, event_type"),
     "q_embed_norms" ->
       ("SELECT vec_id, label, len(embedding) AS dim, " +
         s"${TextOps.roundBpSql("sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))")} AS norm_bp " +

@@ -102,6 +102,46 @@ object EventOps {
         TextOps.roundBp(element_at(col("qs"), 2)).as("p95_bp"))
       .orderBy(col("event_type"))
 
+  /** Trailing-window anomaly detection — the ops-side "did ingestion break
+    * this hour?" monitor a pipeline runs over its own event volumes: an
+    * (hour, event_type) cell is anomalous when its count deviates from the
+    * trailing `trailing`-hour median by more than `madMult` x the trailing
+    * MAD (median absolute deviation — robust to the very outliers being
+    * hunted, unlike mean/stddev z-scores). Cells with fewer than `minHist`
+    * trailing hours are warm-up and never flagged.
+    *
+    * Everything stays in integers: counts are longs, the median is the
+    * LOWER median (element `(n+1) div 2` of the sorted window — no even-n
+    * interpolation), and the MAD is the lower median of integer deviations,
+    * so both engines compare exact longs. The trailing multiset is an
+    * explicit `collect_list` over a ROWS frame: bounded at `trailing`
+    * elements per row by construction, and the hourly table it windows over
+    * is already aggregated — O(hours x types) rows, tiny at any corpus
+    * scale; the corpus-sized work is the one hash aggregation producing it.
+    */
+  def hourlyAnomalies(
+      events: DataFrame,
+      trailing: Int = 24,
+      madMult: Int = 3,
+      minHist: Int = 12): DataFrame = {
+    val hourly = normalizeTs(events)
+      .groupBy(expr("(unix_micros(ts) div 3600000000) * 3600").as("bucket_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_s"))
+      .rowsBetween(-trailing, -1)
+    hourly
+      .withColumn("hist", array_sort(collect_list(col("n")).over(w)))
+      .filter(size(col("hist")) >= minHist)
+      .withColumn("med", expr("element_at(hist, CAST((size(hist) + 1) div 2 AS INT))"))
+      .withColumn("mad", expr(
+        "element_at(array_sort(transform(hist, x -> abs(x - med))), " +
+          "CAST((size(hist) + 1) div 2 AS INT))"))
+      .filter(abs(col("n") - col("med")) > col("mad") * madMult)
+      .select(col("bucket_s"), col("event_type"), col("n"), col("med"), col("mad"))
+      .orderBy(col("bucket_s"), col("event_type"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is idle
     * longer than `gapSeconds`. Ties on `ts` are broken by `event_id` so the
     * session assignment is fully deterministic.

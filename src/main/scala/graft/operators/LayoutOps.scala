@@ -72,6 +72,33 @@ object LayoutOps {
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))
 
+  /** Small-files compaction plan — the `OPTIMIZE`-style maintenance step a
+    * 100 TB table needs continuously: for each partition, estimate its bytes
+    * from a size-proxy column and emit how many target-sized files the
+    * partition should compact into and the rows-per-file split. The output
+    * IS the repartition spec a writer would execute
+    * (`df.where(part).repartition(n_files).write`): planning is a metadata
+    * aggregation, never a data rewrite, so it costs one partial+final
+    * aggregate over the table regardless of scale.
+    *
+    * All arithmetic is integer ceiling division (`(a + b - 1) div b`) —
+    * bit-identical in DuckDB, so the plan is oracle-verifiable. Empty
+    * estimates still get one file (`greatest(1, ...)`).
+    */
+  def compactionPlan(
+      df: DataFrame,
+      partCol: String,
+      bytesCol: String,
+      targetBytes: Long): DataFrame =
+    df.groupBy(col(partCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(bytesCol)).cast("long").as("est_bytes"))
+      .withColumn("n_files",
+        greatest(lit(1L), expr(s"(est_bytes + ${targetBytes - 1}) div $targetBytes")))
+      .withColumn("rows_per_file", expr("(n_rows + n_files - 1) div n_files"))
+      .orderBy(col(partCol))
+
   /** Locality audit: bucket the z-space and report each bucket's row count
     * and (x, y) envelope — tight envelopes on BOTH dimensions are the
     * pruning guarantee. `nBuckets` must divide 2^32.

@@ -386,20 +386,40 @@ object SimOps {
       centroidPred: Column,
       m: Int = 4,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val subDim = {
-      // dims must split evenly; the 64-dim test corpus gives 16 per sub
-      val d = 64; require(d % m == 0); d / m
-    }
+      embCol: String = "embedding"): DataFrame =
+    productQuantizeWith(emb, pqCodebook(emb, centroidPred, m, idCol, embCol),
+      m, idCol, embCol)
+
+  /** (idCol, s, sub) — each vector split into its `m` contiguous subvectors.
+    * The explode is map-local fan-out; dims must split evenly (the 64-dim
+    * test corpus gives 64/m per subspace).
+    */
+  private def subvectors(df: DataFrame, m: Int, idCol: String, embCol: String): DataFrame = {
+    val subDim = { val d = 64; require(d % m == 0); d / m }
     val subs = array((0 until m).map { s =>
       struct(lit(s).as("s"), slice(col(embCol), s * subDim + 1, subDim).as("sub"))
     }: _*)
-    val vecSubs = emb
-      .select(col(idCol), explode(subs).as("x"))
+    df.select(col(idCol), explode(subs).as("x"))
       .select(col(idCol), col("x.s").as("s"), col("x.sub").as("sub"))
-    val codebook = emb.filter(centroidPred)
-      .select(col(idCol).as("c_id"), explode(subs).as("x"))
-      .select(col("c_id"), col("x.s").as("s"), col("x.sub").as("ce"))
+  }
+
+  /** Sampled PQ codebooks: the subvectors of the `centroidPred` rows, one
+    * 8-entry book per subspace. Output: (s, c_id, ce).
+    */
+  def pqCodebook(
+      emb: DataFrame,
+      centroidPred: Column,
+      m: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    subvectors(emb.filter(centroidPred), m, idCol, embCol)
+      .select(col("s"), col(idCol).as("c_id"), col("sub").as("ce"))
+
+  /** Each (vector, subspace) assigned to its nearest codebook entry by
+    * squared L2 (`x·x - 2·x·c + c·c` through the codegen'd [[dot]]), ties
+    * to the smaller entry id. Output: (idCol, s, c_id, d2).
+    */
+  private def pqAssign(vecSubs: DataFrame, codebook: DataFrame, idCol: String): DataFrame = {
     val d2 = (dot(col("sub"), col("sub"))
       - lit(2.0) * dot(col("sub"), col("ce"))
       + dot(col("ce"), col("ce")))
@@ -407,15 +427,149 @@ object SimOps {
       .orderBy(col("d2"), col("c_id"))
     vecSubs
       .join(broadcast(codebook), "s")
-      .select(col(idCol), col("s"), col("c_id"), d2.as("d2"))
+      .select(col(idCol), col("s"), col("c_id"), d2.as("d2"), col("sub"))
       .withColumn("rn", row_number().over(bySub))
       .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** [[productQuantize]] against an explicit codebook table (s, c_id, ce) —
+    * the shared second half of the sampled ([[pqCodebook]]) and
+    * Lloyd-refined ([[refinePqCodebooks]]) paths.
+    */
+  def productQuantizeWith(
+      emb: DataFrame,
+      codebook: DataFrame,
+      m: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    pqAssign(subvectors(emb, m, idCol, embCol), codebook, idCol)
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_subs"),
         sum(expr("c_id * shiftleft(CAST(1 AS BIGINT), 3 * s)")).as("code_word"),
         sum(TextOps.roundBp(col("d2"))).as("l2sq_err_bp"))
       .orderBy(col(idCol))
+
+  /** Lloyd refinement of the PQ codebooks, per subspace — [[refineCentroids]]
+    * composed over the m independent subspaces (FAISS trains its PQ books
+    * exactly this way; the sampled book is only the seed). Each round
+    * assigns every (vector, subspace) to its nearest entry and rebuilds the
+    * entry as the mean of its members, with the same integer-exact
+    * bp-sum/single-division trick as [[refineCentroids]] so refined books
+    * hash-match DuckDB. Entries that attract no members keep their previous
+    * value (left join + coalesce).
+    *
+    * Scale shape per round: codebooks are m x 8 rows — always broadcast;
+    * the corpus-side work is one nearest-entry window keyed (vector,
+    * subspace) and one (s, c_id, pos)-keyed aggregation whose key space is
+    * m x 8 x subDim — constant — with map-side partials.
+    */
+  def refinePqCodebooks(
+      emb: DataFrame,
+      centroidPred: Column,
+      m: Int = 4,
+      iters: Int = 1,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val vecSubs = subvectors(emb, m, idCol, embCol)
+    // seed books cast to double so refined (bp-sum / division) entries and
+    // kept-previous entries carry one type — float→double is exact
+    var cb = pqCodebook(emb, centroidPred, m, idCol, embCol)
+      .select(col("s"), col("c_id"),
+        transform(col("ce"), x => x.cast("double")).as("ce"))
+    for (_ <- 0 until iters) {
+      val rebuilt = pqAssign(vecSubs, cb, idCol)
+        .select(col("s"), col("c_id"),
+          posexplode(transform(col("sub"), x => TextOps.roundBp(x))))
+        .groupBy(col("s"), col("c_id"), col("pos"))
+        .agg(sum(col("col")).as("sm"), count(lit(1)).as("cnt"))
+        .groupBy(col("s"), col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"),
+          (col("sm").cast("double") / (col("cnt") * lit(10000.0))).as("v")))).as("pv"))
+        .select(col("s"), col("c_id"), transform(col("pv"), p => p.getField("v")).as("ce"))
+      cb = cb.select(col("s"), col("c_id"), col("ce").as("ce_prev"))
+        .join(rebuilt, Seq("s", "c_id"), "left")
+        .select(col("s"), col("c_id"), coalesce(col("ce"), col("ce_prev")).as("ce"))
+    }
+    cb
+  }
+
+  /** IVF-PQ — the full FAISS-style composition (Jégou et al. 2011): a
+    * coarse IVF quantizer routes each query to `nProbe` cells, candidates
+    * in the probed cells are scored APPROXIMATELY from their PQ codes via
+    * an ADC table (per-query dot products against the m x 8 codebook
+    * entries — 32 numbers per query, never the full vectors), the
+    * `shortlist` best approximate scores per query graduate to an exact
+    * cosine rerank, and the top `k` of the rerank are the answer.
+    *
+    * The approximate score is integer-exact across engines: per-subspace
+    * `roundBp(ip_s / (|q|·|x|))` terms summed as longs (associative under
+    * any aggregation order). The exact rerank then reuses the [[bruteTopK]]
+    * scoring chain, so reported cosines are true cosines.
+    *
+    * Scale: this is THE ANN shape for 100 TB serving — the candidate pass
+    * touches only (id, cell, code) rows [3 small ints per vector, ~100x
+    * narrower than the embeddings], full vectors are fetched just for
+    * `shortlist` rows per query, and every join is either broadcast (ADC
+    * table, queries, codebooks) or equi on the cell key. Recall follows
+    * nProbe (cell recall) x shortlist (ADC precision); both are knobs.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      centroidPred: Column,
+      codebookPred: Column,
+      k: Int = 10,
+      nProbe: Int = 4,
+      m: Int = 4,
+      shortlist: Int = 32,
+      pqIters: Int = 1,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val n = normalized(emb, idCol, embCol)
+    val cents = n.filter(centroidPred)
+      .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val ranked = cellRank(n, cents, idCol)
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col(idCol), col("nrm"), col("c_id"))
+    val probes = ranked.filter(queryPred && col("crn") <= nProbe)
+      .select(col(idCol).as("q_id"), col("c_id"))
+    // PQ index: Lloyd-refined books + per-vector codes (pq_id ≠ coarse c_id)
+    val cb = refinePqCodebooks(emb, codebookPred, m, pqIters, idCol, embCol)
+      .select(col("s"), col("c_id").as("pq_id"), col("ce"))
+    val codes = pqAssign(subvectors(emb, m, idCol, embCol),
+        cb.select(col("s"), col("pq_id").as("c_id"), col("ce")), idCol)
+      .select(col(idCol), col("s"), col("c_id").as("pq_id"))
+    // ADC tables: every (query, subspace, book entry) inner product
+    val adc = subvectors(emb.filter(queryPred), m, idCol, embCol)
+      .select(col(idCol).as("q_id"), col("s"), col("sub").as("qsub"))
+      .join(broadcast(cb), "s")
+      .select(col("q_id"), col("s"), col("pq_id"), dot(col("qsub"), col("ce")).as("ip"))
+    val qn = n.filter(queryPred).select(col(idCol).as("q_id"), col("nrm").as("qn"))
+    val scored = probes
+      .join(assigned, "c_id")
+      .filter(col(idCol) =!= col("q_id"))
+      .join(codes, idCol)
+      .join(broadcast(adc), Seq("q_id", "s", "pq_id"))
+      .join(broadcast(qn), "q_id")
+      .select(col("q_id"), col(idCol),
+        TextOps.roundBp(col("ip") / (col("qn") * col("nrm"))).as("term_bp"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("term_bp")).as("adc_bp"))
+    val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc_bp").desc, col(idCol))
+    val short = scored
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= shortlist)
+      .select(col("q_id"), col(idCol))
+    val qv = n.filter(queryPred)
+      .select(col(idCol).as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val pairs = short
+      .join(n, idCol)
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col(idCol),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+    rankTopK(pairs, k, idCol)
   }
 
   /** Per-vector metadata: dimension and L2 norm (basis points). The shape

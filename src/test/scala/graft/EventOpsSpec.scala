@@ -132,6 +132,22 @@ class EventOpsSpec extends SparkSpec {
       ("2026-01-02", 0L, 1L))) // user 2
   }
 
+  test("hourlyAnomalies: flags a planted spike, skips warm-up and mild jitter") {
+    val base = ms("00:00")
+    // hours 0..35 with counts cycling 2,3,4 — trailing-24 lower median 3,
+    // MAD 1 — and a 30-event spike at hour 30
+    val rows = (0 until 36).flatMap { h =>
+      val c = if (h == 30) 30 else 2 + (h % 3)
+      (0 until c).map(i => (h * 100L + i, base + h * 3600000L + i * 1000L, "click", 1.0))
+    }
+    val got = EventOps.hourlyAnomalies(ev(rows: _*))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // only the spike hour is anomalous: the cycle stays within MAD x 3,
+    // hours < 12 are warm-up, and the robust trailing stats absorb the
+    // spike for later hours
+    assert(got == Seq((base / 1000 + 30 * 3600, "click", 30L, 3L, 1L)))
+  }
+
   test("percentiles: hand-checked median and p95") {
     val df = ev((1 to 5).map(i => (i.toLong, ms("10:00") + i, "x", i.toDouble)): _*)
     val r = EventOps.percentiles(df).head()

@@ -34,6 +34,21 @@ class LayoutOpsSpec extends SparkSpec {
     assert(wavg(s => s._5 - s._4) < 0.4 * ySpan, "y envelopes too wide")
   }
 
+  test("compactionPlan: ceil-divided file counts, 1-file floor for empties") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 4L), ("a", 4L), ("a", 2L), // 10 bytes -> 3 files of target 4
+      ("b", 2L), ("b", 2L),            // 4 bytes  -> exactly 1 file
+      ("c", 0L))                       // 0 bytes  -> still 1 file
+      .toDF("source", "n_chars")
+    val got = LayoutOps.compactionPlan(df, "source", "n_chars", targetBytes = 4L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 3L, 10L, 3L, 1L),
+      ("b", 2L, 4L, 1L, 2L),
+      ("c", 1L, 0L, 1L, 1L)))
+  }
+
   test("zorderRepartition: every partition owns a rectangle of (x, y) space") {
     val li = sf("lineitem").select("l_partkey", "l_suppkey")
     val parts = LayoutOps.zorderRepartition(li, "l_partkey", "l_suppkey", 16)

@@ -156,6 +156,40 @@ class SimOpsSpec extends SparkSpec {
     assert(ivfRecall >= 0.4, s"IVF recall dropped to $ivfRecall")
   }
 
+  test("refinePqCodebooks: one Lloyd round never worsens total PQ error") {
+    val df = sf("embeddings")
+    val base = SimOps.productQuantize(df, col("vec_id") < 8)
+      .agg(sum(col("l2sq_err_bp"))).as[Long].head()
+    val refined = SimOps.productQuantizeWith(df,
+      SimOps.refinePqCodebooks(df, col("vec_id") < 8))
+      .agg(sum(col("l2sq_err_bp"))).as[Long].head()
+    // Lloyd's objective is monotone non-increasing (assignment and mean
+    // update each minimize the quantization error given the other)
+    assert(refined <= base, s"Lloyd refinement worsened PQ error: $refined > $base")
+    assert(refined > 0L)
+  }
+
+  test("ivfPqTopK: reranked scores are true cosines; recall vs brute pinned") {
+    val df = sf("embeddings")
+    val brute = SimOps.bruteTopK(df, col("vec_id") < 5, k = 10)
+      .select("q_id", "vec_id", "cos_bp").as[(Long, Long, Long)].collect()
+    val bruteScores = brute.map { case (q, v, c) => (q, v) -> c }.toMap
+    val ipq = SimOps.ivfPqTopK(df,
+      col("vec_id") < 5, col("vec_id").between(100, 115), col("vec_id") < 8)
+      .select("q_id", "vec_id", "cos_bp").as[(Long, Long, Long)].collect()
+    assert(ipq.length == 50)
+    // ADC approximates only the SHORTLIST choice — reported cosines come
+    // from the exact rerank and must match brute force wherever shared
+    ipq.foreach { case (q, v, c) =>
+      bruteScores.get((q, v)).foreach(bc => assert(bc == c))
+    }
+    // candidate set ⊆ IVF's (same cells) further pruned by the 32-deep ADC
+    // shortlist; recall measured on the fixture and pinned
+    val recall = ipq.count { case (q, v, _) => bruteScores.contains((q, v)) }.toDouble /
+      brute.length
+    assert(recall >= 0.3, s"IVF-PQ recall dropped to $recall")
+  }
+
   test("scalarQuantize: hand-checked codes and reconstruction error") {
     val df = emb(
       (0L, Seq(0f, 10f), 0),
