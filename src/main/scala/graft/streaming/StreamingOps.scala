@@ -18,6 +18,16 @@ case class AsofBuffer(lefts: List[(Long, Long)], rights: List[(Long, Long)])
 /** A finalized as-of match (gap in ms; -1 id/gap when no prior right). */
 case class AsofMatch(user_id: Long, l_event_id: Long, l_ts_ms: Long, r_event_id: Long, gap_ms: Long)
 
+/** One scored row for the streaming group top-k (the input shape of the
+  * batch [[graft.plans.GroupTopK]] formulation it mirrors).
+  */
+case class ScoredEvent(event_id: Long, event_type: String, value: Double)
+
+/** Bounded per-key state for [[StreamingOps.topKPerKey]]: at most k
+  * (value, event_id) entries, best-first.
+  */
+case class TopKBuffer(entries: List[(Double, Long)])
+
 /** Open-session state for [[StreamingOps.sessionize]] (epoch millis). */
 case class OpenSession(start: Long, end: Long, n: Long)
 
@@ -250,6 +260,39 @@ object StreamingOps {
           }
           out.iterator
         })
+  }
+
+  /** Streaming top-k per key — the streaming twin of the batch
+    * [[graft.plans.GroupTopK]] operator: the current k best
+    * (value desc, event_id asc) rows per key, maintained across
+    * micro-batches in `mapGroupsWithState` state that is BOUNDED at k
+    * entries per key by construction — the same bounded-heap invariant
+    * GroupTopKPartialExec keeps per map task, applied to unbounded time
+    * instead of an unbounded scan. A streaming `row_number() <= k` window
+    * is not expressible at all (ranks are non-monotonic under late data);
+    * the bounded-state merge is the only shape whose state doesn't grow
+    * with the stream.
+    *
+    * Emits each key's FULL current top-k list every batch the key sees
+    * data (update semantics — downstream replaces the key's block).
+    * Output: (event_type, rank, event_id, value).
+    */
+  def topKPerKey(events: Dataset[ScoredEvent], k: Int = 3): Dataset[(String, Int, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[ScoredEvent], state: GroupState[TopKBuffer]) =>
+          val merged = (state.getOption.map(_.entries).getOrElse(Nil) ++
+            batch.map(e => (e.value, e.event_id)))
+            .sortBy { case (v, id) => (-v, id) }
+            .take(k)
+          state.update(TopKBuffer(merged))
+          (key, merged)
+      }
+      .flatMap { case (key, entries) =>
+        entries.zipWithIndex.map { case ((v, id), i) => (key, i + 1, id, v) }
+      }
   }
 
   /** Streaming gap sessionization via `flatMapGroupsWithState` with

@@ -356,4 +356,39 @@ class StreamingOpsSpec extends SparkSpec {
       assert(last == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
     } finally q.stop()
   }
+
+  test("topKPerKey: bounded state matches the batch GroupTopK formulation") {
+    import graft.streaming.ScoredEvent
+    val b1 = Seq(
+      ScoredEvent(1L, "a", 1.0), ScoredEvent(2L, "a", 5.0),
+      ScoredEvent(3L, "a", 3.0), ScoredEvent(10L, "b", 2.0))
+    val b2 = Seq(ScoredEvent(4L, "a", 4.0))
+    val input = MemoryStream[ScoredEvent]
+    val q = StreamingOps.topKPerKey(input.toDS(), k = 2)
+      .toDF("event_type", "rank", "event_id", "value")
+      .writeStream.format("memory").queryName("topk").outputMode("update").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      val gen1 = spark.table("topk").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(gen1 == Set(("a", 1, 2L, 5.0), ("a", 2, 3L, 3.0), ("b", 1, 10L, 2.0)))
+      val n1 = gen1.size
+      input.addData(b2)
+      q.processAllAvailable()
+      // only key "a" saw data, so only its block re-emits — and it now
+      // equals the batch window top-2 (value desc, id asc) over ALL a-rows
+      val gen2 = spark.table("topk").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).drop(n1).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+      val batch = (b1 ++ b2).toDF()
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
+        .filter(col("event_type") === "a")
+        .select(col("event_type"), col("rank"), col("event_id"), col("value"))
+        .as[(String, Int, Long, Double)].collect().toSet
+      assert(gen2 == batch)
+      assert(gen2 == Set(("a", 1, 2L, 5.0), ("a", 2, 4L, 4.0)))
+    } finally q.stop()
+  }
 }
