@@ -209,6 +209,42 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("sum_totalprice"))
         .orderBy(col("n_name"), col("o_orderpriority"))
     }),
+    // TPC-H Q3 shape — the classic 3-way selective join: filtered fact ⋈
+    // filtered orders ⋈ broadcast customer segment, top-10 orders by
+    // revenue. Revenue is summed in integer CENTS (floor(x*100+0.5) per
+    // row) so the aggregate is associative-exact across engines — the
+    // double product itself is row-wise identical, only its SUM order
+    // isn't. Filters reach both parquet scans (plan-audited).
+    "q_tpch_q3" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      // raw-timestamp comparisons, not to_date(col) wrappers: a filter on
+      // a CAST of the column never reaches the parquet scan as a pushed
+      // filter (the q_filter_project convention; plan-audited)
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).cast("string").as("o_date"),
+          col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0)
+            + lit(0.5)).cast("long").as("rev_c"))
+      val top = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_date"), col("o_orderpriority"))
+        .agg(sum(col("rev_c")).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("l_orderkey"))
+        .limit(10)
+      val w = Window.orderBy(col("revenue_c").desc, col("l_orderkey"))
+      top.withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("l_orderkey"), col("o_date"),
+          col("o_orderpriority"), col("revenue_c"))
+        .orderBy(col("rank"))
+    }),
     // Window functions: top-3 lineitems per supplier by price, fully
     // tie-broken → deterministic.
     "q_window" -> ((s, dir) => {
@@ -391,6 +427,10 @@ object SparkEntry {
     // surrogate, per-term bp rounding so totals are integer-exact).
     "q_text_bm25" -> ((s, dir) =>
       TextOps.bm25(t(s, dir, "documents"), bm25Terms)),
+    // BPE tokenizer-training step: top-20 adjacent char pairs within
+    // tokens (the next merge rule); TakeOrderedAndProject, never a sort.
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextOps.bpePairCounts(t(s, dir, "documents"))),
     // Training-sequence packing: docs to 512-token budget bins in id
     // order via a two-level (shard, in-shard) prefix sum.
     "q_pack_sequences" -> ((s, dir) =>
@@ -537,6 +577,11 @@ object SparkEntry {
     // k-NN majority-label prediction over the brute-force neighbors.
     "q_embed_knn" -> ((s, dir) =>
       SimOps.knnLabel(t(s, dir, "embeddings"), col("vec_id") < 5)),
+    // Corpus-wide kNN graph: every vector's top-3 neighbors within its IVF
+    // home cell — cell-partitioned self-join, exchange reused (no diamond).
+    "q_knn_graph" -> ((s, dir) =>
+      SimOps.knnGraph(t(s, dir, "embeddings"),
+        centroidPred = col("vec_id").between(100, 115))),
     // Embedding-cosine near-dup pairs within LSH buckets, over a corpus
     // with planted duplicate vectors.
     "q_embed_neardup" -> ((s, dir) =>
@@ -1456,6 +1501,52 @@ object SparkEntry {
         "ORDER BY cos DESC, vec_id) AS rank FROM pp) " +
         s"SELECT q_id, rank, vec_id, ${TextOps.roundBpSql("cos")} AS cos_bp " +
         "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+    // mirrors SimOps.knnGraph: same coarse assignment as q_sim_ivf, then a
+    // within-cell self-join ranked per source vector
+    "q_knn_graph" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 100 AND 115), " +
+        "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
+        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n CROSS JOIN c), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
+        "asg AS (SELECT vec_id, e, nrm, c_id FROM rk WHERE crn = 1), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos " +
+        "FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id), " +
+        "r AS (SELECT id_a, id_b, cos, row_number() OVER (PARTITION BY id_a " +
+        "ORDER BY cos DESC, id_b) AS rank FROM p) " +
+        s"SELECT id_a, rank, id_b, ${TextOps.roundBpSql("cos")} AS cos_bp " +
+        "FROM r WHERE rank <= 3 ORDER BY id_a, rank"),
+    // mirrors TextOps.bpePairCounts (k=20): DuckDB range(1, n) == Spark
+    // sequence(1, n-1); both substring(tok, i, 2) 1-based
+    "q_bpe_pairs" ->
+      (s"WITH tk AS (SELECT unnest($duckToks) AS tok FROM documents), " +
+        "t2 AS (SELECT tok FROM tk WHERE length(tok) >= 2), " +
+        "p AS (SELECT unnest(list_transform(range(1, length(tok)), " +
+        "i -> substring(tok, i, 2))) AS pair FROM t2), " +
+        "g AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair " +
+        "ORDER BY n DESC, pair LIMIT 20) " +
+        "SELECT row_number() OVER (ORDER BY n DESC, pair) AS rank, pair, n " +
+        "FROM g ORDER BY rank"),
+    // mirrors the q_tpch_q3 declaration: integer-cents revenue so the sum
+    // is associative-exact in both engines
+    "q_tpch_q3" ->
+      ("WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'), " +
+        "o AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date, o_orderpriority " +
+        "FROM orders WHERE o_orderdate < TIMESTAMP '1995-03-15'), " +
+        "l AS (SELECT l_orderkey, " +
+        "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS rev_c " +
+        "FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-03-15'), " +
+        "g AS (SELECT l_orderkey, o_date, o_orderpriority, " +
+        "CAST(sum(rev_c) AS BIGINT) AS revenue_c " +
+        "FROM l JOIN o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN c ON o.o_custkey = c.c_custkey " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue_c DESC, l_orderkey LIMIT 10) " +
+        "SELECT row_number() OVER (ORDER BY revenue_c DESC, l_orderkey) AS rank, " +
+        "l_orderkey, o_date, o_orderpriority, revenue_c FROM g ORDER BY rank"),
     // mirrors LayoutOps.compactionPlan (target 16384 bytes, ceil division)
     "q_compact_plan" ->
       ("WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows, " +

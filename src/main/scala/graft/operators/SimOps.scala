@@ -278,6 +278,53 @@ object SimOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Corpus-wide kNN graph within IVF cells — every vector's top-k
+    * neighbors among the vectors sharing its home cell: the building block
+    * for embedding-cluster dedup, graph-based label propagation, and
+    * HNSW-style index construction. Unlike the query-driven searches above
+    * there is no small broadcast side — BOTH sides are the corpus — so the
+    * shape that survives 100 TB is the cell-partitioned SELF-join: each
+    * cell's members meet only each other (O(Σ cell²), never corpus²), and
+    * the join key is the cell id.
+    *
+    * The self-join inputs are the SAME derived frame; repartitioning on
+    * the cell key first makes both sides end in identical exchanges, which
+    * ReuseExchange collapses — the assignment pipeline (norms + cell rank)
+    * runs once, not twice (the [[nearDupPairs]] diamond fix; plan-asserted
+    * in PlanSpec). Boundary caveat documented honestly: true neighbors in
+    * ADJACENT cells are missed (recall follows cell granularity); a probe
+    * variant would union each vector into its crn <= nProbe cells.
+    *
+    * Output: (id_a, rank, id_b, cos_bp), rank over (cosine desc, id_b).
+    */
+  def knnGraph(
+      emb: DataFrame,
+      centroidPred: Column,
+      k: Int = 3,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val n = normalized(emb, idCol, embCol)
+    val cents = n.filter(centroidPred)
+      .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val assigned = cellRank(n, cents, idCol).filter(col("crn") === 1)
+      .select(col(idCol), col("e"), col("nrm"), col("c_id"))
+      .repartition(col("c_id"))
+    val a = assigned.select(col("c_id"), col(idCol).as("id_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("c_id"), col(idCol).as("id_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, "c_id")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("rank"), col("id_b"), TextOps.roundBp(col("cos")).as("cos_bp"))
+      .orderBy(col("id_a"), col("rank"))
+  }
+
   /** `embeddings` plus planted exact-duplicate vectors (every 100th vec_id,
     * id + 100000) — the embedding analog of [[DedupOps.plantedCorpus]], so
     * the near-dup query demonstrably finds known duplicates.

@@ -398,6 +398,40 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  /** The first step of BPE tokenizer training — corpus-wide adjacent
+    * character-pair frequencies within tokens: the most frequent pair IS
+    * the first merge rule, and iterating (merge, recount) yields the
+    * vocabulary. One step is the right operator surface for the engine —
+    * the iteration is a driver loop over a tiny (pair → count) table,
+    * while the expensive recount over the corpus is exactly this query.
+    *
+    * Shape: explode to pairs (map-local fan-out via `sequence` +
+    * `substring` — both engines index strings identically), one hash
+    * aggregation with map-side partials, then `orderBy+limit` — a
+    * TakeOrderedAndProject (per-partition heaps, k-row driver merge),
+    * never a global sort. The shuffle carries (pair, count) partials:
+    * bounded by the pair vocabulary, not the corpus.
+    *
+    * Output: (rank, pair, n), rank over (count desc, pair).
+    */
+  def bpePairCounts(docs: DataFrame, k: Int = 20, textCol: String = "text"): DataFrame = {
+    val pairs = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+    val top = pairs
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("pair"))
+    top
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("pair"), col("n"))
+      .orderBy(col("rank"))
+  }
+
   /** Pack documents into fixed token-budget training sequences — the
     * "concat docs in a deterministic order, cut every `budget` tokens"
     * step that precedes batch assembly in an LLM pipeline. Doc d goes to

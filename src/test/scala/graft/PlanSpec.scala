@@ -234,6 +234,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "codebook must broadcast")
   }
 
+  test("q_knn_graph: the cell self-join reuses one assignment pipeline") {
+    // both self-join sides repartition on c_id, so the second side must
+    // reuse the first's exchange — norms + cell rank computed once
+    val df = SparkEntry.queries("q_knn_graph")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("TableCacheQueryStage"),
+      s"expected exchange reuse in the knn-graph self-join:\n${executed.take(600)}")
+  }
+
+  test("q_tpch_q3: all three filters pushed; the segment dim broadcasts") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter not pushed")
+    assert(p.contains("LessThan(o_orderdate"), "order-date filter not pushed")
+    assert(p.contains("GreaterThan(l_shipdate"), "ship-date filter not pushed")
+    assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+  }
+
+  test("q_sim_ivfpq: ADC tables and queries broadcast; candidate joins are equi") {
+    val p = plan("q_sim_ivfpq")
+    // the only nested-loop join allowed is the broadcast cellRank cross
+    // (16 centroid rows); candidates meet codes/ADC/queries as hash joins
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin"), "cellRank cross must broadcast")
+  }
+
+  test("q_bpe_pairs and q_compact_plan: one partial+final aggregation, no sort shuffle") {
+    val bpe = plan("q_bpe_pairs")
+    assert(bpe.contains("TakeOrderedAndProject"), "pair top-k must not global-sort")
+    assert(bpe.contains("HashAggregate"), bpe.take(300))
+    val cp = plan("q_compact_plan")
+    assert(cp.contains("HashAggregate"), cp.take(300))
+    assert("partial_(count|sum)".r.findFirstIn(cp.toLowerCase).isDefined ||
+      cp.contains("partial_count"), "compaction plan must partial-aggregate map-side")
+  }
+
   test("q_merge_upsert: CDC apply is a broadcast anti-join, base never shuffles") {
     val p = plan("q_merge_upsert")
     assert(p.contains("LeftAnti"), p.take(400))

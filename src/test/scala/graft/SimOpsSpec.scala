@@ -156,6 +156,30 @@ class SimOpsSpec extends SparkSpec {
     assert(ivfRecall >= 0.4, s"IVF recall dropped to $ivfRecall")
   }
 
+  test("knnGraph: neighbors stay within the home cell, ranked by cosine") {
+    val df = emb(
+      // cell A (centroid id 0): three near-collinear vectors
+      (0L, Seq(1f, 0f), 0), (1L, Seq(2f, 0.1f), 0), (2L, Seq(3f, -0.1f), 0),
+      // cell B (centroid id 10): two vectors, orthogonal to cell A
+      (10L, Seq(0f, 1f), 0), (11L, Seq(0.1f, 2f), 0))
+    val got = SimOps.knnGraph(df, col("vec_id").isin(0L, 10L), k = 2)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val byA = got.groupBy(_._1)
+    // cell members never cross cells
+    assert(byA.keySet == Set(0L, 1L, 2L, 10L, 11L))
+    Seq(0L, 1L, 2L).foreach(a =>
+      assert(byA(a).forall(r => Seq(0L, 1L, 2L).contains(r._3)), s"cross-cell edge from $a"))
+    Seq(10L, 11L).foreach(a =>
+      assert(byA(a).forall(r => Seq(10L, 11L).contains(r._3)), s"cross-cell edge from $a"))
+    // the 2-member cell yields exactly one neighbor each at rank 1
+    assert(byA(10L) == Seq((10L, 1, 11L, byA(10L).head._4)))
+    // ranks are contiguous from 1 and cosines non-increasing per source
+    byA.values.foreach { rs =>
+      assert(rs.map(_._2) == (1 to rs.length))
+      assert(rs.map(_._4) == rs.map(_._4).sorted.reverse)
+    }
+  }
+
   test("refinePqCodebooks: one Lloyd round never worsens total PQ error") {
     val df = sf("embeddings")
     val base = SimOps.productQuantize(df, col("vec_id") < 8)

@@ -265,6 +265,16 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq(("bad", 2L, 0L), ("good", 2L, 2L)))
   }
 
+  test("bpePairCounts: adjacent in-token char pairs, count-then-pair ranked") {
+    val d = docs(
+      (0L, "aa ab"),   // pairs: aa, ab
+      (1L, "ab x"),    // pairs: ab (1-char token x contributes none)
+      (2L, "aba"))     // pairs: ab, ba
+    val got = TextOps.bpePairCounts(d, k = 3)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "ab", 3L), (2, "aa", 1L), (3, "ba", 1L)))
+  }
+
   test("packSequences: budget binning with overflow by at most the last doc") {
     val d = docs(
       (0L, "a b c"), // 3 tokens, before=0  -> seq 0
