@@ -485,6 +485,10 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       DedupOps.jaccardPairs(DedupOps.plantedCorpus(t(s, dir, "documents")),
         maxDocFreq = DedupOps.DefaultMaxBucket)),
+    // Duplicate-SPAN pairs: docs sharing >= 2 winnowing fingerprints —
+    // copied paragraphs inside otherwise-dissimilar documents.
+    "q_dedup_spans" -> ((s, dir) =>
+      DedupOps.dupSpanPairs(DedupOps.plantedCorpus(t(s, dir, "documents")))),
     // The production pipeline: LSH candidates → exact-Jaccard verify.
     "q_dedup_verified" -> ((s, dir) =>
       DedupOps.verifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents")),
@@ -1501,6 +1505,27 @@ object SparkEntry {
         "ORDER BY cos DESC, vec_id) AS rank FROM pp) " +
         s"SELECT q_id, rank, vec_id, ${TextOps.roundBpSql("cos")} AS cos_bp " +
         "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+    // mirrors DedupOps.dupSpanPairs over the planted corpus: the
+    // q_doc_winnow fingerprint chain, then capped postings pairing with a
+    // shared-fingerprint threshold
+    "q_dedup_spans" ->
+      (s"WITH corpus AS ($duckCorpus), " +
+        s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
+        s"h AS (SELECT doc_id, list_transform($duckShingles3, " +
+        s"s -> ${StableHash.hash60Sql("s")}) AS hs FROM t), " +
+        "wd AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN " +
+        "list_transform(range(1, len(hs) - 2), " +
+        "i -> least(hs[i], hs[i+1], hs[i+2], hs[i+3])) " +
+        "WHEN len(hs) > 0 THEN [list_min(hs)] ELSE CAST([] AS BIGINT[]) END AS ws FROM h), " +
+        "fp AS (SELECT doc_id, unnest(list_distinct(ws)) AS fp FROM wd), " +
+        "okf AS (SELECT fp FROM fp GROUP BY fp " +
+        s"HAVING count(*) > 1 AND count(*) <= ${DedupOps.DefaultMaxBucket}), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "JOIN okf ON okf.fp = a.fp GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2 " +
+        "ORDER BY id_a, id_b"),
     // mirrors SimOps.knnGraph: same coarse assignment as q_sim_ivf, then a
     // within-cell self-join ranked per source vector
     "q_knn_graph" ->

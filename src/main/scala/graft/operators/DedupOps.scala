@@ -309,6 +309,47 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Substring-level duplicate-SPAN detection — the "copied paragraph"
+    * complement to whole-document near-dup: two documents sharing
+    * `minShared`+ winnowing fingerprints ([[TextOps.winnow]], MOSS-style
+    * window minima over shingle hashes) contain matching token runs even
+    * when the documents as wholes are dissimilar (Jaccard below any
+    * threshold). This is the contamination shape benchmark-decontamination
+    * and license-compliance scans hunt: a verbatim span inside otherwise
+    * fresh text.
+    *
+    * Same scale discipline as [[jaccardPairs]]: fingerprint postings are
+    * collected per fp and paired IN-ARRAY (no inverted self-join diamond),
+    * and postings longer than `maxDocFreq` are dropped — a fingerprint
+    * shared by half the corpus is boilerplate, and the cutoff bounds
+    * per-row fan-out at maxDocFreq²/2 regardless of corpus size. The
+    * winnowing selection itself keeps ~2/(w+1) of shingle hashes, so the
+    * exchange carries a fraction of the corpus's shingle volume.
+    *
+    * Output: (id_a, id_b, n_shared), id_a < id_b, n_shared >= minShared.
+    */
+  def dupSpanPairs(
+      corpus: DataFrame,
+      minShared: Long = 2,
+      maxDocFreq: Int = DefaultMaxBucket,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fps = TextOps.winnow(corpus, idCol = idCol, textCol = textCol)
+    val postings = fps
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col(idCol))).as("ds"))
+    val pairs = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+        struct(x.as("id_a"), y.as("id_b")))))
+    postings
+      .filter(capBucket(maxDocFreq))
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Connected components over near-dup pairs — the final dedup step: pairs
     * say who matches whom, clusters say what to DROP (keep the minimum id
     * per component, drop the rest).

@@ -101,6 +101,31 @@ class DedupOpsSpec extends SparkSpec {
     assert(cut.count() < all.count())
   }
 
+  test("dupSpanPairs: a copied span links dissimilar docs; singles don't") {
+    // docs 1 and 2 share a verbatim 16-token run inside otherwise-disjoint
+    // text (whole-doc Jaccard is low); docs 3/4 share nothing; doc 5
+    // shares only a single 3-gram with doc 1 -> below minShared. The span
+    // must be LONG: only windows of w=4 shingles fully inside the shared
+    // run select identical fingerprints in both docs, and adjacent windows
+    // usually share their minimum — a 7-token span yields just one
+    // distinct shared fp (measured), under the >= 2 threshold
+    val span = "the quick brown fox jumps over fences while dogs bark " +
+      "and cats watch from tall green trees"
+    val corpus = docs(
+      (1L, s"alpha beta gamma $span delta epsilon"),
+      (2L, s"one two three four $span five six seven eight nine"),
+      (3L, "completely different words here entirely"),
+      (4L, "another unrelated document text body"),
+      (5L, "zeta the quick brown eta theta iota kappa"))
+    val got = DedupOps.dupSpanPairs(corpus)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(got.head._3 >= 2L, s"shared-span pair carries too few fps: $got")
+    // the whole-doc similarity really is low — the span detector sees
+    // what jaccardPairs at the dedup threshold does not
+    assert(DedupOps.jaccardPairs(corpus, thresholdBp = 8000).count() == 0L)
+  }
+
   test("hot-bucket cap: oversized LSH buckets are dropped, histogram flags them") {
     // 8 identical boilerplate docs -> every band bucket holds all 8
     val boiler = (1L to 8L).map(i => (i, "alpha beta gamma delta epsilon zeta eta"))
