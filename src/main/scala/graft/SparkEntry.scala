@@ -645,6 +645,16 @@ object SparkEntry {
     // integer-exact robust outlier monitor (lower medians, long deviations).
     "q_events_anomaly" -> ((s, dir) =>
       EventOps.hourlyAnomalies(t(s, dir, "events"))),
+    // Incremental view maintenance: the table split at a cutoff, each half
+    // rolled to mergeable integer state, states merged — must equal the
+    // oracle's from-scratch aggregation of the WHOLE table exactly.
+    "q_ivm_agg" -> ((s, dir) => {
+      val ev = EventOps.normalizeTs(t(s, dir, "events"))
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      EventOps.mergeRollupStates(
+        EventOps.rollupState(ev.filter(col("ts") < cutoff)),
+        EventOps.rollupState(ev.filter(col("ts") >= cutoff)))
+    }),
     // Equi-width histogram of lineitem prices: 1-row bounds broadcast +
     // one partial+final count per bucket (fixed-size mergeable summary).
     "q_histogram" -> ((s, dir) =>
@@ -1580,6 +1590,12 @@ object SparkEntry {
         "greatest(CAST(1 AS BIGINT), (est_bytes + 16383) // 16384) AS n_files FROM g) " +
         "SELECT source, n_rows, est_bytes, n_files, " +
         "(n_rows + n_files - 1) // n_files AS rows_per_file FROM f ORDER BY source"),
+    // mirrors q_ivm_agg: the oracle aggregates the WHOLE table from
+    // scratch — equality proves the split+merge maintained the view
+    "q_ivm_agg" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        s"CAST(sum(${TextOps.roundBpSql("value")}) AS BIGINT) AS value_bp " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     // mirrors EventOps.hourlyAnomalies (24 h trailing, lower medians,
     // MAD x 3, 12-hour warm-up)
     "q_events_anomaly" ->

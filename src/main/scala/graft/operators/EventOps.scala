@@ -102,6 +102,36 @@ object EventOps {
         TextOps.roundBp(element_at(col("qs"), 2)).as("p95_bp"))
       .orderBy(col("event_type"))
 
+  /** Mergeable per-type rollup STATE — (count, bp-integer value sum): the
+    * incremental-view-maintenance building block. A 100 TB table is never
+    * re-aggregated from scratch when a day lands; the new partition's
+    * state merges into yesterday's by plain addition, which is exact ONLY
+    * because the state is integer (count + bp-quantized sum — a stored
+    * float sum would drift from the recompute by association order). The
+    * same mergeability is why the state also works as a streaming sink or
+    * a cube block. Finalize downstream: mean = value_bp / n_events.
+    */
+  def rollupState(events: DataFrame): DataFrame =
+    normalizeTs(events)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(TextOps.roundBp(col("value"))).as("value_bp"))
+
+  /** Merge rollup states (associative + commutative): union, re-add.
+    * `mergeRollupStates(rollupState(a), rollupState(b)) ==
+    * rollupState(a union b)` — the IVM contract, oracle-verified by
+    * q_ivm_agg against a from-scratch aggregation of the whole table and
+    * spec-pinned for arbitrary 3-way splits.
+    */
+  def mergeRollupStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("value_bp")).as("value_bp"))
+      .orderBy(col("event_type"))
+
   /** Trailing-window anomaly detection — the ops-side "did ingestion break
     * this hour?" monitor a pipeline runs over its own event volumes: an
     * (hour, event_type) cell is anomalous when its count deviates from the

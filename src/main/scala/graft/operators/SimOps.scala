@@ -291,9 +291,14 @@ object SimOps {
     * the cell key first makes both sides end in identical exchanges, which
     * ReuseExchange collapses — the assignment pipeline (norms + cell rank)
     * runs once, not twice (the [[nearDupPairs]] diamond fix; plan-asserted
-    * in PlanSpec). Boundary caveat documented honestly: true neighbors in
-    * ADJACENT cells are missed (recall follows cell granularity); a probe
-    * variant would union each vector into its crn <= nProbe cells.
+    * in PlanSpec). Boundary caveat and its knob: with `probes` = 1, true
+    * neighbors in ADJACENT cells are missed (recall follows cell
+    * granularity); `probes` > 1 unions each SOURCE vector into its
+    * `probes` nearest cells (the IVF nProbe idea applied to graph
+    * construction) — candidates still live only in their home cell, so
+    * fan-out grows linearly in `probes`, never quadratically, and a
+    * (source, candidate) pair cannot duplicate (each candidate has ONE
+    * home cell). SimOpsSpec pins that probes=2 recall dominates probes=1.
     *
     * Output: (id_a, rank, id_b, cos_bp), rank over (cosine desc, id_b).
     */
@@ -301,17 +306,20 @@ object SimOps {
       emb: DataFrame,
       centroidPred: Column,
       k: Int = 3,
+      probes: Int = 1,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val n = normalized(emb, idCol, embCol)
     val cents = n.filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    val assigned = cellRank(n, cents, idCol).filter(col("crn") === 1)
-      .select(col(idCol), col("e"), col("nrm"), col("c_id"))
+    val ranked = cellRank(n, cents, idCol)
+      .filter(col("crn") <= probes)
+      .select(col(idCol), col("e"), col("nrm"), col("c_id"), col("crn"))
       .repartition(col("c_id"))
-    val a = assigned.select(col("c_id"), col(idCol).as("id_a"),
+    val a = ranked.select(col("c_id"), col(idCol).as("id_a"),
       col("e").as("ea"), col("nrm").as("na"))
-    val b = assigned.select(col("c_id"), col(idCol).as("id_b"),
+    val b = ranked.filter(col("crn") === 1)
+      .select(col("c_id"), col(idCol).as("id_b"),
       col("e").as("eb"), col("nrm").as("nb"))
     val pairs = a.join(b, "c_id")
       .filter(col("id_a") =!= col("id_b"))

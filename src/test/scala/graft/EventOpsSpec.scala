@@ -148,6 +148,24 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Seq((base / 1000 + 30 * 3600, "click", 30L, 3L, 1L)))
   }
 
+  test("rollupState merge: any split of the table maintains the exact view") {
+    val rows = (1 to 30).map(i =>
+      (i.toLong, ms("10:00") + i * 60000L, if (i % 2 == 0) "click" else "view", i * 1.1))
+    val all = ev(rows: _*)
+    val full = EventOps.rollupState(all)
+      .orderBy($"event_type").as[(String, Long, Long)].collect().toSeq
+    // 3-way split merged pairwise (tests associativity, not just 2-way)
+    val parts = Seq(
+      ev(rows.take(10): _*), ev(rows.slice(10, 17): _*), ev(rows.drop(17): _*))
+    val merged = EventOps.mergeRollupStates(
+      EventOps.mergeRollupStates(
+        EventOps.rollupState(parts(0)), EventOps.rollupState(parts(1))),
+      EventOps.rollupState(parts(2)))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(merged == full)
+    assert(full.map(_._2).sum == 30L)
+  }
+
   test("percentiles: hand-checked median and p95") {
     val df = ev((1 to 5).map(i => (i.toLong, ms("10:00") + i, "x", i.toDouble)): _*)
     val r = EventOps.percentiles(df).head()

@@ -180,6 +180,22 @@ class SimOpsSpec extends SparkSpec {
     }
   }
 
+  test("knnGraph: probing 2 cells dominates single-cell recall vs exact top-3") {
+    val df = sf("embeddings")
+    val brute = SimOps.bruteTopK(df, lit(true), k = 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(probes: Int) = {
+      val g = SimOps.knnGraph(df, col("vec_id").between(100, 115), probes = probes)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      g.intersect(brute).size.toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    // a source probing its 2nd-nearest cell can only ADD candidates
+    assert(r2 >= r1, s"probe recall regressed: $r2 < $r1")
+    assert(r1 > 0.2, s"suspiciously low 1-cell graph recall: $r1")
+  }
+
   test("refinePqCodebooks: one Lloyd round never worsens total PQ error") {
     val df = sf("embeddings")
     val base = SimOps.productQuantize(df, col("vec_id") < 8)
