@@ -143,6 +143,54 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: compactionPlan — ceil-division invariants for any table") {
+    val genParts: Gen[List[(String, Long)]] = Gen.listOf(for {
+      p <- Gen.oneOf("a", "b", "c", "d")
+      bytes <- Gen.chooseNum(0L, 100000L)
+    } yield (p, bytes))
+    val gen = for { rows <- genParts; tgt <- Gen.chooseNum(1L, 50000L) } yield (rows, tgt)
+    check("compaction", 10, Prop.forAll(gen) { case (rows, tgt) =>
+      rows.isEmpty || {
+        val plan = graft.operators.LayoutOps
+          .compactionPlan(rows.toDF("source", "n_chars"), "source", "n_chars", tgt)
+          .as[(String, Long, Long, Long, Long)].collect()
+        val byPart = rows.groupBy(_._1)
+        plan.length == byPart.size && plan.forall { case (p, n, bytes, files, rpf) =>
+          val (en, eb) = (byPart(p).length.toLong, byPart(p).map(_._2).sum)
+          n == en && bytes == eb &&
+            files == math.max(1L, (eb + tgt - 1) / tgt) && // exact ceil, 1 floor
+            rpf * files >= n &&                            // every row gets a file
+            (files == 1L || (files - 1) * tgt < eb)        // never over-provisions
+        }
+      }
+    })
+  }
+
+  test("property: rollupState merge over any split == rollup of the whole") {
+    val genEvents: Gen[List[(Long, String, Double)]] = Gen.listOf(for {
+      id <- Gen.chooseNum(0L, 10000L)
+      typ <- Gen.oneOf("click", "view", "purchase")
+      v <- Gen.chooseNum(-1000.0, 1000.0)
+    } yield (id, typ, v))
+    def ev(rows: List[(Long, String, Double)]) =
+      rows.zipWithIndex.map { case ((id, typ, v), i) =>
+        (i.toLong, (1700000000000L + id * 1000) * 1000000L, id, typ, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val gen = for { rows <- genEvents; cut <- Gen.chooseNum(0, 100) } yield (rows, cut)
+    check("ivm", 10, Prop.forAll(gen) { case (rows, cutPct) =>
+      rows.isEmpty || {
+        val cut = rows.length * cutPct / 100
+        val full = graft.operators.EventOps.rollupState(ev(rows))
+          .orderBy(col("event_type")).as[(String, Long, Long)].collect().toSeq
+        val merged = graft.operators.EventOps.mergeRollupStates(
+          graft.operators.EventOps.rollupState(ev(rows.take(cut))),
+          graft.operators.EventOps.rollupState(ev(rows.drop(cut))))
+          .as[(String, Long, Long)].collect().toSeq
+        merged == full
+      }
+    })
+  }
+
   test("property: exactDedup partitions the corpus and is idempotent") {
     check("dedup", 10, Prop.forAll(genDocs) { docRows =>
       val corpus = docRows.toDF("doc_id", "text")
