@@ -599,6 +599,11 @@ object SparkEntry {
     // Evenly-spaced frame/byte sampling from binary payloads.
     "q_media_frames" -> ((s, dir) =>
       MultimodalOps.frameSample(MultimodalOps.asMedia(t(s, dir, "documents")))),
+    // Binary header parse: PNG-style planted dims read back out of the
+    // payload bytes — the pre-decode resolution-filter step, codec-free.
+    "q_media_dims" -> ((s, dir) =>
+      MultimodalOps.mediaDims(
+        MultimodalOps.plantDims(MultimodalOps.asMedia(t(s, dir, "documents"))))),
     // Typed per-partition batch decode (stubbed codec, real plumbing).
     "q_media_features" -> ((s, dir) =>
       MultimodalOps.mediaFeatures(MultimodalOps.asMedia(t(s, dir, "documents")))),
@@ -1647,6 +1652,21 @@ object SparkEntry {
         s"SELECT media_id, kind, n AS n_bytes, lower(concat($parts)) AS frame_hex " +
         "FROM m2 ORDER BY media_id"
     },
+    // mirrors MultimodalOps.plantDims + mediaDims at the hex-string level
+    // (DuckDB blob surgery is limited; hex is the shared representation)
+    "q_media_dims" ->
+      (s"WITH $duckMedia, " +
+        "pm AS (SELECT media_id, kind, h, " +
+        "(media_id * 37 + 64) % 4096 + 1 AS w, " +
+        "(media_id * 53 + 48) % 2160 + 1 AS hh FROM media), " +
+        "ph AS (SELECT media_id, kind, '89504e47' || " +
+        "lpad(lower(to_hex(w)), 8, '0') || lpad(lower(to_hex(hh)), 8, '0') || " +
+        "lower(h) AS p FROM pm) " +
+        "SELECT media_id, kind, " +
+        "('0x' || substr(p, 9, 8))::BIGINT AS width, " +
+        "('0x' || substr(p, 17, 8))::BIGINT AS height, " +
+        "CAST(length(p) // 2 - 12 AS BIGINT) AS body_bytes " +
+        "FROM ph ORDER BY media_id"),
     "q_media_features" ->
       (s"WITH $duckMedia " +
         "SELECT media_id, kind, n_bytes, b_first, b_last, " +

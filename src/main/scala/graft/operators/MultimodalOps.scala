@@ -72,6 +72,42 @@ object MultimodalOps {
       .orderBy(col("media_id"))
   }
 
+  /** Plant a PNG-style 12-byte header — 4 magic bytes + big-endian int32
+    * width + int32 height, dims derived deterministically from the id — in
+    * front of each payload. The planted corpus lets [[mediaDims]]
+    * demonstrate REAL binary header arithmetic with no codec in the
+    * container: the bytes genuinely carry the dimensions and genuinely get
+    * parsed back out.
+    */
+  def plantDims(media: DataFrame): DataFrame = {
+    val w = pmod(col("media_id") * 37 + 64, lit(4096)) + 1
+    val h = pmod(col("media_id") * 53 + 48, lit(2160)) + 1
+    media.select(
+      col("media_id"), col("kind"),
+      concat(
+        to_binary(concat(
+          lit("89504e47"),
+          lpad(lower(hex(w)), 8, "0"),
+          lpad(lower(hex(h)), 8, "0")), lit("hex")),
+        col("payload")).as("payload"))
+  }
+
+  /** Dimension extraction from the binary header — the typed-metadata step
+    * every image pipeline runs BEFORE any decode (resolution filtering,
+    * aspect bucketing, resize planning read header fields, not pixels).
+    * Pure byte arithmetic: slice the binary, hex it, parse base-16 — all
+    * codegen'd built-ins, executable on 100 TB of payloads without
+    * touching a codec. Works on [[plantDims]] output here; on real PNGs
+    * the offsets would target the IHDR chunk the same way.
+    */
+  def mediaDims(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("kind"),
+      conv(hex(substring(col("payload"), 5, 4)), 16, 10).cast("long").as("width"),
+      conv(hex(substring(col("payload"), 9, 4)), 16, 10).cast("long").as("height"),
+      (length(col("payload")) - 12).cast("long").as("body_bytes"))
+      .orderBy(col("media_id"))
+
   /** The decode step — mapInPandas-analog plumbing, stubbed codec.
     *
     * Real shape, kept: typed input/output schemas, `mapPartitions` so a

@@ -25,6 +25,21 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(r.getAs[String]("magic") == "68656c6c") // 'hell'
   }
 
+  test("mediaDims: planted header bytes parse back to the planted dims") {
+    val got = MultimodalOps.mediaDims(
+      MultimodalOps.plantDims(MultimodalOps.asMedia(docs((1L, "hello"), (2L, "xy")))))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // id 1: w = (37+64)%4096+1 = 102, h = (53+48)%2160+1 = 102, body 5
+    // id 2: w = (74+64)%4096+1 = 139, h = (106+48)%2160+1 = 155, body 2
+    assert(got == Seq((1L, "audio", 102L, 102L, 5L), (2L, "video", 139L, 155L, 2L)))
+    // and the header really is in the BYTES: magic + big-endian ints
+    val raw = MultimodalOps.plantDims(MultimodalOps.asMedia(docs((1L, "hello"))))
+      .select(col("payload")).as[Array[Byte]].head()
+    assert(raw.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47))
+    assert(((raw(4) & 0xff) << 24 | (raw(5) & 0xff) << 16 |
+      (raw(6) & 0xff) << 8 | (raw(7) & 0xff)) == 102)
+  }
+
   test("frameSample: 8 evenly spaced bytes; short payloads dropped") {
     val text16 = "abcdefghijklmnop" // 16 bytes, step 2: a c e g i k m o
     val df = MultimodalOps.frameSample(MultimodalOps.asMedia(docs((1L, text16), (2L, "short"))))
