@@ -578,6 +578,14 @@ object SparkEntry {
         queryPred = col("vec_id") < 5,
         centroidPred = col("vec_id").between(100, 115),
         codebookPred = col("vec_id") < 8)),
+    // The full production composition: BOTH quantizers trained — coarse
+    // cells AND PQ books each get one integer-exact Lloyd round.
+    "q_sim_ivfpq_kmeans" -> ((s, dir) =>
+      SimOps.ivfPqTopK(t(s, dir, "embeddings"),
+        queryPred = col("vec_id") < 5,
+        centroidPred = col("vec_id").between(100, 115),
+        codebookPred = col("vec_id") < 8,
+        coarseIters = 1)),
     // k-NN majority-label prediction over the brute-force neighbors.
     "q_embed_knn" -> ((s, dir) =>
       SimOps.knnLabel(t(s, dir, "embeddings"), col("vec_id") < 5)),
@@ -964,6 +972,70 @@ object SparkEntry {
       "FROM pqsm GROUP BY s, c_id), " +
       "cb AS (SELECT cb0.s, cb0.c_id, coalesce(cb1.ce, cb0.ce) AS ce " +
       "FROM cb0 LEFT JOIN cb1 ON cb0.s = cb1.s AND cb0.c_id = cb1.c_id)"
+
+  /** Full IVF-PQ oracle SQL, parameterized by the CTE chain that produces
+    * the coarse centroid table `c(c_id, ce, cn)` from `n` — the sampled
+    * one-liner for q_sim_ivfpq, the Lloyd-refinement chain for
+    * q_sim_ivfpq_kmeans. Everything downstream (probe, PQ refinement via
+    * [[duckPqRefineCtes]], codes, ADC, shortlist, exact rerank) is shared.
+    */
+  private def duckIvfPqSql(coarseCtes: String): String =
+    "WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+      s"$coarseCtes, " +
+      "cs AS (SELECT n.vec_id, n.nrm, c.c_id, " +
+      "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n CROSS JOIN c), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
+      "asg AS (SELECT vec_id, nrm, c_id FROM rk WHERE crn = 1), " +
+      "pr AS (SELECT vec_id AS q_id, c_id FROM rk WHERE vec_id < 5 AND crn <= 4), " +
+      s"$duckPqRefineCtes, " +
+      "codes AS (SELECT vec_id, s, c_id AS pq_id FROM (SELECT v.vec_id, v.s, c.c_id, " +
+      "row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY " +
+      "list_dot_product(v.sub, v.sub) - 2.0 * list_dot_product(v.sub, c.ce) " +
+      "+ list_dot_product(c.ce, c.ce), c.c_id) AS rn " +
+      "FROM sb v JOIN cb c ON v.s = c.s) WHERE rn = 1), " +
+      "adc AS (SELECT v.vec_id AS q_id, v.s, c.c_id AS pq_id, " +
+      "list_dot_product(v.sub, c.ce) AS ip FROM sb v JOIN cb c ON v.s = c.s " +
+      "WHERE v.vec_id < 5), " +
+      "qn AS (SELECT vec_id AS q_id, nrm AS qn FROM n WHERE vec_id < 5), " +
+      "sc AS (SELECT pr.q_id, a.vec_id, " +
+      s"CAST(sum(${TextOps.roundBpSql("adc.ip / (qn.qn * a.nrm)")}) AS BIGINT) AS adc_bp " +
+      "FROM pr JOIN asg a ON pr.c_id = a.c_id " +
+      "JOIN codes ON codes.vec_id = a.vec_id " +
+      "JOIN adc ON adc.q_id = pr.q_id AND adc.s = codes.s AND adc.pq_id = codes.pq_id " +
+      "JOIN qn ON qn.q_id = pr.q_id WHERE a.vec_id <> pr.q_id " +
+      "GROUP BY pr.q_id, a.vec_id), " +
+      "sl AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id " +
+      "ORDER BY adc_bp DESC, vec_id) AS srn FROM sc) WHERE srn <= 32), " +
+      "qv AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn2 FROM n WHERE vec_id < 5), " +
+      "pp AS (SELECT sl.q_id, sl.vec_id, " +
+      "list_dot_product(qv.qe, n.e) / (qv.qn2 * n.nrm) AS cos " +
+      "FROM sl JOIN n USING (vec_id) JOIN qv ON qv.q_id = sl.q_id), " +
+      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id " +
+      "ORDER BY cos DESC, vec_id) AS rank FROM pp) " +
+      s"SELECT q_id, rank, vec_id, ${TextOps.roundBpSql("cos")} AS cos_bp " +
+      "FROM r WHERE rank <= 10 ORDER BY q_id, rank"
+
+  /** The q_sim_ivf_kmeans coarse-refinement chain, reused by
+    * q_sim_ivfpq_kmeans: one bp-integer Lloyd round over the sampled
+    * centroids, yielding the refined `c(c_id, ce, cn)`.
+    */
+  private val duckKmeansCoarseCtes =
+    "c0 AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 100 AND 115), " +
+      "a0 AS (SELECT vec_id, c_id FROM (SELECT n.vec_id, c0.c_id, " +
+      "row_number() OVER (PARTITION BY n.vec_id " +
+      "ORDER BY list_dot_product(n.e, c0.ce) / (n.nrm * c0.cn) DESC, c0.c_id) AS crn " +
+      "FROM n CROSS JOIN c0) WHERE crn = 1), " +
+      "z AS (SELECT a0.c_id, unnest(n.e) AS v, unnest(range(1, len(n.e) + 1)) AS pos " +
+      "FROM a0 JOIN n USING (vec_id)), " +
+      "sm AS (SELECT c_id, pos, sum(CAST(floor(v * 10000.0 + 0.5) AS BIGINT)) AS s, " +
+      "count(*) AS cnt FROM z GROUP BY c_id, pos), " +
+      "c1 AS (SELECT c_id, list(CAST(s AS DOUBLE) / (cnt * 10000.0) ORDER BY pos) AS ce " +
+      "FROM sm GROUP BY c_id), " +
+      "c AS (SELECT c0.c_id, coalesce(c1.ce, c0.ce) AS ce, " +
+      "coalesce(sqrt(list_dot_product(c1.ce, c1.ce)), c0.cn) AS cn " +
+      "FROM c0 LEFT JOIN c1 USING (c_id))"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1483,43 +1555,12 @@ object SparkEntry {
     // mirrors SimOps.ivfPqTopK: coarse probe (q_sim_ivf chain) + refined PQ
     // codes + per-query ADC tables + bp-summed approximate scores +
     // 32-deep exact-cosine rerank
-    "q_sim_ivfpq" ->
-      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
-        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
-        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 100 AND 115), " +
-        "cs AS (SELECT n.vec_id, n.nrm, c.c_id, " +
-        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n CROSS JOIN c), " +
-        "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
-        "asg AS (SELECT vec_id, nrm, c_id FROM rk WHERE crn = 1), " +
-        "pr AS (SELECT vec_id AS q_id, c_id FROM rk WHERE vec_id < 5 AND crn <= 4), " +
-        s"$duckPqRefineCtes, " +
-        "codes AS (SELECT vec_id, s, c_id AS pq_id FROM (SELECT v.vec_id, v.s, c.c_id, " +
-        "row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY " +
-        "list_dot_product(v.sub, v.sub) - 2.0 * list_dot_product(v.sub, c.ce) " +
-        "+ list_dot_product(c.ce, c.ce), c.c_id) AS rn " +
-        "FROM sb v JOIN cb c ON v.s = c.s) WHERE rn = 1), " +
-        "adc AS (SELECT v.vec_id AS q_id, v.s, c.c_id AS pq_id, " +
-        "list_dot_product(v.sub, c.ce) AS ip FROM sb v JOIN cb c ON v.s = c.s " +
-        "WHERE v.vec_id < 5), " +
-        "qn AS (SELECT vec_id AS q_id, nrm AS qn FROM n WHERE vec_id < 5), " +
-        "sc AS (SELECT pr.q_id, a.vec_id, " +
-        s"CAST(sum(${TextOps.roundBpSql("adc.ip / (qn.qn * a.nrm)")}) AS BIGINT) AS adc_bp " +
-        "FROM pr JOIN asg a ON pr.c_id = a.c_id " +
-        "JOIN codes ON codes.vec_id = a.vec_id " +
-        "JOIN adc ON adc.q_id = pr.q_id AND adc.s = codes.s AND adc.pq_id = codes.pq_id " +
-        "JOIN qn ON qn.q_id = pr.q_id WHERE a.vec_id <> pr.q_id " +
-        "GROUP BY pr.q_id, a.vec_id), " +
-        "sl AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id " +
-        "ORDER BY adc_bp DESC, vec_id) AS srn FROM sc) WHERE srn <= 32), " +
-        "qv AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn2 FROM n WHERE vec_id < 5), " +
-        "pp AS (SELECT sl.q_id, sl.vec_id, " +
-        "list_dot_product(qv.qe, n.e) / (qv.qn2 * n.nrm) AS cos " +
-        "FROM sl JOIN n USING (vec_id) JOIN qv ON qv.q_id = sl.q_id), " +
-        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id " +
-        "ORDER BY cos DESC, vec_id) AS rank FROM pp) " +
-        s"SELECT q_id, rank, vec_id, ${TextOps.roundBpSql("cos")} AS cos_bp " +
-        "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+    "q_sim_ivfpq" -> duckIvfPqSql(
+      "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n " +
+        "WHERE vec_id BETWEEN 100 AND 115)"),
+    // the full production composition: the same chain with the coarse
+    // quantizer Lloyd-refined first (q_sim_ivf_kmeans's refinement CTEs)
+    "q_sim_ivfpq_kmeans" -> duckIvfPqSql(duckKmeansCoarseCtes),
     // mirrors DedupOps.dupSpanPairs over the planted corpus: the
     // q_doc_winnow fingerprint chain, then capped postings pairing with a
     // shared-fingerprint threshold

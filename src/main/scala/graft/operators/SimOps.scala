@@ -580,11 +580,16 @@ object SimOps {
       m: Int = 4,
       shortlist: Int = 32,
       pqIters: Int = 1,
+      coarseIters: Int = 0,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val n = normalized(emb, idCol, embCol)
-    val cents = n.filter(centroidPred)
+    val cents0 = n.filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    // coarseIters > 0 Lloyd-refines the coarse quantizer too — the full
+    // production composition (trained cells + trained books)
+    val cents =
+      if (coarseIters > 0) refineCentroids(n, cents0, coarseIters, idCol) else cents0
     val ranked = cellRank(n, cents, idCol)
     val assigned = ranked.filter(col("crn") === 1)
       .select(col(idCol), col("nrm"), col("c_id"))
