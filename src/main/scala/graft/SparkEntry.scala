@@ -598,6 +598,23 @@ object SparkEntry {
     // with planted duplicate vectors.
     "q_embed_neardup" -> ((s, dir) =>
       SimOps.nearDupPairs(SimOps.plantedVectors(t(s, dir, "embeddings")))),
+    // Composed embedding-curation pipeline: planted corpus → near-dup
+    // pairs → drop the larger id of each pair → per-label scorecard.
+    // The embedding twin of q_curate_pipeline's text chain.
+    "q_embed_pipeline" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      val dropIds = SimOps.nearDupPairs(planted)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("dropped", lit(1L))
+      planted
+        .join(dropIds, Seq("vec_id"), "left")
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(col("dropped")).as("n_dropped"),
+          (count(lit(1)) - count(col("dropped"))).as("n_kept"))
+        .orderBy(col("label"))
+    }),
 
     // --- Multimodal binary columns (north star; MultimodalOps) ----------
 
@@ -1682,6 +1699,28 @@ object SparkEntry {
         s"${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} AS cos_bp " +
         "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
         "WHERE cos_bp >= 4000 ORDER BY id_a, id_b"
+    },
+    // mirrors the q_embed_pipeline composition: the q_embed_neardup pair
+    // chain feeding a drop-set left join and per-label rollup
+    "q_embed_pipeline" -> {
+      val bucket = (0 until 4)
+        .map(i => s"(CASE WHEN e[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      "WITH base AS (SELECT vec_id, embedding, label FROM embeddings " +
+        "UNION ALL SELECT vec_id + 100000 AS vec_id, embedding, label " +
+        "FROM embeddings WHERE vec_id % 100 = 0), " +
+        "n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm, " +
+        s"$bucket AS bucket FROM base), " +
+        "d AS (SELECT DISTINCT id_b FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} AS cos_bp " +
+        "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "WHERE cos_bp >= 4000) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_total, " +
+        "CAST(count(d.id_b) AS BIGINT) AS n_dropped, " +
+        "CAST(count(*) - count(d.id_b) AS BIGINT) AS n_kept " +
+        "FROM base LEFT JOIN d ON base.vec_id = d.id_b " +
+        "GROUP BY label ORDER BY label"
     },
     "q_media_meta" ->
       (s"WITH $duckMedia " +
