@@ -689,6 +689,11 @@ object SparkEntry {
     // one partial+final count per bucket (fixed-size mergeable summary).
     "q_histogram" -> ((s, dir) =>
       StatsOps.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20)),
+    // ANALYZE-style one-pass column profile: min/max/nulls/exact-distinct
+    // per column via one Expand + one aggregation (the CBO-stats shape).
+    "q_profile" -> ((s, dir) =>
+      StatsOps.profile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     // Quantiles from the mergeable histogram state (rank sketch), with
     // the exact percentile beside the estimate to expose the error.
     "q_hist_quantiles" -> ((s, dir) =>
@@ -1645,6 +1650,16 @@ object SparkEntry {
         "GROUP BY 1, 2, 3 ORDER BY revenue_c DESC, l_orderkey LIMIT 10) " +
         "SELECT row_number() OVER (ORDER BY revenue_c DESC, l_orderkey) AS rank, " +
         "l_orderkey, o_date, o_orderpriority, revenue_c FROM g ORDER BY rank"),
+    // mirrors StatsOps.profile over the four lineitem numeric columns
+    "q_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"SELECT '$c' AS col_name, ${TextOps.roundBpSql(s"min($c)")} AS min_bp, " +
+          s"${TextOps.roundBpSql(s"max($c)")} AS max_bp, " +
+          s"CAST(count(*) FILTER ($c IS NULL) AS BIGINT) AS n_nulls, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem"
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    },
     // mirrors LayoutOps.compactionPlan (target 16384 bytes, ceil division)
     "q_compact_plan" ->
       ("WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows, " +

@@ -28,6 +28,31 @@ object StatsOps {
     * across partitions and across corpus shards) — the fixed-size-summary
     * family next to HLL/CMS in [[SketchOps]].
     */
+  /** ANALYZE-style column profile: one row per profiled column with
+    * min/max (bp), null count, and EXACT distinct count — the statistics
+    * a cost-based optimizer and a data-quality gate both read. One pass
+    * over the table: the multi-column `count(distinct)` makes Catalyst
+    * plan an Expand (rows x columns map-side fan-out) feeding a single
+    * partial+final aggregation — CPU-linear in columns, still one scan,
+    * no per-column jobs. At 100 TB the distinct counts would swap to the
+    * mergeable HLL registers in [[SketchOps]]; min/max/nulls are already
+    * constant-size mergeable state.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      TextOps.roundBp(min(col(c))).as(s"${c}__min"),
+      TextOps.roundBp(max(col(c))).as(s"${c}__max"),
+      count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__nd")))
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}__min, ${c}__max, ${c}__nulls, ${c}__nd")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.length}, $stackArgs) " +
+        "AS (col_name, min_bp, max_bp, n_nulls, n_distinct)"))
+      .orderBy(col("col_name"))
+  }
+
   def histogram(df: DataFrame, valueCol: String, nb: Int): DataFrame =
     histogramCore(df, valueCol, nb)
       .select(

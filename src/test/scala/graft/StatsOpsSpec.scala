@@ -5,6 +5,17 @@ import graft.operators.StatsOps
 class StatsOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("profile: min/max/nulls/distinct per column in one pass") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 0.5), (2.0, null), (2.0, 0.5), (3.5, null))
+      .toDF("a", "b")
+    val got = StatsOps.profile(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 10000L, 35000L, 0L, 3L),
+      ("b", 5000L, 5000L, 2L, 1L)))
+  }
+
   test("histogram: equi-width buckets, max value clamped into the last") {
     val df = (0 to 10).map(_.toDouble).toDF("v")
     val got = StatsOps.histogram(df, "v", 5)
