@@ -448,6 +448,13 @@ object SparkEntry {
     // Data mixing: per-language sampling multipliers toward a uniform mix.
     "q_mix_weights" -> ((s, dir) =>
       graft.operators.SampleOps.mixWeights(t(s, dir, "documents"), "lang")),
+    // Quality-weighted reproducible downsampling: survive with
+    // probability quality_bp/1e4, deterministically by id hash.
+    "q_sample_weighted" -> ((s, dir) =>
+      graft.operators.SampleOps.weightedSample(
+        TextOps.qualityScore(t(s, dir, "documents")), "quality_bp", "doc_id")
+        .select(col("doc_id"), col("quality_bp"))
+        .orderBy(col("doc_id"))),
     // Top-3 terms per doc by integer-exact tf-idf weighting.
     "q_text_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"))),
@@ -1263,6 +1270,21 @@ object SparkEntry {
         "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
         "ORDER BY h, doc_id) AS rn FROM h) " +
         "SELECT lang, rn, doc_id FROM r WHERE rn <= 5 ORDER BY lang, rn"),
+    // mirrors SampleOps.weightedSample over the q_quality scorer
+    "q_sample_weighted" -> {
+      val allStops = TextOps.langMarkers.flatMap(_._2).distinct.sorted
+      s"WITH d AS (SELECT doc_id, $duckToks AS t FROM documents), " +
+        "f AS (SELECT doc_id, len(t)::DOUBLE AS n, " +
+        "len(list_distinct(t))::DOUBLE AS nd, " +
+        s"len(list_filter(t, x -> x IN (${duckInList(allStops)})))::DOUBLE AS ns " +
+        "FROM d WHERE len(t) > 0), " +
+        "q AS (SELECT doc_id, " +
+        s"${TextOps.roundBpSql("(nd / n) * 0.5 + (ns / n) * 0.2 + least(n / 100.0, 1.0) * 0.3")} AS quality_bp " +
+        "FROM f) " +
+        "SELECT doc_id, quality_bp FROM q " +
+        s"WHERE ${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 < quality_bp " +
+        "ORDER BY doc_id"
+    },
     // mirrors TextOps.piiRedact over TextOps.plantedPii: same regexes
     // (RE2 ∩ Java dialect), same replacement order, 'g' for global
     "q_text_redact" ->

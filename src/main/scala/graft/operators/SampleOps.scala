@@ -51,6 +51,19 @@ object SampleOps {
       .orderBy(col(strataCol))
   }
 
+  /** Quality-weighted reproducible downsampling — the "keep good docs
+    * more often" step between scoring and training: a row with weight
+    * `w` bp survives iff `hash60(id) mod 1e4 < w`, i.e. with probability
+    * w/10000, but DETERMINISTICALLY — the same doc makes the same cut on
+    * every run and engine (the [[hashSample]] contract, importance-
+    * weighted). A pure filter: pushes to the scan, no shuffle, and the
+    * weight column composes from any scorer ([[TextOps.qualityScore]],
+    * [[TextOps.lmSurprisal]], a model score).
+    */
+  def weightedSample(df: DataFrame, weightBpCol: String, idCol: String): DataFrame =
+    df.filter(
+      pmod(StableHash.hash60(col(idCol).cast("string")), lit(10000L)) < col(weightBpCol))
+
   /** Deterministic n-per-stratum sample: the n smallest id-hashes within
     * each stratum (ties impossible: the hash is keyed by the unique id, and
     * the id itself tie-breaks). Output: (strataCol, rn, idCol).

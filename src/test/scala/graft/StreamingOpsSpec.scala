@@ -357,6 +357,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: dim enrichment inside a streaming agg equals batch") {
+    // the enrichment shape: an unbounded stream joins a small STATIC dim
+    // (broadcast; re-read per micro-batch, no stream-stream state at all)
+    val dim = Seq(("click", 2.0), ("view", 1.0)).toDF("event_type", "mult")
+    def weighted(df: org.apache.spark.sql.DataFrame) =
+      df.join(broadcast(dim), "event_type")
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("value") * col("mult")), 2).as("weighted"))
+    val input = MemoryStream[StreamEvent]
+    val q = weighted(input.toDF())
+      .writeStream.format("memory").queryName("enrich").outputMode("complete").start()
+    try {
+      input.addData(sample.take(2))
+      q.processAllAvailable()
+      input.addData(sample.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("enrich").collect().map(_.toSeq).toSet
+      val batch = weighted(sample.toDF()).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.map(_.head) == Set("click", "view"))
+    } finally q.stop()
+  }
+
   test("topKPerKey: bounded state matches the batch GroupTopK formulation") {
     import graft.streaming.ScoredEvent
     val b1 = Seq(
