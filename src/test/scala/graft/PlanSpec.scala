@@ -272,6 +272,24 @@ class PlanSpec extends SparkSpec {
       cp.contains("partial_count"), "compaction plan must partial-aggregate map-side")
   }
 
+  test("q_profile: multi-distinct profiles in ONE scan (Expand, no per-column jobs)") {
+    val p = plan("q_profile")
+    // Catalyst plans multi-column count(distinct) as a single scan feeding
+    // an Expand — the row fan-out happens map-side, not as repeated scans
+    assert(p.contains("Expand"), p.take(400))
+    // count node HEADERS — formatted explain prints each node in the tree
+    // and again in the details section
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      "column profiling must not rescan the table per column")
+  }
+
+  test("q_ivm_agg: both halves partial-aggregate before the merge") {
+    val p = plan("q_ivm_agg")
+    assert(p.toLowerCase.contains("partial_count") || p.contains("partial_"),
+      s"rollup state must combine map-side:\n${p.take(400)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_merge_upsert: CDC apply is a broadcast anti-join, base never shuffles") {
     val p = plan("q_merge_upsert")
     assert(p.contains("LeftAnti"), p.take(400))
