@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.StableHash
-import graft.operators.{AsofOps, DedupOps, EventOps, MultimodalOps, SimOps, SketchOps, SortOps, StatsOps, TextOps}
+import graft.operators.{AsofOps, DedupOps, EventOps, GraphOps, MultimodalOps, SimOps, SketchOps, SortOps, StatsOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -243,6 +243,131 @@ object SparkEntry {
       top.withColumn("rank", row_number().over(w))
         .select(col("rank"), col("l_orderkey"), col("o_date"),
           col("o_orderpriority"), col("revenue_c"))
+        .orderBy(col("rank"))
+    }),
+    // TPC-H Q1 shape — the scan-heavy pricing summary: ONE pass over the
+    // fact table, map-side partial aggregation, shipdate filter pushed to
+    // the scan. Money columns are summed in integer cents (row-wise
+    // floor(x*100+0.5), associative-exact across engines); averages are
+    // integer divisions of those sums (`div` on longs), never a double
+    // mean whose rounding would depend on reduction order.
+    "q_tpch_q1" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("base_c"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0
+            + 0.5).cast("long").as("disc_c"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")) * 100.0 + 0.5).cast("long").as("charge_c"),
+          floor(col("l_discount") * 10000.0 + 0.5).cast("long").as("disc_bp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("qty")).as("sum_qty"),
+          sum(col("base_c")).as("sum_base_c"),
+          sum(col("disc_c")).as("sum_disc_c"),
+          sum(col("charge_c")).as("sum_charge_c"),
+          sum(col("disc_bp")).as("sum_disc_bp"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("avg_qty_bp", expr("(10000 * sum_qty) div n_rows"))
+        .withColumn("avg_price_c", expr("sum_base_c div n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    // TPC-H Q6 shape — pure scan-filter-aggregate: all three predicates
+    // reach the parquet scan (raw-column comparisons, no cast wrappers),
+    // one partial+final sum, a 1-row result. Revenue in integer
+    // ten-thousandths: extendedprice*discount carries 4 decimals.
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24.0)
+        .agg(
+          sum(floor(col("l_extendedprice") * col("l_discount") * 10000.0 + 0.5)
+            .cast("long")).as("revenue_tb"),
+          count(lit(1)).as("n_rows"))),
+    // TPC-H Q5 shape — the 6-way join: region -> nation prefilter
+    // broadcast into the fact chain, supplier broadcast with the
+    // customer-nation co-residence condition, one shuffle join per fact
+    // table. Revenue in associative-exact integer cents.
+    "q_tpch_q5" -> ((s, dir) => {
+      val asia = broadcast(t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+          .cast("long").as("rev_c"))
+      val sup = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey")
+          && col("s_nationkey") === col("c_nationkey"))
+        .join(asia, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_c")).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("n_name"))
+    }),
+    // TPC-H Q18 shape — large-volume orders (the HAVING pattern): one
+    // lineitem aggregation filtered to 46 qualifying keys, broadcast into
+    // the orders/customer chain — the fact table is scanned exactly once.
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).cast("string").as("o_date"), col("o_totalprice"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val j = broadcast(big)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_date"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("totalprice_c"),
+          col("sum_qty"))
+      val w = Window.orderBy(col("totalprice_c").desc, col("o_orderkey"))
+      j.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 100)
+        .select(col("rank"), col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_date"), col("totalprice_c"), col("sum_qty"))
+        .orderBy(col("rank"))
+    }),
+    // Good-Turing count-of-counts over word bigrams — the smoothing
+    // statistic (N_r, r*N_r) an n-gram LM reserves unseen mass from.
+    "q_bigram_freqs" -> ((s, dir) =>
+      TextOps.bigramFreqOfFreqs(t(s, dir, "documents"))),
+    // Deterministic train/val/test split assignment — hash-bucket 80/10/10
+    // by stable 60-bit md5, so membership is reproducible across runs,
+    // engines, and table growth (a new doc never moves an old one).
+    "q_split_assign" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("bucket", StableHash.hash60(col("doc_id").cast("string")) % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("split"))),
+    // Full BPE tokenizer training (3 merge rounds): a driver loop where
+    // each round is a vocab-bounded distributed recount + greedy merge —
+    // the iterated form of q_bpe_pairs. See TextOps.bpeMerges.
+    "q_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(t(s, dir, "documents"))),
+    // Integer-exact damped PageRank over the supplier-part co-purchase
+    // graph, 3 Pregel-style rounds; link centrality as a curation prior.
+    "q_pagerank" -> ((s, dir) => {
+      val pr = GraphOps.pageRank(GraphOps.copurchaseEdges(t(s, dir, "lineitem")))
+      pr.select(col("rank"),
+        when(col("node") < 1000000L, lit("supplier")).otherwise(lit("part")).as("kind"),
+        (col("node") % 1000000L).as("key"),
+        col("score"))
         .orderBy(col("rank"))
     }),
     // Window functions: top-3 lineitems per supplier by price, fully
@@ -561,6 +686,12 @@ object SparkEntry {
       SimOps.ivfKmeansTopK(t(s, dir, "embeddings"),
         queryPred = col("vec_id") < 5,
         centroidPred = col("vec_id").between(100, 115))),
+    // Recall@10 of IVF vs exact brute force swept over nProbe 1/2/4 —
+    // the quality/cost tuning curve of the ANN index, integer-exact.
+    "q_sim_recall" -> ((s, dir) =>
+      SimOps.ivfRecallSweep(t(s, dir, "embeddings"),
+        queryPred = col("vec_id") < 5,
+        centroidPred = col("vec_id").between(100, 115))),
     // Per-vector dimension + L2 norm — the corpus shape check.
     "q_embed_norms" -> ((s, dir) =>
       SimOps.norms(t(s, dir, "embeddings"))),
@@ -578,6 +709,14 @@ object SparkEntry {
     "q_embed_pq_refined" -> ((s, dir) =>
       SimOps.productQuantizeWith(t(s, dir, "embeddings"),
         SimOps.refinePqCodebooks(t(s, dir, "embeddings"), col("vec_id") < 8))),
+    // Residual PQ — the IVF-PQ encoding trick in isolation: quantize
+    // v - coarse_centroid(v) at the same code budget. Beats raw PQ when
+    // the coarse cells explain variance (SimOpsSpec pins it on planted
+    // clusters; on this near-random fixture the error honestly rises).
+    "q_embed_pq_residual" -> ((s, dir) =>
+      SimOps.residualQuantize(t(s, dir, "embeddings"),
+        centroidPred = col("vec_id").between(100, 115),
+        codebookPred = col("vec_id") < 8)),
     // IVF-PQ: coarse cells route queries, PQ codes + per-query ADC tables
     // score candidates approximately, a 32-deep shortlist reranks exactly.
     "q_sim_ivfpq" -> ((s, dir) =>
@@ -795,6 +934,71 @@ object SparkEntry {
 
   private val duckToks =
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> length(t) > 0)"
+
+  /** DuckDB mirror of [[graft.operators.TextOps.bpeMerges]]: the driver-loop
+    * iteration unrolled into one CTE chain per merge round (pair recount,
+    * 1-row winner, run-parity greedy application, symbol rebuild).
+    * Positions are 1-based here vs posexplode's 0-based — both appear only
+    * in intra-word window arithmetic, where a constant shift cancels.
+    */
+  private def duckBpeSql(nMerges: Int): String = {
+    val init =
+      s"WITH tk AS (SELECT unnest($duckToks) AS word FROM documents), " +
+        "st AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY word), " +
+        "s0 AS (SELECT word, cnt, list_transform(range(1, length(word)+1), " +
+        "i -> substring(word, i, 1)) AS syms FROM st), "
+    val iters = (1 to nMerges).map { i =>
+      s"p$i AS (SELECT word, cnt, unnest(range(1, len(syms)+1)) AS pos, " +
+        s"unnest(syms) AS sym FROM s${i - 1}), " +
+        s"q$i AS (SELECT word, cnt, pos, sym, " +
+        s"lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM p$i), " +
+        s"t$i AS (SELECT sym AS a, nxt AS b, CAST(sum(cnt) AS BIGINT) AS n FROM q$i " +
+        "WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1), " +
+        s"m$i AS (SELECT q.word, q.pos FROM q$i q, t$i t WHERE q.sym = t.a AND q.nxt = t.b), " +
+        s"r$i AS (SELECT word, pos, pos - row_number() OVER " +
+        s"(PARTITION BY word ORDER BY pos) AS run FROM m$i), " +
+        s"k$i AS (SELECT word, pos FROM (SELECT word, pos, row_number() OVER " +
+        s"(PARTITION BY word, run ORDER BY pos) AS rn FROM r$i) WHERE rn % 2 = 1), " +
+        s"n$i AS (SELECT q.word, q.cnt, q.pos, " +
+        "CASE WHEN k1.pos IS NOT NULL THEN q.sym || q.nxt ELSE q.sym END AS sym " +
+        s"FROM q$i q LEFT JOIN k$i k1 ON q.word = k1.word AND q.pos = k1.pos " +
+        s"LEFT JOIN k$i k2 ON q.word = k2.word AND q.pos = k2.pos + 1 " +
+        "WHERE k2.pos IS NULL), " +
+        s"s$i AS (SELECT word, cnt, list(sym ORDER BY pos) AS syms FROM n$i " +
+        "GROUP BY word, cnt), "
+    }.mkString
+    val finals = (1 to nMerges)
+      .map(i => s"SELECT $i AS step, a AS left_sym, b AS right_sym, " +
+        s"a || b AS merged, n FROM t$i")
+      .mkString(" UNION ALL ")
+    (init + iters).stripSuffix(", ") + s" SELECT * FROM ($finals) ORDER BY step"
+  }
+
+  /** DuckDB mirror of [[graft.operators.GraphOps.pageRank]] over
+    * [[graft.operators.GraphOps.copurchaseEdges]]: the Pregel rounds
+    * unrolled, same integer update rule (`//` floors positive quotients
+    * exactly like Spark's `div`).
+    */
+  private def duckPageRankSql(iters: Int, k: Int): String = {
+    val scale = "1000000000000"
+    val init =
+      "WITH pairs AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem), " +
+        "edges AS (SELECT s AS u, p AS v FROM pairs UNION ALL SELECT p AS u, s AS v FROM pairs), " +
+        "deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg), " +
+        s"r0 AS (SELECT u AS node, CAST($scale // nn.n AS BIGINT) AS r FROM deg, nn), "
+    val rounds = (1 to iters).map { i =>
+      s"c$i AS (SELECT e.v, CAST(sum(r.r // d.deg) AS BIGINT) AS sc FROM edges e " +
+        s"JOIN deg d ON e.u = d.u JOIN r${i - 1} r ON e.u = r.node GROUP BY e.v), " +
+        s"r$i AS (SELECT v AS node, CAST((15 * $scale) // (100 * nn.n) " +
+        s"+ (85 * sc) // 100 AS BIGINT) AS r FROM c$i, nn), "
+    }.mkString
+    (init + rounds).stripSuffix(", ") +
+      " SELECT * FROM (SELECT row_number() OVER (ORDER BY r DESC, node) AS rank, " +
+      "CASE WHEN node < 1000000 THEN 'supplier' ELSE 'part' END AS kind, " +
+      "node % 1000000 AS key, r AS score " +
+      s"FROM r$iters ORDER BY r DESC, node LIMIT $k) ORDER BY rank"
+  }
 
   /** DuckDB fragment for word 3-shingles of token list `t` ([[TextOps.shingles]]). */
   private val duckShingles3 =
@@ -1514,6 +1718,37 @@ object SparkEntry {
         "ORDER BY cos DESC, vec_id) AS rank FROM p) " +
         s"SELECT q_id, rank, vec_id, ${TextOps.roundBpSql("cos")} AS cos_bp " +
         "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+    // mirrors SimOps.ivfRecallSweep: the q_sim_ivf probe chain evaluated
+    // at nProbe 1/2/4 against the exact brute-force top-10
+    "q_sim_recall" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 100 AND 115), " +
+        "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
+        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n CROSS JOIN c), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
+        "asg AS (SELECT vec_id, e, nrm, c_id FROM rk WHERE crn = 1), " +
+        "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5), " +
+        "bp AS (SELECT q.q_id, m.vec_id, " +
+        "list_dot_product(q.qe, m.e) / (q.qn * m.nrm) AS cos " +
+        "FROM q JOIN n m ON m.vec_id <> q.q_id), " +
+        "bt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY cos DESC, vec_id) AS rnk FROM bp) WHERE rnk <= 10), " +
+        "pv AS (SELECT unnest([1, 2, 4]) AS n_probe), " +
+        "pr AS (SELECT pv.n_probe, rk.vec_id AS q_id, rk.c_id FROM rk, pv " +
+        "WHERE rk.vec_id < 5 AND rk.crn <= pv.n_probe), " +
+        "p AS (SELECT pr.n_probe, pr.q_id, a.vec_id, " +
+        "list_dot_product(q.qe, a.e) / (q.qn * a.nrm) AS cos " +
+        "FROM pr JOIN asg a ON pr.c_id = a.c_id JOIN q ON q.q_id = pr.q_id " +
+        "WHERE a.vec_id <> pr.q_id), " +
+        "it AS (SELECT n_probe, q_id, vec_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY n_probe, q_id ORDER BY cos DESC, vec_id) AS rnk FROM p) " +
+        "WHERE rnk <= 10), " +
+        "h AS (SELECT it.n_probe, CAST(count(*) AS BIGINT) AS n_hits FROM it " +
+        "JOIN bt ON it.q_id = bt.q_id AND it.vec_id = bt.vec_id GROUP BY it.n_probe) " +
+        "SELECT n_probe, n_hits, CAST((n_hits * 10000) // 50 AS BIGINT) AS recall_bp " +
+        "FROM h ORDER BY n_probe"),
     // mirrors SimOps.ivfKmeansTopK (iters=1): one Lloyd round with
     // bp-quantized integer sums (exact in both engines), then the same
     // probe chain as q_sim_ivf over the refined centroid table
@@ -1596,6 +1831,38 @@ object SparkEntry {
         "CAST(sum(c_id * (1::BIGINT << (3 * s))) AS BIGINT) AS code_word, " +
         s"CAST(sum(${TextOps.roundBpSql("d2")}) AS BIGINT) AS l2sq_err_bp " +
         "FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"),
+    // mirrors SimOps.residualQuantize: coarse home cell by cosine (ties to
+    // the smaller c_id), DOUBLE residual, then the q_embed_pq chain on rv
+    "q_embed_pq_residual" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+        "FROM embeddings), " +
+        "c0 AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n " +
+        "WHERE vec_id BETWEEN 100 AND 115), " +
+        "rk AS (SELECT n.vec_id, c0.c_id, c0.ce, row_number() OVER " +
+        "(PARTITION BY n.vec_id " +
+        "ORDER BY list_dot_product(n.e, c0.ce) / (n.nrm * c0.cn) DESC, c0.c_id) AS crn " +
+        "FROM n CROSS JOIN c0), " +
+        "hm AS (SELECT vec_id, c_id AS cell_id, ce FROM rk WHERE crn = 1), " +
+        "rs AS (SELECT n.vec_id, hm.cell_id, " +
+        "list_transform(range(1, len(n.e) + 1), i -> n.e[i] - hm.ce[i]) AS rv " +
+        "FROM n JOIN hm USING (vec_id)), " +
+        "ss AS (SELECT unnest(range(0, 4)) AS s), " +
+        "sb AS (SELECT vec_id, s, list_slice(rv, s * 16 + 1, s * 16 + 16) AS sub " +
+        "FROM rs, ss), " +
+        "cb AS (SELECT vec_id AS c_id, s, list_slice(rv, s * 16 + 1, s * 16 + 16) AS ce " +
+        "FROM rs, ss WHERE vec_id < 8), " +
+        "p AS (SELECT v.vec_id, v.s, c.c_id, " +
+        "list_dot_product(v.sub, v.sub) - 2.0 * list_dot_product(v.sub, c.ce) " +
+        "+ list_dot_product(c.ce, c.ce) AS d2 FROM sb v JOIN cb c ON v.s = c.s), " +
+        "r AS (SELECT vec_id, s, c_id, d2, row_number() OVER (PARTITION BY vec_id, s " +
+        "ORDER BY d2, c_id) AS rn FROM p), " +
+        "g AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_subs, " +
+        "CAST(sum(c_id * (1::BIGINT << (3 * s))) AS BIGINT) AS code_word, " +
+        s"CAST(sum(${TextOps.roundBpSql("d2")}) AS BIGINT) AS l2sq_err_bp " +
+        "FROM r WHERE rn = 1 GROUP BY vec_id) " +
+        "SELECT g.vec_id, hm.cell_id, g.n_subs, g.code_word, g.l2sq_err_bp " +
+        "FROM g JOIN hm USING (vec_id) ORDER BY vec_id"),
     // mirrors SimOps.ivfPqTopK: coarse probe (q_sim_ivf chain) + refined PQ
     // codes + per-query ADC tables + bp-summed approximate scores +
     // 32-deep exact-cosine rerank
@@ -1672,6 +1939,79 @@ object SparkEntry {
         "GROUP BY 1, 2, 3 ORDER BY revenue_c DESC, l_orderkey LIMIT 10) " +
         "SELECT row_number() OVER (ORDER BY revenue_c DESC, l_orderkey) AS rank, " +
         "l_orderkey, o_date, o_orderpriority, revenue_c FROM g ORDER BY rank"),
+    // mirrors q_tpch_q1: integer-cent sums, integer-division averages
+    "q_tpch_q1" ->
+      ("WITH c AS (SELECT l_returnflag, l_linestatus, " +
+        "CAST(l_quantity AS BIGINT) AS qty, " +
+        "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS base_c, " +
+        "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS disc_c, " +
+        "CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT) AS charge_c, " +
+        "CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS disc_bp " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'), " +
+        "g AS (SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(qty) AS BIGINT) AS sum_qty, " +
+        "CAST(sum(base_c) AS BIGINT) AS sum_base_c, " +
+        "CAST(sum(disc_c) AS BIGINT) AS sum_disc_c, " +
+        "CAST(sum(charge_c) AS BIGINT) AS sum_charge_c, " +
+        "CAST(sum(disc_bp) AS BIGINT) AS sum_disc_bp, " +
+        "CAST(count(*) AS BIGINT) AS n_rows FROM c GROUP BY 1, 2) " +
+        "SELECT l_returnflag, l_linestatus, sum_qty, sum_base_c, sum_disc_c, " +
+        "sum_charge_c, sum_disc_bp, n_rows, " +
+        "(10000 * sum_qty) // n_rows AS avg_qty_bp, " +
+        "sum_base_c // n_rows AS avg_price_c " +
+        "FROM g ORDER BY l_returnflag, l_linestatus"),
+    // mirrors q_tpch_q6: revenue summed in integer ten-thousandths
+    "q_tpch_q6" ->
+      ("SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000.0 + 0.5) " +
+        "AS BIGINT)) AS BIGINT) AS revenue_tb, CAST(count(*) AS BIGINT) AS n_rows " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0"),
+    // mirrors TextOps.bpeMerges: the 3-round driver loop unrolled into CTEs
+    "q_bpe_merges" -> duckBpeSql(3),
+    // mirrors GraphOps.pageRank (3 rounds, top-20, integer mass updates)
+    "q_pagerank" -> duckPageRankSql(3, 20),
+    // mirrors q_tpch_q5: integer-cent revenue, nation names via region
+    "q_tpch_q5" ->
+      ("SELECT n_name, CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) " +
+        "* 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c " +
+        "FROM customer, orders, lineitem, supplier, nation, region " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+        "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY n_name ORDER BY revenue_c DESC, n_name"),
+    // mirrors q_tpch_q18 (HAVING sum_qty > 300, rank by totalprice cents)
+    "q_tpch_q18" ->
+      ("WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty " +
+        "FROM lineitem GROUP BY l_orderkey " +
+        "HAVING CAST(sum(l_quantity) AS BIGINT) > 300), " +
+        "j AS (SELECT c_name, c_custkey, o_orderkey, " +
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date, " +
+        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS totalprice_c, sum_qty " +
+        "FROM big JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY totalprice_c DESC, o_orderkey) " +
+        "AS rank FROM j) " +
+        "SELECT rank, c_name, c_custkey, o_orderkey, o_date, totalprice_c, sum_qty " +
+        "FROM r WHERE rank <= 100 ORDER BY rank"),
+    // mirrors TextOps.bigramFreqOfFreqs (word bigrams via 2-shingles)
+    "q_bigram_freqs" ->
+      (s"WITH tk AS (SELECT $duckToks AS t FROM documents), " +
+        "bg AS (SELECT unnest(list_transform(range(1, len(t)), " +
+        "i -> t[i] || ' ' || t[i+1])) AS bigram FROM tk), " +
+        "c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram) " +
+        "SELECT n AS freq, CAST(count(*) AS BIGINT) AS n_types, " +
+        "CAST(n * count(*) AS BIGINT) AS mass FROM c GROUP BY n ORDER BY freq"),
+    // mirrors q_split_assign (80/10/10 hash-bucket split)
+    "q_split_assign" ->
+      (s"WITH b AS (SELECT source, ${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 " +
+        "AS bucket FROM documents), " +
+        "sp AS (SELECT source, CASE WHEN bucket < 80 THEN 'train' " +
+        "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b) " +
+        "SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM sp GROUP BY 1, 2 ORDER BY source, split"),
     // mirrors StatsOps.profile over the four lineitem numeric columns
     "q_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over tables — link-style centrality as a data
+  * curation signal (PageRank over a hyperlink/co-occurrence graph is a
+  * classic document-quality prior in pretraining pipelines; the reference
+  * has no graph surface at all). Connected components already live in
+  * [[DedupOps]]; this module adds the damped-iteration family.
+  *
+  * Determinism contract (the [[SimOps.refineCentroids]] rule applied to
+  * graphs): rank mass is an integer in `scale` units, per-edge contribution
+  * is integer division `r div deg` (both engines floor positive quotients),
+  * and the damping update is integer arithmetic throughout — so iterated
+  * ranks are bit-identical to the DuckDB oracle under ANY execution order,
+  * which no double-precision PageRank can promise.
+  */
+object GraphOps {
+
+  /** Distinct supplier-part co-purchase edges from `lineitem`, both
+    * directions (the undirected bipartite graph as a symmetric directed
+    * one). Part ids are offset by 1,000,000 into a disjoint node-id space.
+    * One distinct-shuffle over the projected pair — at 100 TB the edge set
+    * is bounded by |suppliers| x |parts|, not by fact rows.
+    */
+  def copurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val pairs = lineitem
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
+      .distinct()
+    pairs.select(col("s").as("u"), col("p").as("v"))
+      .union(pairs.select(col("p").as("u"), col("s").as("v")))
+  }
+
+  /** Integer-exact damped PageRank (d = 0.85), `iters` rounds, top-`k`
+    * nodes. Input: directed edge table (u, v) covering every node on both
+    * sides (true for any symmetrized graph).
+    *
+    * Update rule, all in integer `scale` units:
+    * `r'(v) = (15*scale) div (100*N)  +  (85 * Σ_u r(u) div deg(u)) div 100`
+    *
+    * Ranks are normalized to TOTAL mass ≈ `scale` (init `scale div N` per
+    * node) — the teleport term assumes that normalization, and with it the
+    * damping update conserves total mass exactly up to integer-floor loss
+    * (GraphOpsSpec pins the bound: ≤ one unit per node per floor site plus
+    * one per edge).
+    *
+    * Scale shape per round: the canonical two-shuffle Pregel step — join
+    * ranks+degrees into edges on `u` (one hash shuffle keyed on the
+    * source), aggregate contributions by `v` (one shuffle keyed on the
+    * target), both with map-side partials; state is persisted so round k
+    * doesn't replay rounds 1..k-1 per downstream branch. N comes from one
+    * driver-side metadata count. Output: (rank, node, score).
+    */
+  def pageRank(
+      edges: DataFrame,
+      iters: Int = 3,
+      k: Int = 20,
+      scale: Long = 1000000000000L): DataFrame = {
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
+    val n = deg.count()
+    val teleport = 15L * scale / (100L * n)
+    var ranks = deg.select(col("u").as("node"), lit(scale / n).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = edges
+        .join(deg, "u")
+        .join(ranks.withColumnRenamed("node", "u"), "u")
+        .select(col("v"), expr("r div deg").as("c"))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("sc"))
+        .select(col("v").as("node"),
+          (lit(teleport) + expr("(85 * sc) div 100")).as("r"))
+        .persist()
+    }
+    val w = Window.orderBy(col("r").desc, col("node"))
+    ranks
+      .orderBy(col("r").desc, col("node")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("node"), col("r").as("score"))
+      .orderBy(col("rank"))
+  }
+}

@@ -99,6 +99,37 @@ object LayoutOps {
       .withColumn("rows_per_file", expr("(n_rows + n_files - 1) div n_files"))
       .orderBy(col(partCol))
 
+  /** The data-rewrite half of [[compactionPlan]] — Delta/Iceberg
+    * `OPTIMIZE` over a plain parquet directory: list the part-files,
+    * derive the target file count from real on-disk bytes (the same
+    * ceiling division as the plan), and rewrite as that many evenly-sized
+    * files. Returns the file count written.
+    *
+    * Scale shape: the listing is driver-side metadata — one status call
+    * per file, exactly the information a table format keeps in its
+    * manifest, never a data read. The rewrite is one round-robin
+    * `repartition(n)` (skew-free by construction: assignment ignores
+    * keys) feeding the parquet writer. The natural producer of the small
+    * files is streaming ingest — one file per microbatch per partition —
+    * and StreamingOpsSpec drives exactly that loop end-to-end.
+    */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long): Long = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(path)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    spark.read.parquet(inDir)
+      .repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** Locality audit: bucket the z-space and report each bucket's row count
     * and (x, y) envelope — tight envelopes on BOTH dimensions are the
     * pruning guarantee. `nBuckets` must divide 2^32.

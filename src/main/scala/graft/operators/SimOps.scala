@@ -80,6 +80,44 @@ object SimOps {
     rankTopK(pairs, k, idCol)
   }
 
+  /** Recall@k of the IVF index against exact brute force, swept over
+    * `probes` values of nProbe — the quality/cost knob a 100 TB ANN
+    * deployment tunes ("how many cells must I probe for recall 0.9?").
+    * Recall is provably monotone in nProbe: a broader probe's candidate
+    * set is a superset, and any true top-k member present in a candidate
+    * set survives its exact re-ranking (SimOpsSpec pins monotonicity).
+    *
+    * Scale shape: one brute-force pass (queries broadcast — the ground
+    * truth is per-QUERY work, not per-corpus-pair) plus one [[ivfTopK]]
+    * per swept value; the per-probe result sets are k·|queries| rows, so
+    * the join + recall aggregation is metadata-sized. recall_bp is exact
+    * integer: (hits * 10000) div (|queries| * k).
+    *
+    * Output: (n_probe, n_hits, recall_bp) ordered by n_probe.
+    */
+  def ivfRecallSweep(
+      emb: DataFrame,
+      queryPred: Column,
+      centroidPred: Column,
+      probes: Seq[Int] = Seq(1, 2, 4),
+      k: Int = 10,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val nq = emb.filter(queryPred).count()
+    val truth = bruteTopK(emb, queryPred, k, idCol, embCol)
+      .select(col("q_id"), col(idCol))
+    val approx = probes.map { np =>
+      ivfTopK(emb, queryPred, centroidPred, k, np, idCol, embCol)
+        .select(lit(np).as("n_probe"), col("q_id"), col(idCol))
+    }.reduce(_ union _)
+    approx
+      .join(truth, Seq("q_id", idCol))
+      .groupBy(col("n_probe"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nq * k}"))
+      .orderBy(col("n_probe"))
+  }
+
   /** Bucket id from the sign bits of `bits` dimensions starting at
     * `offset` — axis-aligned hyperplane LSH for cosine similarity.
     */
@@ -505,6 +543,51 @@ object SimOps {
         sum(expr("c_id * shiftleft(CAST(1 AS BIGINT), 3 * s)")).as("code_word"),
         sum(TextOps.roundBp(col("d2"))).as("l2sq_err_bp"))
       .orderBy(col(idCol))
+
+  /** Residual product quantization — the IVF-PQ *encoding* refinement in
+    * isolation (what FAISS's IndexIVFPQ does by default): PQ the residual
+    * v − coarse_centroid(v) instead of v itself. When the coarse cells
+    * explain variance (clustered data — the regime IVF exists for),
+    * residuals concentrate near zero and the same m x 8-entry budget
+    * spends its resolution on exactly what the coarse quantizer failed to
+    * explain — SimOpsSpec pins error strictly below [[productQuantize]]'s
+    * on planted clusters. The honest flip side, also pinned in spirit by
+    * that test's comment: on an unclustered corpus subtracting a
+    * near-orthogonal centroid ADDS variance and residual PQ loses.
+    *
+    * Scale shape: coarse assignment is [[cellRank]] (centroids broadcast,
+    * corpus never shuffles); the residual is one map-local `zip_with` in
+    * DOUBLE precision (both arrays cast BEFORE subtracting — a float32
+    * subtraction would round differently from the oracle's DOUBLE[]
+    * arithmetic); downstream is [[productQuantizeWith]] over the residual
+    * column plus one id-keyed join to carry the home cell.
+    *
+    * Output: (idCol, cell_id, n_subs, code_word, l2sq_err_bp).
+    */
+  def residualQuantize(
+      emb: DataFrame,
+      centroidPred: Column,
+      codebookPred: Column,
+      m: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val n = normalized(emb, idCol, embCol)
+    val cents = n.filter(centroidPred)
+      .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val resid = cellRank(n, cents, idCol)
+      .filter(col("crn") === 1)
+      .select(col(idCol), col("c_id").as("cell_id"), col("e"))
+      .join(broadcast(cents.select(col("c_id").as("cell_id"), col("ce"))), "cell_id")
+      .select(col(idCol), col("cell_id"),
+        zip_with(col("e").cast("array<double>"), col("ce").cast("array<double>"),
+          (x, y) => x - y).as("rv"))
+    productQuantizeWith(resid, pqCodebook(resid, codebookPred, m, idCol, "rv"),
+        m, idCol, "rv")
+      .join(resid.select(col(idCol), col("cell_id")), Seq(idCol))
+      .select(col(idCol), col("cell_id"), col("n_subs"), col("code_word"),
+        col("l2sq_err_bp"))
+      .orderBy(col(idCol))
+  }
 
   /** Lloyd refinement of the PQ codebooks, per subspace — [[refineCentroids]]
     * composed over the m independent subspaces (FAISS trains its PQ books

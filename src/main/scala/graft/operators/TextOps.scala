@@ -432,6 +432,99 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  /** Good-Turing count-of-counts over word bigrams: for each observed
+    * frequency r, the number of bigram TYPES seen exactly r times (N_r)
+    * and the token mass r*N_r. The (N_1, N) pair is the Good-Turing/Katz
+    * smoothing input — the probability mass an n-gram LM reserves for
+    * unseen events — and the shape of the tail diagnoses corpus
+    * repetitiveness (boilerplate inflates high-r types).
+    *
+    * Scale shape: two hash aggregations — bigram counts (vocab-bounded
+    * key space, map-side partials) then a histogram over the counts whose
+    * key space is the distinct-frequency set, O(√corpus) keys. Nothing
+    * retains the corpus.
+    */
+  def bigramFreqOfFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(shingles(tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .groupBy(col("n").as("freq")).agg(count(lit(1)).as("n_types"))
+      .withColumn("mass", col("freq") * col("n_types"))
+      .orderBy(col("freq"))
+
+  /** Iterative BPE tokenizer training — `nMerges` rounds of (count adjacent
+    * symbol pairs, pick the most frequent, greedily merge it everywhere),
+    * the full algorithm whose single recount step is [[bpePairCounts]].
+    *
+    * Scale shape: the state is the WORD-FREQUENCY table (distinct tokens x
+    * corpus count), bounded by the vocabulary, not the corpus — the one
+    * corpus-sized pass is the initial token count. Each round is two
+    * vocab-bounded shuffles (pair recount; per-word symbol rebuild) driven
+    * by a driver loop, with the 1-row winning pair broadcast back into the
+    * merge application. State is persisted per round so round k doesn't
+    * re-derive rounds 1..k-1 once per downstream branch.
+    *
+    * Greedy left-to-right application without a sequential scan: within a
+    * word, the positions where (sym, next) equals the winning pair form
+    * maximal runs of consecutive indices; greedy merging keeps exactly the
+    * 1st, 3rd, 5th... position of each run ("aaaa" + pair (a,a) -> "aa aa",
+    * not three overlapping merges). Runs and parity are window functions,
+    * so the whole round stays relational — no per-word loop.
+    *
+    * Output: one row per merge rule, (step, left_sym, right_sym, merged, n),
+    * in learned order — exactly a BPE tokenizer's merges file.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 3, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // vocab-bounded state: (word, corpus count, current symbol segmentation)
+    var state = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // char segmentation via indexed substring (NOT split on a lookahead
+      // regex — RE2-based engines can't mirror it)
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .persist()
+    val rules = Seq.newBuilder[DataFrame]
+    for (step <- 1 to nMerges) {
+      val byPos = Window.partitionBy(col("word")).orderBy(col("pos"))
+      val pairs = state
+        .select(col("word"), col("cnt"), posexplode(col("syms")).as(Seq("pos", "sym")))
+        .withColumn("nxt", lead(col("sym"), 1).over(byPos))
+      val top1 = pairs
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum(col("cnt")).cast("long").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .persist()
+      rules += top1.select(
+        lit(step).as("step"), col("a").as("left_sym"), col("b").as("right_sym"),
+        concat(col("a"), col("b")).as("merged"), col("n"))
+      // greedy winners: runs of consecutive matching positions, odd ranks only
+      val matches = pairs
+        .join(broadcast(top1), col("sym") === col("a") && col("nxt") === col("b"))
+        .select(col("word"), col("pos"))
+      val keep = matches
+        .withColumn("run", col("pos") - row_number().over(byPos))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("word"), col("run")).orderBy(col("pos"))))
+        .filter(col("rn") % 2 === 1)
+      val keptAt = keep.select(col("word").as("kw"), col("pos").as("kp"))
+      val consumedAt = keep.select(col("word").as("cw"), (col("pos") + 1).as("cp"))
+      state = pairs
+        .join(keptAt, col("word") === col("kw") && col("pos") === col("kp"), "left")
+        .join(consumedAt, col("word") === col("cw") && col("pos") === col("cp"), "left_anti")
+        .withColumn("sym2",
+          when(col("kp").isNotNull, concat(col("sym"), col("nxt"))).otherwise(col("sym")))
+        .groupBy(col("word"), col("cnt"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, sym2))), x -> x.sym2)")
+          .as("syms"))
+        .persist()
+    }
+    rules.result().reduce(_ union _).orderBy(col("step"))
+  }
+
   /** Pack documents into fixed token-budget training sequences — the
     * "concat docs in a deterministic order, cut every `budget` tokens"
     * step that precedes batch assembly in an LLM pipeline. Doc d goes to
