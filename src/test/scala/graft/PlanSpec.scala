@@ -31,6 +31,52 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_comment") && !readSchema.contains("l_quantity"))
   }
 
+  test("q_tpch_q1: one scan, pushed shipdate filter, map-side partial aggregation") {
+    val p = plan("q_tpch_q1")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      "pricing summary must be a single pass over the fact table")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    assert(p.contains("partial_sum"), "aggregation must combine map-side")
+  }
+
+  test("q_tpch_q6: all three predicates reach the parquet scan") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate lower bound not pushed")
+    assert(p.contains("GreaterThanOrEqual(l_discount"), "discount range not pushed")
+    assert(p.contains("LessThan(l_quantity"), "quantity filter not pushed")
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(readSchema.count(_ == ',') <= 3, s"scan reads too many columns: $readSchema")
+  }
+
+  test("q_tpch_q5: dims broadcast, orderdate filter pushed, partial agg") {
+    val p = plan("q_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "nation+region and supplier must broadcast, not shuffle")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "orderdate filter not pushed")
+    assert(p.contains("partial_sum"), "revenue must combine map-side")
+  }
+
+  test("q_tpch_q18: qualifying keys broadcast; each table scanned once") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("BroadcastHashJoin"), "the 46-key HAVING result must broadcast")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 3,
+      "lineitem/orders/customer must each be scanned exactly once")
+    assert(p.contains("partial_sum"), "the HAVING aggregation must combine map-side")
+  }
+
+  test("q_pagerank: Pregel rounds partial-aggregate map-side") {
+    val p = plan("q_pagerank")
+    assert(p.contains("partial_sum"), "contribution sums must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_bpe_merges: winner pair joins broadcast; recounts partial-aggregate") {
+    val p = plan("q_bpe_merges")
+    assert(p.contains("BroadcastHashJoin"), "1-row winner must broadcast into the merge")
+    assert(p.contains("partial_sum"), "pair recount must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_join: the small dim is broadcast, never shuffled") {
     val p = plan("q_join")
     assert(p.contains("BroadcastHashJoin"), "nation join is not broadcast")

@@ -209,6 +209,53 @@ class SimOpsSpec extends SparkSpec {
     assert(refined > 0L)
   }
 
+  test("residualQuantize: beats raw PQ once coarse cells explain variance") {
+    // clustered corpus: 16 centers (fixture rows 100-115), members are
+    // scaled copies of their center, so the residual is a SMALL vector.
+    // Raw PQ must encode members of clusters 8-15 with codebook entries
+    // sampled from clusters 0-7 (huge error); residual PQ only encodes
+    // the small residuals. On an UNCLUSTERED corpus the property truly
+    // flips — subtracting a near-orthogonal centroid ADDS variance —
+    // which is why the assertion lives on planted clusters.
+    val centers = sf("embeddings").filter(col("vec_id").between(100, 115))
+      .orderBy("vec_id").select("embedding").as[Seq[Float]].collect()
+    val rows = (0 until 160).map { i =>
+      val f = 1.0f + 0.002f * ((i / 16) - 4)
+      (i.toLong, centers(i % 16).map(_ * f))
+    } ++ centers.zipWithIndex.map { case (c, j) => ((1000 + j).toLong, c) }
+    val df = rows.toDF("vec_id", "embedding")
+    val raw = SimOps.productQuantize(df, col("vec_id") < 8)
+      .agg(sum(col("l2sq_err_bp"))).as[Long].head()
+    val res = SimOps.residualQuantize(df,
+      centroidPred = col("vec_id") >= 1000L, codebookPred = col("vec_id") < 8)
+      .agg(sum(col("l2sq_err_bp"))).as[Long].head()
+    assert(res < raw, s"residual PQ did not improve on clustered data: $res !< $raw")
+  }
+
+  test("residualQuantize: every vector carries its cosine-nearest home cell") {
+    val df = sf("embeddings")
+    val cells = SimOps.residualQuantize(df,
+      centroidPred = col("vec_id").between(100, 115),
+      codebookPred = col("vec_id") < 8)
+      .select(col("vec_id"), col("cell_id"))
+    assert(cells.count() == df.count())
+    assert(cells.filter(!col("cell_id").between(100, 115)).isEmpty)
+    // a sampled centroid's residual is the zero vector -> its home is itself
+    assert(cells.filter(col("vec_id") === 100 && col("cell_id") =!= 100).isEmpty)
+  }
+
+  test("ivfRecallSweep: recall is monotone in nProbe and bounded by 10000 bp") {
+    val got = SimOps.ivfRecallSweep(sf("embeddings"),
+      queryPred = col("vec_id") < 5,
+      centroidPred = col("vec_id").between(100, 115))
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1, 2, 4))
+    val recalls = got.map(_._3)
+    // superset candidates can only keep or add true top-k members
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    assert(recalls.head > 0L && recalls.last <= 10000L)
+  }
+
   test("ivfPqTopK: reranked scores are true cosines; recall vs brute pinned") {
     val df = sf("embeddings")
     val brute = SimOps.bruteTopK(df, col("vec_id") < 5, k = 10)

@@ -380,6 +380,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming file sink -> compactParquet: the OPTIMIZE maintenance loop") {
+    import graft.operators.LayoutOps
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val (ingest, compacted) = (s"$base/ingest", s"$base/compacted")
+    val input = MemoryStream[StreamEvent]
+    // append sink: every micro-batch commits its own part-files -> the
+    // small-files problem compaction exists to fix
+    val q = input.toDF()
+      .writeStream.format("parquet")
+      .option("path", ingest)
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      sample.foreach { e => input.addData(e); q.processAllAvailable() }
+    } finally q.stop()
+    def parts(dir: String) = new java.io.File(dir)
+      .listFiles.count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(ingest) >= sample.size,
+      s"expected one small file per micro-batch, got ${parts(ingest)}")
+    // a generous byte target folds everything into a single file
+    val n = LayoutOps.compactParquet(spark, ingest, compacted, targetBytes = 1L << 30)
+    assert(n == 1L && parts(compacted) == 1)
+    val before = spark.read.parquet(ingest).collect().map(_.toSeq).toSet
+    val after = spark.read.parquet(compacted).collect().map(_.toSeq).toSet
+    assert(after == before && after.size == sample.size)
+  }
+
   test("topKPerKey: bounded state matches the batch GroupTopK formulation") {
     import graft.streaming.ScoredEvent
     val b1 = Seq(

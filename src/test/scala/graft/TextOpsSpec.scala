@@ -275,6 +275,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((1, "ab", 3L), (2, "aa", 1L), (3, "ba", 1L)))
   }
 
+  test("bigramFreqOfFreqs: count-of-counts over word bigrams") {
+    // bigrams: "a b" x3, "b a" x2, "b c" x1 -> one type each at r=1,2,3
+    val d = docs((0L, "a b a b c"), (1L, "a b a"))
+    val got = TextOps.bigramFreqOfFreqs(d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)))
+  }
+
+  test("bpeMerges: learns (a,a) then (a,b) then (aa,ab) on 'aaab aaab ab'") {
+    // step 1: (a,a) x4 beats (a,b) x3; greedy turns aaab into [aa,a,b]
+    // step 2: (a,b) x3 beats (aa,a) x2;  aaab -> [aa,ab], ab -> [ab]
+    // step 3: (aa,ab) x2 is all that remains frequent
+    val got = TextOps.bpeMerges(docs((0L, "aaab aaab ab")), nMerges = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("bpeMerges: greedy left-to-right — 'aaaa' becomes [aa,aa], not 3 overlaps") {
+    // matches at pos 0,1,2 form one run; parity keeps 0 and 2 only
+    val got = TextOps.bpeMerges(docs((0L, "aaaa")), nMerges = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 3L),
+      (2, "aa", "aa", "aaaa", 1L)))
+  }
+
   test("packSequences: budget binning with overflow by at most the last doc") {
     val d = docs(
       (0L, "a b c"), // 3 tokens, before=0  -> seq 0
