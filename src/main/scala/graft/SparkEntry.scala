@@ -339,6 +339,179 @@ object SparkEntry {
           col("o_date"), col("totalprice_c"), col("sum_qty"))
         .orderBy(col("rank"))
     }),
+    // TPC-H Q4 shape — the EXISTS semi-join with a non-equi residual:
+    // orders in one quarter having at least one lineitem shipped more
+    // than 60 days after the order date (the reference schema's
+    // commitdate/receiptdate columns don't exist here, so "late" is
+    // derived from shipdate vs orderdate). LEFT SEMI join: the probe
+    // emits each order at most once regardless of how many lineitems
+    // match — no post-join distinct needed, no row blowup at scale.
+    "q_tpch_q4" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li, col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // TPC-H Q10 shape — returned-item ranking: quarter of orders ⋈
+    // returnflag-filtered lineitem ⋈ customer ⋈ broadcast nation, revenue
+    // summed per customer in associative-exact integer cents, top 20 by
+    // lost revenue. Both fact filters reach the parquet scans.
+    "q_tpch_q10" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0
+            + 0.5).cast("long").as("rev_c"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("acctbal_c"),
+        col("c_nationkey"))
+      val top = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("acctbal_c"), col("n_name"))
+        .agg(sum(col("rev_c")).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("c_custkey"))
+        .limit(20)
+      val w = Window.orderBy(col("revenue_c").desc, col("c_custkey"))
+      top.withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("c_custkey"), col("c_name"), col("acctbal_c"),
+          col("n_name"), col("revenue_c"))
+        .orderBy(col("rank"))
+    }),
+    // TPC-H Q12 shape — conditional (CASE) aggregation after a fact-fact
+    // join: per linestatus, how many of the year's lineitems belong to
+    // high- vs low-priority orders (the reference schema's shipmode column
+    // doesn't exist here; linestatus plays its role). One shuffle join on
+    // the order key, the CASE folded into the map-side partial aggregate.
+    "q_tpch_q12" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+    // TPC-H Q13 shape — customer order-count distribution: LEFT OUTER join
+    // so order-less customers count as 0, then a second aggregation over
+    // the per-customer counts. The outer join preserves every customer;
+    // count(o_orderkey) ignores the null-extended rows.
+    "q_tpch_q13" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // TPC-H Q14 shape — promo revenue share: one month of lineitem ⋈
+    // broadcast part, both the PROMO-conditional and total revenue summed
+    // in integer cents in ONE aggregate pass, the percentage an integer
+    // basis-point division of the two sums (never a double ratio whose
+    // rounding depends on reduction order).
+    "q_tpch_q14" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0
+            + 0.5).cast("long").as("rev_c"))
+      val part = broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type")))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(0L))
+            .as("promo_c"),
+          sum(col("rev_c")).as("total_c"))
+        .withColumn("promo_bp", expr("(10000 * promo_c) div total_c"))
+    }),
+    // TPC-H Q17 shape — the correlated scalar subquery (lineitems below
+    // 20% of their part's average quantity), decorrelated WITHOUT a second
+    // fact scan: per-part sums come from a window over the already-joined
+    // rows, and the avg comparison is cross-multiplied into integers
+    // (5 * n * qty < sum_qty ⇔ qty < 0.2 * avg) so no division rounds.
+    "q_tpch_q17" -> ((s, dir) => {
+      val pf = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_size").between(1, 15))
+        .select(col("p_partkey")))
+      val li = t(s, dir, "lineitem").select(col("l_partkey"),
+        floor(col("l_quantity") * 10000.0 + 0.5).cast("long").as("qty_bp"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("price_c"))
+      val w = Window.partitionBy(col("l_partkey"))
+      li.join(pf, col("l_partkey") === col("p_partkey"))
+        .withColumn("sum_qty_bp", sum(col("qty_bp")).over(w))
+        .withColumn("n_part", count(lit(1)).over(w))
+        .filter(col("qty_bp") * 5L * col("n_part") < col("sum_qty_bp"))
+        .agg(sum(col("price_c")).as("sum_price_c"),
+          count(lit(1)).as("n_small"))
+        .withColumn("avg_yearly_c", expr("sum_price_c div 7"))
+    }),
+    // TPC-H Q19 shape — the OR-of-conjunctions predicate: three
+    // brand/size/quantity branches disjoined AFTER a broadcast part join,
+    // with the branches' common envelope (quantity ≤ 30) factored out so
+    // at least that much pushes into the fact scan.
+    "q_tpch_q19" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 30.0)
+        .select(col("l_partkey"), col("l_quantity"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0
+            + 0.5).cast("long").as("rev_c"))
+      val part = broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30)))
+        .agg(sum(col("rev_c")).as("revenue_c"), count(lit(1)).as("n_rows"))
+    }),
+    // TPC-H Q22 shape — the global-scalar + anti-join pattern: customers
+    // richer than the positive-balance average with no order since
+    // 2000-01-01 (every customer here has SOME order, so the canonical
+    // "never ordered" filter is time-bounded to stay non-empty). The
+    // average is a 1-row aggregate broadcast back, compared by integer
+    // cross-multiplication (acct * n > sum ⇔ acct > avg) — exact, no
+    // division; the "no recent orders" is a LEFT ANTI join.
+    "q_tpch_q22" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+        floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("acct_c"))
+      val pos = cust.filter(col("acct_c") > 0L)
+        .agg(sum(col("acct_c")).as("sum_pos_c"), count(lit(1)).as("n_pos"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(pos))
+        .filter(col("acct_c") * col("n_pos") > col("sum_pos_c"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("acct_c")).as("total_acct_c"))
+        .orderBy(col("c_nationkey"))
+    }),
     // Good-Turing count-of-counts over word bigrams — the smoothing
     // statistic (N_r, r*N_r) an n-gram LM reserves unseen mass from.
     "q_bigram_freqs" -> ((s, dir) =>
@@ -630,6 +803,30 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       DedupOps.dedupClusters(
         DedupOps.verifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents"))))),
+    // The RETENTION policy after clustering — the step an actual dedup
+    // pipeline runs last: per near-dup cluster, keep the highest-quality
+    // member (ties -> lowest doc id). Clusters come from the full
+    // LSH -> verify -> connected-components chain; quality is the declared
+    // q_quality scorer over the same planted corpus. One window pass per
+    // cluster (count + row_number share the cluster_id partitioning, one
+    // shuffle); state is O(clustered docs), never the corpus — unclustered
+    // docs are implicitly kept and never enter the shuffle.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val corpus = DedupOps.plantedCorpus(t(s, dir, "documents"))
+      val clusters = DedupOps.dedupClusters(
+        DedupOps.verifiedNearDups(corpus, maxBucket = DedupOps.DefaultMaxBucket))
+      val qual = TextOps.qualityScore(corpus).select(col("doc_id"), col("quality_bp"))
+      val wc = Window.partitionBy(col("cluster_id"))
+      val wr = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality_bp").desc, col("doc_id"))
+      clusters.join(qual, Seq("doc_id"))
+        .withColumn("n_docs", count(lit(1)).over(wc))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("n_docs"), col("doc_id").as("keep_id"),
+          col("quality_bp").as("keep_quality_bp"))
+        .orderBy(col("cluster_id"))
+    }),
     // Incremental ingestion dedup: new batch (src0 + planted re-ingests of
     // existing docs) anti-joined against the existing corpus fingerprints.
     // The operators composed as a real curation pipeline: quality gate ->
@@ -1662,6 +1859,32 @@ object SparkEntry {
         "UNION SELECT e.src AS id, reach.lab FROM e JOIN reach ON e.dst = reach.id) " +
         "SELECT id AS doc_id, min(lab) AS cluster_id FROM reach " +
         "GROUP BY id ORDER BY doc_id"),
+    // mirrors q_dedup_keep_best: clusters (recursive CC) joined to the
+    // q_quality scorer over the same planted corpus, best kept per cluster
+    "q_dedup_keep_best" -> {
+      val allStops = TextOps.langMarkers.flatMap(_._2).distinct.sorted
+      s"WITH RECURSIVE $duckMinhashCtes, $duckVerifiedPairsCte, " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM vp " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM vp), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM e), " +
+        "reach AS (SELECT id, id AS lab FROM nodes " +
+        "UNION SELECT e.src AS id, reach.lab FROM e JOIN reach ON e.dst = reach.id), " +
+        "cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id), " +
+        "f AS (SELECT doc_id, len(t)::DOUBLE AS n, " +
+        "len(list_distinct(t))::DOUBLE AS nd, " +
+        s"len(list_filter(t, x -> x IN (${duckInList(allStops)})))::DOUBLE AS ns " +
+        "FROM t WHERE len(t) > 0), " +
+        "q AS (SELECT doc_id, " +
+        s"${TextOps.roundBpSql("(nd / n) * 0.5 + (ns / n) * 0.2 + least(n / 100.0, 1.0) * 0.3")} " +
+        "AS quality_bp FROM f), " +
+        "j AS (SELECT cl.cluster_id, cl.doc_id, q.quality_bp FROM cl " +
+        "JOIN q ON q.doc_id = cl.doc_id), " +
+        "r AS (SELECT *, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) " +
+        "AS n_docs, row_number() OVER (PARTITION BY cluster_id " +
+        "ORDER BY quality_bp DESC, doc_id) AS rn FROM j) " +
+        "SELECT cluster_id, n_docs, doc_id AS keep_id, " +
+        "quality_bp AS keep_quality_bp FROM r WHERE rn = 1 ORDER BY cluster_id"
+    },
     "q_dedup_simhash" ->
       (s"WITH ${duckSimhashCtes(16)} " +
         "SELECT doc_id, simhash, min(doc_id) OVER (PARTITION BY simhash) AS keep_id " +
@@ -1996,6 +2219,95 @@ object SparkEntry {
         "AS rank FROM j) " +
         "SELECT rank, c_name, c_custkey, o_orderkey, o_date, totalprice_c, sum_qty " +
         "FROM r WHERE rank <= 100 ORDER BY rank"),
+    // mirrors q_tpch_q4: EXISTS with the 60-day late-ship residual
+    "q_tpch_q4" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-10-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // mirrors q_tpch_q10: integer-cent revenue and acctbal, top 20
+    "q_tpch_q10" ->
+      ("WITH g AS (SELECT c_custkey, c_name, " +
+        "CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_c, n_name, " +
+        "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) " +
+        "AS BIGINT)) AS BIGINT) AS revenue_c " +
+        "FROM customer, orders, lineitem, nation " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND c_nationkey = n_nationkey AND l_returnflag = 'R' " +
+        "AND o_orderdate >= TIMESTAMP '1996-07-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-10-01' " +
+        "GROUP BY 1, 2, 3, 4 ORDER BY revenue_c DESC, c_custkey LIMIT 20) " +
+        "SELECT row_number() OVER (ORDER BY revenue_c DESC, c_custkey) AS rank, " +
+        "c_custkey, c_name, acctbal_c, n_name, revenue_c FROM g ORDER BY rank"),
+    // mirrors q_tpch_q12: high/low priority line counts per linestatus
+    "q_tpch_q12" ->
+      ("SELECT l_linestatus, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY l_linestatus ORDER BY l_linestatus"),
+    // mirrors q_tpch_q13: order-count distribution via LEFT OUTER join
+    "q_tpch_q13" ->
+      ("WITH pc AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count " +
+        "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey " +
+        "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) " +
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM pc " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    // mirrors q_tpch_q14: promo and total cents in one pass, bp division
+    "q_tpch_q14" ->
+      ("WITH j AS (SELECT p_type, " +
+        "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) " +
+        "AS rev_c FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-09-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-10-01'), " +
+        "g AS (SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) " +
+        "AS BIGINT) AS promo_c, CAST(sum(rev_c) AS BIGINT) AS total_c FROM j) " +
+        "SELECT promo_c, total_c, (10000 * promo_c) // total_c AS promo_bp FROM g"),
+    // mirrors q_tpch_q17: cross-multiplied 20%-of-avg filter, cents sums
+    "q_tpch_q17" ->
+      ("WITH j AS (SELECT l_partkey, " +
+        "CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT) AS qty_bp, " +
+        "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15), " +
+        "w AS (SELECT qty_bp, price_c, " +
+        "CAST(sum(qty_bp) OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_qty_bp, " +
+        "CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS n_part FROM j), " +
+        "g AS (SELECT CAST(sum(price_c) AS BIGINT) AS sum_price_c, " +
+        "CAST(count(*) AS BIGINT) AS n_small FROM w " +
+        "WHERE qty_bp * 5 * n_part < sum_qty_bp) " +
+        "SELECT sum_price_c, n_small, sum_price_c // 7 AS avg_yearly_c FROM g"),
+    // mirrors q_tpch_q19: three OR'd brand/size/quantity branches
+    "q_tpch_q19" ->
+      ("SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 " +
+        "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_c, " +
+        "CAST(count(*) AS BIGINT) AS n_rows " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_quantity <= 30.0 AND (" +
+        "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 " +
+        "AND l_quantity BETWEEN 1 AND 11) OR " +
+        "(p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 " +
+        "AND l_quantity BETWEEN 10 AND 20) OR " +
+        "(p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 " +
+        "AND l_quantity BETWEEN 20 AND 30))"),
+    // mirrors q_tpch_q22: integer cross-multiplied global avg + anti join
+    "q_tpch_q22" ->
+      ("WITH c AS (SELECT c_custkey, c_nationkey, " +
+        "CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acct_c FROM customer), " +
+        "p AS (SELECT CAST(sum(acct_c) AS BIGINT) AS sum_pos_c, " +
+        "CAST(count(*) AS BIGINT) AS n_pos FROM c WHERE acct_c > 0) " +
+        "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust, " +
+        "CAST(sum(acct_c) AS BIGINT) AS total_acct_c FROM c, p " +
+        "WHERE acct_c * n_pos > sum_pos_c " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
     // mirrors TextOps.bigramFreqOfFreqs (word bigrams via 2-shingles)
     "q_bigram_freqs" ->
       (s"WITH tk AS (SELECT $duckToks AS t FROM documents), " +

@@ -412,6 +412,48 @@ object SimOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in
+    * embedding space — catches meaning-level copies (paraphrases,
+    * re-encodings) no lexical dedup can see. The corpus is clustered by
+    * the IVF coarse quantizer's cells (cosine-nearest centroid, same
+    * assignment as [[ivfTopK]]); within each cell, a vector whose cosine
+    * to a LOWER-id cell-mate reaches `thresholdBp` is a duplicate and is
+    * dropped; survivors are emitted with their cell. Cross-cell near-dups
+    * are missed BY DESIGN — that is the paper's trade: pairing cost is
+    * quadratic only in cell size, never corpus size.
+    *
+    * Scale: cell count grows with the corpus (k ≈ √N keeps cells bounded);
+    * pair generation is an equi-join on the cell key after repartitioning
+    * ON that key, so the assign pipeline is planned once and reused by all
+    * three consumers (ReuseExchange — the [[nearDupPairs]] pattern), and
+    * no all-pairs shape exists anywhere. An exact copy has an identical
+    * cell ranking to its original, so same-cell recall on true copies is 1.
+    *
+    * Output: surviving (idCol, c_id), ordered by id.
+    */
+  def semDedup(
+      emb: DataFrame,
+      centroidPred: Column,
+      thresholdBp: Long = 9900L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val n = normalized(emb, idCol, embCol)
+    val cents = n.filter(centroidPred)
+      .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val assigned = cellRank(n, cents, idCol).filter(col("crn") === 1)
+      .select(col(idCol), col("e"), col("nrm"), col("c_id"))
+      .repartition(col("c_id"))
+    val dups = assigned.alias("a")
+      .join(assigned.alias("b"),
+        col("a.c_id") === col("b.c_id") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(TextOps.roundBp(
+        dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))) >= thresholdBp)
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+    assigned.join(dups, Seq(idCol), "left_anti")
+      .select(col(idCol), col("c_id"))
+      .orderBy(col(idCol))
+  }
+
   /** Int8 scalar quantization of the embedding corpus — the 4x storage
     * compression every vector store applies before serving (FAISS SQ8
     * shape): per-DIMENSION [min, max] bounds trained over the corpus, each

@@ -64,6 +64,64 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "the HAVING aggregation must combine map-side")
   }
 
+  test("q_tpch_q4: EXISTS plans as a LEFT SEMI join, orderdate filter pushed") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join, not inner+distinct")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "orderdate filter not pushed")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2,
+      "orders and lineitem each scanned exactly once")
+  }
+
+  test("q_tpch_q10: nation broadcasts, both fact filters pushed") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("BroadcastHashJoin"), "nation must broadcast")
+    assert(p.contains("EqualTo(l_returnflag,R)"), "returnflag filter not pushed")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "orderdate filter not pushed")
+    assert(p.contains("partial_sum"), "revenue must combine map-side")
+  }
+
+  test("q_tpch_q12: shipdate window pushed; CASE folded into partial agg") {
+    val p = plan("q_tpch_q12")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    assert(p.contains("partial_sum"), "CASE counts must combine map-side")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2)
+  }
+
+  test("q_tpch_q13: outer join preserves customers; both aggs partial") {
+    val p = plan("q_tpch_q13")
+    assert(p.contains("LeftOuter"), "customers without orders must survive the join")
+    assert(p.contains("partial_count"), "counts must combine map-side")
+  }
+
+  test("q_tpch_q14: part broadcasts; the one-month shipdate range is pushed") {
+    val p = plan("q_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"), "part must broadcast, not shuffle")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+  }
+
+  test("q_tpch_q17: decorrelated via window — lineitem scanned exactly once") {
+    val p = plan("q_tpch_q17")
+    assert(p.contains("BroadcastHashJoin"), "the filtered part keys must broadcast")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 2,
+      "lineitem once + part once: the correlated-avg rewrite must not rescan the fact")
+    assert(p.contains("Window"), "per-part sums must come from a window, not a self-join")
+  }
+
+  test("q_tpch_q19: part broadcasts; the factored quantity envelope is pushed") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), "part must broadcast")
+    assert(p.contains("LessThanOrEqual(l_quantity"),
+      "the OR branches' common quantity bound must reach the scan")
+  }
+
+  test("q_tpch_q22: anti join for 'no recent orders'; 1-row average broadcast") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "orderdate filter not pushed")
+    assert(p.contains("Broadcast"), "the 1-row aggregate must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_pagerank: Pregel rounds partial-aggregate map-side") {
     val p = plan("q_pagerank")
     assert(p.contains("partial_sum"), "contribution sums must combine map-side")
