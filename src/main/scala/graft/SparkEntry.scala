@@ -533,6 +533,10 @@ object SparkEntry {
     // the iterated form of q_bpe_pairs. See TextOps.bpeMerges.
     "q_bpe_merges" -> ((s, dir) =>
       TextOps.bpeMerges(t(s, dir, "documents"))),
+    // Tokenizer APPLICATION: encode the corpus with the trained merges —
+    // per-doc word and BPE token counts via a broadcast vocab join.
+    "q_bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncode(t(s, dir, "documents"))),
     // Integer-exact damped PageRank over the supplier-part co-purchase
     // graph, 3 Pregel-style rounds; link centrality as a curation prior.
     "q_pagerank" -> ((s, dir) => {
@@ -816,16 +820,7 @@ object SparkEntry {
       val clusters = DedupOps.dedupClusters(
         DedupOps.verifiedNearDups(corpus, maxBucket = DedupOps.DefaultMaxBucket))
       val qual = TextOps.qualityScore(corpus).select(col("doc_id"), col("quality_bp"))
-      val wc = Window.partitionBy(col("cluster_id"))
-      val wr = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("quality_bp").desc, col("doc_id"))
-      clusters.join(qual, Seq("doc_id"))
-        .withColumn("n_docs", count(lit(1)).over(wc))
-        .withColumn("rn", row_number().over(wr))
-        .filter(col("rn") === 1)
-        .select(col("cluster_id"), col("n_docs"), col("doc_id").as("keep_id"),
-          col("quality_bp").as("keep_quality_bp"))
-        .orderBy(col("cluster_id"))
+      DedupOps.keepBest(clusters, qual)
     }),
     // Incremental ingestion dedup: new batch (src0 + planted re-ingests of
     // existing docs) anti-joined against the existing corpus fingerprints.
@@ -941,6 +936,12 @@ object SparkEntry {
     // with planted duplicate vectors.
     "q_embed_neardup" -> ((s, dir) =>
       SimOps.nearDupPairs(SimOps.plantedVectors(t(s, dir, "embeddings")))),
+    // SemDeDup: semantic dedup within IVF cells over a planted corpus —
+    // cell-bounded pairing, exact copies always caught (same cell as
+    // their original), survivors emitted with their cell.
+    "q_semdedup" -> ((s, dir) =>
+      SimOps.semDedup(SimOps.plantedVectors(t(s, dir, "embeddings")),
+        centroidPred = col("vec_id").between(100, 115))),
     // Composed embedding-curation pipeline: planted corpus → near-dup
     // pairs → drop the larger id of each pair → per-label scorecard.
     // The embedding twin of q_curate_pipeline's text chain.
@@ -1138,7 +1139,20 @@ object SparkEntry {
     * Positions are 1-based here vs posexplode's 0-based — both appear only
     * in intra-word window arithmetic, where a constant shift cancels.
     */
+  /** [[duckBpeCtes]] + the merges-file select — the q_bpe_merges oracle. */
   private def duckBpeSql(nMerges: Int): String = {
+    val finals = (1 to nMerges)
+      .map(i => s"SELECT $i AS step, a AS left_sym, b AS right_sym, " +
+        s"a || b AS merged, n FROM t$i")
+      .mkString(" UNION ALL ")
+    duckBpeCtes(nMerges) + s" SELECT * FROM ($finals) ORDER BY step"
+  }
+
+  /** The BPE training loop unrolled into CTEs (mirrors TextOps.bpeTrain):
+    * ends with the trained state `s<nMerges>(word, cnt, syms)` and the
+    * per-round winners `t1..t<nMerges>`.
+    */
+  private def duckBpeCtes(nMerges: Int): String = {
     val init =
       s"WITH tk AS (SELECT unnest($duckToks) AS word FROM documents), " +
         "st AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY word), " +
@@ -1164,11 +1178,7 @@ object SparkEntry {
         s"s$i AS (SELECT word, cnt, list(sym ORDER BY pos) AS syms FROM n$i " +
         "GROUP BY word, cnt), "
     }.mkString
-    val finals = (1 to nMerges)
-      .map(i => s"SELECT $i AS step, a AS left_sym, b AS right_sym, " +
-        s"a || b AS merged, n FROM t$i")
-      .mkString(" UNION ALL ")
-    (init + iters).stripSuffix(", ") + s" SELECT * FROM ($finals) ORDER BY step"
+    (init + iters).stripSuffix(", ")
   }
 
   /** DuckDB mirror of [[graft.operators.GraphOps.pageRank]] over
@@ -2192,6 +2202,15 @@ object SparkEntry {
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0"),
     // mirrors TextOps.bpeMerges: the 3-round driver loop unrolled into CTEs
     "q_bpe_merges" -> duckBpeSql(3),
+    // mirrors TextOps.bpeEncode: trained state s3 -> word segment counts,
+    // doc token stream joined against them
+    "q_bpe_encode" ->
+      (duckBpeCtes(3) + ", " +
+        "wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS wlen FROM s3), " +
+        s"dk AS (SELECT doc_id, unnest($duckToks) AS word FROM documents) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(wlen) AS BIGINT) AS n_bpe_tokens " +
+        "FROM dk JOIN wl USING (word) GROUP BY doc_id ORDER BY doc_id"),
     // mirrors GraphOps.pageRank (3 rounds, top-20, integer mass updates)
     "q_pagerank" -> duckPageRankSql(3, 20),
     // mirrors q_tpch_q5: integer-cent revenue, nation names via region
@@ -2389,6 +2408,27 @@ object SparkEntry {
         "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
         "WHERE cos_bp >= 4000 ORDER BY id_a, id_b"
     },
+    // mirrors SimOps.semDedup: IVF cell assignment over the planted
+    // corpus, within-cell cosine >= 0.99 drops the higher id
+    "q_semdedup" ->
+      ("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 100000 AS vec_id, embedding " +
+        "FROM embeddings WHERE vec_id % 100 = 0), " +
+        "n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+        "FROM base), " +
+        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n " +
+        "WHERE vec_id BETWEEN 100 AND 115), " +
+        "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
+        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n, c), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
+        "asg AS (SELECT vec_id, e, nrm, c_id FROM r WHERE crn = 1), " +
+        "d AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b " +
+        "ON a.c_id = b.c_id AND a.vec_id < b.vec_id " +
+        s"WHERE ${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} >= 9900) " +
+        "SELECT vec_id, c_id FROM asg " +
+        "WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id"),
     // mirrors the q_embed_pipeline composition: the q_embed_neardup pair
     // chain feeding a drop-set left join and per-label rollup
     "q_embed_pipeline" -> {

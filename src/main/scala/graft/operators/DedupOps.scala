@@ -550,4 +550,30 @@ object DedupOps {
       .filter(col("jac_bp") >= thresholdBp)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** The retention policy after clustering — the last step of a real dedup
+    * pipeline: per cluster, keep the highest-quality member (ties → lowest
+    * doc id). `clusters` is [[dedupClusters]]' (doc_id, cluster_id);
+    * `quality` is any per-doc (doc_id, quality_bp) scorer (the declared
+    * q_quality one in the flagship query).
+    *
+    * One window pass: the member count and the rank share the cluster_id
+    * partitioning, so Spark plans a single shuffle. State is O(clustered
+    * docs) — unclustered docs never enter the shuffle and are implicitly
+    * kept.
+    *
+    * Output: (cluster_id, n_docs, keep_id, keep_quality_bp) per cluster.
+    */
+  def keepBest(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val wc = Window.partitionBy(col("cluster_id"))
+    val wr = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_bp").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("n_docs", count(lit(1)).over(wc))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("n_docs"), col("doc_id").as("keep_id"),
+        col("quality_bp").as("keep_quality_bp"))
+      .orderBy(col("cluster_id"))
+  }
 }

@@ -474,7 +474,16 @@ object TextOps {
     * Output: one row per merge rule, (step, left_sym, right_sym, merged, n),
     * in learned order — exactly a BPE tokenizer's merges file.
     */
-  def bpeMerges(docs: DataFrame, nMerges: Int = 3, textCol: String = "text"): DataFrame = {
+  def bpeMerges(docs: DataFrame, nMerges: Int = 3, textCol: String = "text"): DataFrame =
+    bpeTrain(docs, nMerges, textCol)._2.reduce(_ union _).orderBy(col("step"))
+
+  /** The BPE training loop shared by [[bpeMerges]] (returns the rules) and
+    * [[bpeEncode]] (returns the trained segmentation): `nMerges` rounds
+    * over the vocab-bounded (word, cnt, syms) state. See [[bpeMerges]] for
+    * the shape and determinism argument.
+    */
+  private def bpeTrain(docs: DataFrame, nMerges: Int, textCol: String)
+      : (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     // vocab-bounded state: (word, corpus count, current symbol segmentation)
     var state = docs
@@ -522,7 +531,32 @@ object TextOps {
           .as("syms"))
         .persist()
     }
-    rules.result().reduce(_ union _).orderBy(col("step"))
+    (state, rules.result())
+  }
+
+  /** Tokenizer APPLICATION — encode the corpus with the merges [[bpeMerges]]
+    * learned: per document, the word count and the BPE token count under
+    * the trained segmentation. This is the pipeline's token-budget step —
+    * the number that decides packing, pricing, and mixture weights is the
+    * POST-BPE count, not the whitespace count.
+    *
+    * Because training segmentations are per WORD, encoding is a broadcast
+    * join of the token stream against the vocab-bounded (word → segment
+    * count) table and one aggregation — the corpus is never re-segmented
+    * character by character at encode time. Docs whose text has no tokens
+    * produce no row (nothing to encode).
+    *
+    * Output: (doc_id, n_words, n_bpe_tokens) ordered by doc id.
+    */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val wordLens = bpeTrain(docs, nMerges, textCol)._1
+      .select(col("word"), size(col("syms")).cast("long").as("wlen"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .join(broadcast(wordLens), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("wlen")).as("n_bpe_tokens"))
+      .orderBy(col(idCol))
   }
 
   /** Pack documents into fixed token-budget training sequences — the

@@ -171,6 +171,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(rounds <= 8, s"chain of $n should need ~log2(n) rounds, took $rounds")
   }
 
+  test("keepBest: highest quality wins; ties break to the lowest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 5000L), (2L, 8000L), (3L, 8000L), (7L, 4000L), (8L, 4000L))
+      .toDF("doc_id", "quality_bp")
+    val got = DedupOps.keepBest(clusters, quality)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster 1: 2 and 3 tie at 8000 -> 2 (lower id) beats the id-1 member
+    // on quality; cluster 7: pure tie -> lowest id
+    assert(got == Seq((1L, 3L, 2L, 8000L), (7L, 2L, 7L, 4000L)))
+  }
+
   test("incrementalNew: batch docs already in the corpus are filtered out") {
     val existing = docs((1L, "old doc one"), (2L, "old doc two"))
     val batch = docs(

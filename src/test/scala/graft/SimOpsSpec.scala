@@ -324,6 +324,31 @@ class SimOpsSpec extends SparkSpec {
     assert(got.map(g => (g._1, g._2)) == Seq((1L, 2L)))
   }
 
+  test("semDedup: planted exact copies are dropped, their originals survive") {
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    val kept = SimOps.semDedup(planted, centroidPred = col("vec_id").between(100, 115))
+      .as[(Long, Long)].collect().map(_._1).toSet
+    // every 100th vec has an exact copy at id+100000: identical vector ->
+    // identical cell ranking -> same cell -> cos 1.0 -> the copy drops
+    Seq(0L, 100L, 200L, 300L, 400L).foreach { i =>
+      assert(kept.contains(i), s"original $i must survive")
+      assert(!kept.contains(i + 100000L), s"planted copy of $i must be dropped")
+    }
+  }
+
+  test("semDedup: within a cell only the higher id of a near-dup pair drops") {
+    val df = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), // centroid A (also a corpus vector)
+      (1L, Seq(0f, 1f, 0f, 0f), 0), // centroid B
+      (10L, Seq(10f, 1f, 0f, 0f), 0), // cell A
+      (11L, Seq(10f, 1.01f, 0f, 0f), 0), // cell A, near-dup of 10
+      (12L, Seq(1f, 10f, 0f, 0f), 0)) // cell B, alone with centroid
+    // cos(10,11) ~ 1.0; every other same-cell pair sits near 0.995 < 0.999
+    val got = SimOps.semDedup(df, col("vec_id") <= 1, thresholdBp = 9990L)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 10L, 12L))
+  }
+
   test("productQuantize: codebook vectors reconstruct exactly, codes pack to 12 bits") {
     val e = sf("embeddings")
     val got = SimOps.productQuantize(e, col("vec_id") < 8)

@@ -304,6 +304,16 @@ class TextOpsSpec extends SparkSpec {
       (2, "aa", "aa", "aaaa", 1L)))
   }
 
+  test("bpeEncode: per-doc counts under the trained segmentation") {
+    // corpus: 'abab' x3 (2 in doc 1, 1 in doc 2), 'cd' x1.
+    // round 1 winner (a,b) x6 -> abab = [ab,ab]; round 2 winner (ab,ab) x3
+    // -> abab = [abab]; cd stays [c,d].
+    val d = docs((1L, "abab abab cd"), (2L, "abab"))
+    val got = TextOps.bpeEncode(d, nMerges = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 4L), (2L, 1L, 1L)))
+  }
+
   test("packSequences: budget binning with overflow by at most the last doc") {
     val d = docs(
       (0L, "a b c"), // 3 tokens, before=0  -> seq 0
