@@ -737,6 +737,15 @@ object SparkEntry {
     // order via a two-level (shard, in-shard) prefix sum.
     "q_pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(t(s, dir, "documents"), budget = 512)),
+    // Packing on the POST-BPE token budget — the composition an actual
+    // batch assembler runs: trained-tokenizer counts (q_bpe_encode) feed
+    // the two-level prefix-sum packer. Whitespace counts over-estimate
+    // what fits; the post-BPE count is what fills a context window.
+    "q_pack_bpe" -> ((s, dir) =>
+      TextOps.packCounts(
+        TextOps.bpeEncode(t(s, dir, "documents"))
+          .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+        budget = 512)),
     // PII redaction over a corpus with deterministically planted emails/
     // phones/ids: match counts + md5 of the masked text.
     "q_text_redact" -> ((s, dir) =>
@@ -1767,6 +1776,21 @@ object SparkEntry {
     "q_pack_sequences" ->
       (s"WITH d AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens " +
         "FROM documents), " +
+        "r AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nbefore FROM d), " +
+        "b AS (SELECT doc_id, n_tokens, nbefore // 512 AS seq_id FROM r) " +
+        "SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM b GROUP BY seq_id ORDER BY seq_id"),
+    // mirrors q_pack_bpe: the q_bpe_encode counts feeding the same flat
+    // prefix-sum packer (budget 512); BIGINT casts per the note above
+    "q_pack_bpe" ->
+      (duckBpeCtes(3) + ", " +
+        "wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS wlen FROM s3), " +
+        s"dk AS (SELECT doc_id, unnest($duckToks) AS word FROM documents), " +
+        "d AS (SELECT doc_id, CAST(sum(wlen) AS BIGINT) AS n_tokens " +
+        "FROM dk JOIN wl USING (word) GROUP BY doc_id), " +
         "r AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nbefore FROM d), " +
         "b AS (SELECT doc_id, n_tokens, nbefore // 512 AS seq_id FROM r) " +

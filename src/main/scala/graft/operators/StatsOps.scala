@@ -65,14 +65,22 @@ object StatsOps {
   /** (bucket, lo, w, n_rows) with unrounded bounds — the mergeable state
     * [[histogram]] projects to bp and [[histogramQuantiles]] ranks over.
     */
-  private def histogramCore(df: DataFrame, valueCol: String, nb: Int): DataFrame = {
+  private def histogramCore(df: DataFrame, valueCol: String, nb: Int): DataFrame =
+    histogramCoreWith(df, valueCol, nb,
+      df.agg(
+        min(col(valueCol).cast("double")).as("lo"),
+        max(col(valueCol).cast("double")).as("hi")))
+
+  /** [[histogramCore]] against caller-supplied 1-row bounds (`lo`, `hi` —
+    * extra columns are ignored), so a caller that already aggregates the
+    * table once can reuse that pass instead of paying a second scan.
+    */
+  private def histogramCoreWith(
+      df: DataFrame, valueCol: String, nb: Int, bounds: DataFrame): DataFrame = {
     require(nb > 0, "need at least one bucket")
-    val bounds = df.agg(
-      min(col(valueCol).cast("double")).as("lo"),
-      max(col(valueCol).cast("double")).as("hi"))
     val width = (col("hi") - col("lo")) / lit(nb.toDouble)
     val rawIdx = floor((col(valueCol).cast("double") - col("lo")) / width)
-    df.crossJoin(broadcast(bounds))
+    df.crossJoin(broadcast(bounds.select(col("lo"), col("hi"))))
       .select(
         least(rawIdx, lit(nb - 1).cast("double")).cast("long").as("bucket"),
         col("lo"), width.as("w"))
@@ -98,7 +106,15 @@ object StatsOps {
     * longs.
     */
   def histogramQuantiles(df: DataFrame, valueCol: String, nb: Int, qs: Seq[Double]): DataFrame = {
-    val core = histogramCore(df, valueCol, nb)
+    // bounds and the exact baseline share ONE aggregate pass over the
+    // table (persisted 1-row state, reused by both consumers) — with
+    // separate aggs the query costs three scans, this way two
+    val boundsExact = df.agg(
+      min(col(valueCol).cast("double")).as("lo"),
+      max(col(valueCol).cast("double")).as("hi"),
+      expr(s"percentile($valueCol, array(${qs.mkString("D, ")}D))").as("ex"))
+      .persist()
+    val core = histogramCoreWith(df, valueCol, nb, boundsExact)
     val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
@@ -121,8 +137,7 @@ object StatsOps {
       (col("bucket").cast("double") +
         (col("r") - (col("cum") - col("n_rows")).cast("double")) / col("n_rows").cast("double"))
     val qArr = array(qs.map(q => lit(q)): _*)
-    val exact = df
-      .agg(expr(s"percentile($valueCol, array(${qs.mkString("D, ")}D))").as("ex"))
+    val exact = boundsExact
       .select(posexplode(col("ex")).as(Seq("i", "x")))
       .select(
         TextOps.roundBp(element_at(qArr, col("i") + 1)).as("q_bp"),

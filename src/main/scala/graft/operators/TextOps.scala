@@ -577,11 +577,21 @@ object TextOps {
     * order from per-partition order + tiny global metadata.
     */
   def packSequences(docs: DataFrame, budget: Long, shardSize: Long = 1000L,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val perDoc = docs.select(
-      col(idCol),
-      expr(s"$idCol div $shardSize").as("shard"),
-      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    packCounts(
+      docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens")),
+      budget, shardSize, idCol)
+
+  /** [[packSequences]] over caller-supplied per-doc token counts
+    * (`idCol`, `n_tokens`) — so packing can run on POST-tokenizer budgets
+    * ([[bpeEncode]]'s counts, the number that actually fills a training
+    * batch) instead of whitespace counts. Same two-level prefix-sum
+    * decomposition.
+    */
+  def packCounts(perDocCounts: DataFrame, budget: Long, shardSize: Long = 1000L,
+      idCol: String = "doc_id"): DataFrame = {
+    val perDoc = perDocCounts.select(
+      col(idCol), expr(s"$idCol div $shardSize").as("shard"), col("n_tokens"))
     val shardTotals = perDoc.groupBy(col("shard"))
       .agg(sum(col("n_tokens")).as("shard_tokens"))
     val wShards = org.apache.spark.sql.expressions.Window.orderBy(col("shard"))

@@ -23,6 +23,11 @@ case class AsofMatch(user_id: Long, l_event_id: Long, l_ts_ms: Long, r_event_id:
   */
 case class ScoredEvent(event_id: Long, event_type: String, value: Double)
 
+/** One CDC change row for the streaming MERGE INTO loop: `op` is D/U/I,
+  * the payload columns mirror the maintained table's schema.
+  */
+case class ChangeRow(k: Long, name: String, v: Double, op: String)
+
 /** Bounded per-key state for [[StreamingOps.topKPerKey]]: at most k
   * (value, event_id) entries, best-first.
   */

@@ -407,6 +407,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(after == before && after.size == sample.size)
   }
 
+  test("foreachBatch CDC: streamed change batches maintain the base table") {
+    import graft.operators.MergeOps
+    import graft.streaming.ChangeRow
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val tbl = s"$base/table"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v").write.parquet(tbl)
+    val input = MemoryStream[ChangeRow]
+    // the streaming MERGE INTO maintenance loop: each micro-batch applies
+    // its changes to the current table version and publishes the next one
+    // (write to a fresh version dir, then republish — never overwrite the
+    // files a job is reading)
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ChangeRow], id: Long) =>
+        val next = MergeOps.applyChanges(spark.read.parquet(tbl), batch.toDF(), "k")
+        next.write.mode("overwrite").parquet(s"$base/v$id")
+        spark.read.parquet(s"$base/v$id").write.mode("overwrite").parquet(tbl)
+      }
+      .start()
+    try {
+      input.addData(ChangeRow(2L, "b", 21.0, "U"), ChangeRow(4L, "d", 40.0, "I"))
+      q.processAllAvailable()
+      input.addData(ChangeRow(1L, "", 0.0, "D"), ChangeRow(4L, "d", 41.0, "U"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // upsert of 2 and insert of 4 from batch 0; delete of 1 and second
+    // upsert of 4 from batch 1 — applied in arrival order
+    assert(got == Set((2L, "b", 21.0), (3L, "c", 30.0), (4L, "d", 41.0)))
+  }
+
   test("topKPerKey: bounded state matches the batch GroupTopK formulation") {
     import graft.streaming.ScoredEvent
     val b1 = Seq(
