@@ -512,6 +512,61 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"), sum(col("acct_c")).as("total_acct_c"))
         .orderBy(col("c_nationkey"))
     }),
+    // TPC-H Q15 shape — top supplier(s): per-supplier quarter revenue,
+    // keep the rows equal to the global maximum. The revenue view is
+    // persisted so the scalar-max subquery and the final filter share ONE
+    // fact scan; the 1-row max broadcasts back (never a sort, never a
+    // single-partition window over suppliers).
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-07-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100.0 + 0.5).cast("long")).as("total_revenue_c"))
+        .persist()
+      val mx = rev.agg(max(col("total_revenue_c")).as("max_rev_c"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue_c") === col("max_rev_c"))
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_c"))
+        .orderBy(col("s_suppkey"))
+    }),
+    // TPC-H Q21 shape — "the only late supplier": for completed orders
+    // with 2+ suppliers, the supplier whose lineitems were the ONLY late
+    // ones (late = shipped 60+ days after the order date, standing in for
+    // the schema's missing receipt/commit dates). The two correlated
+    // EXISTS of the canonical form decorrelate into per-order distinct
+    // counts over the SAME joined frame via one window partitioning —
+    // lineitem is scanned once (plan-audited), no self-joins.
+    "q_tpch_q21" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val j = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+            .otherwise(0L).as("late"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val waiting = j
+        .withColumn("n_supps", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late_supps",
+          size(collect_set(when(col("late") === 1L, col("l_suppkey"))).over(w)))
+        .filter(col("late") === 1L && col("n_supps") > 1 && col("n_late_supps") === 1)
+      val top = waiting
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+      val wr = Window.orderBy(col("numwait").desc, col("s_name"))
+      top.withColumn("rank", row_number().over(wr))
+        .select(col("rank"), col("s_name"), col("s_suppkey"), col("numwait"))
+        .orderBy(col("rank"))
+    }),
     // Good-Turing count-of-counts over word bigrams — the smoothing
     // statistic (N_r, r*N_r) an n-gram LM reserves unseen mass from.
     "q_bigram_freqs" -> ((s, dir) =>
@@ -2351,6 +2406,35 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderdate >= TIMESTAMP '2000-01-01') " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    // mirrors q_tpch_q15: quarter revenue per supplier, global-max filter
+    "q_tpch_q15" ->
+      ("WITH rev AS (SELECT l_suppkey, CAST(sum(CAST(floor(l_extendedprice " +
+        "* (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_c " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-07-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-10-01' GROUP BY l_suppkey), " +
+        "m AS (SELECT max(total_revenue_c) AS max_rev_c FROM rev) " +
+        "SELECT s_suppkey, s_name, total_revenue_c FROM rev, m " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE total_revenue_c = max_rev_c ORDER BY s_suppkey"),
+    // mirrors q_tpch_q21: the two correlated EXISTS as per-order distinct
+    // counts, 60-day late rule, top 20 by wait count
+    "q_tpch_q21" ->
+      ("WITH j AS (SELECT l_orderkey, l_suppkey, " +
+        "CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderstatus = 'F'), " +
+        "g AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns, " +
+        "count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nl " +
+        "FROM j GROUP BY l_orderkey), " +
+        "f AS (SELECT j.l_suppkey FROM j JOIN g ON j.l_orderkey = g.l_orderkey " +
+        "WHERE j.late = 1 AND g.ns > 1 AND g.nl = 1), " +
+        "c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait FROM f " +
+        "GROUP BY l_suppkey), " +
+        "t AS (SELECT s_name, s_suppkey, numwait FROM c " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "ORDER BY numwait DESC, s_name LIMIT 20) " +
+        "SELECT row_number() OVER (ORDER BY numwait DESC, s_name) AS rank, " +
+        "s_name, s_suppkey, numwait FROM t ORDER BY rank"),
     // mirrors TextOps.bigramFreqOfFreqs (word bigrams via 2-shingles)
     "q_bigram_freqs" ->
       (s"WITH tk AS (SELECT $duckToks AS t FROM documents), " +

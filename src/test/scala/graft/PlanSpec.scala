@@ -122,6 +122,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_tpch_q15: revenue view cached once; the scalar max broadcasts back") {
+    val p = plan("q_tpch_q15")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "the revenue view must be persisted, not recomputed per consumer")
+    assert(p.contains("Broadcast"), "the 1-row max must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_tpch_q21: decorrelated EXISTS — lineitem scanned exactly once") {
+    val p = plan("q_tpch_q21")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 3,
+      "lineitem/orders/supplier once each: both EXISTS must fold into " +
+        "the one joined frame's window counts, never a lineitem self-join")
+    assert(p.contains("Window"), "per-order supplier counts must come from a window")
+    assert(p.contains("EqualTo(o_orderstatus,F)"), "status filter not pushed")
+    assert(p.contains("BroadcastHashJoin"), "supplier must broadcast")
+  }
+
   test("q_pagerank: Pregel rounds partial-aggregate map-side") {
     val p = plan("q_pagerank")
     assert(p.contains("partial_sum"), "contribution sums must combine map-side")
