@@ -571,6 +571,10 @@ object SparkEntry {
     // statistic (N_r, r*N_r) an n-gram LM reserves unseen mass from.
     "q_bigram_freqs" -> ((s, dir) =>
       TextOps.bigramFreqOfFreqs(t(s, dir, "documents"))),
+    // MLE bigram LM table: P(w2|w1) in integer bp over true prefix mass —
+    // the estimation step between q_bigram_freqs and an n-gram LM.
+    "q_bigram_lm" -> ((s, dir) =>
+      TextOps.bigramCondProb(t(s, dir, "documents"))),
     // Deterministic train/val/test split assignment — hash-bucket 80/10/10
     // by stable 60-bit md5, so membership is reproducible across runs,
     // engines, and table growth (a new doc never moves an old one).
@@ -2443,6 +2447,20 @@ object SparkEntry {
         "c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram) " +
         "SELECT n AS freq, CAST(count(*) AS BIGINT) AS n_types, " +
         "CAST(n * count(*) AS BIGINT) AS mass FROM c GROUP BY n ORDER BY freq"),
+    // mirrors TextOps.bigramCondProb: prefix mass from the bigram table,
+    // integer-bp conditional, top 20 by (count desc, w1, w2)
+    "q_bigram_lm" ->
+      (s"WITH tk AS (SELECT $duckToks AS t FROM documents), " +
+        "bg AS (SELECT unnest(list_transform(range(1, len(t)), " +
+        "i -> t[i] || ' ' || t[i+1])) AS bg FROM tk), " +
+        "c AS (SELECT bg, CAST(count(*) AS BIGINT) AS n12 FROM bg GROUP BY bg), " +
+        "s AS (SELECT string_split(bg, ' ')[1] AS w1, " +
+        "string_split(bg, ' ')[2] AS w2, n12 FROM c), " +
+        "p AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM s GROUP BY w1), " +
+        "t2 AS (SELECT s.w1, s.w2, s.n12, p.n1, (s.n12 * 10000) // p.n1 AS cond_bp " +
+        "FROM s JOIN p USING (w1) ORDER BY n12 DESC, w1, w2 LIMIT 20) " +
+        "SELECT row_number() OVER (ORDER BY n12 DESC, w1, w2) AS rank, " +
+        "w1, w2, n12, n1, cond_bp FROM t2 ORDER BY rank"),
     // mirrors q_split_assign (80/10/10 hash-bucket split)
     "q_split_assign" ->
       (s"WITH b AS (SELECT source, ${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 " +

@@ -452,6 +452,38 @@ object TextOps {
       .withColumn("mass", col("freq") * col("n_types"))
       .orderBy(col("freq"))
 
+  /** MLE bigram language-model table — P(w2 | w1) for the corpus's most
+    * frequent bigrams, the estimation step that turns [[bigramFreqOfFreqs]]'
+    * smoothing statistics into an actual n-gram LM. The prefix mass n1 is
+    * the SUM OF BIGRAM COUNTS sharing the prefix (the conditional's true
+    * denominator — and computable from the already-aggregated bigram
+    * table, no second corpus pass), and the probability is the integer
+    * division `(n12 * 10000) div n1` so both engines agree exactly.
+    *
+    * Shape: one corpus pass explodes bigrams into a vocab-bounded hash
+    * aggregation; everything after (prefix sums, join, top-k) runs on the
+    * bigram table. Top-k is orderBy+limit — TakeOrderedAndProject.
+    *
+    * Output: (rank, w1, w2, n12, n1, cond_bp), top `k` by (n12 desc, w1, w2).
+    */
+  def bigramCondProb(docs: DataFrame, k: Int = 20, textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(shingles(tokens(col(textCol)), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n12"))
+      .select(expr("split(bg, ' ')[0]").as("w1"),
+        expr("split(bg, ' ')[1]").as("w2"), col("n12"))
+    val prefix = counts.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    val top = counts.join(prefix, "w1")
+      .withColumn("cond_bp", expr("(n12 * 10000) div n1"))
+      .orderBy(col("n12").desc, col("w1"), col("w2"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n12").desc, col("w1"), col("w2"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("w1"), col("w2"), col("n12"), col("n1"), col("cond_bp"))
+      .orderBy(col("rank"))
+  }
+
   /** Iterative BPE tokenizer training — `nMerges` rounds of (count adjacent
     * symbol pairs, pick the most frequent, greedily merge it everywhere),
     * the full algorithm whose single recount step is [[bpePairCounts]].

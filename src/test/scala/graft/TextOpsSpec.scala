@@ -304,6 +304,17 @@ class TextOpsSpec extends SparkSpec {
       (2, "aa", "aa", "aaaa", 1L)))
   }
 
+  test("bigramCondProb: conditionals over true prefix mass, hand-checked") {
+    // "a b a b c": bigrams (a,b) x2, (b,a) x1, (b,c) x1; prefix mass
+    // a -> 2, b -> 2; so P(b|a)=10000 bp, P(a|b)=P(c|b)=5000 bp
+    val got = TextOps.bigramCondProb(docs((1L, "a b a b c")))
+      .as[(Int, String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", "b", 2L, 2L, 10000L),
+      (2, "b", "a", 1L, 2L, 5000L),
+      (3, "b", "c", 1L, 2L, 5000L)))
+  }
+
   test("bpeEncode: per-doc counts under the trained segmentation") {
     // corpus: 'abab' x3 (2 in doc 1, 1 in doc 2), 'cd' x1.
     // round 1 winner (a,b) x6 -> abab = [ab,ab]; round 2 winner (ab,ab) x3
