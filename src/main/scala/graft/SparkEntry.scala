@@ -575,6 +575,16 @@ object SparkEntry {
     // the estimation step between q_bigram_freqs and an n-gram LM.
     "q_bigram_lm" -> ((s, dir) =>
       TextOps.bigramCondProb(t(s, dir, "documents"))),
+    // Triangle census over the part co-order graph (parts restricted to a
+    // broadcast-filtered subset so the declared query stays bench-sized;
+    // the operator itself is the degree-ordered orientation construction
+    // whose out-degrees are O(sqrt m) even on power-law hubs).
+    "q_triangles" -> ((s, dir) => {
+      val small = t(s, dir, "part").filter(col("p_size") <= 5).select(col("p_partkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(small), col("l_partkey") === col("p_partkey"), "left_semi")
+      GraphOps.triangleStats(GraphOps.coOrderEdges(li))
+    }),
     // Deterministic train/val/test split assignment — hash-bucket 80/10/10
     // by stable 60-bit md5, so membership is reproducible across runs,
     // engines, and table growth (a new doc never moves an old one).
@@ -2296,6 +2306,29 @@ object SparkEntry {
         "FROM dk JOIN wl USING (word) GROUP BY doc_id ORDER BY doc_id"),
     // mirrors GraphOps.pageRank (3 rounds, top-20, integer mass updates)
     "q_pagerank" -> duckPageRankSql(3, 20),
+    // mirrors GraphOps.triangleStats over coOrderEdges of the p_size<=5
+    // subgraph: same degree-ordered orientation, wedge + closing-edge count
+    "q_triangles" ->
+      ("WITH sp AS (SELECT p_partkey FROM part WHERE p_size <= 5), " +
+        "lp AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p " +
+        "FROM lineitem JOIN sp ON l_partkey = p_partkey), " +
+        "e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM lp x " +
+        "JOIN lp y ON x.okey = y.okey AND x.p < y.p), " +
+        "dg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM " +
+        "(SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e) GROUP BY x), " +
+        "o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) " +
+        "THEN e.a ELSE e.b END AS u, " +
+        "CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) " +
+        "THEN e.b ELSE e.a END AS v " +
+        "FROM e JOIN dg da ON da.x = e.a JOIN dg db ON db.x = e.b), " +
+        "w AS (SELECT o1.v AS v1, o2.v AS v2 FROM o o1 " +
+        "JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w JOIN o " +
+        "ON (o.u = w.v1 AND o.v = w.v2) OR (o.u = w.v2 AND o.v = w.v1)) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM dg) AS n_nodes, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges, " +
+        "t.n_triangles FROM t"),
     // mirrors q_tpch_q5: integer-cent revenue, nation names via region
     "q_tpch_q5" ->
       ("SELECT n_name, CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) " +

@@ -80,4 +80,72 @@ object GraphOps {
       .select(col("rank"), col("node"), col("r").as("score"))
       .orderBy(col("rank"))
   }
+
+  /** Distinct part-part co-order edges: two parts are adjacent iff some
+    * order contains both. Emitted as canonical undirected edges (a < b).
+    * Per-order pairing is IN-ARRAY over the collected part set (orders
+    * hold a bounded handful of lineitems — the same bucket-collect shape
+    * as [[DedupOps.jaccardPairs]]' postings), so no self-join diamond and
+    * per-row fan-out is C(items-per-order, 2), independent of corpus size.
+    */
+  def coOrderEdges(lineitem: DataFrame): DataFrame = {
+    val grouped = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+      .distinct()
+      .groupBy(col("okey")).agg(sort_array(collect_set(col("p"))).as("ps"))
+    val pairs = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    grouped.select(explode(pairs).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+  }
+
+  /** Global triangle census over an undirected edge set (canonical a < b
+    * rows): nodes, edges, oriented wedges, and triangles — the clustering
+    * statistic community detection and spam/boilerplate graph analysis
+    * start from.
+    *
+    * The algorithm is the degree-ordered orientation construction (the
+    * MapReduce triangle-counting classic — Suri & Vassilvitskii 2011):
+    * orient every edge from its (degree, id)-smaller endpoint to the
+    * larger, which makes the edge set a DAG where every out-degree is
+    * O(√m) regardless of hub size — a power-law hub of degree d generates
+    * wedges at its LOW-degree neighbors instead of C(d, 2) at itself.
+    * Each triangle then has exactly one source node (two out-edges) and is
+    * counted once: wedges (pairs of out-neighbors) equi-join the oriented
+    * closing edge. The closing edge's direction between v1 < v2 (plain id)
+    * isn't known in advance, so both directions are probed as two
+    * equi-joins and summed — never an OR-join (which would nested-loop).
+    *
+    * Output: 1 row (n_nodes, n_edges, n_wedges, n_triangles).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.persist()
+    val deg = e.select(col("a").as("x")).unionByName(e.select(col("b").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e
+      .join(deg.select(col("x").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("x").as("b"), col("d").as("db")), "b")
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"))
+      .persist()
+    val wedges = oriented.select(col("u"), col("v").as("v1"))
+      .join(oriented.select(col("u"), col("v").as("v2")), Seq("u"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"))
+      .persist()
+    // the DAG orientation closes each wedge in at most one direction, so
+    // the two probes are disjoint and their union counts each triangle once
+    val closed = wedges
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"), "left_semi")
+      .unionByName(wedges
+        .join(oriented.select(col("v").as("v1"), col("u").as("v2")), Seq("v1", "v2"), "left_semi"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
 }

@@ -622,8 +622,13 @@ object TextOps {
     */
   def packCounts(perDocCounts: DataFrame, budget: Long, shardSize: Long = 1000L,
       idCol: String = "doc_id"): DataFrame = {
+    // persisted: both the shard-totals aggregation and the final join read
+    // this frame, and the caller's count pipeline can be arbitrarily
+    // expensive (bpeEncode's is a 3-round training loop — recomputing it
+    // per consumer measured 10 s vs 3 s at sf0.1)
     val perDoc = perDocCounts.select(
       col(idCol), expr(s"$idCol div $shardSize").as("shard"), col("n_tokens"))
+      .persist()
     val shardTotals = perDoc.groupBy(col("shard"))
       .agg(sum(col("n_tokens")).as("shard_tokens"))
     val wShards = org.apache.spark.sql.expressions.Window.orderBy(col("shard"))

@@ -40,4 +40,27 @@ class GraphOpsSpec extends SparkSpec {
     // suppliers stay below the part offset; parts above
     assert(fwd.filter(col("v") < 1000000L).isEmpty)
   }
+
+  test("coOrderEdges: parts sharing an order pair once, canonical a < b") {
+    import spark.implicits._
+    val li = Seq((10L, 3L), (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = GraphOps.coOrderEdges(li).as[(Long, Long)].collect().toSet
+    // order 11 repeats the (1,2) edge -> still one row; singleton order 12
+    // contributes nothing
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("triangleStats: triangle + pendant edge, and the 4-clique") {
+    import spark.implicits._
+    val e1 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = GraphOps.triangleStats(e1).as[(Long, Long, Long, Long)].head()
+    assert(got == ((4L, 4L, 1L, 1L)))
+    // K4: every out-neighbor pair of the orientation's sources closes —
+    // C(4,3) = 4 triangles from 4 wedges
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val g2 = GraphOps.triangleStats(k4).as[(Long, Long, Long, Long)].head()
+    assert(g2 == ((4L, 6L, 4L, 4L)))
+  }
 }
