@@ -703,6 +703,111 @@ object TextOps {
         expr("sum(rep_2gram_bp) div count(1)").as("mean_rep_2gram_bp"))
       .orderBy(col(srcCol))
 
+  /** Skip-gram co-occurrence lift — the integer-exact PMI surrogate a
+    * word-embedding / collocation pipeline computes before training
+    * (word2vec SGNS is implicitly factorizing exactly this PMI matrix).
+    * Pairs are (token, token-at-distance-d) for d in 1..window, built as
+    * zips of offset slices (the [[shingles]] trick — NO indexed lambda,
+    * which would re-tokenize per element). lift(x,y) = p(x,y)/(p(x)p(y))
+    * with all probabilities over the pair multiset, kept exact as
+    * `(c_xy * n_pairs * 10000) div (c_x * c_y)` — no libm, identical in
+    * DuckDB. Marginals come from the pair counts themselves (one extra
+    * pass over the small co-occurrence table, never over the corpus).
+    *
+    * Scale: one explode + one hash aggregation over the corpus; the
+    * co-occurrence table is O(vocab^2) and the marginals broadcast. At
+    * 100 TB the vocab would be top-K truncated first (same note as
+    * [[lmSurprisal]]). The `c_xy * n_pairs * 10000` product needs
+    * headroom: fine in Long up to ~10^14 pairs (beyond that, move the
+    * scale factor inside the division or use decimal(38,0)).
+    */
+  def skipgramLift(docs: DataFrame, window: Int = 2, k: Int = 30,
+      minCount: Long = 5, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val pairArrays = (1 to window).map { d =>
+      val n = size(toks) - d
+      when(size(toks) > d,
+        zip_with(slice(toks, lit(1), n), slice(toks, lit(1 + d), n),
+          (x, y) => struct(x.as("x"), y.as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))
+    }
+    val pairs = docs
+      .select(explode(concat(pairArrays: _*)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val cXY = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+    val cX = cXY.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
+    val cY = cXY.groupBy(col("y")).agg(sum(col("c_xy")).as("c_y"))
+    val nTot = cXY.agg(sum(col("c_xy")).as("n_pairs"))
+    cXY.filter(col("c_xy") >= minCount)
+      .join(broadcast(cX), "x")
+      .join(broadcast(cY), "y")
+      .crossJoin(broadcast(nTot))
+      .select(col("x"), col("y"), col("c_xy"),
+        expr("(c_xy * n_pairs * 10000) div (c_x * c_y)").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
+  /** Per-document token diversity — the repetition signal quality filters
+    * gate on (a doc that is one token repeated 500 times has high
+    * [[tokenStats]] counts but zero diversity). All outputs are exact
+    * integers: `sum_c2` is the collision count sum(c_i^2) behind the
+    * Simpson diversity index 1 - sum_c2/n^2 (emit the numerator, let the
+    * consumer divide), `top_count` the modal token's count, `rep_bp` the
+    * duplicated-token fraction in basis points.
+    *
+    * Scale: explode + two hash aggregations, both with map-side partial
+    * combine; the (doc, token) shuffle key keeps hot tokens spread across
+    * their documents (no single-token hot spot, unlike a global token
+    * count).
+    */
+  def tokenDiversity(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        max(col("c")).as("top_count"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"), col("sum_c2"),
+        col("top_count"),
+        expr("((n_tokens - n_distinct) * 10000) div n_tokens").as("rep_bp"))
+      .orderBy(col(idCol))
+
+  /** Vocabulary coverage curve — how much of the corpus the top-k tokens
+    * cover, the Zipf diagnostic a tokenizer-budget decision reads (pick
+    * the vocab size where the curve flattens). One corpus token count,
+    * then a rank + running-sum window over the VOCAB ONLY — a
+    * single-task global window, safe because the vocabulary is orders of
+    * magnitude smaller than the corpus (same size argument as the
+    * broadcast in [[lmSurprisal]]); the corpus itself is never windowed.
+    * Ties rank deterministically by (count desc, token asc) so the curve
+    * is engine-exact.
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(1, 2, 5, 10, 20, 30),
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = vocab.agg(sum(col("n")).as("total_n"))
+    vocab
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(cum))
+      .filter(col("k").isin(ks.map(_.toLong): _*))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("tok").as("kth_token"), col("cum_n"),
+        col("total_n"), expr("(cum_n * 10000) div total_n").as("coverage_bp"))
+      .orderBy(col("k"))
+  }
+
   def qualityScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val allStops = langMarkers.flatMap(_._2).distinct.sorted
     val toks = tokens(col(textCol))
