@@ -64,7 +64,13 @@ object Bench {
     val failed = results.collect { case (k, Left(err)) => s"\"$k\":\"$err\"" }
     val total = results.collect { case (_, Right(v)) => v }.sum
     val errJson = if (failed.isEmpty) "" else s""","errors":${failed.mkString("{", ",", "}")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // stdout tails get clipped by log capture once the query map grows past
+    // ~70 entries — the full artifact always lands on disk as well
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile), json.getBytes("UTF-8"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -516,7 +516,9 @@ object SparkEntry {
     // keep the rows equal to the global maximum. The revenue view is
     // persisted so the scalar-max subquery and the final filter share ONE
     // fact scan; the 1-row max broadcasts back (never a sort, never a
-    // single-partition window over suppliers).
+    // single-partition window over suppliers). The argmax result is a
+    // handful of rows, so it comes back as a driver-local literal and the
+    // cached revenue view is released instead of leaking (graft.Local).
     "q_tpch_q15" -> ((s, dir) => {
       val rev = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-07-01").cast("timestamp")
@@ -526,12 +528,14 @@ object SparkEntry {
           * 100.0 + 0.5).cast("long")).as("total_revenue_c"))
         .persist()
       val mx = rev.agg(max(col("total_revenue_c")).as("max_rev_c"))
-      rev.crossJoin(broadcast(mx))
+      val out = graft.Local.localized(rev.crossJoin(broadcast(mx))
         .filter(col("total_revenue_c") === col("max_rev_c"))
         .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue_c"))
-        .orderBy(col("s_suppkey"))
+        .orderBy(col("s_suppkey")))
+      rev.unpersist(blocking = false)
+      out
     }),
     // TPC-H Q21 shape — "the only late supplier": for completed orders
     // with 2+ suppliers, the supplier whose lineitems were the ONLY late

@@ -49,8 +49,11 @@ object GraphOps {
     * Scale shape per round: the canonical two-shuffle Pregel step — join
     * ranks+degrees into edges on `u` (one hash shuffle keyed on the
     * source), aggregate contributions by `v` (one shuffle keyed on the
-    * target), both with map-side partials; state is persisted so round k
-    * doesn't replay rounds 1..k-1 per downstream branch. N comes from one
+    * target), both with map-side partials. Each round is materialized
+    * eagerly and its predecessor released — cached state lives for exactly
+    * one round, not the session ([[graft.Local]] has the lifecycle
+    * argument); the top-k result comes back as a driver-local literal so
+    * `deg` and the final round can be released too. N comes from one
     * driver-side metadata count. Output: (rank, node, score).
     */
   def pageRank(
@@ -63,7 +66,7 @@ object GraphOps {
     val teleport = 15L * scale / (100L * n)
     var ranks = deg.select(col("u").as("node"), lit(scale / n).as("r"))
     for (_ <- 1 to iters) {
-      ranks = edges
+      val next = edges
         .join(deg, "u")
         .join(ranks.withColumnRenamed("node", "u"), "u")
         .select(col("v"), expr("r div deg").as("c"))
@@ -72,13 +75,19 @@ object GraphOps {
         .select(col("v").as("node"),
           (lit(teleport) + expr("(85 * sc) div 100")).as("r"))
         .persist()
+      next.count() // materialize round k before releasing round k-1
+      ranks.unpersist(blocking = false) // no-op on the unpersisted init frame
+      ranks = next
     }
     val w = Window.orderBy(col("r").desc, col("node"))
-    ranks
+    val out = graft.Local.localized(ranks
       .orderBy(col("r").desc, col("node")).limit(k)
       .withColumn("rank", row_number().over(w))
       .select(col("rank"), col("node"), col("r").as("score"))
-      .orderBy(col("rank"))
+      .orderBy(col("rank")))
+    ranks.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out
   }
 
   /** Distinct part-part co-order edges: two parts are adjacent iff some
@@ -143,9 +152,15 @@ object GraphOps {
       .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"), "left_semi")
       .unionByName(wedges
         .join(oriented.select(col("v").as("v1"), col("u").as("v2")), Seq("v1", "v2"), "left_semi"))
-    deg.agg(count(lit(1)).as("n_nodes"))
-      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+    // the census is ONE row — collect it so e/oriented/wedges (populated
+    // once, during this action, and shared by all four counting branches)
+    // can be released instead of leaking for the session ([[graft.Local]])
+    val out = graft.Local.localized(
+      deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(closed.agg(count(lit(1)).as("n_triangles"))))
+    Seq(e, oriented, wedges).foreach(_.unpersist(blocking = false))
+    out
   }
 }

@@ -107,13 +107,13 @@ object StatsOps {
     */
   def histogramQuantiles(df: DataFrame, valueCol: String, nb: Int, qs: Seq[Double]): DataFrame = {
     // bounds and the exact baseline share ONE aggregate pass over the
-    // table (persisted 1-row state, reused by both consumers) — with
-    // separate aggs the query costs three scans, this way two
-    val boundsExact = df.agg(
+    // table — with separate aggs the query costs three scans, this way
+    // two. The shared 1-row state is a driver-local literal (graft.Local),
+    // not a lazy persist the caller could never release.
+    val boundsExact = graft.Local.localized(df.agg(
       min(col(valueCol).cast("double")).as("lo"),
       max(col(valueCol).cast("double")).as("hi"),
-      expr(s"percentile($valueCol, array(${qs.mkString("D, ")}D))").as("ex"))
-      .persist()
+      expr(s"percentile($valueCol, array(${qs.mkString("D, ")}D))").as("ex")))
     val core = histogramCoreWith(df, valueCol, nb, boundsExact)
     val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -506,17 +506,33 @@ object TextOps {
     * Output: one row per merge rule, (step, left_sym, right_sym, merged, n),
     * in learned order — exactly a BPE tokenizer's merges file.
     */
-  def bpeMerges(docs: DataFrame, nMerges: Int = 3, textCol: String = "text"): DataFrame =
-    bpeTrain(docs, nMerges, textCol)._2.reduce(_ union _).orderBy(col("step"))
+  def bpeMerges(docs: DataFrame, nMerges: Int = 3, textCol: String = "text"): DataFrame = {
+    val (state, rules) = bpeTrain(docs, nMerges, textCol)
+    state.unpersist(blocking = false) // rules are local literals; state unused
+    rules.reduce(_ union _).orderBy(col("step"))
+  }
 
   /** The BPE training loop shared by [[bpeMerges]] (returns the rules) and
     * [[bpeEncode]] (returns the trained segmentation): `nMerges` rounds
     * over the vocab-bounded (word, cnt, syms) state. See [[bpeMerges]] for
     * the shape and determinism argument.
+    *
+    * Cache lifecycle (this loop was a 32 s outlier when left lazy): each
+    * round eagerly materializes `pairs` once — the winning pair is a SINGLE
+    * row of a vocab-bounded aggregation, so collecting it to the driver is
+    * the same O(1) exchange as [[SortOps]]' min/max bound fetch, and that
+    * action doubles as the persist trigger. The merge application then
+    * filters on the collected literals (no join against a lazy 1-row frame,
+    * which re-derived `pairs` once per consumer), the next state is counted
+    * into cache, and the superseded round's `state` + `pairs` are released.
+    * Returned rules are driver-local literal frames. The caller owns
+    * unpersisting the returned final state.
     */
   private def bpeTrain(docs: DataFrame, nMerges: Int, textCol: String)
       : (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
     // vocab-bounded state: (word, corpus count, current symbol segmentation)
     var state = docs
       .select(explode(tokens(col(textCol))).as("word"))
@@ -527,42 +543,55 @@ object TextOps {
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .persist()
     val rules = Seq.newBuilder[DataFrame]
+    // round k's top-1 collect is the action that materializes round k's
+    // `state` and `pairs` into cache; the round k-1 frames it superseded
+    // are released right after it
+    var superseded = Seq.empty[DataFrame]
     for (step <- 1 to nMerges) {
       val byPos = Window.partitionBy(col("word")).orderBy(col("pos"))
       val pairs = state
         .select(col("word"), col("cnt"), posexplode(col("syms")).as(Seq("pos", "sym")))
         .withColumn("nxt", lead(col("sym"), 1).over(byPos))
-      val top1 = pairs
+        .persist()
+      val Array(top) = pairs
         .filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("a"), col("nxt").as("b"))
         .agg(sum(col("cnt")).cast("long").as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1)
-        .persist()
-      rules += top1.select(
-        lit(step).as("step"), col("a").as("left_sym"), col("b").as("right_sym"),
-        concat(col("a"), col("b")).as("merged"), col("n"))
-      // greedy winners: runs of consecutive matching positions, odd ranks only
-      val matches = pairs
-        .join(broadcast(top1), col("sym") === col("a") && col("nxt") === col("b"))
-        .select(col("word"), col("pos"))
-      val keep = matches
-        .withColumn("run", col("pos") - row_number().over(byPos))
-        .withColumn("rn",
-          row_number().over(Window.partitionBy(col("word"), col("run")).orderBy(col("pos"))))
-        .filter(col("rn") % 2 === 1)
-      val keptAt = keep.select(col("word").as("kw"), col("pos").as("kp"))
-      val consumedAt = keep.select(col("word").as("cw"), (col("pos") + 1).as("cp"))
-      state = pairs
-        .join(keptAt, col("word") === col("kw") && col("pos") === col("kp"), "left")
-        .join(consumedAt, col("word") === col("cw") && col("pos") === col("cp"), "left_anti")
+        .collect()
+      superseded.foreach(_.unpersist(blocking = false))
+      val (a, b, nWin) = (top.getString(0), top.getString(1), top.getLong(2))
+      rules += Seq((step, a, b, a + b, nWin))
+        .toDF("step", "left_sym", "right_sym", "merged", "n")
+      // Merge application, join-free: greedy winners are the odd ranks of
+      // each maximal run of consecutive matching positions, and "consumed"
+      // is just lag(keep) — three window passes plus the rebuild
+      // aggregation, ALL clustered by `word`, so hash(word) from the first
+      // window satisfies every downstream distribution and the whole
+      // rebuild is one shuffle (the previous keptAt/consumedAt self-joins
+      // were two more shuffles each).
+      val matched = col("sym") === lit(a) && col("nxt") === lit(b)
+      val next = pairs
+        .withColumn("cum", sum(when(matched, 1).otherwise(0)).over(byPos))
+        // rank among matched rows = cum, so pos - cum is constant per run
+        .withColumn("run", when(matched, col("pos") - col("cum")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("word"), col("run")).orderBy(col("pos"))))
+        .withColumn("keep", matched && col("rn") % 2 === 1)
+        .withColumn("consumed", coalesce(lag(col("keep"), 1).over(byPos), lit(false)))
+        .filter(!col("consumed"))
         .withColumn("sym2",
-          when(col("kp").isNotNull, concat(col("sym"), col("nxt"))).otherwise(col("sym")))
+          when(col("keep"), concat(col("sym"), col("nxt"))).otherwise(col("sym")))
         .groupBy(col("word"), col("cnt"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, sym2))), x -> x.sym2)")
           .as("syms"))
         .persist()
+      superseded = Seq(state, pairs)
+      state = next
     }
+    state.count() // materialize the final round before releasing its inputs
+    superseded.foreach(_.unpersist(blocking = false))
     (state, rules.result())
   }
 
@@ -578,12 +607,26 @@ object TextOps {
     * character by character at encode time. Docs whose text has no tokens
     * produce no row (nothing to encode).
     *
+    * The (word → segment count) table is collected to the driver and
+    * re-emitted as a local literal frame: the broadcast join would ship
+    * exactly those rows to the driver anyway, and making it literal (a)
+    * lets the trained state be unpersisted here instead of leaking for the
+    * session lifetime, and (b) removes the whole training loop from the
+    * returned plan's lineage, so downstream consumers ([[packCounts]]) can
+    * recompute this frame for pennies.
+    *
     * Output: (doc_id, n_words, n_bpe_tokens) ordered by doc id.
     */
   def bpeEncode(docs: DataFrame, nMerges: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val wordLens = bpeTrain(docs, nMerges, textCol)._1
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (state, _) = bpeTrain(docs, nMerges, textCol)
+    val lens = state
       .select(col("word"), size(col("syms")).cast("long").as("wlen"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    state.unpersist(blocking = false)
+    val wordLens = lens.toDF("word", "wlen")
     docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
       .join(broadcast(wordLens), Seq("word"))
       .groupBy(col(idCol))
@@ -622,13 +665,13 @@ object TextOps {
     */
   def packCounts(perDocCounts: DataFrame, budget: Long, shardSize: Long = 1000L,
       idCol: String = "doc_id"): DataFrame = {
-    // persisted: both the shard-totals aggregation and the final join read
-    // this frame, and the caller's count pipeline can be arbitrarily
-    // expensive (bpeEncode's is a 3-round training loop — recomputing it
-    // per consumer measured 10 s vs 3 s at sf0.1)
+    // read twice (shard-totals broadcast branch + final join) but NOT
+    // persisted: a lazy persist on a frame returned to the caller can never
+    // be unpersisted and leaks for the session lifetime, and both reads are
+    // a single corpus pass each now that bpeEncode's lineage is a literal
+    // vocab join rather than the training loop
     val perDoc = perDocCounts.select(
       col(idCol), expr(s"$idCol div $shardSize").as("shard"), col("n_tokens"))
-      .persist()
     val shardTotals = perDoc.groupBy(col("shard"))
       .agg(sum(col("n_tokens")).as("shard_tokens"))
     val wShards = org.apache.spark.sql.expressions.Window.orderBy(col("shard"))

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every iterative/multi-consumer operator that persists intermediate state
+  * must release it before returning (see [[graft.Local]]): at 100 TB a
+  * per-query cache leak evicts useful cache or OOMs executors long before
+  * correctness is at stake. Pinned here via `getPersistentRDDs` — the set of
+  * persisted RDDs after running each caching operator end-to-end must be no
+  * larger than before it.
+  */
+class CacheLifecycleSpec extends SparkSpec {
+
+  private def leakedAfter(run: => Unit): Int = {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    run
+    spark.sparkContext.getPersistentRDDs.size - before
+  }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bpeMerges releases every training round") {
+    assert(leakedAfter {
+      operators.TextOps.bpeMerges(sf("documents")).collect()
+    } === 0)
+  }
+
+  test("bpeEncode releases the trained state") {
+    assert(leakedAfter {
+      operators.TextOps.bpeEncode(sf("documents")).collect()
+    } === 0)
+  }
+
+  test("pageRank releases degrees and every round") {
+    assert(leakedAfter {
+      operators.GraphOps.pageRank(
+        operators.GraphOps.copurchaseEdges(sf("lineitem")), iters = 2, k = 5).collect()
+    } === 0)
+  }
+
+  test("triangleStats releases edges, orientation, and wedges") {
+    assert(leakedAfter {
+      operators.GraphOps.triangleStats(
+        operators.GraphOps.coOrderEdges(sf("lineitem"))).collect()
+    } === 0)
+  }
+
+  test("q_tpch_q15 releases the revenue view") {
+    assert(leakedAfter {
+      SparkEntry.queries("q_tpch_q15")(spark, dir).collect()
+    } === 0)
+  }
+
+  test("histogramQuantiles holds no cached state") {
+    assert(leakedAfter {
+      operators.StatsOps.histogramQuantiles(
+        sf("lineitem"), "l_quantity", nb = 16, qs = Seq(0.5, 0.9)).collect()
+    } === 0)
+  }
+}
