@@ -1058,6 +1058,12 @@ object SparkEntry {
     // Typed per-partition batch decode (stubbed codec, real plumbing).
     "q_media_features" -> ((s, dir) =>
       MultimodalOps.mediaFeatures(MultimodalOps.asMedia(t(s, dir, "documents")))),
+    // REAL bitmap decode: magic + big-endian dims + raw RGB block planted
+    // into the payload, per-channel means/extremes parsed back out of the
+    // bytes in the typed mapPartitions batch path — nothing stubbed.
+    "q_media_pixels" -> ((s, dir) =>
+      MultimodalOps.mediaPixels(
+        MultimodalOps.plantPixels(MultimodalOps.asMedia(t(s, dir, "documents"))))),
 
     // --- Time-series / events (north star; EventOps) --------------------
 
@@ -2647,6 +2653,32 @@ object SparkEntry {
         "('0x' || substr(h, 1, 2))::BIGINT AS b_first, " +
         "('0x' || substr(h, n * 2 - 1, 2))::BIGINT AS b_last FROM media) " +
         "ORDER BY media_id"),
+    // mirrors MultimodalOps.plantPixels + decodePixels: the oracle computes
+    // ground truth from the generative pixel formula; the Spark side
+    // genuinely parses the same values back out of the planted binary.
+    "q_media_pixels" ->
+      ("WITH px AS (SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "((doc_id * 3 + 2) % 9) + 2 AS width, " +
+        "((doc_id * 5 + 1) % 7) + 2 AS height FROM documents), " +
+        "u AS (SELECT media_id, kind, width, height, " +
+        "unnest(range(0, width * height * 3)) AS i FROM px), " +
+        "b AS (SELECT media_id, kind, width, height, " +
+        "(media_id * 31 + i * 7) % 256 AS v, i % 3 AS ch FROM u) " +
+        "SELECT media_id, kind, CAST(width AS BIGINT) AS width, " +
+        "CAST(height AS BIGINT) AS height, " +
+        "CAST(width * height AS BIGINT) AS n_px, " +
+        "CAST(sum(v) FILTER (WHERE ch = 0) // (width * height) AS BIGINT) AS r_mean, " +
+        "CAST(sum(v) FILTER (WHERE ch = 1) // (width * height) AS BIGINT) AS g_mean, " +
+        "CAST(sum(v) FILTER (WHERE ch = 2) // (width * height) AS BIGINT) AS b_mean, " +
+        "CAST(min(v) FILTER (WHERE ch = 0) AS BIGINT) AS r_min, " +
+        "CAST(max(v) FILTER (WHERE ch = 0) AS BIGINT) AS r_max, " +
+        "CAST(min(v) FILTER (WHERE ch = 1) AS BIGINT) AS g_min, " +
+        "CAST(max(v) FILTER (WHERE ch = 1) AS BIGINT) AS g_max, " +
+        "CAST(min(v) FILTER (WHERE ch = 2) AS BIGINT) AS b_min, " +
+        "CAST(max(v) FILTER (WHERE ch = 2) AS BIGINT) AS b_max " +
+        "FROM b GROUP BY media_id, kind, width, height ORDER BY media_id"),
     // DuckDB has native ASOF JOIN — the right side is pre-deduped per
     // (user, ts) to the max event_id, matching AsofOps' tie-break.
     "q_asof_join" ->

@@ -13,6 +13,16 @@ case class MediaFeatures(
     media_id: Long, kind: String, n_bytes: Long,
     b_first: Long, b_last: Long, checksum: Long)
 
+/** REAL decode output of the uncompressed-bitmap format planted by
+  * [[MultimodalOps.plantPixels]]: per-channel mean (integer floor) and
+  * extremes over the raw interleaved-RGB pixel block — every value parsed
+  * back out of the payload bytes (see [[MultimodalOps.decodePixels]]).
+  */
+case class MediaPixels(
+    media_id: Long, kind: String, width: Long, height: Long, n_px: Long,
+    r_mean: Long, g_mean: Long, b_mean: Long,
+    r_min: Long, r_max: Long, g_min: Long, g_max: Long, b_min: Long, b_max: Long)
+
 /** Multimodal columns: image/audio/video payloads carried as opaque `binary`
   * columns with typed metadata — the storage shape a 100 TB multimodal
   * training-data pipeline uses (media bytes inline in parquet or as
@@ -23,11 +33,16 @@ case class MediaFeatures(
   * DuckDB oracle reconstructs identically; every operator below treats the
   * payload as opaque bytes, exactly as it would JPEG/FLAC frames.
   *
-  * The decode step is STUBBED: no image/audio codecs exist in this
-  * container. [[decodeFeatures]] keeps the real Spark plumbing — typed
-  * `Dataset[MediaRow]`, per-partition batch iteration with one-time decoder
-  * init (the Scala analog of `mapInPandas` batching), explicit output
-  * schema — and fakes only the codec call with deterministic byte stats.
+  * Decoding: no image/audio codecs exist in this container, so the decode
+  * surface comes in two tiers. [[decodePixels]] is a REAL decoder of a real
+  * (uncompressed) bitmap format — magic, big-endian dims, raw RGB block,
+  * planted by [[plantPixels]] — with per-channel statistics computed only
+  * from the parsed bytes. [[decodeFeatures]] keeps the generic codec-call
+  * plumbing shape (typed `Dataset[MediaRow]`, per-partition batch iteration
+  * with one-time decoder init — the Scala analog of `mapInPandas`
+  * batching), with the compressed-codec call itself stubbed by
+  * deterministic byte stats; swapping in a JPEG/FLAC library changes one
+  * function body.
   */
 object MultimodalOps {
 
@@ -107,6 +122,84 @@ object MultimodalOps {
       conv(hex(substring(col("payload"), 9, 4)), 16, 10).cast("long").as("height"),
       (length(col("payload")) - 12).cast("long").as("body_bytes"))
       .orderBy(col("media_id"))
+
+  /** Plant a complete uncompressed bitmap — "GRFT" magic + big-endian int32
+    * width/height + interleaved raw RGB pixel bytes (the PPM/BMP shape) —
+    * replacing each payload. Pixel byte i is `(media_id*31 + i*7) % 256`,
+    * channel `i % 3`, so the DuckDB oracle can compute ground-truth channel
+    * statistics from the same generative formula while the Spark side
+    * genuinely parses them back out of the binary. Dims are kept small
+    * (w ∈ [2,10], h ∈ [2,8]) — the format, not the byte volume, is what is
+    * under test.
+    */
+  def plantPixels(media: DataFrame): DataFrame = {
+    val w = pmod(col("media_id") * 3 + 2, lit(9)) + 2
+    val h = pmod(col("media_id") * 5 + 1, lit(7)) + 2
+    val nBytes = w * h * 3
+    val pixHex = array_join(
+      transform(sequence(lit(0L), nBytes - 1),
+        i => lpad(lower(hex(pmod(col("media_id") * 31 + i * 7, lit(256)))), 2, "0")),
+      "")
+    media.select(
+      col("media_id"), col("kind"),
+      to_binary(concat(
+        lit("47524654"), // "GRFT"
+        lpad(lower(hex(w)), 8, "0"),
+        lpad(lower(hex(h)), 8, "0"),
+        pixHex), lit("hex")).as("payload"))
+  }
+
+  /** The REAL decode: parse the [[plantPixels]] bitmap format back out of
+    * the payload bytes — magic check, big-endian dimension fields, then one
+    * pass over the interleaved RGB pixel block accumulating per-channel
+    * sum/min/max. Nothing here is faked: every output value exists only in
+    * the binary. Same executor-parallel typed `mapPartitions` batch shape
+    * as [[decodeFeatures]] (decoder state once per partition, rows stream
+    * through); payloads failing the magic/length check are routed out of
+    * the batch (a production pipeline's dead-letter path).
+    */
+  def decodePixels(media: Dataset[MediaRow]): Dataset[MediaPixels] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val magic = Array[Byte](0x47, 0x52, 0x46, 0x54) // "GRFT"
+      def be32(b: Array[Byte], off: Int): Long =
+        ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+          ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      rows.flatMap { r =>
+        val b = r.payload
+        if (b.length < 12 || !b.take(4).sameElements(magic)) None
+        else {
+          val w = be32(b, 4)
+          val h = be32(b, 8)
+          val nPx = w * h
+          if (b.length.toLong != 12L + nPx * 3) None
+          else {
+            val sums = new Array[Long](3)
+            val mins = Array(256L, 256L, 256L)
+            val maxs = Array(-1L, -1L, -1L)
+            var i = 0
+            while (i < nPx * 3) {
+              val v = (b(12 + i) & 0xff).toLong
+              val ch = i % 3
+              sums(ch) += v
+              if (v < mins(ch)) mins(ch) = v
+              if (v > maxs(ch)) maxs(ch) = v
+              i += 1
+            }
+            Some(MediaPixels(r.media_id, r.kind, w, h, nPx,
+              sums(0) / nPx, sums(1) / nPx, sums(2) / nPx,
+              mins(0), maxs(0), mins(1), maxs(1), mins(2), maxs(2)))
+          }
+        }
+      }
+    }
+  }
+
+  /** DataFrame entry for the real bitmap decode path. */
+  def mediaPixels(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    decodePixels(media.as[MediaRow]).toDF().orderBy(col("media_id"))
+  }
 
   /** The decode step — mapInPandas-analog plumbing, stubbed codec.
     *

@@ -64,4 +64,35 @@ class MultimodalOpsSpec extends SparkSpec {
     val f = MultimodalOps.decodeFeatures(media).collect()(0)
     assert(f.n_bytes == 0L && f.b_first == 0L && f.b_last == 0L)
   }
+
+  test("decodePixels: planted bitmap parses back to formula-exact channel stats") {
+    // id 1: w = (3+2)%9+2 = 7, h = (5+1)%7+2 = 8, 7*8*3 = 168 pixel bytes
+    val media = MultimodalOps.plantPixels(MultimodalOps.asMedia(docs((1L, "x")))).repartition(3)
+    val got = MultimodalOps.decodePixels(media.as[MediaRow]).collect()
+    assert(got.length == 1)
+    val p = got(0)
+    assert((p.width, p.height, p.n_px) == ((7L, 8L, 56L)))
+    // ground truth straight from the generative formula, per channel
+    val vs = (0 until 168).map(i => (i % 3, (1L * 31 + i * 7) % 256))
+    def ch(c: Int) = vs.collect { case (`c`, v) => v }
+    assert(p.r_mean == ch(0).sum / 56 && p.g_mean == ch(1).sum / 56 && p.b_mean == ch(2).sum / 56)
+    assert((p.r_min, p.r_max) == ((ch(0).min, ch(0).max)))
+    assert((p.g_min, p.g_max) == ((ch(1).min, ch(1).max)))
+    assert((p.b_min, p.b_max) == ((ch(2).min, ch(2).max)))
+    // and the stats really come from the BYTES: corrupt one pixel byte and
+    // the parsed red channel moves with it
+    val raw = media.as[MediaRow].head().payload.clone()
+    raw(12) = 0xff.toByte
+    val p2 = MultimodalOps.decodePixels(Seq(MediaRow(1L, "image", raw)).toDS()).collect()(0)
+    assert(p2.r_max == 255L && p2.r_mean != p.r_mean)
+  }
+
+  test("decodePixels: malformed payloads take the dead-letter path") {
+    val bad = Seq(
+      MediaRow(1L, "image", Array.emptyByteArray),              // too short
+      MediaRow(2L, "image", "XXXX0000000000000000".getBytes),   // wrong magic
+      MediaRow(3L, "image", Array[Byte](0x47, 0x52, 0x46, 0x54, // truncated body
+        0, 0, 0, 2, 0, 0, 0, 2, 1, 2, 3)))
+    assert(MultimodalOps.decodePixels(bad.toDS()).collect().isEmpty)
+  }
 }
