@@ -571,6 +571,80 @@ object SparkEntry {
         .select(col("rank"), col("s_name"), col("s_suppkey"), col("numwait"))
         .orderBy(col("rank"))
     }),
+    // TPC-H Q7 shape — two-nation shipping volume: revenue between a
+    // nation pair in both directions, by supplier nation x customer nation
+    // x ship year. The one join topology the suite lacked: the fact joined
+    // to the SAME dimension twice under different roles. Both nation role
+    // copies and supplier broadcast; the supplier-side nation filter lands
+    // BEFORE the orders/customer shuffles, so only the two nations'
+    // lineitems ever shuffle (2/25ths of the fact at uniform nations).
+    "q_tpch_q7" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = broadcast(t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+      val sup = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast("long").as("volume_c"))
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(n2, col("c_nationkey") === col("c_nkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("volume_c")).as("revenue_c"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    // TPC-H Q8 shape — national market share: NATION_1 suppliers' slice of
+    // MEDIUM-part volume sold to EUROPE customers, per order year, in
+    // integer basis points (conditional sum over total, one aggregation).
+    // Same role-played dimension topology as Q7 plus the region rollup.
+    "q_tpch_q8" -> ((s, dir) => {
+      val part = broadcast(t(s, dir, "part")
+        .filter(col("p_type") === "MEDIUM").select(col("p_partkey")))
+      val sup = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val supNation = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+      val euroKeys = broadcast(t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nkey")))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast("long").as("volume_c"))
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(supNation, col("s_nationkey") === col("s_nkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(euroKeys, col("c_nationkey") === col("c_nkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", col("volume_c")).otherwise(0L))
+            .as("nation_volume_c"),
+          sum(col("volume_c")).as("total_volume_c"))
+        .select(col("o_year"), col("nation_volume_c"), col("total_volume_c"),
+          expr("(nation_volume_c * 10000) div total_volume_c").as("mkt_share_bp"))
+        .orderBy(col("o_year"))
+    }),
     // Good-Turing count-of-counts over word bigrams — the smoothing
     // statistic (N_r, r*N_r) an n-gram LM reserves unseen mass from.
     "q_bigram_freqs" -> ((s, dir) =>
@@ -589,6 +663,12 @@ object SparkEntry {
         .join(broadcast(small), col("l_partkey") === col("p_partkey"), "left_semi")
       GraphOps.triangleStats(GraphOps.coOrderEdges(li))
     }),
+    // The FULL co-order graph — no bench-sizing part filter — so the
+    // degree-ordered orientation's O(sqrt m) wedge bound is measured on
+    // the whole graph (hubs included), not asserted on a subset.
+    "q_triangles_full" -> ((s, dir) =>
+      GraphOps.triangleStats(GraphOps.coOrderEdges(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))))),
     // Deterministic train/val/test split assignment — hash-bucket 80/10/10
     // by stable 60-bit md5, so membership is reproducible across runs,
     // engines, and table growth (a new doc never moves an old one).
@@ -802,6 +882,18 @@ object SparkEntry {
     // surrogate, per-term bp rounding so totals are integer-exact).
     "q_text_bm25" -> ((s, dir) =>
       TextOps.bm25(t(s, dir, "documents"), bm25Terms)),
+    // Skip-gram co-occurrence lift (integer-exact PMI surrogate) — the
+    // collocation statistic a word2vec-style pipeline factorizes.
+    "q_skipgram_lift" -> ((s, dir) =>
+      TextOps.skipgramLift(t(s, dir, "documents"))),
+    // Per-document token diversity: Simpson collision numerator, modal
+    // count, duplicated-token bp — the repetition gate q_quality can't see.
+    "q_token_diversity" -> ((s, dir) =>
+      TextOps.tokenDiversity(t(s, dir, "documents"))),
+    // Vocabulary coverage curve at fixed top-k cuts — the Zipf diagnostic
+    // behind a tokenizer vocab-size decision.
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(t(s, dir, "documents"))),
     // BPE tokenizer-training step: top-20 adjacent char pairs within
     // tokens (the next merge rule); TakeOrderedAndProject, never a sort.
     "q_bpe_pairs" -> ((s, dir) =>
@@ -1824,6 +1916,54 @@ object SparkEntry {
         "CAST(sum(rep_2gram_bp) // count(*) AS BIGINT) AS mean_rep_2gram_bp " +
         "FROM gq JOIN documents d ON gq.doc_id = d.doc_id " +
         "GROUP BY d.source ORDER BY d.source"),
+    // mirrors TextOps.skipgramLift (window=2, minCount=5, k=30): offset
+    // pairs via 1-based list indexing, lift in HUGEINT (Spark side:
+    // decimal(38,0)) so frequent pairs can't overflow
+    "q_skipgram_lift" ->
+      (s"WITH tk AS (SELECT $duckToks AS toks FROM documents), " +
+        "ex AS (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM tk), " +
+        "pr AS (SELECT toks[i] AS x, toks[i + 1] AS y FROM ex WHERE i + 1 <= len(toks) " +
+        "UNION ALL SELECT toks[i] AS x, toks[i + 2] AS y FROM ex WHERE i + 2 <= len(toks)), " +
+        "cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM pr GROUP BY x, y), " +
+        "cx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cxy GROUP BY x), " +
+        "cy AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cxy GROUP BY y), " +
+        "nt AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_pairs FROM cxy) " +
+        "SELECT x, y, c_xy, " +
+        "CAST((c_xy::HUGEINT * n_pairs * 10000) // (c_x::HUGEINT * c_y) AS BIGINT) " +
+        "AS lift_bp " +
+        "FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN nt " +
+        "WHERE c_xy >= 5 ORDER BY lift_bp DESC, x, y LIMIT 30"),
+    // mirrors TextOps.tokenDiversity: per-(doc, token) counts re-aggregated;
+    // empty docs come back via the left join as all-zero rows
+    "q_token_diversity" ->
+      (s"WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents), " +
+        "ex AS (SELECT doc_id, unnest(toks) AS tok FROM tk), " +
+        "c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM ex " +
+        "GROUP BY doc_id, tok), " +
+        "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(count(*) AS BIGINT) AS n_distinct, " +
+        "CAST(sum(c * c) AS BIGINT) AS sum_c2, " +
+        "CAST(max(c) AS BIGINT) AS top_count FROM c GROUP BY doc_id) " +
+        "SELECT tk.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(n_distinct, 0) AS BIGINT) AS n_distinct, " +
+        "CAST(coalesce(sum_c2, 0) AS BIGINT) AS sum_c2, " +
+        "CAST(coalesce(top_count, 0) AS BIGINT) AS top_count, " +
+        "CAST(CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0 " +
+        "ELSE (n_tokens - n_distinct) * 10000 // n_tokens END AS BIGINT) AS rep_bp " +
+        "FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id ORDER BY tk.doc_id"),
+    // mirrors TextOps.vocabCoverage (ks = 1,2,5,10,20,30): rank + running
+    // sum over the vocab only, deterministic (n DESC, tok) tie-break
+    "q_vocab_coverage" ->
+      (s"WITH v AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM " +
+        s"(SELECT unnest($duckToks) AS tok FROM documents) GROUP BY tok), " +
+        "r AS (SELECT tok, n, " +
+        "CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS k, " +
+        "CAST(sum(n) OVER (ORDER BY n DESC, tok ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+        "AS cum_n FROM v), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM v) " +
+        "SELECT k, tok AS kth_token, cum_n, total_n, " +
+        "CAST(cum_n * 10000 // total_n AS BIGINT) AS coverage_bp " +
+        "FROM r CROSS JOIN tot WHERE k IN (1, 2, 5, 10, 20, 30) ORDER BY k"),
     // mirrors TextOps.bm25 (k1=1.2, b=0.75, integer idf surrogate,
     // per-term bp rounding, top 20)
     "q_text_bm25" -> {
@@ -2339,6 +2479,31 @@ object SparkEntry {
         "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges, " +
         "t.n_triangles FROM t"),
+    // mirrors q_triangles_full: the same census CTE chain over the
+    // UNFILTERED co-order graph
+    "q_triangles_full" ->
+      ("WITH lp AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM lp x " +
+        "JOIN lp y ON x.okey = y.okey AND x.p < y.p), " +
+        "dg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM " +
+        "(SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e) GROUP BY x), " +
+        "o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) " +
+        "THEN e.a ELSE e.b END AS u, " +
+        "CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) " +
+        "THEN e.b ELSE e.a END AS v " +
+        "FROM e JOIN dg da ON da.x = e.a JOIN dg db ON db.x = e.b), " +
+        "w AS (SELECT o1.v AS v1, o2.v AS v2 FROM o o1 " +
+        "JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v), " +
+        // two equi-joins, not one OR-join (which nested-loops on the full
+        // graph) — disjoint by the DAG orientation, so the sum is exact
+        "t AS (SELECT CAST((SELECT count(*) FROM w JOIN o " +
+        "ON o.u = w.v1 AND o.v = w.v2) + (SELECT count(*) FROM w JOIN o " +
+        "ON o.u = w.v2 AND o.v = w.v1) AS BIGINT) AS n_triangles) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM dg) AS n_nodes, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges, " +
+        "t.n_triangles FROM t"),
     // mirrors q_tpch_q5: integer-cent revenue, nation names via region
     "q_tpch_q5" ->
       ("SELECT n_name, CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) " +
@@ -2350,6 +2515,44 @@ object SparkEntry {
         "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
         "AND o_orderdate < TIMESTAMP '1997-01-01' " +
         "GROUP BY n_name ORDER BY revenue_c DESC, n_name"),
+    // mirrors q_tpch_q7: both nation roles constrained to the pair, both
+    // directions kept, revenue in cents by (supp_nation, cust_nation, year)
+    "q_tpch_q7" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) " +
+        "AS BIGINT)) AS BIGINT) AS revenue_c " +
+        "FROM lineitem, supplier, orders, customer, nation n1, nation n2 " +
+        "WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey " +
+        "AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey " +
+        "AND c_nationkey = n2.n_nationkey " +
+        "AND n1.n_name IN ('NATION_1', 'NATION_2') " +
+        "AND n2.n_name IN ('NATION_1', 'NATION_2') AND n1.n_name <> n2.n_name " +
+        "AND l_shipdate >= TIMESTAMP '1995-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    // mirrors q_tpch_q8: NATION_1 share of MEDIUM-part volume in EUROPE in
+    // integer bp (conditional sum * 10000 // total, both engines floor)
+    "q_tpch_q8" ->
+      ("WITH v AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "n2.n_name AS supp_nation, " +
+        "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) " +
+        "AS volume_c " +
+        "FROM lineitem, part, supplier, orders, customer, nation n1, nation n2, region " +
+        "WHERE l_partkey = p_partkey AND p_type = 'MEDIUM' " +
+        "AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey " +
+        "AND l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+        "AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey " +
+        "AND r_name = 'EUROPE' " +
+        "AND o_orderdate >= TIMESTAMP '1995-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01') " +
+        "SELECT o_year, " +
+        "CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume_c ELSE 0 END) " +
+        "AS BIGINT) AS nation_volume_c, " +
+        "CAST(sum(volume_c) AS BIGINT) AS total_volume_c, " +
+        "CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume_c ELSE 0 END) " +
+        "* 10000 // sum(volume_c) AS BIGINT) AS mkt_share_bp " +
+        "FROM v GROUP BY o_year ORDER BY o_year"),
     // mirrors q_tpch_q18 (HAVING sum_qty > 300, rank by totalprice cents)
     "q_tpch_q18" ->
       ("WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty " +
@@ -2593,7 +2796,10 @@ object SparkEntry {
         "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
         "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
         "asg AS (SELECT vec_id, e, nrm, c_id FROM r WHERE crn = 1), " +
-        "d AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b " +
+        // maxCell participation cap (SimOps.DefaultMaxCell), rank by id
+        "p AS (SELECT vec_id, e, nrm, c_id FROM (SELECT *, row_number() " +
+        "OVER (PARTITION BY c_id ORDER BY vec_id) AS rk FROM asg) WHERE rk <= 256), " +
+        "d AS (SELECT DISTINCT b.vec_id FROM p a JOIN p b " +
         "ON a.c_id = b.c_id AND a.vec_id < b.vec_id " +
         s"WHERE ${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} >= 9900) " +
         "SELECT vec_id, c_id FROM asg " +

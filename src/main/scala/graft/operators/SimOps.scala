@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object SimOps {
 
+  /** Hard bound on how many members of one IVF cell participate in
+    * [[semDedup]] pairing — [[DedupOps.DefaultMaxBucket]]'s rule applied to
+    * cells, so a hot cell costs at most `DefaultMaxCell²` comparisons. At
+    * sf0.1 every cell is far below this; the cap exists for the k-means
+    * clump failure mode at scale.
+    */
+  val DefaultMaxCell = 256
+
   /** Sequential double dot product — the codegen'd [[graft.functions.VecDot]]
     * kernel (registered by `GraftExtensions`). Bit-identical to [[dotHof]];
     * the kernel stays inside whole-stage codegen while higher-order
@@ -429,6 +437,16 @@ object SimOps {
     * no all-pairs shape exists anywhere. An exact copy has an identical
     * cell ranking to its original, so same-cell recall on true copies is 1.
     *
+    * The quadratic term is additionally HARD-bounded by `maxCell` (the
+    * [[DedupOps.DefaultMaxBucket]] rule applied to cells): only the
+    * `maxCell` lowest-id members of a cell participate in pairing, so one
+    * hot cell — a k-means failure mode on clumpy corpora — costs at most
+    * `maxCell²` comparisons instead of going quadratic in the clump.
+    * Beyond-cap members pass through as survivors (never dropped, never
+    * dropping others), the same skip-the-pathological-bucket trade the
+    * MinHash path makes; the cap is deterministic (rank by id) so the
+    * oracle mirrors it exactly.
+    *
     * Output: surviving (idCol, c_id), ordered by id.
     */
   def semDedup(
@@ -436,15 +454,22 @@ object SimOps {
       centroidPred: Column,
       thresholdBp: Long = 9900L,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      maxCell: Int = DefaultMaxCell): DataFrame = {
     val n = normalized(emb, idCol, embCol)
     val cents = n.filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
     val assigned = cellRank(n, cents, idCol).filter(col("crn") === 1)
       .select(col(idCol), col("e"), col("nrm"), col("c_id"))
       .repartition(col("c_id"))
-    val dups = assigned.alias("a")
-      .join(assigned.alias("b"),
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_id")).orderBy(col(idCol))
+    val pairable = assigned
+      .withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") <= maxCell)
+      .select(col(idCol), col("e"), col("nrm"), col("c_id"))
+    val dups = pairable.alias("a")
+      .join(pairable.alias("b"),
         col("a.c_id") === col("b.c_id") && col(s"a.$idCol") < col(s"b.$idCol"))
       .filter(TextOps.roundBp(
         dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))) >= thresholdBp)

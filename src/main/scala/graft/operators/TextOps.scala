@@ -760,9 +760,12 @@ object TextOps {
     * Scale: one explode + one hash aggregation over the corpus; the
     * co-occurrence table is O(vocab^2) and the marginals broadcast. At
     * 100 TB the vocab would be top-K truncated first (same note as
-    * [[lmSurprisal]]). The `c_xy * n_pairs * 10000` product needs
-    * headroom: fine in Long up to ~10^14 pairs (beyond that, move the
-    * scale factor inside the division or use decimal(38,0)).
+    * [[lmSurprisal]]). The `c_xy * n_pairs * 10000` product runs in
+    * decimal(38,0) (DuckDB mirror: HUGEINT) — a Long would overflow once
+    * `c_xy * n_pairs` passes ~9.2e14, i.e. for frequent pairs already at
+    * ~10^8 pairs, and under ANSI mode that's a runtime error, not a wrap.
+    * The decimal path is exact up to ~10^17 pairs (product < 10^38), far
+    * past a 100 TB corpus's ~10^14; `div` floors to BIGINT on both engines.
     */
   def skipgramLift(docs: DataFrame, window: Int = 2, k: Int = 30,
       minCount: Long = 5, textCol: String = "text"): DataFrame = {
@@ -786,7 +789,8 @@ object TextOps {
       .join(broadcast(cY), "y")
       .crossJoin(broadcast(nTot))
       .select(col("x"), col("y"), col("c_xy"),
-        expr("(c_xy * n_pairs * 10000) div (c_x * c_y)").as("lift_bp"))
+        expr("(cast(c_xy as decimal(38,0)) * n_pairs * 10000) " +
+          "div (cast(c_x as decimal(38,0)) * c_y)").as("lift_bp"))
       .orderBy(col("lift_bp").desc, col("x"), col("y"))
       .limit(k)
   }
@@ -803,22 +807,28 @@ object TextOps {
     * combine; the (doc, token) shuffle key keeps hot tokens spread across
     * their documents (no single-token hot spot, unlike a global token
     * count).
+    *
+    * Empty/whitespace-only docs are NOT dropped (consistent with
+    * [[tokenStats]]): `explode_outer` keeps them as a null-token group that
+    * maps to all-zero counts, and the rep_bp division is guarded.
     */
   def tokenDiversity(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(col("tok")).as("c")) // count(tok): the null group counts 0
       .groupBy(col(idCol))
       .agg(
         sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
+        count(when(col("c") > 0, lit(1))).as("n_distinct"),
         sum(col("c") * col("c")).as("sum_c2"),
         max(col("c")).as("top_count"))
       .select(col(idCol), col("n_tokens"), col("n_distinct"), col("sum_c2"),
         col("top_count"),
-        expr("((n_tokens - n_distinct) * 10000) div n_tokens").as("rep_bp"))
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("((n_tokens - n_distinct) * 10000) div n_tokens"))
+          .as("rep_bp"))
       .orderBy(col(idCol))
 
   /** Vocabulary coverage curve — how much of the corpus the top-k tokens

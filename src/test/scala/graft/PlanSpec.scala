@@ -173,6 +173,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "supplier must broadcast")
   }
 
+  test("q_tpch_q7: role-played nation dims broadcast; shipdate pushed") {
+    val p = plan("q_tpch_q7")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "both nation role copies and supplier must broadcast")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+    assert(p.contains("partial_sum"), "volume must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_tpch_q8: part/supplier/nation/region broadcast; both date+type filters pushed") {
+    val p = plan("q_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "part, supplier, nation roles, and the region rollup must broadcast")
+    assert(p.contains("EqualTo(p_type,MEDIUM)"), "part type filter not pushed")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "orderdate filter not pushed")
+    assert(p.contains("partial_sum"), "volume must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_pagerank: Pregel rounds partial-aggregate map-side") {
     val ps = executedPlans { SparkEntry.queries("q_pagerank")(spark, dir) }
     assert(ps.exists(_.contains("partial_sum")),

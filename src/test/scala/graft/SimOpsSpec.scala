@@ -349,6 +349,23 @@ class SimOpsSpec extends SparkSpec {
     assert(got.map(_._1) == Seq(0L, 1L, 10L, 12L))
   }
 
+  test("semDedup: a planted hot cell is bounded by maxCell, beyond-cap rows survive") {
+    // one centroid (itself a cell member, rank 1), ten near-identical clump
+    // vectors in its cell: with maxCell=4 the pairable set is {0,10,11,12},
+    // so 11 and 12 drop (near-dups of 10) while 13..19 — equally
+    // near-duplicate — pass through as survivors
+    val clump = (10L to 19L).map(i => (i, Seq(10f, 1f + i * 1e-4f, 0f, 0f), 0))
+    val df = emb((0L, Seq(1f, 0f, 0f, 0f), 0) +: clump: _*)
+    val capped = SimOps.semDedup(df, col("vec_id") === 0, thresholdBp = 9990L, maxCell = 4)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(capped == Set(0L, 10L) ++ (13L to 19L),
+      s"cap must bound pairing to the 4 lowest ids, got $capped")
+    // uncapped, the whole clump dedups down to its lowest id
+    val full = SimOps.semDedup(df, col("vec_id") === 0, thresholdBp = 9990L)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(full == Set(0L, 10L))
+  }
+
   test("productQuantize: codebook vectors reconstruct exactly, codes pack to 12 bits") {
     val e = sf("embeddings")
     val got = SimOps.productQuantize(e, col("vec_id") < 8)

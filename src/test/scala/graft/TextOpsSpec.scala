@@ -349,4 +349,45 @@ class TextOpsSpec extends SparkSpec {
     // tiny shards vs one giant shard: identical sequences
     assert(run(7L) == run(1000000L))
   }
+
+  test("tokenDiversity: hand-checked counts; empty docs keep all-zero rows") {
+    val got = TextOps.tokenDiversity(docs(
+      (1L, "a a b"), // c = {a:2, b:1}
+      (2L, "   "), // whitespace-only -> zeros, not dropped
+      (3L, "x x x x"))) // one token repeated
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 5L, 2L, 3333L), // sum_c2 = 4+1; rep = 1*10000 div 3
+      (2L, 0L, 0L, 0L, 0L, 0L),
+      (3L, 4L, 1L, 16L, 4L, 7500L)))
+  }
+
+  test("vocabCoverage: rank, running sum, and bp cuts on a tiny corpus") {
+    // counts: b:3, a:2, c:1 -> total 6; ranks by (n desc, tok)
+    val got = TextOps.vocabCoverage(docs((1L, "b a b c"), (2L, "b a")), ks = Seq(1, 2))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "b", 3L, 6L, 5000L),
+      (2L, "a", 5L, 6L, 8333L)))
+  }
+
+  test("skipgramLift: lift matches the hand-computed pair statistics") {
+    // window=1 pairs over "a b a b": (a,b) x2, (b,a) x1; n_pairs=3
+    // lift(a,b) = (2*3*10000) div (2*2) = 15000
+    // lift(b,a) = (1*3*10000) div (1*1) = 30000
+    val got = TextOps.skipgramLift(docs((1L, "a b a b")), window = 1, minCount = 1)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("b", "a", 1L, 30000L), ("a", "b", 2L, 15000L)))
+  }
+
+  test("skipgramLift: decimal path survives counts a Long product would overflow") {
+    // c_xy * n_pairs * 10000 with c_xy = n_pairs = 2^31 overflows Long by
+    // ~2^20; the decimal(38,0) arithmetic must still be exact. Exercised
+    // at the expression level (a corpus that large can't live in a spec).
+    val big = (1L << 31).toString
+    val r = spark.sql(
+      s"SELECT (cast($big as decimal(38,0)) * $big * 10000) " +
+        s"div (cast($big as decimal(38,0)) * 1) AS lift_bp").head()
+    assert(r.getLong(0) == (1L << 31) * 10000L)
+  }
 }
