@@ -972,6 +972,11 @@ object SparkEntry {
     // copied paragraphs inside otherwise-dissimilar documents.
     "q_dedup_spans" -> ((s, dir) =>
       DedupOps.dupSpanPairs(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+    // Cross-SOURCE contamination matrix: exact 3-shingle Jaccard between
+    // every source pair via source-bounded postings — the rollup a mixture
+    // designer reads before setting sampling weights.
+    "q_source_overlap" -> ((s, dir) =>
+      DedupOps.sourceOverlap(t(s, dir, "documents"))),
     // The production pipeline: LSH candidates → exact-Jaccard verify.
     "q_dedup_verified" -> ((s, dir) =>
       DedupOps.verifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents")),
@@ -2173,6 +2178,20 @@ object SparkEntry {
         "SELECT * FROM (SELECT id_a, id_b, " +
         s"${TextOps.roundBpSql("CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)")} AS jac_bp " +
         "FROM p) WHERE jac_bp >= 8000 ORDER BY id_a, id_b"),
+    // mirrors DedupOps.sourceOverlap: distinct (source, shingle), pair
+    // hits = intersections, unions by inclusion-exclusion
+    "q_source_overlap" ->
+      (s"WITH tk AS (SELECT source AS src, $duckToks AS t FROM documents), " +
+        s"sh AS (SELECT DISTINCT src, unnest($duckShingles3) AS sh FROM tk), " +
+        "ps AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY src), " +
+        "cm AS (SELECT a.src AS src_a, b.src AS src_b, " +
+        "CAST(count(*) AS BIGINT) AS n_common FROM sh a " +
+        "JOIN sh b ON a.sh = b.sh AND a.src < b.src GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, pa.n_sh AS n_a, pb.n_sh AS n_b, n_common, " +
+        "CAST(n_common * 10000 // (pa.n_sh + pb.n_sh - n_common) AS BIGINT) " +
+        "AS jaccard_bp " +
+        "FROM cm JOIN ps pa ON pa.src = cm.src_a JOIN ps pb ON pb.src = cm.src_b " +
+        "ORDER BY src_a, src_b"),
     "q_sim_topk" -> s"WITH $duckSimCtes $duckTopKSelect",
     "q_sim_lsh" -> s"WITH $duckLshCtes $duckTopKSelect",
     "q_sim_ivf" ->

@@ -576,4 +576,42 @@ object DedupOps {
         col("quality_bp").as("keep_quality_bp"))
       .orderBy(col("cluster_id"))
   }
+
+  /** Cross-SOURCE shingle contamination matrix — the corpus-curation view
+    * that decides "these two crawls/dumps substantially overlap; drop or
+    * down-weight one": exact k-shingle Jaccard between every source pair,
+    * in basis points. The doc-level analog is [[jaccardPairs]]; this is the
+    * rollup a mixture designer reads before setting [[SampleOps]] weights.
+    *
+    * Scale shape: the distinct (source, shingle) projection is one
+    * hash-shuffle; postings collect the DISTINCT SOURCES per shingle — an
+    * array bounded by the source count (tens to hundreds), never by corpus
+    * size — and pair in-array (the [[GraphOps.coOrderEdges]] shape, no
+    * self-join diamond). Intersections come from counting pair hits;
+    * union sizes by inclusion-exclusion from the broadcast per-source
+    * totals. Nothing in the plan is quadratic in docs or shingles.
+    *
+    * Output: (src_a, src_b, n_a, n_b, n_common, jaccard_bp), src_a < src_b.
+    */
+  def sourceOverlap(docs: DataFrame, k: Int = 3, textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val sh = docs
+      .select(col(srcCol).as("src"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), k)).as("sh"))
+      .distinct()
+    val perSrc = sh.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
+    val postings = sh.groupBy(col("sh")).agg(sort_array(collect_set(col("src"))).as("srcs"))
+    val pairs = flatten(transform(col("srcs"), (x, i) =>
+      transform(slice(col("srcs"), i + lit(2), size(col("srcs"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    postings
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(perSrc.select(col("src").as("src_a"), col("n_sh").as("n_a"))), "src_a")
+      .join(broadcast(perSrc.select(col("src").as("src_b"), col("n_sh").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("(n_common * 10000) div (n_a + n_b - n_common)").as("jaccard_bp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

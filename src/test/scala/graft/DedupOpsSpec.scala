@@ -229,4 +229,16 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.find(p => (p._1, p._2) == (0L, 100000L)).get._3 == 10000L)
     assert(got.map(p => (p._1, p._2)).contains((5L, 200005L)))
   }
+
+  test("sourceOverlap: hand-checked cross-source shingle Jaccard") {
+    val df = Seq(
+      (1L, "a b c d", "s1"), // shingles: {a b c, b c d}
+      (2L, "a b c", "s2"), // {a b c}           -> s1 ∩ s2 = 1, union 2
+      (3L, "x y z w", "s3")) // {x y z, y z w}   -> disjoint from both
+      .toDF("doc_id", "text", "source")
+    val got = DedupOps.sourceOverlap(df)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // disjoint pairs produce no row (no common shingle, nothing to join)
+    assert(got == Seq(("s1", "s2", 2L, 1L, 1L, 5000L)))
+  }
 }
