@@ -382,13 +382,28 @@ object DedupOps {
     * O(log n), not O(n), rounds).
     */
   def dedupClustersDetailed(pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    // Eager localCheckpoint per round truncates the CC loop's otherwise
+    // exponentially-nesting lineage. The checkpoint blocks of SUPERSEDED
+    // rounds are released as soon as their successor is materialized —
+    // the Dataset API exposes no handle to a local checkpoint's RDD, so
+    // the release tracks the persistent-RDD id delta around each
+    // checkpoint call (safe here: the driver loop is sequential). Only
+    // the FINAL round's blocks stay alive — the caller's lazy result
+    // reads them, and unpersisting a local checkpoint is unrecoverable.
+    val sc = pairs.sparkSession.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint(true)
+      (cp, sc.getPersistentRDDs.keySet.diff(before).toSet)
+    }
+    def release(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // canonical big→small orientation; `u` is always the larger endpoint
-    var edges = pairs
+    var (edges, edgeIds) = checkpointed(pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     // large-star over node x with neighbor set vs (both directions):
     // m = min(x, min(vs)); emit (v, m) for each v in vs with v > x.
@@ -423,11 +438,14 @@ object DedupOps {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val ls = largeStar(edges).localCheckpoint(true)
+      val (ls, lsIds) = checkpointed(largeStar(edges))
+      release(edgeIds)
       val lsChanged = ls.agg(coalesce(max(col("changed")), lit(false))).head.getBoolean(0)
-      val ss = smallStar(ls.drop("changed")).localCheckpoint(true)
+      val (ss, ssIds) = checkpointed(smallStar(ls.drop("changed")))
+      release(lsIds)
       val ssChanged = ss.agg(coalesce(max(col("changed")), lit(false))).head.getBoolean(0)
       edges = ss.drop("changed")
+      edgeIds = ssIds
       rounds += 1
       converged = !lsChanged && !ssChanged
     }

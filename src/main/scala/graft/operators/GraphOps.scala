@@ -61,12 +61,20 @@ object GraphOps {
       iters: Int = 3,
       k: Int = 20,
       scale: Long = 1000000000000L): DataFrame = {
-    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
+    // the edge table is loop-INVARIANT but re-read every round, and with
+    // eager per-round materialization there is no single-plan exchange
+    // reuse to lean on — cache it for the loop's lifetime (released
+    // below), PRE-PARTITIONED on the join key so the cached partitioning
+    // satisfies every round's join distribution (deg inherits it, and each
+    // round's rank state arrives hash-partitioned on the same key from its
+    // groupBy) and rounds shuffle only the contribution aggregation
+    val e = edges.repartition(col("u")).persist()
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
     val n = deg.count()
     val teleport = 15L * scale / (100L * n)
     var ranks = deg.select(col("u").as("node"), lit(scale / n).as("r"))
     for (_ <- 1 to iters) {
-      val next = edges
+      val next = e
         .join(deg, "u")
         .join(ranks.withColumnRenamed("node", "u"), "u")
         .select(col("v"), expr("r div deg").as("c"))
@@ -87,6 +95,7 @@ object GraphOps {
       .orderBy(col("rank")))
     ranks.unpersist(blocking = false)
     deg.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     out
   }
 
@@ -141,26 +150,40 @@ object GraphOps {
         when(fwd, col("a")).otherwise(col("b")).as("u"),
         when(fwd, col("b")).otherwise(col("a")).as("v"))
       .persist()
-    val wedges = oriented.select(col("u"), col("v").as("v1"))
-      .join(oriented.select(col("u"), col("v").as("v2")), Seq("u"))
-      .filter(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"))
-      .persist()
+    // wedges by bucket-collect + in-array pairing (the [[coOrderEdges]]
+    // shape): ONE shuffle on the source node and a map-side explode over
+    // out-neighbor lists the orientation bounds at O(√m) — a self-join
+    // here would shuffle the oriented edges twice and re-plan the pipeline
+    val pairs = {
+      val vs = col("vs")
+      flatten(transform(vs, (x, i) =>
+        transform(slice(vs, i + lit(2), size(vs)), y =>
+          struct(x.as("v1"), y.as("v2")))))
+    }
+    val wedges = oriented
+      .groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("vs"))
+      .select(explode(pairs).as("w"))
+      .select(col("w.v1"), col("w.v2"))
+    // the wedge COUNT is pure degree arithmetic — Σ C(outdeg, 2) — so the
+    // m^1.5-sized wedge table is never persisted or counted row-by-row; it
+    // streams map-side into its single consumer, the closing semi-join
+    val nWedges = oriented.groupBy(col("u")).agg(count(lit(1)).as("od"))
+      .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("n_wedges"))
     // the DAG orientation closes each wedge in at most one direction, so
-    // the two probes are disjoint and their union counts each triangle once
-    val closed = wedges
-      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"), "left_semi")
-      .unionByName(wedges
-        .join(oriented.select(col("v").as("v1"), col("u").as("v2")), Seq("v1", "v2"), "left_semi"))
-    // the census is ONE row — collect it so e/oriented/wedges (populated
-    // once, during this action, and shared by all four counting branches)
-    // can be released instead of leaking for the session ([[graft.Local]])
+    // ONE semi-join against both probe directions counts each triangle
+    // once — and shuffles the wedge stream once, not twice
+    val probes = oriented.select(col("u").as("v1"), col("v").as("v2"))
+      .unionByName(oriented.select(col("v").as("v1"), col("u").as("v2")))
+    val closed = wedges.join(probes, Seq("v1", "v2"), "left_semi")
+    // the census is ONE row — collect it so e/oriented (populated once,
+    // during this action, and shared by all counting branches) can be
+    // released instead of leaking for the session ([[graft.Local]])
     val out = graft.Local.localized(
       deg.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(nWedges)
         .crossJoin(closed.agg(count(lit(1)).as("n_triangles"))))
-    Seq(e, oriented, wedges).foreach(_.unpersist(blocking = false))
+    Seq(e, oriented).foreach(_.unpersist(blocking = false))
     out
   }
 }

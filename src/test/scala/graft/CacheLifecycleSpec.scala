@@ -57,4 +57,14 @@ class CacheLifecycleSpec extends SparkSpec {
         sf("lineitem"), "l_quantity", nb = 16, qs = Seq(0.5, 0.9)).collect()
     } === 0)
   }
+
+  test("dedupClusters releases superseded rounds; only the final checkpoint survives") {
+    import spark.implicits._
+    // a 9-node path takes several large/small-star rounds — each round's
+    // two local checkpoints must be released as soon as superseded
+    val pairs = (1L to 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assert(leakedAfter {
+      operators.DedupOps.dedupClusters(pairs).collect()
+    } <= 1)
+  }
 }
