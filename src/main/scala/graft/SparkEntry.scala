@@ -653,6 +653,11 @@ object SparkEntry {
     // the estimation step between q_bigram_freqs and an n-gram LM.
     "q_bigram_lm" -> ((s, dir) =>
       TextOps.bigramCondProb(t(s, dir, "documents"))),
+    // Doc-level bigram-LM quality score: mean inverse transition
+    // probability in bp — the KenLM-style filter unigram surprisal can't
+    // replicate (it scores "the the the the" as maximally probable).
+    "q_bigram_surprisal" -> ((s, dir) =>
+      TextOps.bigramSurprisal(t(s, dir, "documents"))),
     // Triangle census over the part co-order graph (parts restricted to a
     // broadcast-filtered subset so the declared query stays bench-sized;
     // the operator itself is the degree-ordered orientation construction
@@ -1921,6 +1926,18 @@ object SparkEntry {
         "CAST(sum(rep_2gram_bp) // count(*) AS BIGINT) AS mean_rep_2gram_bp " +
         "FROM gq JOIN documents d ON gq.doc_id = d.doc_id " +
         "GROUP BY d.source ORDER BY d.source"),
+    // mirrors TextOps.bigramSurprisal: corpus bigram table + prefix mass,
+    // inverse conditional in bp, per-doc integer mean
+    "q_bigram_surprisal" ->
+      (s"WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents), " +
+        s"b AS (SELECT doc_id, unnest($duckShingles2) AS bg FROM tk), " +
+        "c AS (SELECT bg, CAST(count(*) AS BIGINT) AS n12 FROM b GROUP BY bg), " +
+        "cw AS (SELECT bg, n12, string_split(bg, ' ')[1] AS w1 FROM c), " +
+        "p AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM cw GROUP BY w1), " +
+        "s AS (SELECT bg, (n1 * 10000) // n12 AS s FROM cw JOIN p USING (w1)) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(s) // count(*) AS BIGINT) AS avg_surprisal_bp " +
+        "FROM b JOIN s USING (bg) GROUP BY doc_id ORDER BY doc_id"),
     // mirrors TextOps.skipgramLift (window=2, minCount=5, k=30): offset
     // pairs via 1-based list indexing, lift in HUGEINT (Spark side:
     // decimal(38,0)) so frequent pairs can't overflow

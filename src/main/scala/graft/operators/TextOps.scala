@@ -484,6 +484,41 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  /** Per-document bigram surprisal — the doc-level consumer of the
+    * [[bigramCondProb]] LM: the KenLM-style quality filter that flags docs
+    * whose word-to-word transitions are improbable under the corpus model
+    * (gibberish, OCR noise, shuffled text), which unigram [[lmSurprisal]]
+    * cannot see (it scores "the the the the" as maximally probable).
+    * Surprisal of a bigram is the inverse conditional in bp —
+    * `(n1 * 10000) div n12`, the exact reciprocal of [[bigramCondProb]]'s
+    * `cond_bp` — and the doc score is the integer mean over its bigrams.
+    * All arithmetic integer, identical in DuckDB.
+    *
+    * Shape: one corpus pass builds the vocab²-bounded bigram table with
+    * map-side combine; prefix mass comes from that table (no second corpus
+    * pass); both broadcast back onto the exploded bigram stream; one
+    * per-doc aggregation. Docs with fewer than 2 tokens have no bigrams
+    * and produce no row (nothing to score — route them to a length gate).
+    *
+    * Output: (idCol, n_bigrams, avg_surprisal_bp) ordered by doc id.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bg = docs.select(col(idCol),
+      explode(shingles(tokens(col(textCol)), 2)).as("bg"))
+    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n12"))
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+    val prefix = counts.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    val scored = counts.join(prefix, "w1")
+      .select(col("bg"), expr("(n1 * 10000) div n12").as("s"))
+    bg.join(broadcast(scored), "bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_s"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("sum_s div n_bigrams").as("avg_surprisal_bp"))
+      .orderBy(col(idCol))
+  }
+
   /** Iterative BPE tokenizer training — `nMerges` rounds of (count adjacent
     * symbol pairs, pick the most frequent, greedily merge it everywhere),
     * the full algorithm whose single recount step is [[bpePairCounts]].

@@ -380,6 +380,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq(("b", "a", 1L, 30000L), ("a", "b", 2L, 15000L)))
   }
 
+  test("bigramSurprisal: hand-checked transition scores; short docs drop") {
+    // corpus bigrams: "a b" x2, "b a" x1, "a c" x1; prefix mass a -> 3, b -> 1
+    // s("a b") = (3*10000) div 2 = 15000; s("b a") = 10000; s("a c") = 30000
+    val got = TextOps.bigramSurprisal(docs(
+      (1L, "a b a c"), // mean of (15000, 10000, 30000) = 55000 div 3
+      (2L, "a b"),
+      (3L, "x"))) // single token: no bigrams, no row
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 18333L), (2L, 1L, 15000L)))
+  }
+
   test("skipgramLift: decimal path survives counts a Long product would overflow") {
     // c_xy * n_pairs * 10000 with c_xy = n_pairs = 2^31 overflows Long by
     // ~2^20; the decimal(38,0) arithmetic must still be exact. Exercised
