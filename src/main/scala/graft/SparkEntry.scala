@@ -1166,6 +1166,14 @@ object SparkEntry {
     "q_media_pixels" -> ((s, dir) =>
       MultimodalOps.mediaPixels(
         MultimodalOps.plantPixels(MultimodalOps.asMedia(t(s, dir, "documents"))))),
+    // REAL nearest-neighbor resize of the planted bitmaps to 4x3: integer
+    // index arithmetic over genuinely parsed pixel bytes, fingerprinted by
+    // per-channel means + checksum of the resized matrix.
+    "q_media_resize" -> ((s, dir) => {
+      val m = MultimodalOps.plantPixels(MultimodalOps.asMedia(t(s, dir, "documents")))
+      import s.implicits._
+      MultimodalOps.resizePixels(m.as[operators.MediaRow], outW = 4, outH = 3)
+    }),
 
     // --- Time-series / events (north star; EventOps) --------------------
 
@@ -2921,6 +2929,26 @@ object SparkEntry {
         "CAST(min(v) FILTER (WHERE ch = 2) AS BIGINT) AS b_min, " +
         "CAST(max(v) FILTER (WHERE ch = 2) AS BIGINT) AS b_max " +
         "FROM b GROUP BY media_id, kind, width, height ORDER BY media_id"),
+    // mirrors MultimodalOps.resizePixels (4x3): the oracle replays the
+    // nearest-neighbor index arithmetic on the generative pixel formula;
+    // j enumerates (y, x, ch) of the 36 sampled bytes
+    "q_media_resize" ->
+      ("WITH px AS (SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "((doc_id * 3 + 2) % 9) + 2 AS w, " +
+        "((doc_id * 5 + 1) % 7) + 2 AS h FROM documents), " +
+        "g AS (SELECT media_id, kind, w, h, unnest(range(0, 36)) AS j FROM px), " +
+        "s AS (SELECT media_id, kind, j % 3 AS ch, " +
+        "(media_id * 31 + ((((j // 12) * h // 3) * w + ((j % 12) // 3) * w // 4) * 3 " +
+        "+ j % 3) * 7) % 256 AS v FROM g) " +
+        "SELECT media_id, kind, CAST(4 AS BIGINT) AS width, " +
+        "CAST(3 AS BIGINT) AS height, " +
+        "CAST(sum(v) FILTER (WHERE ch = 0) // 12 AS BIGINT) AS r_mean, " +
+        "CAST(sum(v) FILTER (WHERE ch = 1) // 12 AS BIGINT) AS g_mean, " +
+        "CAST(sum(v) FILTER (WHERE ch = 2) // 12 AS BIGINT) AS b_mean, " +
+        "CAST(sum(v) AS BIGINT) AS checksum " +
+        "FROM s GROUP BY media_id, kind ORDER BY media_id"),
     // DuckDB has native ASOF JOIN — the right side is pre-deduped per
     // (user, ts) to the max event_id, matching AsofOps' tie-break.
     "q_asof_join" ->

@@ -201,6 +201,67 @@ object MultimodalOps {
     decodePixels(media.as[MediaRow]).toDF().orderBy(col("media_id"))
   }
 
+  /** REAL resize of the [[plantPixels]] bitmap — nearest-neighbor
+    * downsample to `outW` x `outH` on the decoded pixel block, the
+    * thumbnail/normalize step a multimodal pipeline runs between decode
+    * and feature extraction. Source pixel for output (x, y) is
+    * `(x * w_in div outW, y * h_in div outH)` — pure integer index
+    * arithmetic on genuinely parsed bytes, so the oracle can mirror it
+    * from the generative formula while the Spark side only ever reads the
+    * binary. Emits the resized image's per-channel means plus a checksum
+    * (sum of all sampled bytes) — an exact fingerprint of the resized
+    * pixel matrix. Same typed per-partition batch path as [[decodePixels]];
+    * malformed payloads take the dead-letter path.
+    *
+    * Output: (media_id, kind, width, height, r_mean, g_mean, b_mean,
+    * checksum), width/height = the OUTPUT dims.
+    */
+  def resizePixels(media: Dataset[MediaRow], outW: Int, outH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val magic = Array[Byte](0x47, 0x52, 0x46, 0x54) // "GRFT"
+      def be32(b: Array[Byte], off: Int): Long =
+        ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+          ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      rows.flatMap { r =>
+        val b = r.payload
+        if (b.length < 12 || !b.take(4).sameElements(magic)) None
+        else {
+          val w = be32(b, 4)
+          val h = be32(b, 8)
+          if (w < 1 || h < 1 || b.length.toLong != 12L + w * h * 3) None
+          else {
+            val sums = new Array[Long](3)
+            var checksum = 0L
+            var y = 0
+            while (y < outH) {
+              val sy = y * h / outH
+              var x = 0
+              while (x < outW) {
+                val sx = x * w / outW
+                val base = 12 + ((sy * w + sx) * 3).toInt
+                var ch = 0
+                while (ch < 3) {
+                  val v = (b(base + ch) & 0xff).toLong
+                  sums(ch) += v
+                  checksum += v
+                  ch += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            val nPx = outW.toLong * outH
+            Some((r.media_id, r.kind, outW.toLong, outH.toLong,
+              sums(0) / nPx, sums(1) / nPx, sums(2) / nPx, checksum))
+          }
+        }
+      }
+    }.toDF("media_id", "kind", "width", "height",
+      "r_mean", "g_mean", "b_mean", "checksum")
+      .orderBy(col("media_id"))
+  }
+
   /** The decode step — mapInPandas-analog plumbing, stubbed codec.
     *
     * Real shape, kept: typed input/output schemas, `mapPartitions` so a

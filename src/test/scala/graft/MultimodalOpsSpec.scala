@@ -87,6 +87,23 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(p2.r_max == 255L && p2.r_mean != p.r_mean)
   }
 
+  test("resizePixels: nearest-neighbor sample matches the generative formula") {
+    // id 1: source 7x8; resize to 4x3; ground truth replayed from the
+    // pixel formula through the same index arithmetic
+    val media = MultimodalOps.plantPixels(MultimodalOps.asMedia(docs((1L, "x"))))
+    val got = MultimodalOps.resizePixels(media.as[MediaRow], outW = 4, outH = 3)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)].head()
+    val (w, h) = (7L, 8L)
+    val samples = for (y <- 0 until 3; x <- 0 until 4; ch <- 0 until 3) yield {
+      val (sy, sx) = (y * h / 3, x * w / 4)
+      val i = (sy * w + sx) * 3 + ch
+      (ch, (1L * 31 + i * 7) % 256)
+    }
+    def chSum(c: Int) = samples.collect { case (`c`, v) => v }.sum
+    assert(got == ((1L, "audio", 4L, 3L,
+      chSum(0) / 12, chSum(1) / 12, chSum(2) / 12, samples.map(_._2).sum)))
+  }
+
   test("decodePixels: malformed payloads take the dead-letter path") {
     val bad = Seq(
       MediaRow(1L, "image", Array.emptyByteArray),              // too short
