@@ -130,11 +130,11 @@ object GraphOps {
     * larger, which makes the edge set a DAG where every out-degree is
     * O(√m) regardless of hub size — a power-law hub of degree d generates
     * wedges at its LOW-degree neighbors instead of C(d, 2) at itself.
-    * Each triangle then has exactly one source node (two out-edges) and is
-    * counted once: wedges (pairs of out-neighbors) equi-join the oriented
-    * closing edge. The closing edge's direction between v1 < v2 (plain id)
-    * isn't known in advance, so both directions are probed as two
-    * equi-joins and summed — never an OR-join (which would nested-loop).
+    * Triangles are then counted edge-iterator style: every triangle has a
+    * unique (source → middle) edge in the DAG, and |N⁺(u) ∩ N⁺(v)| on
+    * that edge counts it exactly once — the m^1.5-sized wedge set is never
+    * materialized, the plan shuffles only O(m) edge/adjacency rows, and
+    * the wedge count itself is degree arithmetic (Σ C(outdeg, 2)).
     *
     * Output: 1 row (n_nodes, n_edges, n_wedges, n_triangles).
     */
@@ -150,40 +150,35 @@ object GraphOps {
         when(fwd, col("a")).otherwise(col("b")).as("u"),
         when(fwd, col("b")).otherwise(col("a")).as("v"))
       .persist()
-    // wedges by bucket-collect + in-array pairing (the [[coOrderEdges]]
-    // shape): ONE shuffle on the source node and a map-side explode over
-    // out-neighbor lists the orientation bounds at O(√m) — a self-join
-    // here would shuffle the oriented edges twice and re-plan the pipeline
-    val pairs = {
-      val vs = col("vs")
-      flatten(transform(vs, (x, i) =>
-        transform(slice(vs, i + lit(2), size(vs)), y =>
-          struct(x.as("v1"), y.as("v2")))))
-    }
-    val wedges = oriented
-      .groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("vs"))
-      .select(explode(pairs).as("w"))
-      .select(col("w.v1"), col("w.v2"))
-    // the wedge COUNT is pure degree arithmetic — Σ C(outdeg, 2) — so the
-    // m^1.5-sized wedge table is never persisted or counted row-by-row; it
-    // streams map-side into its single consumer, the closing semi-join
-    val nWedges = oriented.groupBy(col("u")).agg(count(lit(1)).as("od"))
+    // Edge-iterator triangle counting: in the degree-ordered DAG every
+    // triangle has a unique (source → middle) edge, and is counted by
+    // |N⁺(u) ∩ N⁺(v)| on exactly that edge — so the m^1.5-sized wedge set
+    // is NEVER materialized or shuffled. The plan moves O(m) rows (edges +
+    // two adjacency-list joins, arrays bounded at O(√m) out-degree by the
+    // orientation); the wedge-check work still happens, but inside the
+    // per-edge sorted-array intersection, not as an exchange.
+    val adj = oriented
+      .groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      .persist()
+    // the wedge COUNT is pure degree arithmetic — Σ C(outdeg, 2)
+    val nWedges = adj
+      .select(size(col("nbrs")).cast("long").as("od"))
       .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("n_wedges"))
-    // the DAG orientation closes each wedge in at most one direction, so
-    // ONE semi-join against both probe directions counts each triangle
-    // once — and shuffles the wedge stream once, not twice
-    val probes = oriented.select(col("u").as("v1"), col("v").as("v2"))
-      .unionByName(oriented.select(col("v").as("v1"), col("u").as("v2")))
-    val closed = wedges.join(probes, Seq("v1", "v2"), "left_semi")
-    // the census is ONE row — collect it so e/oriented (populated once,
-    // during this action, and shared by all counting branches) can be
-    // released instead of leaking for the session ([[graft.Local]])
+    val nTriangles = oriented
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"), "left")
+      .select(coalesce(size(array_intersect(col("nu"), col("nv"))), lit(0))
+        .cast("long").as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
+    // the census is ONE row — collect it so e/oriented/adj (populated
+    // once, during this action, and shared by all counting branches) can
+    // be released instead of leaking for the session ([[graft.Local]])
     val out = graft.Local.localized(
       deg.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(e.agg(count(lit(1)).as("n_edges")))
         .crossJoin(nWedges)
-        .crossJoin(closed.agg(count(lit(1)).as("n_triangles"))))
-    Seq(e, oriented).foreach(_.unpersist(blocking = false))
+        .crossJoin(nTriangles))
+    Seq(e, oriented, adj).foreach(_.unpersist(blocking = false))
     out
   }
 }
