@@ -506,10 +506,13 @@ object TextOps {
       textCol: String = "text"): DataFrame = {
     val bg = docs.select(col(idCol),
       explode(shingles(tokens(col(textCol)), 2)).as("bg"))
-    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n12"))
-      .withColumn("w1", expr("split(bg, ' ')[0]"))
-    val prefix = counts.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
-    val scored = counts.join(prefix, "w1")
+    // prefix mass as a window over the vocab²-bounded bigram table, NOT a
+    // groupBy+self-join (a diamond that would scan the corpus twice for
+    // the broadcast subtree — plan-audited to at most two total scans)
+    val wPrefix = org.apache.spark.sql.expressions.Window
+      .partitionBy(expr("split(bg, ' ')[0]"))
+    val scored = bg.groupBy(col("bg")).agg(count(lit(1)).as("n12"))
+      .withColumn("n1", sum(col("n12")).over(wPrefix))
       .select(col("bg"), expr("(n1 * 10000) div n12").as("s"))
     bg.join(broadcast(scored), "bg")
       .groupBy(col(idCol))

@@ -192,6 +192,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_source_overlap: postings aggregate map-side; totals broadcast; no cartesian") {
+    val p = plan("q_source_overlap")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-source totals must combine map-side")
+    assert(p.contains("BroadcastHashJoin"), "per-source totals must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_bigram_surprisal: one corpus pass; scored bigram table broadcast") {
+    val p = plan("q_bigram_surprisal")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 2,
+      "documents must be scanned at most twice (bigram table + doc stream)")
+    assert(p.contains("BroadcastHashJoin"), "the vocab²-bounded scores must broadcast")
+    assert(p.contains("partial_sum"), "per-doc sums must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_pagerank: Pregel rounds partial-aggregate map-side") {
     val ps = executedPlans { SparkEntry.queries("q_pagerank")(spark, dir) }
     assert(ps.exists(_.contains("partial_sum")),
