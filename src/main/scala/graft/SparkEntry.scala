@@ -929,6 +929,11 @@ object SparkEntry {
     // Data mixing: per-language sampling multipliers toward a uniform mix.
     "q_mix_weights" -> ((s, dir) =>
       graft.operators.SampleOps.mixWeights(t(s, dir, "documents"), "lang")),
+    // Temperature-scaled mixture (target share ∝ sqrt(observed), the
+    // mBERT/XLM-R α-sampling shape): flattens the head without the uniform
+    // target's aggressive tail upsampling.
+    "q_mix_temperature" -> ((s, dir) =>
+      graft.operators.SampleOps.temperatureMix(t(s, dir, "documents"), "lang")),
     // Quality-weighted reproducible downsampling: survive with
     // probability quality_bp/1e4, deterministically by id hash.
     "q_sample_weighted" -> ((s, dir) =>
@@ -1873,6 +1878,21 @@ object SparkEntry {
         "SELECT lang, n_docs, " +
         s"${TextOps.roundBpSql("CAST(sum(n_docs) OVER () AS DOUBLE) / (count(*) OVER ()) / n_docs")} " +
         "AS weight_bp FROM c ORDER BY lang"),
+    // mirrors SampleOps.temperatureMix: sqrt is IEEE-exact on both
+    // engines; the cross-stratum double sum runs in explicit lang order
+    "q_mix_temperature" ->
+      ("WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM documents GROUP BY lang), " +
+        "w AS (SELECT lang, n_docs, " +
+        "CAST(sum(n_docs) OVER () AS BIGINT) AS total, " +
+        "sqrt(CAST(n_docs AS DOUBLE)) AS s, " +
+        "sum(sqrt(CAST(n_docs AS DOUBLE))) OVER (ORDER BY lang " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS s_sum FROM c) " +
+        "SELECT lang, n_docs, " +
+        "CAST(n_docs * 10000 // total AS BIGINT) AS share_bp, " +
+        s"${TextOps.roundBpSql("s / s_sum")} AS target_bp, " +
+        s"${TextOps.roundBpSql("s * total / (s_sum * n_docs)")} AS weight_bp " +
+        "FROM w ORDER BY lang"),
     "q_sample_stratified" ->
       (s"WITH h AS (SELECT lang, doc_id, " +
         s"${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents), " +

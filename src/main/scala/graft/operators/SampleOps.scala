@@ -51,6 +51,37 @@ object SampleOps {
       .orderBy(col(strataCol))
   }
 
+  /** Temperature-scaled mixture weights — the multilingual-LM standard
+    * (mBERT/XLM-R style): target share ∝ observed^α, which UPSAMPLES the
+    * tail strata less aggressively than [[mixWeights]]' uniform target
+    * while still flattening the head. α is fixed at 1/2 because `sqrt` is
+    * IEEE-correctly-rounded on BOTH engines (an arbitrary `pow` is libm-
+    * dependent and would break the hash-exact oracle); the cross-stratum
+    * double sum runs in explicit stratum order (the repo's element-
+    * sequential reduction rule), so every output bit is reproducible.
+    *
+    * Output per stratum: observed count and share, the temperature target
+    * share, and the resampling multiplier `weight_bp` (target/observed in
+    * bp) that feeds [[weightedSample]]. Strata-sized state only.
+    */
+  def temperatureMix(df: DataFrame, strataCol: String): DataFrame = {
+    val wOrd = Window.orderBy(col(strataCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum(col("n_docs")).over(wOrd))
+      .withColumn("s", sqrt(col("n_docs").cast("double")))
+      .withColumn("s_sum", sum(col("s")).over(wOrd))
+      .select(
+        col(strataCol),
+        col("n_docs"),
+        expr("(n_docs * 10000) div total").as("share_bp"),
+        TextOps.roundBp(col("s") / col("s_sum")).as("target_bp"),
+        TextOps.roundBp(col("s") * col("total") / (col("s_sum") * col("n_docs")))
+          .as("weight_bp"))
+      .orderBy(col(strataCol))
+  }
+
   /** Quality-weighted reproducible downsampling — the "keep good docs
     * more often" step between scoring and training: a row with weight
     * `w` bp survives iff `hash60(id) mod 1e4 < w`, i.e. with probability

@@ -49,6 +49,21 @@ class SampleOpsSpec extends SparkSpec {
     assert(got == Seq(("a", 1L, 20000L), ("b", 2L, 10000L), ("c", 3L, 6667L)))
   }
 
+  test("temperatureMix: sqrt targets sit between observed and uniform") {
+    // strata 1/4/16: observed shares 476/1904/7619 bp; sqrt targets
+    // 1/7, 2/7, 4/7 = 1429/2857/5714 bp; weights = target/observed
+    val df = ((1 to 1) ++ (1 to 4).map(_ => 2) ++ (1 to 16).map(_ => 3))
+      .zipWithIndex.map { case (g, i) => (i.toLong, s"s$g") }.toDF("id", "grp")
+    val got = SampleOps.temperatureMix(df, "grp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq(("s1", 1L, 476L), ("s2", 4L, 1904L), ("s3", 16L, 7619L)))
+    assert(got.map(_._4) == Seq(1429L, 2857L, 5714L))
+    // head (s3) downsamples, tail (s1) upsamples, but less than uniform's
+    // 7x: sqrt weight is 3x
+    assert(got.map(_._5) == Seq(30000L, 15000L, 7500L))
+  }
+
   test("stratifiedSample: re-running on the same data is bit-stable") {
     val df = (1L to 500L).map(i => (i, s"s${i % 4}")).toDF("id", "grp")
     val a = SampleOps.stratifiedSample(df, "grp", "id", 3).collect().map(_.toSeq).toSeq
