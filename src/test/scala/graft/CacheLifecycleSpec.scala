@@ -67,4 +67,19 @@ class CacheLifecycleSpec extends SparkSpec {
       operators.DedupOps.dedupClusters(pairs).collect()
     } <= 1)
   }
+
+  test("GLOBAL sweep: no declared query leaks cache (sf0.001, whole surface)") {
+    // the regression guard for every FUTURE query: execute the entire
+    // declared surface and bound net persistent-RDD growth by the known
+    // by-design survivors (dedupClusters' final local checkpoint, one per
+    // clustering consumer — unpersisting it would be unrecoverable)
+    val byDesign = 3 // q_dedup_clusters, q_dedup_keep_best, q_dedup_incremental-style chains
+    val leaked = leakedAfter {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => fail(s"$name failed at sf0.001: ${e.getMessage}") }
+      }
+    }
+    assert(leaked <= byDesign, s"net persistent RDDs grew by $leaked (> $byDesign)")
+  }
 }
