@@ -545,8 +545,10 @@ object TextOps {
     * in learned order — exactly a BPE tokenizer's merges file.
     */
   def bpeMerges(docs: DataFrame, nMerges: Int = 3, textCol: String = "text"): DataFrame = {
-    val (state, rules) = bpeTrain(docs, nMerges, textCol)
-    state.unpersist(blocking = false) // rules are local literals; state unused
+    val (state, rules, pending) = bpeTrain(docs, nMerges, textCol)
+    // rules are local literals; the final state (never materialized) and
+    // the last round's inputs are all unused here
+    (state +: pending).foreach(_.unpersist(blocking = false))
     rules.reduce(_ union _).orderBy(col("step"))
   }
 
@@ -561,13 +563,16 @@ object TextOps {
     * the same O(1) exchange as [[SortOps]]' min/max bound fetch, and that
     * action doubles as the persist trigger. The merge application then
     * filters on the collected literals (no join against a lazy 1-row frame,
-    * which re-derived `pairs` once per consumer), the next state is counted
-    * into cache, and the superseded round's `state` + `pairs` are released.
-    * Returned rules are driver-local literal frames. The caller owns
-    * unpersisting the returned final state.
+    * which re-derived `pairs` once per consumer), and each round's collect
+    * doubles as the materializer of the PREVIOUS round's rebuilt state, so
+    * the superseded round releases right after it. Returned rules are
+    * driver-local literal frames. The returned final state is LAZY — the
+    * caller's first action materializes it from the still-cached last-round
+    * `pairs` (returned as the pending seq), after which the caller must
+    * unpersist both the state and the pending frames.
     */
   private def bpeTrain(docs: DataFrame, nMerges: Int, textCol: String)
-      : (DataFrame, Seq[DataFrame]) = {
+      : (DataFrame, Seq[DataFrame], Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
@@ -628,9 +633,7 @@ object TextOps {
       superseded = Seq(state, pairs)
       state = next
     }
-    state.count() // materialize the final round before releasing its inputs
-    superseded.foreach(_.unpersist(blocking = false))
-    (state, rules.result())
+    (state, rules.result(), superseded)
   }
 
   /** Tokenizer APPLICATION — encode the corpus with the merges [[bpeMerges]]
@@ -659,11 +662,14 @@ object TextOps {
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (state, _) = bpeTrain(docs, nMerges, textCol)
+    val (state, _, pending) = bpeTrain(docs, nMerges, textCol)
+    // this collect is the final state's first (and only) action — it
+    // materializes it from the cached last training round, so everything
+    // the loop left cached can be released right after
     val lens = state
       .select(col("word"), size(col("syms")).cast("long").as("wlen"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    state.unpersist(blocking = false)
+    (state +: pending).foreach(_.unpersist(blocking = false))
     val wordLens = lens.toDF("word", "wlen")
     docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
       .join(broadcast(wordLens), Seq("word"))
