@@ -234,6 +234,26 @@ class PlanSpec extends SparkSpec {
     assert(ps.forall(!_.contains("CartesianProduct")))
   }
 
+  test("hot paths stay inside whole-stage codegen") {
+    // dropping out of codegen (a UDF, a non-codegen Expression) is a
+    // silent 2-5x CPU regression at 100 TB — pin that the scan-heavy and
+    // expression-heavy paths compile at least one whole-stage subtree
+    // (q_sim_topk additionally exercises the custom VecDot's doGenCode)
+    def subtrees(name: String): Int = {
+      val s = SparkEntry.queries(name)(spark, dir).queryExecution
+        .explainString(ExplainMode.fromString("codegen"))
+      "Found (\\d+) WholeStageCodegen subtrees".r
+        .findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(0)
+    }
+    // an unexecuted AdaptiveSparkPlan reports 0 subtrees (codegen is
+    // inserted per stage at execution); audit the static plan instead —
+    // per-stage codegen structure is the same
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Seq("q_tpch_q1", "q_filter_project", "q_text_tokens", "q_sim_topk").foreach { q =>
+      assert(subtrees(q) >= 1, s"$q fell out of whole-stage codegen")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q_join: the small dim is broadcast, never shuffled") {
     val p = plan("q_join")
     assert(p.contains("BroadcastHashJoin"), "nation join is not broadcast")
