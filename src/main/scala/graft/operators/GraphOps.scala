@@ -72,9 +72,14 @@ object GraphOps {
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
     val n = deg.count()
     val teleport = 15L * scale / (100L * n)
+    // rank state is consumed EXACTLY once per round (the next round's
+    // join), so the rounds stay lazy — no per-round persist/count jobs;
+    // the one collect below runs the whole unrolled chain, reading cached
+    // e/deg each round. (Contrast bpeTrain, where the per-round frame has
+    // TWO consumers and eager materialization is the fix.)
     var ranks = deg.select(col("u").as("node"), lit(scale / n).as("r"))
     for (_ <- 1 to iters) {
-      val next = e
+      ranks = e
         .join(deg, "u")
         .join(ranks.withColumnRenamed("node", "u"), "u")
         .select(col("v"), expr("r div deg").as("c"))
@@ -82,10 +87,6 @@ object GraphOps {
         .agg(sum(col("c")).as("sc"))
         .select(col("v").as("node"),
           (lit(teleport) + expr("(85 * sc) div 100")).as("r"))
-        .persist()
-      next.count() // materialize round k before releasing round k-1
-      ranks.unpersist(blocking = false) // no-op on the unpersisted init frame
-      ranks = next
     }
     val w = Window.orderBy(col("r").desc, col("node"))
     val out = graft.Local.localized(ranks
@@ -93,7 +94,6 @@ object GraphOps {
       .withColumn("rank", row_number().over(w))
       .select(col("rank"), col("node"), col("r").as("score"))
       .orderBy(col("rank")))
-    ranks.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     e.unpersist(blocking = false)
     out
