@@ -384,20 +384,23 @@ object DedupOps {
   def dedupClustersDetailed(pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     // Eager localCheckpoint per round truncates the CC loop's otherwise
     // exponentially-nesting lineage. The checkpoint blocks of SUPERSEDED
-    // rounds are released as soon as their successor is materialized —
-    // the Dataset API exposes no handle to a local checkpoint's RDD, so
-    // the release tracks the persistent-RDD id delta around each
-    // checkpoint call (safe here: the driver loop is sequential). Only
-    // the FINAL round's blocks stay alive — the caller's lazy result
-    // reads them, and unpersisting a local checkpoint is unrecoverable.
-    val sc = pairs.sparkSession.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
+    // rounds are released as soon as their successor is materialized. The
+    // checkpointed RDD is taken DIRECTLY off the returned Dataset's plan
+    // (localCheckpoint rewrites it to a LogicalRDD whose `rdd` is the
+    // persisted checkpoint) — never via a global getPersistentRDDs set
+    // delta, which under concurrent queries on a shared session could
+    // capture ANOTHER query's RDDs and unpersist its local checkpoint
+    // (unrecoverable data loss). Only the FINAL round's blocks stay alive
+    // — the caller's lazy result reads them.
+    def checkpointed(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
       val cp = df.localCheckpoint(true)
-      (cp, sc.getPersistentRDDs.keySet.diff(before).toSet)
+      val rdds = cp.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+      (cp, rdds)
     }
-    def release(ids: Set[Int]): Unit = ids.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdds.foreach(_.unpersist(blocking = false))
     // canonical big→small orientation; `u` is always the larger endpoint
     var (edges, edgeIds) = checkpointed(pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),

@@ -167,8 +167,15 @@ object GraphOps {
     val nTriangles = oriented
       .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"), "left")
-      .select(coalesce(size(array_intersect(col("nu"), col("nv"))), lit(0))
-        .cast("long").as("t"))
+      // sink-headed DAG edges (v has no out-neighbors) miss the left join;
+      // substitute an empty array BEFORE size() so the expression is
+      // config-independent — size(null) is null under ANSI but -1 under
+      // legacy spark.sql.legacy.sizeOfNull, and a -1 would silently
+      // subtract one triangle per sink-headed edge
+      // slice(nu, 1, 0) = empty array of nu's element type, whatever the
+      // caller's node-id type is
+      .select(size(array_intersect(col("nu"), coalesce(col("nv"),
+        slice(col("nu"), 1, 0)))).cast("long").as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
     // the census is ONE row — collect it so e/oriented/adj (populated
     // once, during this action, and shared by all counting branches) can

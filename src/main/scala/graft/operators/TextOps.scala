@@ -545,11 +545,17 @@ object TextOps {
     * in learned order — exactly a BPE tokenizer's merges file.
     */
   def bpeMerges(docs: DataFrame, nMerges: Int = 3, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val (state, rules, pending) = bpeTrain(docs, nMerges, textCol)
     // rules are local literals; the final state (never materialized) and
     // the last round's inputs are all unused here
     (state +: pending).foreach(_.unpersist(blocking = false))
-    rules.reduce(_ union _).orderBy(col("step"))
+    if (rules.isEmpty)
+      // degenerate corpus (no adjacent pair anywhere): zero rules, same schema
+      Seq.empty[(Int, String, String, String, Long)]
+        .toDF("step", "left_sym", "right_sym", "merged", "n")
+    else rules.reduce(_ union _).orderBy(col("step"))
   }
 
   /** The BPE training loop shared by [[bpeMerges]] (returns the rules) and
@@ -590,20 +596,32 @@ object TextOps {
     // `state` and `pairs` into cache; the round k-1 frames it superseded
     // are released right after it
     var superseded = Seq.empty[DataFrame]
-    for (step <- 1 to nMerges) {
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      step += 1
       val byPos = Window.partitionBy(col("word")).orderBy(col("pos"))
       val pairs = state
         .select(col("word"), col("cnt"), posexplode(col("syms")).as(Seq("pos", "sym")))
         .withColumn("nxt", lead(col("sym"), 1).over(byPos))
         .persist()
-      val Array(top) = pairs
+      val topOpt = pairs
         .filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("a"), col("nxt").as("b"))
         .agg(sum(col("cnt")).cast("long").as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1)
-        .collect()
+        .collect().headOption
       superseded.foreach(_.unpersist(blocking = false))
+      if (topOpt.isEmpty) {
+        // no adjacent pair left anywhere (empty corpus, all 1-symbol words,
+        // or the vocab fully merged before nMerges rounds): stop with the
+        // rules learned so far — a degenerate corpus is legal input, not a
+        // crash. `pairs` becomes the pending frame the caller releases.
+        exhausted = true
+        superseded = Seq(pairs)
+      } else {
+      val top = topOpt.get
       val (a, b, nWin) = (top.getString(0), top.getString(1), top.getLong(2))
       rules += Seq((step, a, b, a + b, nWin))
         .toDF("step", "left_sym", "right_sym", "merged", "n")
@@ -632,6 +650,7 @@ object TextOps {
         .persist()
       superseded = Seq(state, pairs)
       state = next
+      }
     }
     (state, rules.result(), superseded)
   }
@@ -656,25 +675,42 @@ object TextOps {
     * returned plan's lineage, so downstream consumers ([[packCounts]]) can
     * recompute this frame for pennies.
     *
+    * Driver-memory contract: the collect is bounded by VOCAB size (distinct
+    * words), not corpus size — a broadcast join would ship the same rows
+    * through the driver anyway. `maxVocabRows` caps it defensively: if the
+    * distinct-word count exceeds the cap (web-scale corpora with unbounded
+    * token vocabularies), encoding keeps only the `maxVocabRows` most
+    * frequent words; words outside the kept head fall back to character
+    * segmentation (wlen = length(word)) — what BPE emits for a word none
+    * of whose merges were retained. At the default cap the sf-scale output
+    * is byte-identical to the uncapped path.
+    *
     * Output: (doc_id, n_words, n_bpe_tokens) ordered by doc id.
     */
   def bpeEncode(docs: DataFrame, nMerges: Int = 3, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", maxVocabRows: Int = 4 << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val (state, _, pending) = bpeTrain(docs, nMerges, textCol)
     // this collect is the final state's first (and only) action — it
     // materializes it from the cached last training round, so everything
-    // the loop left cached can be released right after
+    // the loop left cached can be released right after. Bounded by the
+    // head-vocab cap, never the corpus (see scaladoc).
     val lens = state
-      .select(col("word"), size(col("syms")).cast("long").as("wlen"))
+      .select(col("word"), col("cnt"), size(col("syms")).cast("long").as("wlen"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxVocabRows)
+      .select(col("word"), col("wlen"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     (state +: pending).foreach(_.unpersist(blocking = false))
     val wordLens = lens.toDF("word", "wlen")
     docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
-      .join(broadcast(wordLens), Seq("word"))
+      .join(broadcast(wordLens), Seq("word"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"), sum(col("wlen")).as("n_bpe_tokens"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(coalesce(col("wlen"), length(col("word")).cast("long")))
+          .as("n_bpe_tokens"))
       .orderBy(col(idCol))
   }
 
@@ -706,6 +742,16 @@ object TextOps {
     * ([[bpeEncode]]'s counts, the number that actually fills a training
     * batch) instead of whitespace counts. Same two-level prefix-sum
     * decomposition.
+    *
+    * PUBLIC API CONTRACT — two scans of `perDocCounts`: the input frame is
+    * evaluated twice (once for the tiny shard-totals branch, once for the
+    * final join) and is deliberately NOT persisted here, because a lazy
+    * persist on a frame embedded in the returned plan could never be
+    * unpersisted and would leak for the session lifetime. Callers whose
+    * count pipeline is expensive to recompute should persist it themselves
+    * (and release it after the first action on the result), or pass a
+    * frame with cheap lineage — [[bpeEncode]] returns a literal vocab
+    * join precisely so this double scan costs two cheap corpus passes.
     */
   def packCounts(perDocCounts: DataFrame, budget: Long, shardSize: Long = 1000L,
       idCol: String = "doc_id"): DataFrame = {

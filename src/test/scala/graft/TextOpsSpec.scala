@@ -304,6 +304,22 @@ class TextOpsSpec extends SparkSpec {
       (2, "aa", "aa", "aaaa", 1L)))
   }
 
+  test("bpeMerges: degenerate corpora stop gracefully, no crash") {
+    // all 1-char words: round 1 has NO adjacent pair -> zero rules
+    assert(TextOps.bpeMerges(docs((0L, "a b c a")), nMerges = 3).count() == 0L)
+    // vocab fully merged before nMerges rounds: 'ab' learns 1 rule then the
+    // corpus is a single symbol per word -> stops with the rules so far
+    val got = TextOps.bpeMerges(docs((0L, "ab ab")), nMerges = 5)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", "ab", 2L)))
+  }
+
+  test("bpeEncode: degenerate corpus (no pairs ever) still encodes") {
+    val got = TextOps.bpeEncode(docs((7L, "a b a")), nMerges = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 3L, 3L)))
+  }
+
   test("bigramCondProb: conditionals over true prefix mass, hand-checked") {
     // "a b a b c": bigrams (a,b) x2, (b,a) x1, (b,c) x1; prefix mass
     // a -> 2, b -> 2; so P(b|a)=10000 bp, P(a|b)=P(c|b)=5000 bp
