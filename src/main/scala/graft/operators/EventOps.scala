@@ -88,18 +88,28 @@ object EventOps {
       .orderBy(col("user_id"), col("event_id"))
   }
 
-  /** Exact percentiles per group (Spark's `percentile` = sorted linear
-    * interpolation, the same contract as DuckDB `quantile_cont`), in basis
-    * points for cross-engine hashing.
+  /** Exact percentiles per group (Spark's `percentile` contract = sorted
+    * linear interpolation at q·(n−1), same as DuckDB `quantile_cont`), in
+    * basis points for cross-engine hashing.
+    *
+    * NOT computed with the `percentile()` aggregate — its
+    * TypedImperativeAggregate buffers every value of the group in the
+    * aggregation buffer, which OOMs at 100 TB per-type volumes. Instead
+    * [[StatsOps.exactPercentiles]]' histogram-guided two-pass exact rank:
+    * constant-size counters locate each order statistic's candidate
+    * bucket, only that bucket's rows are sorted (spillable, ~n/1024 rows),
+    * and the interpolation replicates Spark's arithmetic bit-for-bit.
     */
   def percentiles(events: DataFrame): DataFrame =
-    events
+    StatsOps.exactPercentiles(events, "value", Seq("event_type"), Seq(0.5, 0.95))
       .groupBy(col("event_type"))
-      .agg(expr("percentile(value, array(0.5D, 0.95D))").as("qs"))
+      .agg(
+        max(when(col("qi") === 0, col("exact"))).as("p50"),
+        max(when(col("qi") === 1, col("exact"))).as("p95"))
       .select(
         col("event_type"),
-        TextOps.roundBp(element_at(col("qs"), 1)).as("p50_bp"),
-        TextOps.roundBp(element_at(col("qs"), 2)).as("p95_bp"))
+        TextOps.roundBp(col("p50")).as("p50_bp"),
+        TextOps.roundBp(col("p95")).as("p95_bp"))
       .orderBy(col("event_type"))
 
   /** Mergeable per-type rollup STATE — (count, bp-integer value sum): the

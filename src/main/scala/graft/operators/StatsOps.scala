@@ -79,13 +79,137 @@ object StatsOps {
       df: DataFrame, valueCol: String, nb: Int, bounds: DataFrame): DataFrame = {
     require(nb > 0, "need at least one bucket")
     val width = (col("hi") - col("lo")) / lit(nb.toDouble)
-    val rawIdx = floor((col(valueCol).cast("double") - col("lo")) / width)
     df.crossJoin(broadcast(bounds.select(col("lo"), col("hi"))))
       .select(
-        least(rawIdx, lit(nb - 1).cast("double")).cast("long").as("bucket"),
+        bucketExpr(col(valueCol).cast("double"), col("lo"), col("hi"), nb).as("bucket"),
         col("lo"), width.as("w"))
       .groupBy(col("bucket"), col("lo"), col("w"))
       .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** The one bucket-assignment expression every histogram consumer shares —
+    * the guided-rank pass ([[exactPercentiles]]) must bucket rows
+    * bit-identically to the counter pass or a value on a bucket edge is
+    * counted in one bucket and ranked in another. Degenerate lo == hi
+    * (all values equal) pins bucket 0 instead of the NaN the division
+    * would produce.
+    */
+  private def bucketExpr(v: Column, lo: Column, hi: Column, nb: Int): Column = {
+    val width = (hi - lo) / lit(nb.toDouble)
+    val raw = floor((v - lo) / width)
+    when(hi === lo, lit(0L))
+      .otherwise(least(raw, lit(nb - 1).cast("double")).cast("long"))
+  }
+
+  /** EXACT per-group percentiles with BOUNDED memory — the 100 TB
+    * replacement for Spark's `percentile()`, whose TypedImperativeAggregate
+    * buffers every value of the group in the aggregation buffer (fine at
+    * 600 K rows, OOM at petabyte per-group volumes). Same contract as
+    * `percentile` / DuckDB `quantile_cont`: sorted linear interpolation at
+    * position q·(n−1), replicated operation-for-operation (including the
+    * integral-position and equal-neighbor short circuits) so results are
+    * bit-identical to Spark's aggregate.
+    *
+    * Histogram-guided two-pass exact rank, three scans, no full-value state:
+    *
+    *  1. per-group (n, min, max) — constant-size mergeable aggregate;
+    *  2. per-group `nb` bucket counters — a histogram pass; cumulative
+    *     counts locate the ONE bucket containing each wanted order
+    *     statistic (floor and ceil of q·(n−1) per quantile);
+    *  3. rank ONLY inside candidate buckets: rows re-bucketed with the
+    *     identical [[bucketExpr]], joined to the broadcast candidate list,
+    *     and row_number'd per (group, quantile, index) — each window
+    *     partition is one bucket's rows (~n/nb, spillable sort), never the
+    *     group.
+    *
+    * Driver/broadcast state is O(groups × quantiles) — per-group percentile
+    * output is inherently group-bounded (any plan must broadcast or collect
+    * one row per group), so the per-group stats are [[graft.Local]]-ized
+    * to keep the three passes from re-running the stats aggregation.
+    *
+    * `groupCols` empty ⇒ one global percentile per quantile.
+    * Output: (groupCols..., qi 0-based, q, exact) — callers pivot/round.
+    */
+  private[graft] def exactPercentiles(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      qs: Seq[Double], nb: Int = 1024): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    require(nb > 0, "need at least one bucket")
+    val keys = if (groupCols.isEmpty) Seq("__g") else groupCols
+    val kcols = keys.map(col)
+    val base0 = if (groupCols.isEmpty) df.withColumn("__g", lit(0)) else df
+    val base = base0
+      .select(kcols :+ col(valueCol).cast("double").as("v"): _*)
+      .filter(col("v").isNotNull)
+    // pass 1: constant-size per-group state, collected once (group-bounded)
+    // so passes 2 and 3 read literals instead of re-aggregating
+    val stats = graft.Local.localized(base.groupBy(kcols: _*).agg(
+      count(lit(1)).as("n"), min(col("v")).as("glo"), max(col("v")).as("ghi")))
+    // pass 2: nb counters per group; cumulative counts over COUNTER state
+    val bucketed = base.join(broadcast(stats), keys)
+      .select(kcols ++ Seq(col("v"),
+        bucketExpr(col("v"), col("glo"), col("ghi"), nb).as("bucket")): _*)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(kcols: _*).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val hist = bucketed.groupBy(kcols :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("cum", sum(col("bn")).over(wCum))
+      .withColumn("cum_before", col("cum") - col("bn"))
+    guidedRank(bucketed, hist, stats, keys, qs)
+      .select(groupCols.map(col) ++ Seq(col("qi"), col("q"), col("exact")): _*)
+  }
+
+  /** The guided-rank tail shared by [[exactPercentiles]] (grouped) and
+    * [[histogramQuantiles]] (global, reusing its sketch histogram):
+    * locate each wanted order statistic's candidate bucket from the
+    * cumulative counters, rank ONLY inside those buckets, interpolate with
+    * Spark Percentile's exact arithmetic.
+    *
+    *  - `bucketed`: (keys..., v, bucket) — corpus-sized, scanned once here;
+    *  - `hist`:     (keys..., bucket, bn, cum, cum_before) — counter state;
+    *  - `stats`:    (keys..., n, ...) — 1 row per group, local/literal.
+    *
+    * Output: (keys..., qi 0-based, q, pos, exact).
+    */
+  private def guidedRank(
+      bucketed: DataFrame, hist: DataFrame, stats: DataFrame,
+      keys: Seq[String], qs: Seq[Double]): DataFrame = {
+    val kcols = keys.map(col)
+    // wanted order statistics: floor/ceil of Spark's position q·(n−1)
+    val targets = stats
+      .select(kcols :+ col("n") :+
+        posexplode(array(qs.map(lit(_)): _*)).as(Seq("qi", "q")): _*)
+      .withColumn("pos", col("q") * (col("n") - 1).cast("double"))
+      .withColumn("idx",
+        explode(array_distinct(array(floor(col("pos")), ceil(col("pos"))))))
+      .select(kcols ++ Seq(col("qi"), col("q"), col("pos"), col("idx")): _*)
+    // candidate bucket per wanted index: cum_before <= idx < cum
+    val cand = targets.join(hist, keys)
+      .filter(col("idx") >= col("cum_before") && col("idx") < col("cum"))
+      .select(kcols ++ Seq(col("qi"), col("q"), col("pos"), col("idx"),
+        col("bucket"), col("cum_before")): _*)
+    // rank only inside candidate buckets; each window partition is ONE
+    // bucket of one (group, quantile, index) — ~n/nb rows, spillable sort,
+    // never the whole group
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(kcols ++ Seq(col("qi"), col("idx")): _*).orderBy(col("v"))
+    val os = bucketed.join(broadcast(cand), keys :+ "bucket")
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === col("idx") - col("cum_before") + 1)
+    // Spark Percentile's interpolation, operation-for-operation:
+    // (higher − pos)·v_lo + (pos − lower)·v_hi, short-circuiting integral
+    // positions and equal neighbor keys to v_lo
+    os.groupBy(kcols ++ Seq(col("qi"), col("q"), col("pos")): _*)
+      .agg(
+        max(when(col("idx") === floor(col("pos")), col("v"))).as("vlo"),
+        max(when(col("idx") === ceil(col("pos")), col("v"))).as("vhi"))
+      .withColumn("exact",
+        when(ceil(col("pos")) === floor(col("pos")), col("vlo"))
+          .when(col("vhi") === col("vlo"), col("vlo"))
+          .otherwise(
+            (ceil(col("pos")).cast("double") - col("pos")) * col("vlo") +
+              (col("pos") - floor(col("pos")).cast("double")) * col("vhi")))
   }
 
   /** Approximate quantiles FROM the histogram — the rank-query member of
@@ -97,24 +221,29 @@ object StatsOps {
     * bucket whose cumulative count reaches `q·N` (the equi-width analog of
     * the t-digest/KLL contract, exact enough for operational percentiles).
     *
-    * Emits the exact `percentile` beside the estimate so the declared
-    * query itself documents the sketch error. That exact baseline is the
-    * declared query's dominant cost BY DESIGN (it buffers every value per
-    * group — the very thing the sketch exists to avoid; the sketch half
-    * alone is one scan plus nb counters). All interpolation arithmetic is
-    * plain IEEE multiply/divide replicated in the oracle; outputs are bp
-    * longs.
+    * Emits the exact percentile beside the estimate so the declared query
+    * itself documents the sketch error. The exact baseline is NOT Spark's
+    * `percentile()` aggregate (whose TypedImperativeAggregate buffers every
+    * value in the agg buffer — an OOM at 100 TB group volumes): it is the
+    * histogram-guided two-pass exact rank ([[exactPercentiles]]'s
+    * machinery), REUSING this query's own sketch histogram as the guide —
+    * bucket counters locate each order statistic's one candidate bucket,
+    * and only that bucket's rows are ranked (a spillable ~n/nb-row sort).
+    * Three scans total (bounds, counters, candidate ranks), constant-size
+    * aggregation state throughout, bit-identical results to `percentile`
+    * (same position q·(n−1) and interpolation arithmetic). All sketch
+    * interpolation arithmetic is plain IEEE multiply/divide replicated in
+    * the oracle; outputs are bp longs.
     */
   def histogramQuantiles(df: DataFrame, valueCol: String, nb: Int, qs: Seq[Double]): DataFrame = {
-    // bounds and the exact baseline share ONE aggregate pass over the
-    // table — with separate aggs the query costs three scans, this way
-    // two. The shared 1-row state is a driver-local literal (graft.Local),
-    // not a lazy persist the caller could never release.
-    val boundsExact = graft.Local.localized(df.agg(
+    // 1-row global bounds (+ row count for the rank positions), collected
+    // once as a driver-local literal (graft.Local) and broadcast into
+    // every later pass — not a lazy persist the caller could never release
+    val bounds = graft.Local.localized(df.agg(
       min(col(valueCol).cast("double")).as("lo"),
       max(col(valueCol).cast("double")).as("hi"),
-      expr(s"percentile($valueCol, array(${qs.mkString("D, ")}D))").as("ex")))
-    val core = histogramCoreWith(df, valueCol, nb, boundsExact)
+      count(col(valueCol)).as("n")))
+    val core = histogramCoreWith(df, valueCol, nb, bounds)
     val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
@@ -136,12 +265,24 @@ object StatsOps {
     val est = col("lo") + col("w") *
       (col("bucket").cast("double") +
         (col("r") - (col("cum") - col("n_rows")).cast("double")) / col("n_rows").cast("double"))
-    val qArr = array(qs.map(q => lit(q)): _*)
-    val exact = boundsExact
-      .select(posexplode(col("ex")).as(Seq("i", "x")))
+    // exact side: guided rank over the SAME sketch histogram — `cum`
+    // re-keyed to the shared (keys..., bucket, bn, cum, cum_before) shape,
+    // rows re-bucketed with the identical bucketExpr, stats from `bounds`
+    val histG = cum.select(lit(0).as("__g"), col("bucket"),
+      col("n_rows").as("bn"), col("cum"),
+      (col("cum") - col("n_rows")).as("cum_before"))
+    val bucketedG = df
+      .crossJoin(broadcast(bounds.select(col("lo"), col("hi"))))
+      .select(lit(0).as("__g"), col(valueCol).cast("double").as("v"),
+        bucketExpr(col(valueCol).cast("double"), col("lo"), col("hi"), nb)
+          .as("bucket"))
+      .filter(col("v").isNotNull)
+    val statsG = bounds.select(lit(0).as("__g"), col("n"),
+      col("lo").as("glo"), col("hi").as("ghi"))
+    val exact = guidedRank(bucketedG, histG, statsG, Seq("__g"), qs)
       .select(
-        TextOps.roundBp(element_at(qArr, col("i") + 1)).as("q_bp"),
-        TextOps.roundBp(col("x")).as("exact_bp"))
+        TextOps.roundBp(col("q")).as("q_bp"),
+        TextOps.roundBp(col("exact")).as("exact_bp"))
     ranked
       .withColumn("rn", row_number().over(first))
       .filter(col("rn") === 1)

@@ -234,6 +234,28 @@ class PlanSpec extends SparkSpec {
     assert(ps.forall(!_.contains("CartesianProduct")))
   }
 
+  test("exact percentiles: no full-value percentile() agg buffer in either plan") {
+    // q_events_percentiles and q_hist_quantiles must compute their exact
+    // quantiles via the histogram-guided two-pass rank — Spark's
+    // percentile() TypedImperativeAggregate buffers EVERY group value in
+    // the aggregation buffer, an OOM at 100 TB per-group volumes
+    for (q <- Seq("q_events_percentiles", "q_hist_quantiles")) {
+      val p = plan(q).toLowerCase
+      assert(!p.contains("percentile"), s"$q plans a percentile agg buffer")
+      // TypedImperativeAggregate plans as ObjectHashAggregate / SortAggregate
+      // with object state; these plans should be pure hash aggs + windows
+      assert(!p.contains("objecthashaggregate"), s"$q plans object-state aggregation")
+    }
+    // the eagerly-executed stats pass (graft.Local) must be clean too
+    val eager = executedPlans {
+      SparkEntry.queries("q_events_percentiles")(spark, dir).count()
+      SparkEntry.queries("q_hist_quantiles")(spark, dir).count()
+    }
+    assert(eager.nonEmpty)
+    eager.foreach(p => assert(!p.toLowerCase.contains("percentile"),
+      "an eager pass still runs a percentile agg"))
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // dropping out of codegen (a UDF, a non-codegen Expression) is a
     // silent 2-5x CPU regression at 100 TB — pin that the scan-heavy and

@@ -60,4 +60,40 @@ class StatsOpsSpec extends SparkSpec {
     // 499.5 + 99.9 * (500-500)/100 = 499.5 -> est 4995000; exact 499.5
     assert(got == ((5000L, 4995000L, 4995000L)))
   }
+
+  test("exactPercentiles: bit-identical to Spark's percentile() aggregate") {
+    // mixed group sizes, duplicates, negatives, a 1-row group, an all-equal
+    // group — every interpolation branch (integral position, equal
+    // neighbors, true interpolation) and the lo==hi bucket guard
+    val df = Seq(
+      ("a", 3.5), ("a", -1.25), ("a", 3.5), ("a", 10.0), ("a", 0.5),
+      ("b", 42.0),
+      ("c", 7.0), ("c", 7.0), ("c", 7.0),
+      ("d", 1.0), ("d", 2.0)).toDF("g", "v")
+    val qs = Seq(0.0, 0.25, 0.5, 0.95, 1.0)
+    val got = StatsOps.exactPercentiles(df, "v", Seq("g"), qs, nb = 4)
+      .select($"g", $"qi", $"exact").as[(String, Int, Double)].collect()
+      .map { case (g, qi, x) => (g, qi) -> x }.toMap
+    val want = df.groupBy($"g")
+      .agg(org.apache.spark.sql.functions.expr(
+        s"percentile(v, array(${qs.mkString("D,")}D))").as("p"))
+      .select($"g", $"p").as[(String, Seq[Double])].collect()
+      .flatMap { case (g, ps) => ps.zipWithIndex.map { case (x, i) => (g, i) -> x } }
+      .toMap
+    assert(got.keySet == want.keySet)
+    // java.lang.Double.compare catches a sign/NaN mismatch too; exact
+    // equality is the contract (same arithmetic, not "close")
+    want.foreach { case (k, x) =>
+      assert(java.lang.Double.compare(got(k), x) == 0, s"$k: got ${got(k)} want $x")
+    }
+  }
+
+  test("exactPercentiles: global (no group) matches percentile()") {
+    val df = (1 to 101).map(i => (i * i).toDouble).toDF("v")
+    val got = StatsOps.exactPercentiles(df, "v", Seq.empty, Seq(0.5, 0.9))
+      .select($"qi", $"exact").as[(Int, Double)].collect().toMap
+    val want = df.agg(org.apache.spark.sql.functions.expr(
+      "percentile(v, array(0.5D, 0.9D))").as("p")).as[Seq[Double]].head()
+    assert(got(0) == want(0) && got(1) == want(1), s"$got vs $want")
+  }
 }
