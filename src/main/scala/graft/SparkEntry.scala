@@ -1162,9 +1162,13 @@ object SparkEntry {
     "q_media_dims" -> ((s, dir) =>
       MultimodalOps.mediaDims(
         MultimodalOps.plantDims(MultimodalOps.asMedia(t(s, dir, "documents"))))),
-    // Typed per-partition batch decode (stubbed codec, real plumbing).
+    // REAL compressed decode: RLE-encoded bitmap (GRFZ magic + big-endian
+    // dims + (count,value) run pairs) planted into the payload; the typed
+    // mapPartitions batch path runs an actual decompression loop — channel
+    // means + compression metadata exist only in the decompressed stream.
     "q_media_features" -> ((s, dir) =>
-      MultimodalOps.mediaFeatures(MultimodalOps.asMedia(t(s, dir, "documents")))),
+      MultimodalOps.mediaFeatures(
+        MultimodalOps.plantRle(MultimodalOps.asMedia(t(s, dir, "documents"))))),
     // REAL bitmap decode: magic + big-endian dims + raw RGB block planted
     // into the payload, per-channel means/extremes parsed back out of the
     // bytes in the typed mapPartitions batch path — nothing stubbed.
@@ -2915,14 +2919,31 @@ object SparkEntry {
         "('0x' || substr(p, 17, 8))::BIGINT AS height, " +
         "CAST(length(p) // 2 - 12 AS BIGINT) AS body_bytes " +
         "FROM ph ORDER BY media_id"),
+    // mirrors MultimodalOps.plantRle + decodeFeatures: the oracle replays
+    // the generative run formula (decompressed byte i = value of run
+    // i div R) for ground truth; the Spark side only ever reads the
+    // compressed binary and genuinely decompresses it.
     "q_media_features" ->
-      (s"WITH $duckMedia " +
-        "SELECT media_id, kind, n_bytes, b_first, b_last, " +
-        "(b_first + b_last) % 256 AS checksum FROM (" +
-        "SELECT media_id, kind, n AS n_bytes, " +
-        "('0x' || substr(h, 1, 2))::BIGINT AS b_first, " +
-        "('0x' || substr(h, n * 2 - 1, 2))::BIGINT AS b_last FROM media) " +
-        "ORDER BY media_id"),
+      ("WITH px AS (SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "((doc_id * 3 + 2) % 9) + 2 AS w, " +
+        "((doc_id * 5 + 1) % 7) + 2 AS h, " +
+        "(doc_id % 5) + 3 AS r FROM documents), " +
+        "d AS (SELECT *, w * h * 3 AS n, (w * h * 3 + r - 1) // r AS k FROM px), " +
+        "u AS (SELECT media_id, kind, w, h, n, k, r, " +
+        "unnest(range(0, n)) AS i FROM d), " +
+        "b AS (SELECT media_id, kind, w, h, n, k, " +
+        "(media_id * 31 + (i // r) * 7) % 256 AS v, i % 3 AS ch FROM u) " +
+        "SELECT media_id, kind, CAST(w AS BIGINT) AS width, " +
+        "CAST(h AS BIGINT) AS height, " +
+        "CAST(w * h AS BIGINT) AS n_px, CAST(k AS BIGINT) AS n_runs, " +
+        "CAST(12 + 2 * k AS BIGINT) AS comp_bytes, " +
+        "CAST((12 + 2 * k) * 10000 // (12 + n) AS BIGINT) AS ratio_bp, " +
+        "CAST(sum(v) FILTER (WHERE ch = 0) // (w * h) AS BIGINT) AS r_mean, " +
+        "CAST(sum(v) FILTER (WHERE ch = 1) // (w * h) AS BIGINT) AS g_mean, " +
+        "CAST(sum(v) FILTER (WHERE ch = 2) // (w * h) AS BIGINT) AS b_mean " +
+        "FROM b GROUP BY media_id, kind, w, h, n, k ORDER BY media_id"),
     // mirrors MultimodalOps.plantPixels + decodePixels: the oracle computes
     // ground truth from the generative pixel formula; the Spark side
     // genuinely parses the same values back out of the planted binary.

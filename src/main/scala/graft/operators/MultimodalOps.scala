@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** One opaque media item: binary payload + typed metadata. */
 case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
-/** Stub "decoded" features — deterministic byte statistics standing in for
-  * codec output (see [[MultimodalOps.decodeFeatures]]).
+/** REAL decode output of the RLE-compressed bitmap format planted by
+  * [[MultimodalOps.plantRle]]: dimensions, run/compression metadata, and
+  * per-channel means — every value computed only by actually decompressing
+  * the run-length stream (see [[MultimodalOps.decodeFeatures]]).
   */
 case class MediaFeatures(
-    media_id: Long, kind: String, n_bytes: Long,
-    b_first: Long, b_last: Long, checksum: Long)
+    media_id: Long, kind: String, width: Long, height: Long,
+    n_px: Long, n_runs: Long, comp_bytes: Long, ratio_bp: Long,
+    r_mean: Long, g_mean: Long, b_mean: Long)
 
 /** REAL decode output of the uncompressed-bitmap format planted by
   * [[MultimodalOps.plantPixels]]: per-channel mean (integer floor) and
@@ -34,15 +37,16 @@ case class MediaPixels(
   * payload as opaque bytes, exactly as it would JPEG/FLAC frames.
   *
   * Decoding: no image/audio codecs exist in this container, so the decode
-  * surface comes in two tiers. [[decodePixels]] is a REAL decoder of a real
-  * (uncompressed) bitmap format — magic, big-endian dims, raw RGB block,
-  * planted by [[plantPixels]] — with per-channel statistics computed only
-  * from the parsed bytes. [[decodeFeatures]] keeps the generic codec-call
-  * plumbing shape (typed `Dataset[MediaRow]`, per-partition batch iteration
-  * with one-time decoder init — the Scala analog of `mapInPandas`
-  * batching), with the compressed-codec call itself stubbed by
-  * deterministic byte stats; swapping in a JPEG/FLAC library changes one
-  * function body.
+  * surface covers both halves of a real codec with formats whose bytes are
+  * genuinely parsed. [[decodePixels]] decodes an UNCOMPRESSED bitmap —
+  * magic, big-endian dims, raw RGB block, planted by [[plantPixels]] —
+  * with per-channel statistics computed only from the parsed bytes.
+  * [[decodeFeatures]] decodes a COMPRESSED variant of the same family
+  * ([[plantRle]]: run-length-encoded pixel stream), running an actual
+  * decompression loop in the typed `Dataset[MediaRow]` per-partition batch
+  * path (the Scala analog of `mapInPandas` batching, decoder state once
+  * per partition). Nothing is stubbed in either path: corrupt one payload
+  * byte and the output moves (spec-pinned for both).
   */
 object MultimodalOps {
 
@@ -262,30 +266,101 @@ object MultimodalOps {
       .orderBy(col("media_id"))
   }
 
-  /** The decode step — mapInPandas-analog plumbing, stubbed codec.
+  /** Plant an RLE-COMPRESSED bitmap — "GRFZ" magic + big-endian int32
+    * width/height + a run-length-encoded pixel stream of (count, value)
+    * byte pairs expanding to the w·h·3 interleaved RGB block — replacing
+    * each payload. The pixel matrix is generated in runs so the
+    * compression is real: run length `R = media_id % 5 + 3` (constant per
+    * item), run j's value is `(media_id*31 + j*7) % 256`, so decompressed
+    * pixel byte i equals `(media_id*31 + (i div R)*7) % 256` — a formula
+    * the DuckDB oracle replays for ground truth while the Spark side only
+    * ever reads the compressed binary. Same dims family as [[plantPixels]].
+    */
+  def plantRle(media: DataFrame): DataFrame = {
+    val pairsHex = array_join(
+      transform(sequence(lit(0L), col("k") - 1), j => concat(
+        lpad(lower(hex(least(col("r"), col("n") - j * col("r")))), 2, "0"),
+        lpad(lower(hex(pmod(col("media_id") * 31 + j * 7, lit(256)))), 2, "0"))),
+      "")
+    media
+      .withColumn("w", pmod(col("media_id") * 3 + 2, lit(9)) + 2)
+      .withColumn("h", pmod(col("media_id") * 5 + 1, lit(7)) + 2)
+      .withColumn("r", pmod(col("media_id"), lit(5)) + 3)
+      .withColumn("n", col("w") * col("h") * 3)
+      .withColumn("k", expr("(n + r - 1) div r"))
+      .select(
+        col("media_id"), col("kind"),
+        to_binary(concat(
+          lit("4752465a"), // "GRFZ"
+          lpad(lower(hex(col("w"))), 8, "0"),
+          lpad(lower(hex(col("h"))), 8, "0"),
+          pairsHex), lit("hex")).as("payload"))
+  }
+
+  /** The compressed-decode step — a REAL decompression loop, not a stub:
+    * parse the [[plantRle]] container (magic, big-endian dims), then walk
+    * the run-length stream expanding each (count, value) pair into the
+    * interleaved RGB index space while accumulating per-channel sums. The
+    * channel means exist ONLY in the decompressed stream — corrupting one
+    * compressed value byte moves them, corrupting a count byte breaks the
+    * expansion invariant and dead-letters the row (both spec-pinned).
     *
-    * Real shape, kept: typed input/output schemas, `mapPartitions` so a
-    * decoder handle is initialized once per PARTITION (not per row) and rows
-    * stream through as a batch iterator, executor-parallel, no driver
-    * involvement.
-    *
-    * Stubbed: the codec call itself. A real implementation would replace
-    * the body of `decodeOne` with e.g. JPEG decode + feature extraction;
-    * here it computes deterministic byte statistics so tests and oracles
-    * can verify the pipeline exactly.
+    * Plumbing shape shared with [[decodePixels]]: typed input/output
+    * schemas, `mapPartitions` so decoder state is initialized once per
+    * PARTITION (not per row) and rows stream through as a batch iterator,
+    * executor-parallel, no driver involvement. Payloads failing magic,
+    * length-parity, run-bounds, or total-size checks take the dead-letter
+    * path. Also emits the compression metadata a pipeline records at this
+    * step: run count, compressed size, and compressed/raw ratio in bp.
     */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // Per-partition decoder init would happen here (once per task).
-      def decodeOne(r: MediaRow): MediaFeatures = {
-        // STUB: deterministic fake standing in for codec output.
+      val magic = Array[Byte](0x47, 0x52, 0x46, 0x5a) // "GRFZ"
+      def be32(b: Array[Byte], off: Int): Long =
+        ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+          ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      rows.flatMap { r =>
         val b = r.payload
-        val first = if (b.nonEmpty) (b(0) & 0xff).toLong else 0L
-        val last = if (b.nonEmpty) (b(b.length - 1) & 0xff).toLong else 0L
-        MediaFeatures(r.media_id, r.kind, b.length.toLong, first, last, (first + last) % 256)
+        if (b.length < 14 || (b.length - 12) % 2 != 0 ||
+          !b.take(4).sameElements(magic)) None
+        else {
+          val w = be32(b, 4)
+          val h = be32(b, 8)
+          val nPx = w * h
+          val n = nPx * 3
+          if (w < 1 || h < 1) None
+          else {
+            // the decompression loop: expand each (count, value) pair into
+            // the interleaved channel space; i is the decompressed index
+            val sums = new Array[Long](3)
+            var i = 0L
+            var p = 12
+            var ok = true
+            while (ok && p < b.length) {
+              val c = b(p) & 0xff
+              val v = (b(p + 1) & 0xff).toLong
+              if (c == 0 || i + c > n) ok = false
+              else {
+                var t = 0L
+                while (t < c) {
+                  sums(((i + t) % 3).toInt) += v
+                  t += 1
+                }
+                i += c
+              }
+              p += 2
+            }
+            if (!ok || i != n) None
+            else {
+              val comp = b.length.toLong
+              Some(MediaFeatures(r.media_id, r.kind, w, h, nPx,
+                (b.length - 12L) / 2, comp, comp * 10000L / (n + 12),
+                sums(0) / nPx, sums(1) / nPx, sums(2) / nPx))
+            }
+          }
+        }
       }
-      rows.map(decodeOne)
     }
   }
 

@@ -49,20 +49,42 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(rows(0).getAs[String]("frame_hex") == expected)
   }
 
-  test("decodeFeatures: typed per-partition decode emits byte stats") {
-    val media = MultimodalOps.asMedia(docs((1L, "hello"))).repartition(4)
+  test("decodeFeatures: RLE stream genuinely decompresses to formula stats") {
+    // id 1: w = (3+2)%9+2 = 7, h = (5+1)%7+2 = 8, n = 168 pixel bytes;
+    // run length R = 1%5+3 = 4, k = ceil(168/4) = 42 runs
+    val media = MultimodalOps.plantRle(MultimodalOps.asMedia(docs((1L, "x")))).repartition(3)
     val got = MultimodalOps.decodeFeatures(media.as[MediaRow]).collect()
     assert(got.length == 1)
     val f = got(0)
-    assert(f.n_bytes == 5L)
-    assert(f.b_first == 'h'.toLong && f.b_last == 'o'.toLong)
-    assert(f.checksum == ('h' + 'o') % 256)
+    assert((f.width, f.height, f.n_px, f.n_runs) == ((7L, 8L, 56L, 42L)))
+    assert(f.comp_bytes == 12L + 2 * 42) // 84 pair bytes + header
+    assert(f.ratio_bp == (12L + 84) * 10000 / (12 + 168))
+    // ground truth from the generative formula: byte i = run (i div 4)'s value
+    val vs = (0 until 168).map(i => (i % 3, (1L * 31 + (i / 4) * 7) % 256))
+    def ch(c: Int) = vs.collect { case (`c`, v) => v }
+    assert((f.r_mean, f.g_mean, f.b_mean) ==
+      ((ch(0).sum / 56, ch(1).sum / 56, ch(2).sum / 56)))
+    // the stats really come from DECOMPRESSING the bytes:
+    // corrupt one compressed VALUE byte -> the channel means move
+    val raw = media.as[MediaRow].head().payload.clone()
+    raw(13) = 0xff.toByte // value byte of run 0
+    val f2 = MultimodalOps.decodeFeatures(Seq(MediaRow(1L, "image", raw)).toDS()).collect()(0)
+    assert(f2.r_mean != f.r_mean || f2.g_mean != f.g_mean || f2.b_mean != f.b_mean)
+    // corrupt a COUNT byte -> expansion no longer sums to w*h*3 -> dead-letter
+    val raw2 = media.as[MediaRow].head().payload.clone()
+    raw2(12) = 0x01.toByte // run 0 length 4 -> 1
+    assert(MultimodalOps.decodeFeatures(Seq(MediaRow(1L, "image", raw2)).toDS()).collect().isEmpty)
   }
 
-  test("decodeFeatures: empty payload is safe") {
-    val media = Seq(MediaRow(9L, "image", Array.emptyByteArray)).toDS()
-    val f = MultimodalOps.decodeFeatures(media).collect()(0)
-    assert(f.n_bytes == 0L && f.b_first == 0L && f.b_last == 0L)
+  test("decodeFeatures: malformed payloads take the dead-letter path") {
+    val bad = Seq(
+      MediaRow(1L, "image", Array.emptyByteArray),             // too short
+      MediaRow(2L, "image", "XXXX000000000000000000".getBytes), // wrong magic
+      MediaRow(3L, "image", Array[Byte](0x47, 0x52, 0x46, 0x5a, // odd pair bytes
+        0, 0, 0, 1, 0, 0, 0, 1, 3, 7, 9)),
+      MediaRow(4L, "image", Array[Byte](0x47, 0x52, 0x46, 0x5a, // zero-count run
+        0, 0, 0, 1, 0, 0, 0, 1, 0, 7)))
+    assert(MultimodalOps.decodeFeatures(bad.toDS()).collect().isEmpty)
   }
 
   test("decodePixels: planted bitmap parses back to formula-exact channel stats") {
