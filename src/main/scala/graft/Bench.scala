@@ -67,10 +67,26 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
     println(json)
     // stdout tails get clipped by log capture once the query map grows past
-    // ~70 entries — the full artifact always lands on disk as well
+    // ~70 entries — the full artifact always lands on disk as well.
+    //
+    // PROTOCOL (the single source of claimed numbers): the on-disk artifact
+    // records BOTH raw passes next to the min, plus the run mode — "suite"
+    // (every declared query, interference included) vs "subset"
+    // (SPARK_GRAFT_BENCH_ONLY, the solo protocol). Any number quoted in a
+    // commit message or doc must cite this artifact, mode included; a solo
+    // subset number and a suite number are DIFFERENT measurements and the
+    // artifact now keeps them distinguishable instead of letting a solo
+    // claim silently stand in for the suite result.
+    val mode = if (only.isDefined) "subset" else "suite"
+    def secOrNull(e: Either[String, Double]): String =
+      e.fold(_ => "-1", _.toString)
+    val passes = names.map(n =>
+      s""""$n":[${secOrNull(pass1(n))},${secOrNull(pass2(n))}]""")
+      .mkString("{", ",", "}")
+    val fullJson = json.dropRight(1) + s""","mode":"$mode","passes":$passes}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(outFile), json.getBytes("UTF-8"))
+      java.nio.file.Paths.get(outFile), fullJson.getBytes("UTF-8"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
