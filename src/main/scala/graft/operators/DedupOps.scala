@@ -262,7 +262,8 @@ object DedupOps {
       idCol: String = "doc_id",
       textCol: String = "text",
       thresholdBp: Int = 8000,
-      maxDocFreq: Int = 0): DataFrame = {
+      maxDocFreq: Int = 0,
+      hashPostingsKey: Boolean = false): DataFrame = {
     val s = corpus.select(
       col(idCol),
       array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), 3)).as("shs"))
@@ -270,13 +271,22 @@ object DedupOps {
     // a pushed-down filter would re-evaluate the whole tokenize+shingle
     // tree once more per row at the scan
     //
-    // postings key = the raw shingle STRING, deliberately: hashing it to a
-    // 60-bit long narrows the exchange but costs one md5 per posting, and
-    // measured at sf0.1 the md5 LOST (4.5 s → 5.8 s) — the 3-word keys are
-    // short enough that hashing is the bottleneck, not the shuffle. At a
-    // scale where shuffle IO dominates, swap in StableHash.hash60 (or the
-    // Spark-only xxhash64) here and in the oracle's `z` CTE.
-    val inv = s.select(col(idCol), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+    // postings key: raw shingle STRING by default. Hashing it narrows the
+    // exchange but costs a hash per posting; measured twice:
+    //  - sf0.1 (50 K docs): md5-based hash60 LOST (4.5 s → 5.8 s) — the
+    //    3-word keys are short enough that hashing, not shuffle, is the
+    //    bottleneck;
+    //  - 10× scale (50 K docs, graft.tools.HashTradeCheck, interleaved
+    //    min-of-two): TIE — 4.81 s string vs 4.75 s xxhash64
+    //    (HASH_trade.txt). Shuffle does not dominate yet even one decade
+    //    up; the crossover is further out than the verdict guessed.
+    // `hashPostingsKey` switches to the codegen'd xxhash64 (no md5 cost).
+    // Results are identical up to 64-bit hash collisions merging two
+    // shingles' postings (≈ n²/2⁶⁵ — negligible, but the declared
+    // oracle-compared query keeps the exact string key; DuckDB cannot
+    // mirror xxhash64).
+    val inv0 = s.select(col(idCol), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+    val inv = if (hashPostingsKey) inv0.withColumn("sh", xxhash64(col("sh"))) else inv0
     // Postings-list collect + in-array pairing, NOT an inverted self-join:
     // the self-join is a diamond that computes the tokenize+shingle
     // pipeline twice with no exchange reuse. Each posting carries (id, n)
