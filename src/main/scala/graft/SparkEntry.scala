@@ -1236,6 +1236,30 @@ object SparkEntry {
         EventOps.rollupState(ev.filter(col("ts") < cutoff)),
         EventOps.rollupState(ev.filter(col("ts") >= cutoff)))
     }),
+    // JOIN-view IVM: the orders-x-customer view is built on the OLD halves
+    // only, then maintained by the three delta-join legs when the new
+    // orders batch and the new customers batch land — must equal the
+    // oracle's from-scratch join of the FULL tables (the IVM contract).
+    "q_ivm_join" -> ((s, dir) => {
+      import graft.operators.MergeOps
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          col("o_totalprice"), col("o_orderdate"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val cutoff = lit("1996-06-01").cast("timestamp")
+      val (oOld, oNew) =
+        (orders.filter(col("o_orderdate") < cutoff),
+          orders.filter(col("o_orderdate") >= cutoff))
+      val (cOld, cNew) =
+        (cust.filter(pmod(col("c_custkey"), lit(10)) =!= 0),
+          cust.filter(pmod(col("c_custkey"), lit(10)) === 0))
+      val view = oOld.join(cOld, Seq("c_custkey"))
+      MergeOps.maintainJoinView(view,
+          MergeOps.deltaJoin(oOld, oNew, cOld, cNew, Seq("c_custkey")))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          col("o_totalprice").as("price"))
+        .orderBy(col("o_orderkey"))
+    }),
     // Equi-width histogram of lineitem prices: 1-row bounds broadcast +
     // one partial+final count per bucket (fixed-size mergeable summary).
     "q_histogram" -> ((s, dir) =>
@@ -2803,6 +2827,12 @@ object SparkEntry {
         "(n_rows + n_files - 1) // n_files AS rows_per_file FROM f ORDER BY source"),
     // mirrors q_ivm_agg: the oracle aggregates the WHOLE table from
     // scratch — equality proves the split+merge maintained the view
+    // mirrors q_ivm_join: from-scratch join of the FULL tables — equality
+    // proves the delta-join maintenance reproduced the recompute exactly
+    "q_ivm_join" ->
+      ("SELECT o_orderkey, c_custkey, c_name, o_totalprice AS price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY o_orderkey"),
     "q_ivm_agg" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
         s"CAST(sum(${TextOps.roundBpSql("value")}) AS BIGINT) AS value_bp " +

@@ -31,4 +31,40 @@ object MergeOps {
       .select(dataCols.map(col): _*)
     survivors.unionByName(applied)
   }
+
+  /** Incremental maintenance of a JOIN view under inserts — the join-view
+    * complement of [[EventOps.rollupState]]/[[EventOps.mergeRollupStates]]
+    * (which maintain AGGREGATE views). The algebra is the classic delta
+    * rule: with inserts ΔA and ΔB,
+    *
+    *   Δ(A ⋈ B) = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    *
+    * so a 100 TB materialized join is NEVER recomputed when a day's batch
+    * lands: the three delta legs each join a SMALL delta against one side
+    * (broadcast when the delta fits, shuffle of the delta only otherwise —
+    * the big sides are probed, not reshuffled into each other), and the
+    * maintained view is the old view plus the delta rows by append.
+    * Insert-only by contract: deletes/updates need multiplicity-counted
+    * views (the [[applyChanges]] CDC path handles whole-row upserts on base
+    * tables; composing the two is the production pattern).
+    *
+    * Inputs must share the join column names in `keys` (rename before the
+    * call). Equality `viewOf(A∪ΔA, B∪ΔB) == maintain(viewOf(A,B), deltas)`
+    * is the IVM contract — oracle-verified by `q_ivm_join` against a
+    * from-scratch DuckDB join of the full tables, and spec-pinned for
+    * arbitrary splits including empty deltas.
+    */
+  def deltaJoin(
+      aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame,
+      keys: Seq[String]): DataFrame =
+    aDelta.join(bOld, keys)
+      .unionByName(aOld.join(bDelta, keys))
+      .unionByName(aDelta.join(bDelta, keys))
+
+  /** Apply [[deltaJoin]]'s delta to the existing materialization: pure
+    * append — the view is never scanned, let alone recomputed.
+    */
+  def maintainJoinView(view: DataFrame, delta: DataFrame): DataFrame =
+    view.unionByName(delta)
 }

@@ -30,4 +30,29 @@ class MergeOpsSpec extends SparkSpec {
       .orderBy("k").as[(Long, String)].collect().toSeq
     assert(twice == once.orderBy("k").as[(Long, String)].collect().toSeq)
   }
+
+  // the IVM contract: maintain(viewOf(oldA, oldB), deltas) must equal
+  // viewOf(A, B) recomputed from scratch, for ANY split of A and B
+  private def ivmCheck(splitA: Long => Boolean, splitB: Long => Boolean): Unit = {
+    val a = Seq((1L, 10L, "x"), (2L, 20L, "y"), (3L, 10L, "z"), (4L, 30L, "w"))
+      .toDF("a_id", "k", "av")
+    val b = Seq((10L, "P"), (20L, "Q"), (30L, "R")).toDF("k", "bv")
+    val (aOld, aNew) = (a.filter(r => splitA(r.getLong(0))), a.filter(r => !splitA(r.getLong(0))))
+    val (bOld, bNew) = (b.filter(r => splitB(r.getLong(0))), b.filter(r => !splitB(r.getLong(0))))
+    val maintained = MergeOps.maintainJoinView(
+      aOld.join(bOld, Seq("k")),
+      MergeOps.deltaJoin(aOld, aNew, bOld, bNew, Seq("k")))
+      .select("a_id", "k", "av", "bv")
+      .orderBy("a_id").as[(Long, Long, String, String)].collect().toSeq
+    val scratch = a.join(b, Seq("k")).select("a_id", "k", "av", "bv")
+      .orderBy("a_id").as[(Long, Long, String, String)].collect().toSeq
+    assert(maintained == scratch, s"splitA/splitB broke IVM: $maintained vs $scratch")
+  }
+
+  test("deltaJoin: maintained view == from-scratch join for arbitrary splits") {
+    ivmCheck(_ <= 2, _ <= 20)   // both sides split
+    ivmCheck(_ => true, _ <= 10) // empty delta A
+    ivmCheck(_ <= 1, _ => true)  // empty delta B
+    ivmCheck(_ => false, _ => false) // everything arrives as delta
+  }
 }
