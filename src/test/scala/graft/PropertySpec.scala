@@ -204,4 +204,36 @@ class PropertySpec extends SparkSpec {
         twice.forall(_.getAs[Long]("n_copies") == 1L)
     })
   }
+
+  test("property: exactPercentiles == percentile() for arbitrary groups/values") {
+    // the histogram-guided two-pass rank must be BIT-identical to Spark's
+    // full-buffer aggregate on any value distribution: duplicates, negative
+    // values, 1-row groups, all-equal groups, tiny nb (every order
+    // statistic shares one bucket) and values spanning many magnitudes
+    val genRows: Gen[List[(String, Double)]] = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.frequency(
+        4 -> Gen.chooseNum(-1000.0, 1000.0),
+        2 -> Gen.chooseNum(-5, 5).map(_.toDouble), // forces duplicates
+        1 -> Gen.oneOf(-1e12, 1e12, 0.0))
+    } yield (g, v))
+    val gen = for {
+      rows <- genRows
+      nb <- Gen.oneOf(1, 2, 7, 64)
+      q <- Gen.chooseNum(0.0, 1.0)
+    } yield (rows, nb, q)
+    check("exactPercentiles", 15, Prop.forAll(gen) { case (rows, nb, q) =>
+      val df = rows.toDF("g", "v")
+      val got = graft.operators.StatsOps
+        .exactPercentiles(df, "v", Seq("g"), Seq(q, 0.5), nb)
+        .filter(col("qi") === 0)
+        .select(col("g"), col("exact")).as[(String, Double)].collect().toMap
+      val want = df.groupBy(col("g"))
+        .agg(expr(s"percentile(v, ${q}D)").as("p"))
+        .as[(String, Double)].collect().toMap
+      got.keySet == want.keySet && want.forall { case (g, x) =>
+        java.lang.Double.compare(got(g), x) == 0
+      }
+    })
+  }
 }
