@@ -28,6 +28,12 @@ case class ScoredEvent(event_id: Long, event_type: String, value: Double)
   */
 case class ChangeRow(k: Long, name: String, v: Double, op: String)
 
+/** One tagged insert for the streaming join-view maintenance loop:
+  * `side` is A/B; A rows carry (k, a_v), B rows carry (k, b_w) — the
+  * irrelevant payload column is ignored for the other side.
+  */
+case class JoinDelta(side: String, k: Long, a_v: Double, b_w: String)
+
 /** Bounded per-key state for [[StreamingOps.topKPerKey]]: at most k
   * (value, event_id) entries, best-first.
   */
