@@ -887,6 +887,11 @@ object SparkEntry {
     // surrogate, per-term bp rounding so totals are integer-exact).
     "q_text_bm25" -> ((s, dir) =>
       TextOps.bm25(t(s, dir, "documents"), bm25Terms)),
+    // Positional inverted index + adjacent-token phrase query: per-term
+    // postings shifted by phrase offset and intersected on (doc, pos) —
+    // shuffle bounded by the query terms' frequency, not corpus size.
+    "q_index_phrase" -> ((s, dir) =>
+      TextOps.phraseSearch(t(s, dir, "documents"), phraseTerms)),
     // Skip-gram co-occurrence lift (integer-exact PMI surrogate) — the
     // collocation statistic a word2vec-style pipeline factorizes.
     "q_skipgram_lift" -> ((s, dir) =>
@@ -987,6 +992,11 @@ object SparkEntry {
     // designer reads before setting sampling weights.
     "q_source_overlap" -> ((s, dir) =>
       DedupOps.sourceOverlap(t(s, dir, "documents"))),
+    // Blocked edit-distance entity resolution: prefix-block equi-join
+    // bounds the pair space, codegen'd levenshtein on bounded titles,
+    // best-match-per-record window on the join's own partitioning.
+    "q_entity_match" -> ((s, dir) =>
+      DedupOps.entityMatch(t(s, dir, "documents"))),
     // The production pipeline: LSH candidates → exact-Jaccard verify.
     "q_dedup_verified" -> ((s, dir) =>
       DedupOps.verifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents")),
@@ -1450,6 +1460,8 @@ object SparkEntry {
 
   /** Fixed query terms for the BM25 ranking query. */
   private val bm25Terms = Seq("join", "merge", "sort")
+
+  private val phraseTerms = Seq("value", "table")
 
   private def duckInList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
@@ -2065,6 +2077,22 @@ object SparkEntry {
         "SELECT row_number() OVER (ORDER BY score_bp DESC, doc_id) AS rank, " +
         "doc_id, score_bp FROM sc ORDER BY rank"
     },
+    // mirrors TextOps.phraseSearch: positional postings via the zipped
+    // unnest/generate_subscripts pair (1-based), per-term position shift,
+    // intersection on (doc, pos).
+    "q_index_phrase" -> {
+      val words = phraseTerms
+      val joins = words.zipWithIndex.drop(1).map { case (w, i) =>
+        s"JOIN tp p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i " +
+          s"AND p$i.term = '$w' "
+      }.mkString
+      s"WITH d AS (SELECT doc_id, $duckToks AS t FROM documents), " +
+        "tp AS (SELECT doc_id, unnest(t) AS term, " +
+        "generate_subscripts(t, 1) AS pos FROM d) " +
+        "SELECT p0.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_hits, " +
+        s"min(p0.pos) AS first_pos FROM tp p0 $joins" +
+        s"WHERE p0.term = '${words.head}' GROUP BY 1 ORDER BY doc_id"
+    },
     // mirrors TextOps.packSequences (budget 512): the oracle's single
     // global prefix sum equals the engine's two-level shard decomposition.
     // The window sum MUST be cast back to BIGINT: DuckDB's sum(BIGINT) is
@@ -2265,6 +2293,17 @@ object SparkEntry {
         "AS jaccard_bp " +
         "FROM cm JOIN ps pa ON pa.src = cm.src_a JOIN ps pb ON pb.src = cm.src_b " +
         "ORDER BY src_a, src_b"),
+    "q_entity_match" ->
+      ("WITH t AS (SELECT doc_id, source, left(text, 40) AS title, " +
+        "left(text, 12) AS blk FROM documents), " +
+        "p AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, " +
+        "a.source AS a_source, b.source AS b_source, " +
+        "levenshtein(a.title, b.title) AS lev_dist " +
+        "FROM t a JOIN t b ON a.blk = b.blk AND a.source < b.source), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY a_doc_id " +
+        "ORDER BY lev_dist, b_doc_id) AS rn FROM p WHERE lev_dist <= 10) " +
+        "SELECT a_doc_id, b_doc_id, a_source, b_source, lev_dist " +
+        "FROM r WHERE rn = 1 ORDER BY a_doc_id"),
     "q_sim_topk" -> s"WITH $duckSimCtes $duckTopKSelect",
     "q_sim_lsh" -> s"WITH $duckLshCtes $duckTopKSelect",
     "q_sim_ivf" ->

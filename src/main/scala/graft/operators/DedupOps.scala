@@ -624,6 +624,58 @@ object DedupOps {
     *
     * Output: (src_a, src_b, n_a, n_b, n_common, jaccard_bp), src_a < src_b.
     */
+  /** Blocked edit-distance entity resolution — the record-linkage / fuzzy-
+    * join workload (Köpcke & Rahm's blocking+matching decomposition): find,
+    * for every record, its best approximate match in a LATER source,
+    * comparing bounded title keys under Levenshtein distance. The
+    * cross-source contract makes this the linkage complement of
+    * [[jaccardPairs]] (which finds within-corpus near-copies): here two
+    * catalogs describe the same entities with small textual drift and the
+    * task is picking each record's counterpart.
+    *
+    * Blocking is what makes edit-distance matching tractable at 100 TB:
+    * Levenshtein admits no algebraic index, so candidate pairs MUST come
+    * from an equi-joinable key — here the title's first `blockLen` chars.
+    * The pair space is then one hash join on the block key, never
+    * all-pairs; an edit inside the block prefix loses the pair (recall
+    * traded for the equi-join, the standard blocking compromise — run
+    * multiple passes with different keys to recover). Per-block fan-out is
+    * bounded by block cardinality; prefix blocks on natural text are
+    * near-uniform, and a skewed key distribution takes the same hot-bucket
+    * cap [[jaccardPairs]] uses. Best-match selection is one `row_number`
+    * window partitioned by the left id — the partitioning the pair join
+    * already produced, so no extra shuffle stage beyond the window sort.
+    *
+    * The distance itself runs on `titleLen`-bounded strings: O(titleLen²)
+    * per candidate pair through Spark's codegen'd `levenshtein`, never on
+    * full documents.
+    *
+    * Output: (a_doc_id, b_doc_id, a_source, b_source, lev_dist) — the
+    * single best (min distance, then min b_doc_id) match per left doc
+    * with dist <= maxDist, a_source < b_source.
+    */
+  def entityMatch(docs: DataFrame, titleLen: Int = 40, blockLen: Int = 12,
+      maxDist: Int = 10, idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val t = docs.select(col(idCol).as("id"), col(srcCol).as("src"),
+      substring(col(textCol), 1, titleLen).as("title"),
+      substring(col(textCol), 1, blockLen).as("blk"))
+    val a = t.select(col("blk"), col("id").as("a_doc_id"),
+      col("src").as("a_source"), col("title").as("a_title"))
+    val b = t.select(col("blk"), col("id").as("b_doc_id"),
+      col("src").as("b_source"), col("title").as("b_title"))
+    val pairs = a.join(b, Seq("blk"))
+      .filter(col("a_source") < col("b_source"))
+      .withColumn("lev_dist", levenshtein(col("a_title"), col("b_title")).cast("long"))
+      .filter(col("lev_dist") <= maxDist)
+    val w = Window.partitionBy(col("a_doc_id"))
+      .orderBy(col("lev_dist"), col("b_doc_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("a_doc_id"), col("b_doc_id"), col("a_source"),
+        col("b_source"), col("lev_dist"))
+      .orderBy(col("a_doc_id"))
+  }
+
   def sourceOverlap(docs: DataFrame, k: Int = 3, textCol: String = "text",
       srcCol: String = "source"): DataFrame = {
     val sh = docs

@@ -398,6 +398,49 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  /** Positional-postings phrase search — the inverted-index workload the
+    * original MapReduce papers used as the motivating example, taken to its
+    * query side: build (term, doc, position) postings, then answer an
+    * adjacent-token phrase query by position-offset intersection. The
+    * postings build is [[tokenFrequency]]'s explode with positions kept;
+    * the phrase match is the standard merge of per-term posting lists,
+    * expressed relationally as k-1 equi-joins on (doc, pos) with each
+    * term's positions shifted left by its phrase offset — a match exists
+    * exactly where all shifted lists agree.
+    *
+    * Scale shape: the term predicate applies map-side directly after the
+    * explode, so only postings of the k query terms ever shuffle — volume
+    * bounded by those terms' corpus frequency, not corpus size (the same
+    * bound [[bm25]] rides). Each join is an equi-join on (doc, pos), all
+    * k-1 of them sharing one key distribution, and the final per-doc
+    * count reuses the same doc partitioning. No window, no all-pairs, no
+    * driver state; a stop-word-heavy phrase degrades to the frequency of
+    * its RAREST term once the optimizer reorders the joins under AQE.
+    *
+    * Output: (doc_id, n_hits, first_pos) for documents containing the
+    * phrase as adjacent tokens; positions 1-based (oracle's
+    * `generate_subscripts` convention).
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one word")
+    val postings = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos0", "term")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("term"))
+    val first = postings.filter(col("term") === phrase.head)
+      .select(col(idCol), col("pos"))
+    val matches = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(
+          postings.filter(col("term") === w)
+            .select(col(idCol), (col("pos") - i).as("pos")),
+          Seq(idCol, "pos"))
+    }
+    matches.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+      .orderBy(col(idCol))
+  }
+
   /** The first step of BPE tokenizer training — corpus-wide adjacent
     * character-pair frequencies within tokens: the most frequent pair IS
     * the first merge rule, and iterating (merge, recount) yields the

@@ -241,4 +241,30 @@ class DedupOpsSpec extends SparkSpec {
     // disjoint pairs produce no row (no common shingle, nothing to join)
     assert(got == Seq(("s1", "s2", 2L, 1L, 1L, 5000L)))
   }
+
+  test("entityMatch: best cross-source match per record within prefix blocks") {
+    val df = Seq(
+      (1L, "blk1 target text one", "srcA"),
+      (2L, "blk1 target text onX", "srcB"), // dist 1 to doc 1
+      (3L, "blk1 target text oXe", "srcB"), // dist 1 too -> loses tie on id
+      (4L, "blk1 target teXT one", "srcB"), // dist 2
+      (5L, "blk1 zzzzzzzzzzzzzzzz", "srcB"), // same block, dist > maxDist
+      (6L, "blk2 something else.", "srcC")) // alone in its block
+      .toDF("doc_id", "text", "source")
+    val got = DedupOps.entityMatch(df, titleLen = 20, blockLen = 4, maxDist = 3)
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    // one row: doc 1's best match is doc 2 (min dist, then min id);
+    // srcB-srcB pairs are out (same source), 5 is out (maxDist), 6 has
+    // no block partner
+    assert(got == Seq((1L, 2L, "srcA", "srcB", 1L)))
+  }
+
+  test("entityMatch: an edit inside the block prefix loses the pair (blocking recall trade)") {
+    val df = Seq(
+      (1L, "abcd same tail here", "srcA"),
+      (2L, "abcX same tail here", "srcB")) // dist 1 overall, but block differs
+      .toDF("doc_id", "text", "source")
+    val got = DedupOps.entityMatch(df, titleLen = 19, blockLen = 4, maxDist = 5)
+    assert(got.count() == 0L)
+  }
 }

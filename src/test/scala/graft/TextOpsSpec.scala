@@ -245,6 +245,30 @@ class TextOpsSpec extends SparkSpec {
     assert(scores(1L) < scores(2L) * 2)
   }
 
+  test("phraseSearch: adjacent-token matches only, 1-based first_pos") {
+    val d = docs(
+      (1L, "x a b a b y"), // hits at pos 2 and 4
+      (2L, "a c b"),       // terms present but never adjacent
+      (3L, "a b"),         // hit at pos 1
+      (4L, "b a"))         // reversed order is not the phrase
+    val got = TextOps.phraseSearch(d, Seq("a", "b"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L), (3L, 1L, 1L)))
+  }
+
+  test("phraseSearch: overlapping self-phrase occurrences all count") {
+    val got = TextOps.phraseSearch(docs((1L, "a a a")), Seq("a", "a"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L)))
+  }
+
+  test("phraseSearch: three-word phrase folds through two position joins") {
+    val d = docs((1L, "z a b c a b"), (2L, "a b x c"))
+    val got = TextOps.phraseSearch(d, Seq("a", "b", "c"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 2L)))
+  }
+
   test("lmSurprisal: rare-token docs score higher, integer-exact means") {
     // counts: a=2, b=2, c=1, N=5; s(a)=s(b)=25000, s(c)=50000
     val got = TextOps.lmSurprisal(docs((1L, "a a b"), (2L, "b c")))
