@@ -209,6 +209,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_entity_match: pair space is a block-key equi-join; best-match is bounded GroupTopK") {
+    val p = plan("q_entity_match")
+    assert(p.contains("GroupTopKPartial") && p.contains("GroupTopKFinal"),
+      "best-match-per-record must plan as the bounded top-1 pair, not a full window sort")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "block pairing must be an equi-join on the block key")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_index_phrase: term predicates apply before the position joins; partial agg map-side") {
+    val p = plan("q_index_phrase")
+    // each postings leg filters to its query term directly after the
+    // explode, so only query-term postings ever reach a join shuffle
+    assert(p.contains(" = value)") && p.contains(" = table)"),
+      "per-term filters must appear in the plan before the joins")
+    assert(p.contains("partial_count"), "per-doc hit counts must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_pagerank: Pregel rounds partial-aggregate map-side") {
     val ps = executedPlans { SparkEntry.queries("q_pagerank")(spark, dir) }
     assert(ps.exists(_.contains("partial_sum")),
