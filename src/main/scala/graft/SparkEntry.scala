@@ -1198,6 +1198,10 @@ object SparkEntry {
 
     "q_events_hourly" -> ((s, dir) =>
       EventOps.tumblingAgg(t(s, dir, "events"), "hour")),
+    // Gap-filled hourly grid: generated (type x hour) spine left-joined to
+    // the aggregate — zeros where no event landed, raw table never rescanned.
+    "q_events_gapfill" -> ((s, dir) =>
+      EventOps.gapFillHourly(t(s, dir, "events"))),
     // As-of join: each purchase matched to the user's latest prior click —
     // one shuffle + one window pass, never a range-condition nested loop.
     "q_asof_join" -> ((s, dir) =>
@@ -1245,6 +1249,17 @@ object SparkEntry {
       EventOps.mergeRollupStates(
         EventOps.rollupState(ev.filter(col("ts") < cutoff)),
         EventOps.rollupState(ev.filter(col("ts") >= cutoff)))
+    }),
+    // DISTINCT-count IVM: count(distinct) is not mergeable on its own
+    // output, so the state is the multiplicity-counted support set — split
+    // at the same cutoff, states merged, view read off; must equal the
+    // oracle's from-scratch COUNT(DISTINCT) over the whole table.
+    "q_ivm_distinct" -> ((s, dir) => {
+      val ev = EventOps.normalizeTs(t(s, dir, "events"))
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      EventOps.distinctView(EventOps.mergeDistinctStates(
+        EventOps.distinctState(ev.filter(col("ts") < cutoff)),
+        EventOps.distinctState(ev.filter(col("ts") >= cutoff))))
     }),
     // JOIN-view IVM: the orders-x-customer view is built on the OLD halves
     // only, then maintained by the three delta-join legs when the new
@@ -2876,6 +2891,12 @@ object SparkEntry {
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
         s"CAST(sum(${TextOps.roundBpSql("value")}) AS BIGINT) AS value_bp " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    // mirrors q_ivm_distinct: from-scratch COUNT(DISTINCT) — equality
+    // proves the multiplicity state merged into the exact distinct view
+    "q_ivm_distinct" ->
+      ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "CAST(count(*) AS BIGINT) AS n_events " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     // mirrors EventOps.hourlyAnomalies (24 h trailing, lower medians,
     // MAD x 3, 12-hour warm-up)
     "q_events_anomaly" ->
@@ -3084,6 +3105,21 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n_events, " +
         "round(sum(value), 2) AS sum_value " +
         "FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type"),
+    "q_events_gapfill" ->
+      ("WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value " +
+        "FROM events GROUP BY 1, 2), " +
+        "span AS (SELECT date_trunc('hour', min(ts)) AS h0, " +
+        "date_trunc('hour', max(ts)) AS h1 FROM events), " +
+        "ty AS (SELECT DISTINCT event_type FROM events), " +
+        "spine AS (SELECT event_type, unnest(generate_series(h0, h1, " +
+        "INTERVAL 1 HOUR)) AS bucket FROM ty CROSS JOIN span) " +
+        "SELECT spine.bucket AS bucket, spine.event_type AS event_type, " +
+        "coalesce(n_events, 0) AS n_events, " +
+        "coalesce(sum_value, 0) AS sum_value " +
+        "FROM spine LEFT JOIN h ON h.bucket = spine.bucket " +
+        "AND h.event_type = spine.event_type " +
+        "ORDER BY bucket, event_type"),
     "q_events_sessions" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS us, " +
         "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev " +

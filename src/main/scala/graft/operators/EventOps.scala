@@ -57,6 +57,42 @@ object EventOps {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("bucket_s"), col("event_type"))
 
+  /** Gap-filled hourly series — [[tumblingAgg]] densified so every
+    * (event_type, hour) cell in the observed span exists, zeros where no
+    * event landed: the resample/fill step every downstream charting,
+    * anomaly-scoring, or forecasting consumer needs before it can assume a
+    * regular grid (a missing hour and a zero hour are different facts; this
+    * operator makes the distinction explicit).
+    *
+    * Scale shape: the aggregation is the same single hash-shuffle as
+    * [[tumblingAgg]]; the spine is generated, never scanned — a 1-row
+    * (min, max) span broadcast onto the distinct-type frame, exploded to
+    * O(types x hours) rows, which is microscopic next to the event volume
+    * it indexes (a year of hours is 8,760 rows per type). The fill join
+    * therefore joins two aggregate-sized frames; the raw table is read
+    * exactly twice (span + counts share the type scan's columns) and
+    * nothing unbounded reaches the driver.
+    */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val e = normalizeTs(events)
+    val hourly = e
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    val span = e.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("bucket"))
+    spine.join(hourly, Seq("event_type", "bucket"), "left")
+      .select(col("bucket"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** Analytic window FRAMES — the running-state view of each user's event
     * stream: cumulative value (unbounded-preceding ROWS frame), previous
     * event's value (`lag`), and microseconds since it. Completes the
@@ -140,6 +176,41 @@ object EventOps {
       .agg(
         sum(col("n_events")).as("n_events"),
         sum(col("value_bp")).as("value_bp"))
+      .orderBy(col("event_type"))
+
+  /** Distinct-count view state — the multiplicity-counted support set
+    * (group, value, multiplicity). COUNT(DISTINCT x) is not a mergeable
+    * monoid on its own output (two partial distinct counts cannot be
+    * added), so the maintainable state lives one level deeper: per-(group,
+    * value) multiplicities, which DO merge by addition, with the distinct
+    * count read off as the support-set size. This is the classic multiset-
+    * semantics IVM treatment — a delete would decrement the multiplicity
+    * and drop the row at zero, which a raw distinct count cannot express.
+    * State is O(distinct (group, value)) — bounded by the cardinality
+    * being measured, never by event volume; [[SketchOps]]' HLL is the
+    * lossy fixed-size alternative when even that bound is too big.
+    */
+  def distinctState(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("mult"))
+
+  /** Merge distinct-count states (associative + commutative): union,
+    * re-add multiplicities. `mergeDistinctStates(distinctState(a),
+    * distinctState(b)) == distinctState(a union b)` — the IVM contract,
+    * oracle-verified by q_ivm_distinct against a from-scratch
+    * COUNT(DISTINCT) of the whole table.
+    */
+  def mergeDistinctStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("mult")).as("mult"))
+
+  /** The maintained view, read off the state: exact distinct users and
+    * total events per type — one aggregation over state-sized input.
+    */
+  def distinctView(state: DataFrame): DataFrame =
+    state.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("mult")).as("n_events"))
       .orderBy(col("event_type"))
 
   /** Trailing-window anomaly detection — the ops-side "did ingestion break

@@ -25,6 +25,23 @@ class EventOpsSpec extends SparkSpec {
     assert(twice.select("ts").head() == once.select("ts").head())
   }
 
+  test("gapFillHourly: every (type, hour) cell in the span exists, zeros for gaps") {
+    val df = ev(
+      (1L, ms("10:05"), "click", 1.0),
+      (2L, ms("13:55"), "click", 2.5), // hours 11 and 12 are empty
+      (3L, ms("10:30"), "view", 4.0))  // view only in hour 10
+    val got = EventOps.gapFillHourly(df)
+      .select(hour(col("bucket")), col("event_type"), col("n_events"), col("sum_value"))
+      .as[(Int, String, Long, Double)].collect().toSeq
+    // 4-hour span x 2 types = 8 cells, original 3 aggregates intact
+    assert(got.size == 8)
+    assert(got.toSet == Set(
+      (10, "click", 1L, 1.0), (11, "click", 0L, 0.0),
+      (12, "click", 0L, 0.0), (13, "click", 1L, 2.5),
+      (10, "view", 1L, 4.0), (11, "view", 0L, 0.0),
+      (12, "view", 0L, 0.0), (13, "view", 0L, 0.0)))
+  }
+
   test("sessionize: gap splits sessions, ties broken by event_id") {
     val df = ev(
       (1L, ms("10:00"), "a", 1.0), (2L, ms("10:10"), "a", 1.0),
@@ -164,6 +181,27 @@ class EventOpsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(merged == full)
     assert(full.map(_._2).sum == 30L)
+  }
+
+  test("distinctState merge: split-and-merge equals from-scratch COUNT DISTINCT") {
+    // users repeat within and across split boundaries (i % 7) — the case a
+    // raw distinct count cannot merge through and the multiplicity state can
+    val rows = (1 to 30).map(i =>
+      (i.toLong, (ms("10:00") + i * 60000L) * 1000000L, (i % 7).toLong,
+        if (i % 2 == 0) "click" else "view", i * 1.1, "{}"))
+    def frame(rs: Seq[(Long, Long, Long, String, Double, String)]) =
+      rs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val full = EventOps.distinctView(EventOps.distinctState(frame(rows)))
+      .as[(String, Long, Long)].collect().toSeq
+    val parts = Seq(rows.take(10), rows.slice(10, 17), rows.drop(17)).map(frame)
+    val merged = EventOps.distinctView(EventOps.mergeDistinctStates(
+      EventOps.mergeDistinctStates(
+        EventOps.distinctState(parts(0)), EventOps.distinctState(parts(1))),
+      EventOps.distinctState(parts(2))))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(merged == full)
+    // 7 distinct users per type despite 15 events each: dedup really happened
+    assert(full.map(_._2) == Seq(7L, 7L) && full.map(_._3).sum == 30L)
   }
 
   test("percentiles: hand-checked median and p95") {
