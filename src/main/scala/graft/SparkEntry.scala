@@ -1001,6 +1001,11 @@ object SparkEntry {
     "q_dedup_verified" -> ((s, dir) =>
       DedupOps.verifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents")),
         maxBucket = DedupOps.DefaultMaxBucket)),
+    // Sketch-error audit: the MinHash agreement estimate vs the exact
+    // shingle Jaccard per candidate pair — decides whether numHashes
+    // suffices before a full run trusts the sketch.
+    "q_dedup_minhash_err" -> ((s, dir) =>
+      DedupOps.minhashErrorAudit(DedupOps.plantedCorpus(t(s, dir, "documents")))),
     // Connected components over the verified pairs: the final dedup step
     // (cluster id = min reachable doc id; keep one doc per cluster).
     "q_dedup_clusters" -> ((s, dir) =>
@@ -2224,6 +2229,29 @@ object SparkEntry {
     "q_dedup_verified" ->
       (s"WITH $duckMinhashCtes, $duckVerifiedPairsCte " +
         "SELECT id_a, id_b, jac_bp FROM vp ORDER BY id_a, id_b"),
+    // mirrors DedupOps.minhashErrorAudit: same capped candidates, the
+    // signature-agreement estimate joined to the exact shingle Jaccard
+    "q_dedup_minhash_err" -> {
+      val agree = (0 until 8)
+        .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val jac = TextOps.roundBpSql(
+        "CAST(len(list_filter(x.shs, e -> list_contains(y.shs, e))) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE)")
+      s"WITH $duckMinhashCtes, " +
+        "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
+        "JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id " +
+        "JOIN okb ON okb.bkey = a.bkey GROUP BY 1, 2), " +
+        s"est AS (SELECT id_a, id_b, CAST(($agree) * 10000 // 8 AS BIGINT) AS est_bp " +
+        "FROM cand JOIN sig sa ON sa.doc_id = cand.id_a " +
+        "JOIN sig sb ON sb.doc_id = cand.id_b), " +
+        s"ex AS (SELECT id_a, id_b, $jac AS exact_bp FROM cand " +
+        "JOIN sl x ON x.doc_id = cand.id_a JOIN sl y ON y.doc_id = cand.id_b) " +
+        "SELECT est.id_a AS id_a, est.id_b AS id_b, est_bp, exact_bp, " +
+        "abs(est_bp - exact_bp) AS abs_err_bp " +
+        "FROM est JOIN ex ON est.id_a = ex.id_a AND est.id_b = ex.id_b " +
+        "ORDER BY id_a, id_b"
+    },
     "q_dedup_clusters" ->
       (s"WITH RECURSIVE $duckMinhashCtes, $duckVerifiedPairsCte, " +
         "e AS (SELECT id_a AS src, id_b AS dst FROM vp " +

@@ -582,6 +582,71 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Sketch-error audit of the MinHash estimator — for every LSH candidate
+    * pair, the signature-agreement estimate (matching positions / signature
+    * length, the unbiased MinHash Jaccard estimator) next to the exact
+    * shingle Jaccard, with the absolute error: the measurement that decides
+    * whether `numHashes` is big enough for a corpus BEFORE a full dedup run
+    * trusts the sketch (the dedup-side analog of q_sim_recall's ANN recall
+    * sweep). With 8 hashes the estimator is quantized to eighths, so honest
+    * errors here are large — that visibility is the point.
+    *
+    * One corpus pass builds signatures and shingle sets together (the
+    * [[verifiedNearDups]] doc relation); candidates come from the same
+    * capped band buckets; both the estimate and the exact value are
+    * per-pair array ops after two hash joins on the pair ids. Integer
+    * arithmetic end to end: est_bp = matches*10000 div numHashes.
+    *
+    * Output: (id_a, id_b, est_bp, exact_bp, abs_err_bp), id_a < id_b.
+    */
+  def minhashErrorAudit(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val exploded = corpus.select(
+      col(idCol),
+      explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), 3))).as("sh"))
+      .select(col(idCol), col("sh"), StableHash.hash60(col("sh")).as("h"))
+    val aggs = (0 until numHashes).map(i => min(StableHash.familyOf(col("h"), i)).as(s"s$i")) :+
+      collect_list(col("sh")).as("shs")
+    val docRel = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .withColumn("sig", array((0 until numHashes).map(i => col(s"s$i")): _*))
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws(":", lit(b) +: (0 until r).map(j => col(s"s${b * r + j}")): _*)
+    }
+    val buckets = docRel
+      .select(col(idCol), explode(array(bandKeys: _*)).as("bkey"))
+      .groupBy(col("bkey"))
+      .agg(sort_array(collect_list(col(idCol))).as("ds"))
+      .filter(capBucket(maxBucket))
+    val pairExprs = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    val cands = buckets
+      .select(explode(pairExprs).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    cands
+      .join(docRel.select(col(idCol).as("id_a"),
+        col("sig").as("sig_a"), col("shs").as("shs_a")), "id_a")
+      .join(docRel.select(col(idCol).as("id_b"),
+        col("sig").as("sig_b"), col("shs").as("shs_b")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        expr(s"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), " +
+          s"z -> z)) * 10000 DIV $numHashes AS BIGINT)").as("est_bp"),
+        TextOps.roundBp(
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
+            size(array_union(col("shs_a"), col("shs_b"))).cast("double")).as("exact_bp"))
+      .withColumn("abs_err_bp", abs(col("est_bp") - col("exact_bp")))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** The retention policy after clustering — the last step of a real dedup
     * pipeline: per cluster, keep the highest-quality member (ties → lowest
     * doc id). `clusters` is [[dedupClusters]]' (doc_id, cluster_id);

@@ -242,6 +242,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == Seq(("s1", "s2", 2L, 1L, 1L, 5000L)))
   }
 
+  test("minhashErrorAudit: exact copies have zero error; estimates quantize to eighths") {
+    val corpus = docs(
+      (1L, "one two three four five six seven"),
+      (2L, "one two three four five six seven"), // exact copy
+      (3L, "one two three four five six other"))
+    val got = DedupOps.minhashErrorAudit(corpus)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val byPair = got.map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // identical docs: all 8 positions agree, exact jaccard 1 — error 0
+    assert(byPair((1L, 2L)) == (10000L, 10000L, 0L))
+    // 8-hash estimates can only be multiples of 10000/8; error is |est-exact|
+    assert(got.forall(r => r._3 % 1250L == 0L))
+    assert(got.forall(r => r._5 == math.abs(r._3 - r._4)))
+  }
+
   test("entityMatch: best cross-source match per record within prefix blocks") {
     val df = Seq(
       (1L, "blk1 target text one", "srcA"),
