@@ -1294,6 +1294,10 @@ object SparkEntry {
     // one partial+final count per bucket (fixed-size mergeable summary).
     "q_histogram" -> ((s, dir) =>
       StatsOps.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20)),
+    // Market-basket association rules: in-array basket pairing (never a
+    // corpus self-join), integer-exact confidence/lift, heap top-k.
+    "q_basket_rules" -> ((s, dir) =>
+      StatsOps.basketRules(t(s, dir, "lineitem"))),
     // ANALYZE-style one-pass column profile: min/max/nulls/exact-distinct
     // per column via one Expand + one aggregation (the CBO-stats shape).
     "q_profile" -> ((s, dir) =>
@@ -3351,5 +3355,22 @@ object SparkEntry {
         s"${TextOps.roundBpSql("lo + w * CAST(bucket + 1 AS DOUBLE)")} AS hi_bp, " +
         "n_rows FROM g ORDER BY bucket"
     },
+    // mirrors StatsOps.basketRules (minSupport 3, top 30 by lift): the
+    // oracle pairs via the relational self-join the Spark side must avoid
+    "q_basket_rules" ->
+      ("WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem), " +
+        "n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM b), " +
+        "ip AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM b GROUP BY p), " +
+        "pc AS (SELECT x.p AS a, y.p AS b2, CAST(count(*) AS BIGINT) AS n_ab " +
+        "FROM b x JOIN b y ON x.okey = y.okey AND x.p < y.p " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3), " +
+        "dir AS (SELECT a AS ante, b2 AS cons, n_ab FROM pc " +
+        "UNION ALL SELECT b2 AS ante, a AS cons, n_ab FROM pc), " +
+        "r AS (SELECT ante, cons, n_ab, n_ab * 10000 // na.n_p AS conf_bp, " +
+        "n_ab * n_orders * 10000 // (na.n_p * nb.n_p) AS lift_bp " +
+        "FROM dir JOIN ip na ON na.p = ante JOIN ip nb ON nb.p = cons CROSS JOIN n), " +
+        "t AS (SELECT * FROM r ORDER BY lift_bp DESC, ante, cons LIMIT 30) " +
+        "SELECT row_number() OVER (ORDER BY lift_bp DESC, ante, cons) AS rank, " +
+        "ante, cons, n_ab, conf_bp, lift_bp FROM t ORDER BY rank"),
   )
 }

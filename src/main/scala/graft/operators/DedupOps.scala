@@ -729,10 +729,15 @@ object DedupOps {
       col("src").as("a_source"), col("title").as("a_title"))
     val b = t.select(col("blk"), col("id").as("b_doc_id"),
       col("src").as("b_source"), col("title").as("b_title"))
+    // the bounded form early-exits the DP once a row's minimum passes
+    // maxDist (returns -1): per-pair cost O(maxDist * titleLen), not
+    // O(titleLen^2) — the difference between a cheap verify and a hot
+    // loop when blocks put dissimilar titles together
     val pairs = a.join(b, Seq("blk"))
       .filter(col("a_source") < col("b_source"))
-      .withColumn("lev_dist", levenshtein(col("a_title"), col("b_title")).cast("long"))
-      .filter(col("lev_dist") <= maxDist)
+      .withColumn("lev_dist",
+        levenshtein(col("a_title"), col("b_title"), maxDist).cast("long"))
+      .filter(col("lev_dist") >= 0L && col("lev_dist") <= maxDist)
     val w = Window.partitionBy(col("a_doc_id"))
       .orderBy(col("lev_dist"), col("b_doc_id"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -290,4 +290,60 @@ object StatsOps {
       .join(broadcast(exact), "q_bp")
       .orderBy(col("q_bp"))
   }
+
+  /** Association rules over co-ordered parts — the market-basket classic
+    * (Agrawal & Srikant's support/confidence decomposition, plus lift):
+    * which parts predict which other parts within an order. Output is the
+    * top `k` directed rules ante → cons by lift, integer-exact in basis
+    * points: conf_bp = n_ab*10000 div n_ante and lift_bp =
+    * n_ab*n_orders*10000 div (n_ante*n_cons), so rank order is portable
+    * across engines with no float summation anywhere.
+    *
+    * Scale shape: baskets are collected per order and paired IN-ARRAY (the
+    * [[GraphOps.coOrderEdges]] shape) — per-basket fan-out is C(basket
+    * size, 2), bounded by the largest order, never a corpus-sized
+    * self-join; the oracle uses the equivalent relational self-join, which
+    * a 100 TB run must not. Pair counts take one hash aggregation with the
+    * `minSupport` filter applied before anything widens; per-item counts
+    * (bounded by the part vocabulary) and the 1-row basket total broadcast
+    * onto the surviving rules; the final top-k is an `orderBy+limit`
+    * TakeOrderedAndProject — per-partition heaps, k-row driver merge.
+    *
+    * Output: (rank, ante, cons, n_ab, conf_bp, lift_bp), rank over
+    * (lift_bp desc, ante, cons).
+    */
+  def basketRules(lineitem: DataFrame, minSupport: Long = 3L, k: Int = 30): DataFrame = {
+    val b = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+      .distinct()
+    val baskets = b.groupBy(col("okey")).agg(sort_array(collect_set(col("p"))).as("ps"))
+    val nOrders = b.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemN = b.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pairExprs = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    val pc = baskets
+      .select(explode(pairExprs).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    // confidence is asymmetric: each surviving pair yields both directions
+    val dir = pc.select(col("a").as("ante"), col("b").as("cons"), col("n_ab"))
+      .unionByName(pc.select(col("b").as("ante"), col("a").as("cons"), col("n_ab")))
+    val rules = dir
+      .join(broadcast(itemN.select(col("p").as("ante"), col("n_p").as("n_ante"))), "ante")
+      .join(broadcast(itemN.select(col("p").as("cons"), col("n_p").as("n_cons"))), "cons")
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("n_ab"),
+        expr("n_ab * 10000 DIV n_ante").as("conf_bp"),
+        expr("n_ab * n_orders * 10000 DIV (n_ante * n_cons)").as("lift_bp"))
+    val top = rules.orderBy(col("lift_bp").desc, col("ante"), col("cons")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift_bp").desc, col("ante"), col("cons"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("ante"), col("cons"), col("n_ab"),
+        col("conf_bp"), col("lift_bp"))
+      .orderBy(col("rank"))
+  }
 }

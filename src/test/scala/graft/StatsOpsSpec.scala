@@ -96,4 +96,21 @@ class StatsOpsSpec extends SparkSpec {
       "percentile(v, array(0.5D, 0.9D))").as("p")).as[Seq[Double]].head()
     assert(got(0) == want(0) && got(1) == want(1), s"$got vs $want")
   }
+
+  test("basketRules: hand-checked support/confidence/lift; both directions ranked") {
+    // baskets: {10,20} x2, {10,20,30}, {30} -> pair (10,20) support 3,
+    // others support 1 (dropped at minSupport 2)
+    val li = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L),
+      (4L, 30L), (4L, 30L)) // duplicate line of the same part collapses
+      .toDF("l_orderkey", "l_partkey")
+    val got = StatsOps.basketRules(li, minSupport = 2L, k = 10)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    // conf(10->20) = 3/3 = 10000 bp; lift = 3*4/(3*3) = 13333 bp, both ways
+    assert(got == Seq(
+      (1, 10L, 20L, 3L, 10000L, 13333L),
+      (2, 20L, 10L, 3L, 10000L, 13333L)))
+  }
 }
