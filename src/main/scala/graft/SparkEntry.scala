@@ -1207,6 +1207,10 @@ object SparkEntry {
     // the aggregate — zeros where no event landed, raw table never rescanned.
     "q_events_gapfill" -> ((s, dir) =>
       EventOps.gapFillHourly(t(s, dir, "events"))),
+    // Binary-decay EWMA over the dense hourly grid: integer-exact
+    // (num, den) rational per cell, partial windows honest at grid edges.
+    "q_events_ewma" -> ((s, dir) =>
+      EventOps.ewmaHourly(t(s, dir, "events"))),
     // As-of join: each purchase matched to the user's latest prior click —
     // one shuffle + one window pass, never a range-condition nested loop.
     "q_asof_join" -> ((s, dir) =>
@@ -1328,6 +1332,11 @@ object SparkEntry {
     // state instead of shuffling every distinct key (SketchOps scaladoc).
     "q_hll_distinct" -> ((s, dir) =>
       SketchOps.hllDistinct(t(s, dir, "events"), "event_type", col("event_id"), "est_ids")),
+    // KMV (k-minimum-values) sketch: distinct-INTERSECTION estimate per
+    // source pair — the set operation HLL cannot answer — with the exact
+    // intersection riding along as the audit column (SketchOps scaladoc).
+    "q_kmv_intersect" -> ((s, dir) =>
+      SketchOps.kmvSourceIntersect(t(s, dir, "documents"))),
     // Count-Min frequency sketch over corpus tokens: estimated vs exact
     // counts for a fixed probe set (est >= exact always — CMS guarantee).
     "q_cms_freq" -> ((s, dir) => {
@@ -3152,6 +3161,8 @@ object SparkEntry {
         "FROM spine LEFT JOIN h ON h.bucket = spine.bucket " +
         "AND h.event_type = spine.event_type " +
         "ORDER BY bucket, event_type"),
+    // mirrors EventOps.ewmaHourly (span 8, power-of-two weights, bp longs)
+    "q_events_ewma" -> EventOps.ewmaHourlySql(),
     "q_events_sessions" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS us, " +
         "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev " +
@@ -3210,6 +3221,8 @@ object SparkEntry {
         "FROM events) GROUP BY event_type ORDER BY event_type"),
     "q_hll_distinct" ->
       SketchOps.hllDistinctSql("events", "event_type", "event_id", "est_ids"),
+    // mirrors SketchOps.kmvSourceIntersect (k = 64, shared 60-bit md5 hash)
+    "q_kmv_intersect" -> SketchOps.kmvSourceIntersectSql(duckToks),
     // mirrors SketchOps.cmsTable/cmsEstimate (depth 4, width 256) over
     // corpus tokens, probes from cmsProbes
     "q_cms_freq" -> {

@@ -93,6 +93,95 @@ object EventOps {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Exponentially-weighted trailing mean over the gap-filled hourly grid —
+    * the smoothing step a forecasting/alerting consumer runs right after
+    * [[gapFillHourly]] (EWMA over a grid with HOLES silently re-weights
+    * whenever an hour is missing; densify first, then decay).
+    *
+    * Decay is binary (weight 2^(span−1−i) for the value i hours back,
+    * i < span): every weight is an exact power of two and every value a
+    * bp-quantized long, so numerator and denominator are INTEGER-exact
+    * under any evaluation order — the [[runningStats]] discipline applied
+    * to weighted windows, where float EWMAs differ across engines in the
+    * last ulp. The ratio is left to the consumer; the emitted
+    * (ewma_num, ewma_den) pair is the exact rational.
+    *
+    * The trailing window is `span` fixed `lag` terms, not a variable
+    * positional weight inside a frame (window sums cannot weight by
+    * position): one window pass, O(span) state per row, codegen-friendly.
+    * Grid edges keep partial windows honest — `ewma_den` sums only the
+    * weights of hours that EXIST (the first grid hour has den = 2^(span−1),
+    * not 2^span − 1), so the consumer's num/den ratio is unbiased from the
+    * first row.
+    *
+    * Scale shape: the grid build is [[gapFillHourly]]'s (one hash shuffle +
+    * a generated spine); the window is one shuffle on event_type over
+    * grid-sized (not event-sized) rows. span is a compile-time constant —
+    * the plan has no per-row loop.
+    */
+  def ewmaHourly(events: DataFrame, span: Int = 8): DataFrame = {
+    require(span >= 1 && span <= 16, s"span must be in [1,16], got $span")
+    val e = normalizeTs(events)
+    val hourly = e
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(TextOps.roundBp(col("value"))).as("v_bp"))
+    val hspan = e.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(hspan))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("bucket"))
+    val grid = spine.join(hourly, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("v_bp"), lit(0L)).as("v_bp"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val terms = (0 until span).map { i =>
+      val wgt = lit(1L << (span - 1 - i))
+      if (i == 0) (col("v_bp") * wgt, wgt)
+      else (
+        coalesce(lag(col("v_bp"), i).over(w), lit(0L)) * wgt,
+        // lag(bucket) is null ONLY before the grid start (the grid is
+        // dense): a missing trailing hour drops out of the denominator
+        when(lag(col("bucket"), i).over(w).isNotNull, wgt).otherwise(lit(0L)))
+    }
+    grid.select(col("event_type"),
+        col("bucket").cast("long").as("bucket_s"), col("v_bp"),
+        terms.map(_._1).reduce(_ + _).as("ewma_num"),
+        terms.map(_._2).reduce(_ + _).as("ewma_den"))
+      .orderBy(col("bucket_s"), col("event_type"))
+  }
+
+  /** DuckDB SQL matching [[ewmaHourly]] on `events`. */
+  def ewmaHourlySql(span: Int = 8): String = {
+    val vbp = TextOps.roundBpSql("value")
+    val numTerms = (0 until span).map { i =>
+      val wgt = 1L << (span - 1 - i)
+      if (i == 0) s"v_bp * $wgt"
+      else s"coalesce(lag(v_bp, $i) OVER w, 0) * $wgt"
+    }.mkString(" + ")
+    val denTerms = (0 until span).map { i =>
+      val wgt = 1L << (span - 1 - i)
+      if (i == 0) s"$wgt"
+      else s"CASE WHEN lag(bucket, $i) OVER w IS NULL THEN 0 ELSE $wgt END"
+    }.mkString(" + ")
+    s"WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket, " +
+      s"CAST(sum($vbp) AS BIGINT) AS v_bp FROM events GROUP BY 1, 2), " +
+      "span AS (SELECT date_trunc('hour', min(ts)) AS h0, " +
+      "date_trunc('hour', max(ts)) AS h1 FROM events), " +
+      "ty AS (SELECT DISTINCT event_type FROM events), " +
+      "spine AS (SELECT event_type, unnest(generate_series(h0, h1, " +
+      "INTERVAL 1 HOUR)) AS bucket FROM ty CROSS JOIN span), " +
+      "grid AS (SELECT spine.event_type, spine.bucket, " +
+      "coalesce(v_bp, 0) AS v_bp FROM spine LEFT JOIN h " +
+      "ON h.bucket = spine.bucket AND h.event_type = spine.event_type) " +
+      "SELECT event_type, epoch_us(bucket) // 1000000 AS bucket_s, v_bp, " +
+      s"CAST($numTerms AS BIGINT) AS ewma_num, " +
+      s"CAST($denTerms AS BIGINT) AS ewma_den " +
+      "FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY bucket) " +
+      "ORDER BY bucket_s, event_type"
+  }
+
   /** Analytic window FRAMES — the running-state view of each user's event
     * stream: cumulative value (unbounded-preceding ROWS frame), previous
     * event's value (`lag`), and microseconds since it. Completes the

@@ -225,6 +225,154 @@ object SketchOps {
       .drop("__bitset")
   }
 
+  /** KMV (k-minimum-values) sketch size. 64 → ~12.5% standard error on
+    * union cardinality (1/√(k−2)); deliberately small so the declared query
+    * demonstrably estimates (not memorizes) at test scale.
+    */
+  val KmvK = 64
+
+  /** KMV distinct-INTERSECTION estimate between every pair of document
+    * sources — the set operation HLL registers fundamentally cannot answer
+    * (HLL unions by register-max; it has no intersection, and
+    * inclusion-exclusion over HLL estimates compounds the error with set
+    * count). KMV (Bar-Yossef et al. 2002, the theta-sketch ancestor) keeps
+    * the k smallest distinct hash values per set; then
+    *
+    *  - the union sketch of (A, B) is the k smallest of the merged hash
+    *    sets (KMV's mergeability — same closure property as the HLL
+    *    register max and the CMS cell sum),
+    *  - |A ∪ B| ≈ (k−1)·2^60 / h_(k) (the k-th smallest hash scaled to the
+    *    60-bit hash space), exact count when the union sketch is
+    *    unsaturated,
+    *  - Jaccard ≈ |union sketch ∩ A ∩ B| / k  (the union sketch is a
+    *    uniform sample of A ∪ B), so |A ∩ B| ≈ J · |A ∪ B|.
+    *
+    * Every estimator term is integer arithmetic on the shared 60-bit md5
+    * hash ([[StableHash.hash60]]), so DuckDB reproduces the estimate
+    * bit-for-bit; the exact token intersection rides along as the audit
+    * column (the [[graft.operators.DedupOps.minhashErrorAudit]] discipline:
+    * a sketch query that carries its own ground truth at test scale).
+    *
+    * Scale shape: the only corpus-sized work is the distinct (source,
+    * hash) shuffle; the per-source min-k then folds through the GroupTopK
+    * rewrite ([[graft.plans.GroupTopKRewrite]] — bounded k-row heaps map-
+    * side, ≤ k rows per (mapper, source) shuffled, no full per-source
+    * sort). Everything after operates on k·|sources| rows. The exact-
+    * intersection audit is the [[graft.operators.DedupOps.sourceOverlap]]
+    * postings shape (in-array pairing, never a token self-join diamond);
+    * at 100 TB you drop that column and keep the sketch.
+    *
+    * Output per source pair (src_a < src_b): sketch sizes and the
+    * integer-exact estimator columns
+    * (n_sk_union, j_num, est_union, est_inter, jaccard_bp, exact_inter).
+    */
+  def kmvSourceIntersect(
+      docs: DataFrame,
+      k: Int = KmvK,
+      textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok2 = docs
+      .select(col(srcCol).as("src"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .distinct()
+    val hx = tok2
+      .select(col("src"), StableHash.hash60(col("tok")).as("h"))
+      .distinct()
+    // per-source k smallest distinct hashes; row_number ≤ k is the exact
+    // shape GroupTopKRewrite lowers to the bounded-heap exec
+    val wSrc = Window.partitionBy(col("src")).orderBy(col("h"))
+    val sk = hx.withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= k).drop("rn")
+    // source pairs from ONE collected row (sources are a bounded dimension;
+    // the in-array pairing avoids a non-equi self-join)
+    val srcArr = sk.select(col("src")).distinct()
+      .agg(sort_array(collect_list(col("src"))).as("srcs"))
+    val pairExpr = flatten(transform(col("srcs"), (x, i) =>
+      transform(slice(col("srcs"), i + lit(2), size(col("srcs"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    val pairs = srcArr.select(explode(pairExpr).as("p"))
+      .select(col("p.a").as("src_a"), col("p.b").as("src_b"))
+    // merged per-pair hash sets, flagged by membership side
+    val edA = pairs.join(sk.select(col("src").as("src_a"), col("h")), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"), lit(1).as("fa"), lit(0).as("fb"))
+    val edB = pairs.join(sk.select(col("src").as("src_b"), col("h")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"), lit(0).as("fa"), lit(1).as("fb"))
+    val g = edA.union(edB)
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("fa")).as("fa"), max(col("fb")).as("fb"))
+    val wPair = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+    val u = g.withColumn("rn", row_number().over(wPair)).filter(col("rn") <= k)
+    val ag = u.groupBy(col("src_a"), col("src_b")).agg(
+      count(lit(1)).as("n_sk_union"),
+      max(col("h")).as("kth"),
+      sum(when(col("fa") === 1 && col("fb") === 1, 1L).otherwise(0L)).as("j_num"))
+    // (k−1)·2^60 overflows a long; the decimal(38,0) product with integral
+    // `div` is exact on both engines (DuckDB side: HUGEINT `//`)
+    val est = ag.withColumn("est_union",
+      when(col("n_sk_union") < k, col("n_sk_union"))
+        .otherwise(expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * " +
+          s"CAST(${1L << 60} AS DECIMAL(38,0))) div kth AS BIGINT)")))
+    // exact-intersection audit: postings + in-array pairing (sourceOverlap
+    // shape); LEFT join keeps pairs whose sources share no token at all
+    val postings = tok2.groupBy(col("tok"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+    val pExpr = flatten(transform(col("srcs"), (x, i) =>
+      transform(slice(col("srcs"), i + lit(2), size(col("srcs"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    val cm = postings.select(explode(pExpr).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    est.join(cm, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_sk_union"), col("j_num"),
+        col("est_union"),
+        expr("(j_num * est_union) div n_sk_union").as("est_inter"),
+        expr("(j_num * 10000) div n_sk_union").as("jaccard_bp"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** DuckDB SQL matching [[kmvSourceIntersect]] on `documents`.
+    * `toksExpr` must be the same tokenizer fragment the other document
+    * oracles use (SparkEntry's `duckToks`).
+    */
+  def kmvSourceIntersectSql(toksExpr: String, k: Int = KmvK): String = {
+    val h = StableHash.hash60Sql("tok")
+    s"WITH tk AS (SELECT source AS src, unnest($toksExpr) AS tok FROM documents), " +
+      "tok2 AS (SELECT DISTINCT src, tok FROM tk), " +
+      s"hx AS (SELECT DISTINCT src, $h AS h FROM tok2), " +
+      "sk AS (SELECT src, h FROM (SELECT src, h, row_number() OVER " +
+      s"(PARTITION BY src ORDER BY h) AS rn FROM hx) WHERE rn <= $k), " +
+      "srcs AS (SELECT DISTINCT src FROM sk), " +
+      "pr AS (SELECT a.src AS src_a, b.src AS src_b FROM srcs a " +
+      "JOIN srcs b ON a.src < b.src), " +
+      "ed AS (SELECT pr.src_a, pr.src_b, sk.h, 1 AS fa, 0 AS fb " +
+      "FROM pr JOIN sk ON sk.src = pr.src_a " +
+      "UNION ALL SELECT pr.src_a, pr.src_b, sk.h, 0, 1 " +
+      "FROM pr JOIN sk ON sk.src = pr.src_b), " +
+      "g AS (SELECT src_a, src_b, h, max(fa) AS fa, max(fb) AS fb " +
+      "FROM ed GROUP BY 1, 2, 3), " +
+      "u AS (SELECT * FROM (SELECT g.*, row_number() OVER " +
+      "(PARTITION BY src_a, src_b ORDER BY h) AS rn FROM g) " +
+      s"WHERE rn <= $k), " +
+      "ag AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_sk_union, " +
+      "max(h) AS kth, CAST(count(*) FILTER (WHERE fa = 1 AND fb = 1) AS BIGINT) " +
+      "AS j_num FROM u GROUP BY 1, 2), " +
+      s"est AS (SELECT src_a, src_b, n_sk_union, j_num, " +
+      s"CASE WHEN n_sk_union < $k THEN n_sk_union " +
+      s"ELSE CAST(${k - 1}::HUGEINT * (1::HUGEINT << 60) // kth AS BIGINT) END " +
+      "AS est_union FROM ag), " +
+      "cm AS (SELECT a.src AS src_a, b.src AS src_b, " +
+      "CAST(count(*) AS BIGINT) AS exact_inter FROM tok2 a " +
+      "JOIN tok2 b ON a.tok = b.tok AND a.src < b.src GROUP BY 1, 2) " +
+      "SELECT est.src_a, est.src_b, n_sk_union, j_num, est_union, " +
+      "(j_num * est_union) // n_sk_union AS est_inter, " +
+      "(j_num * 10000) // n_sk_union AS jaccard_bp, " +
+      "coalesce(exact_inter, 0) AS exact_inter " +
+      "FROM est LEFT JOIN cm ON cm.src_a = est.src_a AND cm.src_b = est.src_b " +
+      "ORDER BY est.src_a, est.src_b"
+  }
+
   /** DuckDB SQL matching [[hllDistinct]] on table `table`. */
   def hllDistinctSql(
       table: String,

@@ -210,4 +210,33 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("p50_bp") == 30000L)  // median of 1..5 = 3
     assert(r.getAs[Long]("p95_bp") == 48000L)  // 4.8 at linear interpolation
   }
+
+  test("ewmaHourly: hand-checked binary decay over a grid with a hole") {
+    // hours 10, 11, 13 have events; hour 12 is a genuine zero (gap-filled)
+    val df = ev(
+      (1L, ms("10:00"), "a", 1.0),
+      (2L, ms("11:00"), "a", 2.0),
+      (3L, ms("13:00"), "a", 4.0))
+    val rows = EventOps.ewmaHourly(df)
+      .select("v_bp", "ewma_num", "ewma_den")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      (10000L, 10000L * 128, 128L),                                   // 10:00
+      (20000L, 20000L * 128 + 10000L * 64, 192L),                     // 11:00
+      (0L, 20000L * 64 + 10000L * 32, 224L),                          // 12:00
+      (40000L, 40000L * 128 + 20000L * 32 + 10000L * 16, 240L)))      // 13:00
+  }
+
+  test("ewmaHourly: each type gets the full spine; zeros weigh in as data") {
+    val df = ev(
+      (1L, ms("10:00"), "a", 1.0),
+      (2L, ms("12:00"), "b", 3.0))
+    val rows = EventOps.ewmaHourly(df)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // 3 grid hours x 2 types
+    assert(rows.length == 6)
+    val b12 = rows.find(r => r._1 == "b" && r._3 == 30000L).get
+    // b's hours 10 and 11 are zero rows, present in the denominator
+    assert(b12._4 == 30000L * 128 && b12._5 == 128L + 64L + 32L)
+  }
 }

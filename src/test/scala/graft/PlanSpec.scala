@@ -335,6 +335,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_kmv_intersect: both min-k passes run as bounded GroupTopK, pairing stays equi") {
+    val p = plan("q_kmv_intersect")
+    // per-source sketch AND per-pair union sketch both lower to the
+    // bounded-heap pair — no full per-group WindowExec sort anywhere
+    assert(p.contains("GroupTopKPartial") && p.contains("GroupTopKFinal"), p.take(400))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "source pairing must come from the in-array expansion, not a cross join")
+  }
+
   test("q_window: rank filter becomes the bounded GroupTopK operator pair") {
     // the GroupTopKRewrite rule replaces Filter+Window entirely: partial
     // bounded heaps before the exchange, final heaps + rank emission after

@@ -110,6 +110,49 @@ class SketchOpsSpec extends SparkSpec {
     assert(merged.as[Long].collect().toSet == whole.as[Long].collect().toSet)
   }
 
+  private def docsOf(srcTokens: (String, Seq[String])*) =
+    srcTokens.zipWithIndex.map { case ((src, toks), i) =>
+      (i.toLong, toks.mkString(" "), "en", src, toks.mkString(" ").length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("kmvSourceIntersect: unsaturated sketches are EXACT, not estimates") {
+    // |union| = 40 < k = 64: the union sketch holds every hash, so
+    // est_union/est_inter collapse to the exact counts
+    val docs = docsOf(
+      "x" -> (0 until 30).map(i => s"w$i"),
+      "y" -> (10 until 40).map(i => s"w$i"))
+    val r = SketchOps.kmvSourceIntersect(docs).head()
+    assert(r.getAs[String]("src_a") == "x" && r.getAs[String]("src_b") == "y")
+    assert(r.getAs[Long]("n_sk_union") == 40L)
+    assert(r.getAs[Long]("j_num") == 20L)
+    assert(r.getAs[Long]("est_union") == 40L)
+    assert(r.getAs[Long]("est_inter") == 20L)
+    assert(r.getAs[Long]("jaccard_bp") == 5000L)
+    assert(r.getAs[Long]("exact_inter") == 20L)
+  }
+
+  test("kmvSourceIntersect: saturated estimates track truth across pairs") {
+    // A∪B: 600 tokens, A∩B: 200 (J = 1/3); A∩C empty
+    val docs = docsOf(
+      "a" -> (0 until 400).map(i => s"t$i"),
+      "b" -> (200 until 600).map(i => s"t$i"),
+      "c" -> (0 until 100).map(i => s"z$i"))
+    val rows = SketchOps.kmvSourceIntersect(docs).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r).toMap
+    val ab = rows(("a", "b"))
+    // k = 64 → ~12.5% std error; the md5 hash is fixed, so these bounds
+    // are deterministic, just slack enough to document the error model
+    val estU = ab.getAs[Long]("est_union")
+    assert(estU > 300 && estU < 900, s"est_union $estU vs truth 600")
+    val jbp = ab.getAs[Long]("jaccard_bp")
+    assert(jbp > 1200 && jbp < 5600, s"jaccard_bp $jbp vs truth 3333")
+    assert(ab.getAs[Long]("exact_inter") == 200L)
+    // disjoint pair: j_num = 0 forces the intersection estimate to 0
+    val ac = rows(("a", "c"))
+    assert(ac.getAs[Long]("est_inter") == 0L && ac.getAs[Long]("exact_inter") == 0L)
+    assert(ac.getAs[Long]("n_sk_union") == 64L)
+  }
+
   test("hllDistinct: per-group estimates track per-group cardinalities") {
     // groups of very different cardinality in one pass
     val df = ((0 until 2000).map(i => ("big", i.toLong)) ++
