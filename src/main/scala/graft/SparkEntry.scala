@@ -705,6 +705,11 @@ object SparkEntry {
         col("score"))
         .orderBy(col("rank"))
     }),
+    // Synchronous label propagation over the same co-purchase graph:
+    // community membership by neighborhood MAJORITY (vs CC's any-edge
+    // reachability), 3 deterministic min-tie-break rounds.
+    "q_label_prop" -> ((s, dir) =>
+      GraphOps.labelPropagation(GraphOps.copurchaseEdges(t(s, dir, "lineitem")))),
     // Window functions: top-3 lineitems per supplier by price, fully
     // tie-broken → deterministic.
     "q_window" -> ((s, dir) => {
@@ -2643,6 +2648,8 @@ object SparkEntry {
         "FROM dk JOIN wl USING (word) GROUP BY doc_id ORDER BY doc_id"),
     // mirrors GraphOps.pageRank (3 rounds, top-20, integer mass updates)
     "q_pagerank" -> duckPageRankSql(3, 20),
+    // mirrors GraphOps.labelPropagation (3 unrolled synchronous rounds)
+    "q_label_prop" -> GraphOps.labelPropagationSql(3),
     // mirrors GraphOps.triangleStats over coOrderEdges of the p_size<=5
     // subgraph: same degree-ordered orientation, wedge + closing-edge count
     "q_triangles" ->

@@ -40,3 +40,33 @@ class TopKAgg(k: Int) extends Aggregator[ScoredRow, Seq[ScoredRow], Seq[ScoredRo
 
   override def outputEncoder: Encoder[Seq[ScoredRow]] = ExpressionEncoder()
 }
+
+/** Bounded k-minimum-DISTINCT-values aggregator — the KMV sketch
+  * ([[graft.operators.SketchOps.kmvSourceIntersect]]) as an aggregation
+  * buffer. The buffer IS the sketch: a sorted distinct array of at most k
+  * hash values, so map-side partials discard everything above the local
+  * k-th minimum before the shuffle, and — the property the streaming twin
+  * exists for — Structured Streaming's per-group state is CONSTANT in the
+  * number of distinct inputs (an exact streaming COUNT(DISTINCT) holds
+  * every key ever seen; this holds k longs). Merge is the KMV union:
+  * distinct-merge, keep the k smallest.
+  */
+class KMinAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(buf: Seq[Long], v: Long): Seq[Long] =
+    if (buf.contains(v)) buf
+    else if (buf.length < k) (buf :+ v).sorted
+    else if (v >= buf.last) buf
+    else ((buf :+ v).sorted).take(k)
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}

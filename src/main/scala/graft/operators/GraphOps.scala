@@ -188,4 +188,83 @@ object GraphOps {
     Seq(e, oriented, adj).foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007), `iters` fixed
+    * rounds — community detection as a curation signal (a community of
+    * mutually-linked domains/documents is a dedup/spam unit the pure
+    * connected-components view cannot see: CC merges through ANY single
+    * edge, LPA needs a neighborhood MAJORITY to pull a node over).
+    * Completes the iterative-graph family next to CC (membership by
+    * reachability), PageRank (centrality), and the triangle census
+    * (local density).
+    *
+    * Determinism contract: the update is `label'(v) = argmax over neighbor
+    * labels by (count, then SMALLEST label)` — integer counts and a total
+    * tie order, so a fixed round count is bit-reproducible under any
+    * execution order (the async/random-order LPA of the paper is
+    * explicitly traded away; synchronous rounds are what an oracle can
+    * verify). Nodes keep ≥ 1 neighbor by construction (symmetrized graph),
+    * so every node re-labels every round.
+    *
+    * Scale shape per round: the two-shuffle Pregel step ([[pageRank]]'s
+    * argument) — labels join into the cached pre-partitioned edges on the
+    * source key, (target, label) counts aggregate with map-side partials,
+    * and the per-target argmax is `row_number() = 1`, which
+    * [[graft.plans.GroupTopKRewrite]] lowers to the bounded single-row
+    * heaps (no per-node sort of the label multiset). Label state is
+    * consumed exactly once per round → rounds stay lazy; the final state
+    * is local-checkpointed (it is per-NODE, too big for the
+    * [[graft.Local.localized]] literal route) so the loop-invariant edge
+    * cache can be released — the checkpoint is the one by-design survivor,
+    * the [[DedupOps.dedupClusters]] lifecycle.
+    *
+    * Output: (node, label, comm_size), ordered by node.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.repartition(col("u")).persist()
+    var labels = e.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val counted = e
+        .join(labels.withColumnRenamed("node", "u"), "u")
+        .groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("v")).orderBy(col("cnt").desc, col("label"))
+      labels = counted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v").as("node"), col("label"))
+    }
+    // eager local checkpoint: materializes the 3-round chain (through the
+    // cached edges) and truncates lineage, so the edge cache releases
+    // without stranding the returned frame
+    val cp = labels.localCheckpoint()
+    e.unpersist(blocking = false)
+    val sizes = cp.groupBy(col("label")).agg(count(lit(1)).as("comm_size"))
+    cp.join(sizes, "label")
+      .select(col("node"), col("label"), col("comm_size"))
+      .orderBy(col("node"))
+  }
+
+  /** DuckDB SQL matching [[labelPropagation]] over [[copurchaseEdges]] of
+    * `lineitem` (`iters` unrolled rounds).
+    */
+  def labelPropagationSql(iters: Int = 3): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"r$i AS (SELECT e.v, l.label, count(*) AS cnt FROM e " +
+        s"JOIN $prev l ON l.node = e.u GROUP BY 1, 2), " +
+        s"l$i AS (SELECT v AS node, label FROM (SELECT v, label, " +
+        "row_number() OVER (PARTITION BY v ORDER BY cnt DESC, label) AS rn " +
+        s"FROM r$i) WHERE rn = 1)"
+    }.mkString(", ")
+    "WITH pr AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p " +
+      "FROM lineitem), " +
+      "e AS (SELECT s AS u, p AS v FROM pr UNION ALL SELECT p, s FROM pr), " +
+      "l0 AS (SELECT DISTINCT u AS node, u AS label FROM e), " +
+      rounds + ", " +
+      s"sz AS (SELECT label, CAST(count(*) AS BIGINT) AS comm_size " +
+      s"FROM l$iters GROUP BY label) " +
+      s"SELECT node, l$iters.label AS label, comm_size FROM l$iters " +
+      s"JOIN sz ON sz.label = l$iters.label ORDER BY node"
+  }
 }

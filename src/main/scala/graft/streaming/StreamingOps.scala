@@ -306,6 +306,32 @@ object StreamingOps {
       }
   }
 
+  /** Streaming KMV sketch maintenance: per event_type, the k smallest
+    * distinct user-id hashes — [[graft.functions.KMinAgg]] as a streaming
+    * aggregation, so the per-group STATE is the sketch itself (k longs,
+    * constant in distinct users; the same bounded-state argument as
+    * [[hllRegisters]], for the sketch family member that can answer
+    * distinct-INTERSECTION questions across groups downstream —
+    * [[graft.operators.SketchOps.kmvSourceIntersect]]'s estimator applies
+    * to any two emitted sketches). Micro-batches fold in by the KMV union
+    * (distinct-merge, keep k smallest), so the maintained sketch equals
+    * the batch sketch of everything streamed — pinned by the spec.
+    *
+    * Output per group: (event_type, kmins array). Complete/update sinks
+    * replace the group's row each batch.
+    */
+  def kmvSketchStream(events: DataFrame, k: Int = 64): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_type"),
+        graft.functions.StableHash.hash60(col("user_id").cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.KMinAgg(k).toColumn.name("kmins"))
+      .toDF("event_type", "kmins")
+  }
+
   /** Streaming gap sessionization via `flatMapGroupsWithState` with
     * EVENT-TIME timeouts: the streaming twin of `EventOps.sessionStats`.
     * A user's events extend their open session; when the watermark passes

@@ -63,4 +63,45 @@ class GraphOpsSpec extends SparkSpec {
     val g2 = GraphOps.triangleStats(k4).as[(Long, Long, Long, Long)].head()
     assert(g2 == ((4L, 6L, 4L, 4L)))
   }
+
+  test("labelPropagation: bridged triangles settle into two communities") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4; hand-run
+    // of 3 synchronous min-tie-break rounds:
+    //   r1: 1→2 2→1 3→1 4→3 5→4 6→4
+    //   r2: 1→1 2→1 3→1 4→4 5→3 6→3
+    //   r3: 1→1 2→1 3→1 4→3 5→3 6→3
+    // the bridge does NOT merge the communities (a majority would be
+    // needed) — the behavioral contrast with connected components
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("u", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = GraphOps.labelPropagation(e)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 3L, 3L), (5L, 3L, 3L), (6L, 3L, 3L)))
+    releaseNewSince(before)
+  }
+
+  test("labelPropagation: releases the edge cache, keeps only its checkpoint") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L))
+    val e = (und ++ und.map(_.swap)).toDF("u", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    GraphOps.labelPropagation(e).collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).size <= 1)
+    releaseNewSince(before)
+  }
+
+  /** Release blocks this test created (the by-design label-state
+    * checkpoint): the suites share one session, and a survivor swept later
+    * by the async ContextCleaner would skew another suite's exact
+    * persistent-RDD delta.
+    */
+  private def releaseNewSince(before: scala.collection.Set[Int]): Unit = {
+    val now = spark.sparkContext.getPersistentRDDs
+    now.keySet.diff(before).foreach(id => now(id).unpersist(blocking = true))
+  }
 }

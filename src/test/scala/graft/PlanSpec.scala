@@ -344,6 +344,15 @@ class PlanSpec extends SparkSpec {
       "source pairing must come from the in-array expansion, not a cross join")
   }
 
+  test("q_label_prop: per-node argmax runs as bounded single-row heaps") {
+    // the rounds execute inside the eager label-state checkpoint, so the
+    // returned frame's own plan is just the checkpoint scan — capture the
+    // construction-time jobs instead
+    val ps = executedPlans { SparkEntry.queries("q_label_prop")(spark, dir) }
+    assert(ps.exists(p => p.contains("GroupTopKPartial") && p.contains("GroupTopKFinal")),
+      s"no captured plan ran the bounded heaps (${ps.size} plans captured)")
+  }
+
   test("q_window: rank filter becomes the bounded GroupTopK operator pair") {
     // the GroupTopKRewrite rule replaces Filter+Window entirely: partial
     // bounded heaps before the exchange, final heaps + rank emission after

@@ -262,6 +262,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvSketchStream: maintained sketch equals the batch sketch of all data") {
+    import graft.functions.StableHash
+    // 90 distinct users > k=32, split so batch 2 carries users whose hashes
+    // undercut batch 1's k-th minimum — the union-merge must evict
+    val events = (1L to 180L).map(u =>
+      StreamEvent(ts(f"10:${u % 60}%02d"), u % 90, "click", 1.0))
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.kmvSketchStream(input.toDF(), k = 32)
+      .writeStream.format("memory").queryName("kmv_sk").outputMode("complete").start()
+    try {
+      input.addData(events.take(80))
+      q.processAllAvailable()
+      val after1 = spark.table("kmv_sk").select("kmins")
+        .as[Seq[Long]].head()
+      input.addData(events.drop(80))
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_sk").select("kmins")
+        .as[Seq[Long]].head()
+      // batch truth: the 32 smallest distinct hashes over ALL users
+      val batchSketch = events.map(_.user_id).distinct.toDF("u")
+        .select(StableHash.hash60(col("u").cast("string")).as("h"))
+        .distinct().orderBy(col("h")).limit(32).as[Long].collect().toSeq
+      assert(streamed == batchSketch)
+      // batch 2 really moved the sketch (merge evicted, not just appended)
+      assert(after1 != streamed)
+      // bounded state: the sketch never exceeds k entries
+      assert(streamed.length == 32 && after1.length == 32)
+    } finally q.stop()
+  }
+
   test("dedupIngest: repeats within the watermark horizon collapse to first arrival") {
     val input = MemoryStream[StreamEvent]
     val q = StreamingOps.dedupIngest(input.toDF())
