@@ -1307,6 +1307,11 @@ object SparkEntry {
     // corpus self-join), integer-exact confidence/lift, heap top-k.
     "q_basket_rules" -> ((s, dir) =>
       StatsOps.basketRules(t(s, dir, "lineitem"))),
+    // Pearson correlation from mergeable integer sufficient statistics
+    // (engine-native corr() floats can never hash-match across engines).
+    "q_stats_corr" -> ((s, dir) =>
+      StatsOps.corrByGroup(t(s, dir, "lineitem"), "l_returnflag",
+        col("l_quantity"), col("l_extendedprice"))),
     // ANALYZE-style one-pass column profile: min/max/nulls/exact-distinct
     // per column via one Expand + one aggregation (the CBO-stats shape).
     "q_profile" -> ((s, dir) =>
@@ -2909,6 +2914,9 @@ object SparkEntry {
         "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b) " +
         "SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs " +
         "FROM sp GROUP BY 1, 2 ORDER BY source, split"),
+    // mirrors StatsOps.corrByGroup (bp quantization, HUGEINT moments)
+    "q_stats_corr" -> StatsOps.corrByGroupSql(
+      "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"),
     // mirrors StatsOps.profile over the four lineitem numeric columns
     "q_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

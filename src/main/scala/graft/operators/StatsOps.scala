@@ -346,4 +346,77 @@ object StatsOps {
         col("conf_bp"), col("lift_bp"))
       .orderBy(col("rank"))
   }
+
+  /** Mergeable correlation sufficient statistics per group: (n, Σx, Σy,
+    * Σxy, Σx², Σy²) over bp-quantized longs, summed as decimal(38,0) so
+    * no per-term product or partial sum can overflow at any scale. This
+    * sextuple is the canonical mergeable-state summary for second-moment
+    * statistics (counts add — the HLL-register/CMS-cell closure property
+    * again), which is precisely why Spark/DuckDB's own `corr()` outputs
+    * can never hash-match across engines: they accumulate FLOATS in
+    * engine-specific order. Integer sufficient stats are
+    * order-independent; [[corrByGroup]] finalizes them.
+    */
+  private[graft] def corrStats(
+      df: DataFrame, groupCol: String, xCol: Column, yCol: Column): DataFrame = {
+    val xq = TextOps.roundBp(xCol).cast("decimal(38,0)")
+    val yq = TextOps.roundBp(yCol).cast("decimal(38,0)")
+    df.select(col(groupCol), xq.as("xq"), yq.as("yq"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"),
+        sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sx2"),
+        sum(col("yq") * col("yq")).as("sy2"))
+  }
+
+  /** Pearson correlation per group from the integer sufficient statistics
+    * — one partial+final hash aggregation, then per-group O(1) arithmetic.
+    *
+    * The finalization converts the EXACT integer moments to doubles only
+    * at the last step (num, d1, d2 are exact decimals first; ::double of
+    * an exact integer and IEEE sqrt/division are bit-identical across
+    * engines — the [[histogram]] portability argument), so `corr_bp`
+    * hash-matches the DuckDB oracle. Zero-variance groups emit NULL.
+    *
+    * Output: (group, n, mean_x_bp, mean_y_bp, corr_bp), ordered.
+    */
+  def corrByGroup(
+      df: DataFrame, groupCol: String, xCol: Column, yCol: Column): DataFrame =
+    corrStats(df, groupCol, xCol, yCol)
+      .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("d1", (col("n") * col("sx2") - col("sx") * col("sx")).cast("double"))
+      .withColumn("d2", (col("n") * col("sy2") - col("sy") * col("sy")).cast("double"))
+      .select(
+        col(groupCol),
+        col("n"),
+        expr("CAST(sx div n AS BIGINT)").as("mean_x_bp"),
+        expr("CAST(sy div n AS BIGINT)").as("mean_y_bp"),
+        when(col("d1") > 0 && col("d2") > 0,
+          floor(lit(10000.0) * col("num") / (sqrt(col("d1")) * sqrt(col("d2"))) + lit(0.5))
+            .cast("long")).as("corr_bp"))
+      .orderBy(col(groupCol))
+
+  /** DuckDB SQL matching [[corrByGroup]] on `table` (HUGEINT sums mirror
+    * the decimal(38,0) exactness).
+    */
+  def corrByGroupSql(
+      table: String, groupCol: String, xExpr: String, yExpr: String): String = {
+    val xq = TextOps.roundBpSql(xExpr)
+    val yq = TextOps.roundBpSql(yExpr)
+    s"WITH q AS (SELECT $groupCol, $xq AS xq, $yq AS yq FROM $table), " +
+      s"st AS (SELECT $groupCol, CAST(count(*) AS BIGINT) AS n, " +
+      "sum(xq::HUGEINT) AS sx, sum(yq::HUGEINT) AS sy, " +
+      "sum(xq::HUGEINT * yq) AS sxy, sum(xq::HUGEINT * xq) AS sx2, " +
+      "sum(yq::HUGEINT * yq) AS sy2 FROM q GROUP BY 1), " +
+      "f AS (SELECT *, (n*sxy - sx*sy)::DOUBLE AS num, " +
+      "(n*sx2 - sx*sx)::DOUBLE AS d1, (n*sy2 - sy*sy)::DOUBLE AS d2 FROM st) " +
+      s"SELECT $groupCol, n, CAST(sx // n AS BIGINT) AS mean_x_bp, " +
+      "CAST(sy // n AS BIGINT) AS mean_y_bp, " +
+      "CASE WHEN d1 > 0 AND d2 > 0 THEN " +
+      "CAST(floor(10000.0 * num / (sqrt(d1) * sqrt(d2)) + 0.5) AS BIGINT) " +
+      s"ELSE NULL END AS corr_bp FROM f ORDER BY $groupCol"
+  }
 }

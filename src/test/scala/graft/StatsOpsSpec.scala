@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, sum}
+
 import graft.operators.StatsOps
 
 class StatsOpsSpec extends SparkSpec {
@@ -112,5 +114,42 @@ class StatsOpsSpec extends SparkSpec {
     assert(got == Seq(
       (1, 10L, 20L, 3L, 10000L, 13333L),
       (2, 20L, 10L, 3L, 10000L, 13333L)))
+  }
+
+  test("corrByGroup: hand-checked perfect, inverse, and degenerate groups") {
+    val df = Seq(
+      // y = 2x → corr exactly +1
+      ("up", 1.0, 2.0), ("up", 2.0, 4.0), ("up", 3.0, 6.0),
+      // y = -x + 4 → corr exactly -1
+      ("dn", 1.0, 3.0), ("dn", 2.0, 2.0), ("dn", 3.0, 1.0),
+      // zero variance in x → NULL
+      ("flat", 5.0, 1.0), ("flat", 5.0, 9.0))
+      .toDF("g", "x", "y")
+    val got = StatsOps.corrByGroup(df, "g", col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == Seq(
+      ("dn", 3L, 20000L, 20000L, Some(-10000L)),
+      ("flat", 2L, 50000L, 50000L, None),
+      ("up", 3L, 20000L, 40000L, Some(10000L))))
+  }
+
+  test("corrStats: sufficient statistics merge across any split of the data") {
+    val rows = (1 to 40).map(i => ("g", i * 0.37, (i % 7) * 1.5 + i * 0.11))
+    val full = StatsOps.corrStats(rows.toDF("g", "x", "y"), "g", col("x"), col("y"))
+      .collect().map(_.toSeq).toSeq
+    // stats of parts, re-summed, equal stats of the whole — the mergeable
+    // closure exact corr() floats lack
+    val parts = Seq(rows.take(13), rows.slice(13, 29), rows.drop(29))
+      .map(p => StatsOps.corrStats(p.toDF("g", "x", "y"), "g", col("x"), col("y")))
+    val merged = parts.reduce(_ unionByName _)
+      .groupBy(col("g"))
+      .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+        sum("sxy").as("sxy"), sum("sx2").as("sx2"), sum("sy2").as("sy2"))
+      .select(col("g"), col("n"), col("sx").cast("decimal(38,0)"),
+        col("sy").cast("decimal(38,0)"), col("sxy").cast("decimal(38,0)"),
+        col("sx2").cast("decimal(38,0)"), col("sy2").cast("decimal(38,0)"))
+      .collect().map(_.toSeq).toSeq
+    assert(merged == full)
   }
 }
