@@ -214,15 +214,53 @@ object SketchOps {
     * sorted ≤ m-element array, broadcasts, and each probe row tests its k
     * positions with `array_contains`. No shuffle of the probe side at all;
     * the filter runs inside the scan stage (at 100 TB this is the point:
-    * rows drop before any exchange). A production filter would pack the
-    * bits into `m/64` longs behind a custom bit-test Expression; the array
-    * form keeps the same plan shape in portable functions.
+    * rows drop before any exchange). This form keeps the plan in portable
+    * functions but pays O(set bits) per probe (`array_contains` scans);
+    * [[bloomReducePacked]] is the production form — same plan shape, the
+    * probe packed to one word read via the codegen'd
+    * [[graft.functions.BitsetTest]].
     */
   def bloomReduce(probe: DataFrame, keyCol: Column, bits: DataFrame): DataFrame = {
     val bitArr = bits.agg(array_sort(collect_list(col("bit"))).as("__bitset"))
     probe.crossJoin(broadcast(bitArr))
       .filter(bloomPositions(keyCol).map(p => array_contains(col("__bitset"), p)).reduce(_ && _))
       .drop("__bitset")
+  }
+
+  /** The bit-position rows packed little-endian into `m/64` bigint words
+    * (bit i → word i>>6, offset i&63): ONE row holding a fixed-size
+    * `array<bigint>`, still mergeable across builds (word-wise `bit_or`).
+    */
+  def bloomPackedBits(bits: DataFrame): DataFrame = {
+    val nWords = (BloomBits / 64).toInt
+    bits
+      .select(expr("CAST(bit DIV 64 AS INT)").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("acc"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("acc")))).as("mp"))
+      .select(transform(sequence(lit(0), lit(nWords - 1)),
+        i => coalesce(element_at(col("mp"), i), lit(0L))).as("__words"))
+  }
+
+  /** [[bloomReduce]] with the packed-word bitset: each probe row tests its
+    * k positions with `bitset_test` — one word read + shift per position,
+    * O(1) regardless of build cardinality, inside whole-stage codegen.
+    * Result rows are identical to [[bloomReduce]]'s (spec-pinned).
+    *
+    * The packed words come back to the driver as a LITERAL array — a
+    * bounded m/64-long fetch (the [[SortOps]] min/max-bounds discipline),
+    * NOT a corpus-dependent collect — so the probe side keeps a pure
+    * per-row predicate on its scan: no join in the plan at all, and the
+    * bitset words are constants in the generated code. (The broadcast
+    * crossJoin form plans as a BroadcastNestedLoopJoin once Catalyst folds
+    * the filter into the join condition — correct, but the predicate
+    * leaves the scan stage.)
+    */
+  def bloomReducePacked(probe: DataFrame, keyCol: Column, bits: DataFrame): DataFrame = {
+    val words = bloomPackedBits(bits).head().getSeq[Long](0)
+    val wlit = array(words.map(lit): _*)
+    probe.filter(bloomPositions(keyCol)
+      .map(p => call_function("bitset_test", wlit, p)).reduce(_ && _))
   }
 
   /** KMV (k-minimum-values) sketch size. 64 → ~12.5% standard error on

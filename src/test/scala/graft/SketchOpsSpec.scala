@@ -101,6 +101,34 @@ class SketchOpsSpec extends SparkSpec {
     assert(viaReduce == viaKeys)
   }
 
+  test("bloomReducePacked: codegen'd word probe equals the portable array form") {
+    val build = (0L until 50L).map(_ * 3).toDF("k")
+    // spark.range, not a LocalRelation: ConvertToLocalRelation would fold
+    // the whole literal-bitset filter at optimization time and leave no
+    // Filter node to assert on
+    val probe = spark.range(300).toDF("k")
+    val bits = SketchOps.bloomBits(build, col("k"))
+    val packedDf = SketchOps.bloomReducePacked(probe, col("k"), bits)
+    val viaPacked = packedDf.as[Long].collect().toSet
+    val viaArray = SketchOps.bloomReduce(probe, col("k"), bits)
+      .as[Long].collect().toSet
+    assert(viaPacked == viaArray)
+    // the packed probe must run inside a codegen stage (a '*'-marked
+    // Filter), not fall back to interpreted eval
+    val plan = packedDf.queryExecution.executedPlan.toString
+    val filterLine = plan.linesIterator.find(_.contains("bitset_test")).get
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(filterLine).isDefined,
+      s"not codegen'd: ${filterLine.take(120)}")
+  }
+
+  test("bitset_test: word boundaries, out-of-range, and SQL registration") {
+    val df = spark.sql(
+      "SELECT bitset_test(array(CAST(1 AS BIGINT), CAST(-9223372036854775808 AS BIGINT)), pos) AS hit " +
+        "FROM VALUES (0L), (63L), (64L), (127L), (128L), (-1L) AS t(pos)")
+    // bits set: 0 (word 0, lsb) and 127 (word 1, msb); 128 and -1 out of range
+    assert(df.as[Boolean].collect().toSeq == Seq(true, false, false, true, false, false))
+  }
+
   test("bloom: bit tables merge by union (bitwise OR in row form)") {
     val a = (0L until 40L).toDF("k")
     val b = (40L until 80L).toDF("k")
