@@ -705,6 +705,10 @@ object SparkEntry {
         col("score"))
         .orderBy(col("rank"))
     }),
+    // k-core peeling over the co-purchase graph: density-by-minimum-degree
+    // after 3 synchronous delete rounds (survivors contain the true core).
+    "q_kcore" -> ((s, dir) =>
+      GraphOps.kcore(GraphOps.copurchaseEdges(t(s, dir, "lineitem")), k = 16)),
     // Synchronous label propagation over the same co-purchase graph:
     // community membership by neighborhood MAJORITY (vs CC's any-edge
     // reachability), 3 deterministic min-tie-break rounds.
@@ -2655,6 +2659,8 @@ object SparkEntry {
     "q_pagerank" -> duckPageRankSql(3, 20),
     // mirrors GraphOps.labelPropagation (3 unrolled synchronous rounds)
     "q_label_prop" -> GraphOps.labelPropagationSql(3),
+    // mirrors GraphOps.kcore (k=16, 3 unrolled peels)
+    "q_kcore" -> GraphOps.kcoreSql(16, 3),
     // mirrors GraphOps.triangleStats over coOrderEdges of the p_size<=5
     // subgraph: same degree-ordered orientation, wedge + closing-edge count
     "q_triangles" ->

@@ -245,6 +245,73 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** k-core peeling, `rounds` fixed synchronous rounds: repeatedly delete
+    * nodes of degree < k (with every edge they carry), then report each
+    * survivor's degree inside the surviving subgraph. The k-core — the
+    * maximal subgraph of minimum degree ≥ k — is the classic
+    * density/robustness signal (spam rings and boilerplate mirrors live in
+    * high cores; pendant chains and one-off links peel away), completing
+    * the iterative-graph family: reachability (CC), centrality
+    * (PageRank), majority structure (LPA), local density (triangles),
+    * global density (this).
+    *
+    * Bounded-round contract (the [[labelPropagation]] determinism trade):
+    * true k-core iterates to a data-dependent fixpoint, which no unrolled
+    * oracle can mirror; `rounds` synchronous peels are deterministic,
+    * reach the fixpoint whenever the longest deletion cascade is shorter
+    * than `rounds` (the spec pins a cascade that needs every round), and
+    * otherwise UNDER-peel — survivors always contain the true core.
+    *
+    * Scale shape per round: one partial+final degree aggregation plus two
+    * equi semi-joins of the edge set against the survivor list (keyed u,
+    * then v) — edge-linear, no windows, no driver state. Rounds are left
+    * LAZY with a lazy persist per round: every intermediate edge set has
+    * TWO consumers (the next round's degree count and its restriction
+    * join), so the one materializing action at the end populates each
+    * round's cache on first use and reads it on the second — without the
+    * persists the lineage would re-derive round r-1 twice per round (2^R
+    * blowup). The final core is checkpointed, every round released —
+    * the [[labelPropagation]] lifecycle.
+    *
+    * Output: (node, deg) of the surviving subgraph, ordered by node.
+    */
+  def kcore(edges: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame = {
+    var e = edges
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      e = e.persist()
+      cached += e
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u"))
+      e = e.join(keep, Seq("u"))
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"))
+        .select(col("u"), col("v"))
+    }
+    val core = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+    val cp = core.localCheckpoint()
+    cached.foreach(_.unpersist(blocking = false))
+    cp.orderBy(col("node"))
+  }
+
+  /** DuckDB SQL matching [[kcore]] over [[copurchaseEdges]] of `lineitem`
+    * (`rounds` unrolled peels).
+    */
+  def kcoreSql(k: Int = 3, rounds: Int = 3): String = {
+    val peels = (1 to rounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"k$i AS (SELECT u FROM $prev GROUP BY u HAVING count(*) >= $k), " +
+        s"e$i AS (SELECT $prev.u, $prev.v FROM $prev " +
+        s"JOIN k$i a ON $prev.u = a.u JOIN k$i b ON $prev.v = b.u)"
+    }.mkString(", ")
+    "WITH pr AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p " +
+      "FROM lineitem), " +
+      "e0 AS (SELECT s AS u, p AS v FROM pr UNION ALL SELECT p, s FROM pr), " +
+      peels + " " +
+      s"SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM e$rounds " +
+      "GROUP BY u ORDER BY node"
+  }
+
   /** DuckDB SQL matching [[labelPropagation]] over [[copurchaseEdges]] of
     * `lineitem` (`iters` unrolled rounds).
     */

@@ -73,8 +73,9 @@ class CacheLifecycleSpec extends SparkSpec {
     // declared surface and bound net persistent-RDD growth by the known
     // by-design survivors (dedupClusters' final local checkpoint, one per
     // clustering consumer — unpersisting it would be unrecoverable)
-    val byDesign = 4 // q_dedup_clusters/q_dedup_keep_best/q_dedup_incremental
-                     // final cluster checkpoints + q_label_prop's label state
+    val byDesign = 5 // q_dedup_clusters/q_dedup_keep_best/q_dedup_incremental
+                     // final cluster checkpoints + the q_label_prop label
+                     // state and q_kcore core checkpoints
     val leaked = leakedAfter {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()

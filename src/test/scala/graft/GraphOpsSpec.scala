@@ -95,6 +95,32 @@ class GraphOpsSpec extends SparkSpec {
     releaseNewSince(before)
   }
 
+  test("kcore: deletion cascade uses every round; clique core survives") {
+    import spark.implicits._
+    // triangle {1,2,3} + path 3-4-5: k=2 peeling needs the full cascade —
+    //   r1 removes 5 (deg 1), r2 removes 4 (deg fell to 1), r3 stable
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val e = (und ++ und.map(_.swap)).toDF("u", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = GraphOps.kcore(e, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    releaseNewSince(before)
+  }
+
+  test("kcore: under-peeling contract — too few rounds only ever UNDER-peels") {
+    import spark.implicits._
+    // same fixture with rounds=1: node 4 (not yet cascaded) survives with
+    // its post-peel degree; the true core is a subset
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val e = (und ++ und.map(_.swap)).toDF("u", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = GraphOps.kcore(e, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L) && got(4L) == 1L)
+    releaseNewSince(before)
+  }
+
   /** Release blocks this test created (the by-design label-state
     * checkpoint): the suites share one session, and a survivor swept later
     * by the async ContextCleaner would skew another suite's exact
