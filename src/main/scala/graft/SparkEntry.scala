@@ -940,6 +940,11 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) =>
       graft.operators.SampleOps.stratifiedSample(
         t(s, dir, "documents"), "lang", "doc_id", n = 5)),
+    // Priority sampling (Duffield-Lund-Thorup): EXACTLY k rows, weight-
+    // biased without replacement, integer-exact priorities, heap top-k.
+    "q_sample_priority" -> ((s, dir) =>
+      graft.operators.SampleOps.prioritySample(
+        t(s, dir, "documents"), "n_chars", "doc_id", k = 100)),
     // Data mixing: per-language sampling multipliers toward a uniform mix.
     "q_mix_weights" -> ((s, dir) =>
       graft.operators.SampleOps.mixWeights(t(s, dir, "documents"), "lang")),
@@ -1986,6 +1991,15 @@ object SparkEntry {
         "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
         "ORDER BY h, doc_id) AS rn FROM h) " +
         "SELECT lang, rn, doc_id FROM r WHERE rn <= 5 ORDER BY lang, rn"),
+    // mirrors SampleOps.prioritySample (w·2^60 div (h+1) priorities)
+    "q_sample_priority" ->
+      (s"WITH p AS (SELECT doc_id, n_chars, " +
+        s"(n_chars::HUGEINT * (1::HUGEINT << 60)) // " +
+        s"(${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} + 1) AS pri " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, n_chars, row_number() OVER " +
+        "(ORDER BY pri DESC, doc_id) AS rank FROM p) " +
+        "SELECT rank, doc_id, n_chars FROM r WHERE rank <= 100 ORDER BY rank"),
     // mirrors SampleOps.weightedSample over the q_quality scorer
     "q_sample_weighted" -> {
       val allStops = TextOps.langMarkers.flatMap(_._2).distinct.sorted

@@ -95,6 +95,39 @@ object SampleOps {
     df.filter(
       pmod(StableHash.hash60(col(idCol).cast("string")), lit(10000L)) < col(weightBpCol))
 
+  /** Fixed-size weighted sample WITHOUT replacement via priority sampling
+    * (Duffield-Lund-Thorup): item i gets priority w_i / u_i with u_i a
+    * uniform draw, and the k highest priorities are the sample. Where
+    * [[weightedSample]] keeps a weight-PROPORTIONAL (and therefore
+    * data-dependent-size) subset, this returns EXACTLY k rows, still
+    * weight-biased — the "give me a 10k-doc quality-weighted dev slice"
+    * operator.
+    *
+    * Determinism: u_i := (hash60(id)+1) / 2^60, so priority ordering is
+    * `w_i · 2^60 div (h_i + 1)` — one decimal(38,0) integer division per
+    * row ([[graft.operators.SketchOps.kmvSourceIntersect]]'s exactness
+    * argument), totally ordered by (priority desc, id). Same sample every
+    * run, every engine, every partition layout; monotone in the weights
+    * (raising a row's weight can only pull it IN — spec-pinned).
+    *
+    * Scale: one scan computing a per-row priority + TakeOrderedAndProject
+    * (per-partition k-row heaps, k-row driver merge) — no shuffle of the
+    * data, no window. Output: (rank, id, weight), rank 1..k.
+    */
+  def prioritySample(
+      df: DataFrame, weightCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.orderBy(col("__pri").desc, col(idCol))
+    df.select(col(idCol), col(weightCol),
+        (col(weightCol).cast("decimal(38,0)") *
+          lit(1L << 60).cast("decimal(38,0)")).as("__num"),
+        (StableHash.hash60(col(idCol).cast("string")) + lit(1L)).as("__den"))
+      .withColumn("__pri", expr("__num div __den"))
+      .orderBy(col("__pri").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col(idCol), col(weightCol))
+      .orderBy(col("rank"))
+  }
+
   /** Deterministic n-per-stratum sample: the n smallest id-hashes within
     * each stratum (ties impossible: the hash is keyed by the unique id, and
     * the id itself tie-breaks). Output: (strataCol, rn, idCol).

@@ -72,4 +72,31 @@ class SampleOpsSpec extends SparkSpec {
     assert(a == b)
     assert(a.length == 12) // 4 strata x 3
   }
+
+  test("prioritySample: exact size, layout-stable, biased toward weight") {
+    // weights 1 for most ids, 1000 for ids 1..40: the heavy block should
+    // dominate a k=50 sample (E[u/w rank]: heavy items ~1000x priority)
+    val df = (1L to 400L).map(i => (i, if (i <= 40) 1000L else 1L)).toDF("id", "w")
+    val a = SampleOps.prioritySample(df, "w", "id", 50)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a.length == 50 && a.map(_._1) == (1 to 50))
+    val b = SampleOps.prioritySample(df.repartition(9), "w", "id", 50)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b)
+    val heavyIn = a.count(_._2 <= 40)
+    assert(heavyIn >= 35, s"only $heavyIn of 40 heavy items sampled")
+  }
+
+  test("prioritySample: raising a weight can only pull a row IN") {
+    val df = (1L to 200L).map(i => (i, 10L)).toDF("id", "w")
+    val base = SampleOps.prioritySample(df, "w", "id", 20)
+      .collect().map(_.getLong(1)).toSet
+    // bump one sampled and one unsampled row 5x: the sampled one must stay
+    val inId = base.head
+    val boosted = df.withColumn("w",
+      when(col("id") === inId, lit(50L)).otherwise(col("w")))
+    val after = SampleOps.prioritySample(boosted, "w", "id", 20)
+      .collect().map(_.getLong(1)).toSet
+    assert(after.contains(inId))
+  }
 }
