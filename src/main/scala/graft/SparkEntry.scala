@@ -1284,6 +1284,23 @@ object SparkEntry {
         EventOps.distinctState(ev.filter(col("ts") < cutoff)),
         EventOps.distinctState(ev.filter(col("ts") >= cutoff))))
     }),
+    // MIN/MAX IVM: the bounded extrema buffer — min/max under DELETES is
+    // the textbook non-incrementalizable aggregate; the state keeps the k
+    // smallest/largest distinct values with multiplicities. Base = events
+    // before the cutoff; one delta inserts the rest and deletes every
+    // event_id % 7 == 0 base row; must equal the oracle's from-scratch
+    // min/max over the final multiset.
+    "q_ivm_minmax" -> ((s, dir) => {
+      val ev = EventOps.normalizeTs(t(s, dir, "events"))
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val base = ev.filter(col("ts") < cutoff)
+      val delta = EventOps.extremaState(ev.filter(col("ts") >= cutoff))
+        .unionByName(
+          EventOps.extremaState(base.filter(col("event_id") % 7 === 0))
+            .withColumn("mult", -col("mult")))
+      EventOps.extremaView(
+        EventOps.mergeExtremaStates(EventOps.extremaState(base), delta))
+    }),
     // JOIN-view IVM: the orders-x-customer view is built on the OLD halves
     // only, then maintained by the three delta-join legs when the new
     // orders batch and the new customers batch land — must equal the
@@ -2967,6 +2984,15 @@ object SparkEntry {
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
         s"CAST(sum(${TextOps.roundBpSql("value")}) AS BIGINT) AS value_bp " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    // mirrors q_ivm_minmax: from-scratch min/max over the FINAL multiset
+    // (base minus the %7 deletes plus the post-cutoff inserts) — equality
+    // proves the bounded extrema buffer absorbed inserts AND deletes
+    "q_ivm_minmax" ->
+      ("WITH fin AS (SELECT event_type, " +
+        s"${TextOps.roundBpSql("value")} AS v_bp FROM events " +
+        "WHERE NOT (ts < TIMESTAMP '2024-01-15' AND event_id % 7 = 0)) " +
+        "SELECT event_type, min(v_bp) AS min_bp, max(v_bp) AS max_bp " +
+        "FROM fin GROUP BY event_type ORDER BY event_type"),
     // mirrors q_ivm_distinct: from-scratch COUNT(DISTINCT) — equality
     // proves the multiplicity state merged into the exact distinct view
     "q_ivm_distinct" ->

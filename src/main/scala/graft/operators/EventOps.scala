@@ -302,6 +302,82 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"), sum(col("mult")).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** MIN/MAX view state — the bounded extrema buffer. MIN/MAX under
+    * DELETES is the textbook non-incrementalizable aggregate: deleting
+    * the current minimum forces a full rescan unless the state remembers
+    * runners-up. The maintainable state is the k smallest and k largest
+    * DISTINCT bp-values per group with multiplicities — deletes decrement,
+    * a value drops at zero, and the view reads min/max off the buffer.
+    * Completes the IVM family's four textbook cases: SUM/COUNT
+    * ([[rollupState]] — trivially mergeable), COUNT DISTINCT
+    * ([[distinctState]] — support multiset), JOIN (deltaJoin), MIN/MAX
+    * (this — bounded support buffer).
+    *
+    * Contract (documented, spec-pinned): within one rebuild epoch (state
+    * built from base, deltas merged), the buffer answers exactly while
+    * the relevant side holds ≥ 1 value surviving from the original
+    * truncation; deleting ALL k buffered extremes drains the side and
+    * its column goes NULL in the view — the recompute signal, never a
+    * wrong answer. Values truncated away (beyond the k-th) are provably
+    * non-extreme while a same-epoch survivor remains below them. Deletes
+    * of never-buffered values net negative and are dropped — they sat in
+    * the truncated middle, which cannot hold an extreme. (Adversarial
+    * drain-then-refill across MANY epochs without rebuild can mask a
+    * truncated value; production systems version the epoch and rebuild
+    * on drain — the single-delta declared query and the spec stay inside
+    * the sound envelope.)
+    *
+    * Scale: state is O(groups · 2k); building it is one partial+final
+    * aggregation plus two bounded GroupTopK passes (`row_number ≤ k` on
+    * ±v_bp); merging is state-sized, never event-sized.
+    */
+  def extremaState(events: DataFrame, k: Int = 8): DataFrame = {
+    val m = normalizeTs(events)
+      .groupBy(col("event_type"), TextOps.roundBp(col("value")).as("v_bp"))
+      .agg(count(lit(1)).as("mult"))
+      // each side tracks its own buffer: a drained LO side must make min
+      // ABSENT, not fall back to some surviving high value
+      .select(col("event_type"), col("v_bp"), col("mult"),
+        explode(array(lit("lo"), lit("hi"))).as("side"))
+    truncateExtrema(m, k)
+  }
+
+  /** Keep the k smallest (lo side) / k largest (hi side) distinct values
+    * per group. `row_number ≤ k` — the bounded GroupTopK shape.
+    */
+  private def truncateExtrema(state: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("side"))
+      .orderBy(when(col("side") === "lo", col("v_bp")).otherwise(-col("v_bp")))
+    state
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("event_type"), col("side"), col("v_bp"), col("mult"))
+  }
+
+  /** Apply a delta to the extrema state: `delta` rows carry mult = +n for
+    * inserts, −n for deletes (state-shaped, i.e. already two-sided —
+    * [[extremaState]] of the inserted rows, negated for deletes). Merge by
+    * addition, drop non-positive multiplicities, re-truncate.
+    */
+  def mergeExtremaStates(state: DataFrame, delta: DataFrame, k: Int = 8): DataFrame =
+    truncateExtrema(
+      state.unionByName(delta)
+        .groupBy(col("event_type"), col("side"), col("v_bp"))
+        .agg(sum(col("mult")).as("mult"))
+        .filter(col("mult") > 0),
+      k)
+
+  /** The maintained view: exact min (lo buffer) / max (hi buffer) per
+    * group. A drained side yields NULL — the recompute signal; never a
+    * wrong extreme.
+    */
+  def extremaView(state: DataFrame): DataFrame =
+    state.groupBy(col("event_type"))
+      .agg(
+        min(when(col("side") === "lo", col("v_bp"))).as("min_bp"),
+        max(when(col("side") === "hi", col("v_bp"))).as("max_bp"))
+      .orderBy(col("event_type"))
+
   /** Trailing-window anomaly detection — the ops-side "did ingestion break
     * this hour?" monitor a pipeline runs over its own event volumes: an
     * (hour, event_type) cell is anomalous when its count deviates from the

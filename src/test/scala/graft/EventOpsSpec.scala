@@ -211,6 +211,46 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("p95_bp") == 48000L)  // 4.8 at linear interpolation
   }
 
+  test("extrema IVM: deleting the current min promotes the runner-up") {
+    // base values per type "a": 1.0 x2, 2.0, 3.0, 9.0
+    val base = ev(
+      (1L, ms("10:00"), "a", 1.0), (2L, ms("10:01"), "a", 1.0),
+      (3L, ms("10:02"), "a", 2.0), (4L, ms("10:03"), "a", 3.0),
+      (5L, ms("10:04"), "a", 9.0))
+    val st = EventOps.extremaState(base, k = 3)
+    // delete ONE copy of 1.0: min stays (multiplicity 2 -> 1)
+    val d1 = EventOps.extremaState(ev((1L, ms("10:00"), "a", 1.0)), k = 3)
+      .withColumn("mult", -col("mult"))
+    val v1 = EventOps.extremaView(EventOps.mergeExtremaStates(st, d1, k = 3)).head()
+    assert(v1.getLong(1) == 10000L && v1.getLong(2) == 90000L)
+    // delete the second copy too: min promotes to 2.0
+    val d2 = EventOps.extremaState(
+      ev((1L, ms("10:00"), "a", 1.0), (2L, ms("10:01"), "a", 1.0)), k = 3)
+      .withColumn("mult", -col("mult"))
+    val v2 = EventOps.extremaView(EventOps.mergeExtremaStates(st, d2, k = 3)).head()
+    assert(v2.getLong(1) == 20000L && v2.getLong(2) == 90000L)
+    // insert below the min: new min without touching the buffer's hi side
+    val ins = EventOps.extremaState(ev((9L, ms("11:00"), "a", 0.5)), k = 3)
+    val v3 = EventOps.extremaView(EventOps.mergeExtremaStates(st, ins, k = 3)).head()
+    assert(v3.getLong(1) == 5000L && v3.getLong(2) == 90000L)
+  }
+
+  test("extrema IVM: draining a whole side goes NULL, never wrong") {
+    // k=2 buffer holds lows {1.0, 2.0}; deleting both drains the lo side
+    // while 3.0 and 9.0 survive in the data (truncated away) — min must
+    // be NULL (recompute signal), max still answers
+    val base = ev(
+      (1L, ms("10:00"), "a", 1.0), (2L, ms("10:01"), "a", 2.0),
+      (3L, ms("10:02"), "a", 3.0), (4L, ms("10:03"), "a", 9.0))
+    val st = EventOps.extremaState(base, k = 2)
+    val del = EventOps.extremaState(
+      ev((1L, ms("10:00"), "a", 1.0), (2L, ms("10:01"), "a", 2.0)), k = 2)
+      .withColumn("mult", -col("mult"))
+    val v = EventOps.extremaView(EventOps.mergeExtremaStates(st, del, k = 2)).head()
+    assert(v.isNullAt(1), "drained lo side must yield NULL min")
+    assert(v.getLong(2) == 90000L)
+  }
+
   test("ewmaHourly: hand-checked binary decay over a grid with a hole") {
     // hours 10, 11, 13 have events; hour 12 is a genuine zero (gap-filled)
     val df = ev(
