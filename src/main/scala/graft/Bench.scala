@@ -12,29 +12,60 @@ import org.apache.spark.sql.SparkSession
   * JVM/codegen warm-up so the first timed query isn't charged ~7 s of JIT.
   * Failures are never swallowed: a failed query reports `-1` and the error
   * goes to stderr.
+  *
+  * TWO PROTOCOLS in one artifact:
+  *
+  *  - "suite": every declared query back-to-back in ONE session — the
+  *    end-to-end number, interference (GC pressure, broadcast cleanup,
+  *    shared-JVM contention) included. Fast, but round-over-round deltas
+  *    on individual queries are polluted by whatever else the suite grew.
+  *  - "solo": each query in a FRESH SparkContext (same JVM — which is what
+  *    a warm executor reuse looks like on a cluster anyway; JIT state
+  *    persists, Spark-side state does not). No caches, no broadcasts, no
+  *    accumulated session debris from other queries. Round-over-round
+  *    per-query comparisons should cite SOLO numbers; the suite total
+  *    remains the workload-level number.
+  *
+  * By default the suite runs in full and the `SPARK_GRAFT_BENCH_SOLO`
+  * heaviest queries (default 12, by suite time; "all" for a full sweep,
+  * "none"/"0" to skip) re-run solo — bounding the added wall-clock while
+  * covering exactly the queries whose regressions matter.
   */
 object Bench {
+
+  private def execute(
+      spark: SparkSession, name: String, dir: String): Either[String, Double] = {
+    val t0 = System.nanoTime()
+    try {
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      Right((System.nanoTime() - t0) / 1e9)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        Left(e.getClass.getSimpleName)
+    }
+  }
+
+  private def minOf(
+      a: Either[String, Double], b: Either[String, Double]): Either[String, Double] =
+    (a, b) match {
+      case (Right(x), Right(y)) => Right(math.min(x, y))
+      case (Left(e), _) => Left(e)
+      case (_, Left(e)) => Left(e)
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession
-      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    def execute(name: String, dir: String): Either[String, Double] = {
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        Right((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Left(e.getClass.getSimpleName)
-      }
+    def newSession(): SparkSession = {
+      val s = GraftSession
+        .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
     }
+    var spark = newSession()
 
     // optional comma-separated subset for isolated profiling runs; the
     // driver sets no filter and measures everything
@@ -43,28 +74,46 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // Warm-up at the smallest SF: JIT + codegen caches, not data volume.
-    names.foreach(execute(_, "/root/testdata/sf0.001"))
+    names.foreach(execute(spark, _, "/root/testdata/sf0.001"))
     // Two timed passes, per-query MIN: single-pass numbers on a shared box
     // randomly attribute multi-second contention spikes to whichever query
     // was running; the min of two runs is the standard suppression.
-    val pass1 = names.map(n => n -> execute(n, sfDir)).toMap
-    val pass2 = names.map(n => n -> execute(n, sfDir)).toMap
-    val results = names.map { n =>
-      n -> ((pass1(n), pass2(n)) match {
-        case (Right(a), Right(b)) => Right(math.min(a, b))
-        case (Left(e), _) => Left(e)
-        case (_, Left(e)) => Left(e)
-      })
+    val pass1 = names.map(n => n -> execute(spark, n, sfDir)).toMap
+    val pass2 = names.map(n => n -> execute(spark, n, sfDir)).toMap
+    val results = names.map(n => n -> minOf(pass1(n), pass2(n)))
+
+    // Solo re-runs: fresh SparkContext per query, its own warm-up + two
+    // timed passes. Defaults to the 12 heaviest by suite time (subset runs
+    // default to none — SPARK_GRAFT_BENCH_ONLY is already the solo
+    // protocol); "all" sweeps everything.
+    val soloSpec = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_SOLO", if (only.isDefined) "none" else "12")
+    val soloNames: Seq[String] = soloSpec match {
+      case "none" | "0" => Nil
+      case "all" => names
+      case n => results.collect { case (k, Right(v)) => (k, v) }
+        .sortBy { case (k, v) => (-v, k) }.take(n.toInt).map(_._1)
+    }
+    val solo = soloNames.map { n =>
+      spark.stop()
+      spark = newSession()
+      execute(spark, n, "/root/testdata/sf0.001")
+      val r = minOf(execute(spark, n, sfDir), execute(spark, n, sfDir))
+      n -> r
     }
 
-    val qs = results.map {
-      case (k, Right(v)) => s"\"$k\":$v"
-      case (k, Left(_)) => s"\"$k\":-1"
-    }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, Left(err)) => s"\"$k\":\"$err\"" }
+    def fmt(kvs: Seq[(String, Either[String, Double])]): String =
+      kvs.map {
+        case (k, Right(v)) => s"\"$k\":$v"
+        case (k, Left(_)) => s"\"$k\":-1"
+      }.mkString("{", ",", "}")
+    val qs = fmt(results)
+    val failed = (results ++ solo).collect { case (k, Left(err)) => s"\"$k\":\"$err\"" }
     val total = results.collect { case (_, Right(v)) => v }.sum
-    val errJson = if (failed.isEmpty) "" else s""","errors":${failed.mkString("{", ",", "}")}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    val errJson =
+      if (failed.isEmpty) "" else s""","errors":${failed.distinct.mkString("{", ",", "}")}"""
+    val soloJson = if (solo.isEmpty) "" else s""","solo":${fmt(solo)}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$soloJson$errJson,"sf":"$sfDir"}"""
     println(json)
     // stdout tails get clipped by log capture once the query map grows past
     // ~70 entries — the full artifact always lands on disk as well.
@@ -72,11 +121,12 @@ object Bench {
     // PROTOCOL (the single source of claimed numbers): the on-disk artifact
     // records BOTH raw passes next to the min, plus the run mode — "suite"
     // (every declared query, interference included) vs "subset"
-    // (SPARK_GRAFT_BENCH_ONLY, the solo protocol). Any number quoted in a
+    // (SPARK_GRAFT_BENCH_ONLY, the solo protocol) — and, when solo re-runs
+    // ran, their min beside the suite numbers. Any number quoted in a
     // commit message or doc must cite this artifact, mode included; a solo
-    // subset number and a suite number are DIFFERENT measurements and the
-    // artifact now keeps them distinguishable instead of letting a solo
-    // claim silently stand in for the suite result.
+    // number and a suite number are DIFFERENT measurements and the
+    // artifact keeps them distinguishable instead of letting one silently
+    // stand in for the other.
     val mode = if (only.isDefined) "subset" else "suite"
     def secOrNull(e: Either[String, Double]): String =
       e.fold(_ => "-1", _.toString)

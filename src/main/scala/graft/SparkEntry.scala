@@ -924,9 +924,12 @@ object SparkEntry {
     // Packing on the POST-BPE token budget — the composition an actual
     // batch assembler runs: trained-tokenizer counts (q_bpe_encode) feed
     // the two-level prefix-sum packer. Whitespace counts over-estimate
-    // what fits; the post-BPE count is what fills a context window.
+    // what fits; the post-BPE count is what fills a context window. The
+    // materialized variant: the encode pipeline (explode + vocab join +
+    // per-doc agg) runs ONCE behind a Spill barrier, not once per packer
+    // scan.
     "q_pack_bpe" -> ((s, dir) =>
-      TextOps.packCounts(
+      TextOps.packCountsMaterialized(
         TextOps.bpeEncode(t(s, dir, "documents"))
           .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
         budget = 512)),
@@ -2008,10 +2011,11 @@ object SparkEntry {
         "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
         "ORDER BY h, doc_id) AS rn FROM h) " +
         "SELECT lang, rn, doc_id FROM r WHERE rn <= 5 ORDER BY lang, rn"),
-    // mirrors SampleOps.prioritySample (w·2^60 div (h+1) priorities)
+    // mirrors SampleOps.prioritySample (bp(w)·2^60 div (h+1) priorities —
+    // weights quantized to basis points so fractional scores stay nonzero)
     "q_sample_priority" ->
       (s"WITH p AS (SELECT doc_id, n_chars, " +
-        s"(n_chars::HUGEINT * (1::HUGEINT << 60)) // " +
+        s"(${TextOps.roundBpSql("n_chars")}::HUGEINT * (1::HUGEINT << 60)) // " +
         s"(${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} + 1) AS pri " +
         "FROM documents), " +
         "r AS (SELECT doc_id, n_chars, row_number() OVER " +
@@ -3440,8 +3444,9 @@ object SparkEntry {
         "GROUP BY 1, 2 HAVING count(*) >= 3), " +
         "dir AS (SELECT a AS ante, b2 AS cons, n_ab FROM pc " +
         "UNION ALL SELECT b2 AS ante, a AS cons, n_ab FROM pc), " +
-        "r AS (SELECT ante, cons, n_ab, n_ab * 10000 // na.n_p AS conf_bp, " +
-        "n_ab * n_orders * 10000 // (na.n_p * nb.n_p) AS lift_bp " +
+        "r AS (SELECT ante, cons, n_ab, " +
+        "CAST(n_ab::HUGEINT * 10000 // na.n_p AS BIGINT) AS conf_bp, " +
+        "CAST(n_ab::HUGEINT * n_orders * 10000 // (na.n_p::HUGEINT * nb.n_p) AS BIGINT) AS lift_bp " +
         "FROM dir JOIN ip na ON na.p = ante JOIN ip nb ON nb.p = cons CROSS JOIN n), " +
         "t AS (SELECT * FROM r ORDER BY lift_bp DESC, ante, cons LIMIT 30) " +
         "SELECT row_number() OVER (ORDER BY lift_bp DESC, ante, cons) AS rank, " +

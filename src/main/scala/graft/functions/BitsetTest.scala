@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -26,19 +27,20 @@ case class BitsetTest(left: Expression, right: Expression)
 
   override def prettyName: String = "bitset_test"
 
-  private def validateInputs(): Unit = {
-    left.dataType match {
-      case ArrayType(LongType, _) =>
-      case other => throw new IllegalArgumentException(
-        s"bitset_test expects array<bigint> words, got ${other.simpleString(10)}")
+  // Analysis-time validation (NOT constructor-time: a constructor throw on
+  // an unresolved child surfaces as an internal error instead of a proper
+  // AnalysisException, and re-runs on every withNewChildrenInternal copy).
+  // `ExpectsInputTypes`/`TypeCollection` are private[sql], so the check is
+  // hand-rolled via the same hook the analyzer calls on every expression.
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(LongType, _) => right.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bitset_test expects an integral position, got ${other.simpleString}")
     }
-    right.dataType match {
-      case LongType | IntegerType =>
-      case other => throw new IllegalArgumentException(
-        s"bitset_test expects an integral position, got ${other.simpleString(10)}")
-    }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitset_test expects array<bigint> words, got ${other.simpleString}")
   }
-  validateInputs()
 
   private def posIsInt: Boolean = right.dataType == IntegerType
 

@@ -33,7 +33,7 @@ case class VecDot(left: Expression, right: Expression)
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
     case other => throw new IllegalArgumentException(
-      s"vec_dot expects array<float> or array<double> arguments, got ${other.simpleString(10)}")
+      s"vec_dot expects array<float> or array<double> arguments, got ${other.simpleString}")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {

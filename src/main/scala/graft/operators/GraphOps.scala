@@ -264,34 +264,57 @@ object GraphOps {
     *
     * Scale shape per round: one partial+final degree aggregation plus two
     * equi semi-joins of the edge set against the survivor list (keyed u,
-    * then v) — edge-linear, no windows, no driver state. Rounds are left
-    * LAZY with a lazy persist per round: every intermediate edge set has
-    * TWO consumers (the next round's degree count and its restriction
-    * join), so the one materializing action at the end populates each
-    * round's cache on first use and reads it on the second — without the
-    * persists the lineage would re-derive round r-1 twice per round (2^R
-    * blowup). The final core is checkpointed, every round released —
-    * the [[labelPropagation]] lifecycle.
+    * then v) — edge-linear, no windows, no driver state. Each round's edge
+    * set is persisted (it has TWO consumers: the next round's degree count
+    * and its restriction join — without the persist the lineage would
+    * re-derive round r-1 twice per round, a 2^R blowup) and materialized
+    * by ONE driver-side `count` — the same tiny O(1)-result action the
+    * terminal checkpoint used to trigger lazily, now run per round so the
+    * loop can observe convergence: a peel that deletes NO edge (count
+    * unchanged) is a fixpoint — every later peel recomputes identical
+    * degrees over identical edges — so the remaining rounds' shuffles are
+    * skipped outright. On an already-converged graph that removes
+    * (rounds−1)/rounds of the whole query. The final core is
+    * checkpointed, every round released — the [[labelPropagation]]
+    * lifecycle.
     *
     * Output: (node, deg) of the surviving subgraph, ordered by node.
     */
-  def kcore(edges: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame = {
-    var e = edges
-    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
-    for (_ <- 1 to rounds) {
-      e = e.persist()
-      cached += e
+  def kcore(edges: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame =
+    kcoreWithRounds(edges, k, rounds)._1
+
+  /** [[kcore]] plus the number of peel rounds actually executed —
+    * `< rounds` iff the early-exit fired at a fixpoint (spec-pinned both
+    * ways). Results are identical either way: an early exit happens only
+    * when the skipped rounds were provably no-ops, so the `rounds`-unrolled
+    * oracle still matches.
+    */
+  private[graft] def kcoreWithRounds(
+      edges: DataFrame, k: Int, rounds: Int): (DataFrame, Int) = {
+    var e = edges.persist()
+    val cached = scala.collection.mutable.Buffer(e)
+    var prevEdges = e.count()
+    var executed = 0
+    var converged = false
+    while (executed < rounds && !converged) {
       val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("u"))
-      e = e.join(keep, Seq("u"))
+      val next = e.join(keep, Seq("u"))
         .join(keep.withColumnRenamed("u", "v"), Seq("v"))
         .select(col("u"), col("v"))
+        .persist()
+      cached += next
+      val cnt = next.count()
+      executed += 1
+      converged = cnt == prevEdges
+      prevEdges = cnt
+      e = next
     }
     val core = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
     val cp = core.localCheckpoint()
     cached.foreach(_.unpersist(blocking = false))
-    cp.orderBy(col("node"))
+    (cp.orderBy(col("node")), executed)
   }
 
   /** DuckDB SQL matching [[kcore]] over [[copurchaseEdges]] of `lineitem`

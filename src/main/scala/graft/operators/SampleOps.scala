@@ -104,11 +104,19 @@ object SampleOps {
     * operator.
     *
     * Determinism: u_i := (hash60(id)+1) / 2^60, so priority ordering is
-    * `w_i · 2^60 div (h_i + 1)` — one decimal(38,0) integer division per
-    * row ([[graft.operators.SketchOps.kmvSourceIntersect]]'s exactness
+    * `bp(w_i) · 2^60 div (h_i + 1)` — one decimal(38,0) integer division
+    * per row ([[graft.operators.SketchOps.kmvSourceIntersect]]'s exactness
     * argument), totally ordered by (priority desc, id). Same sample every
     * run, every engine, every partition layout; monotone in the weights
     * (raising a row's weight can only pull it IN — spec-pinned).
+    *
+    * Weights are quantized to basis points ([[TextOps.roundBp]]) BEFORE the
+    * decimal multiply: a raw decimal(38,0) cast would truncate fractional
+    * weights (a quality score in (0, 0.5] would yield all-zero priorities
+    * and silently degrade to id-hash order). Quantization keeps fractional
+    * weights meaningful down to 1e-4 granularity; weights below 0.5e-4
+    * round to bp 0 and rank purely by (0 div anything = 0, then id) — pass
+    * pre-scaled weights if finer resolution matters.
     *
     * Scale: one scan computing a per-row priority + TakeOrderedAndProject
     * (per-partition k-row heaps, k-row driver merge) — no shuffle of the
@@ -118,7 +126,7 @@ object SampleOps {
       df: DataFrame, weightCol: String, idCol: String, k: Int): DataFrame = {
     val w = Window.orderBy(col("__pri").desc, col(idCol))
     df.select(col(idCol), col(weightCol),
-        (col(weightCol).cast("decimal(38,0)") *
+        (TextOps.roundBp(col(weightCol)).cast("decimal(38,0)") *
           lit(1L << 60).cast("decimal(38,0)")).as("__num"),
         (StableHash.hash60(col(idCol).cast("string")) + lit(1L)).as("__den"))
       .withColumn("__pri", expr("__num div __den"))

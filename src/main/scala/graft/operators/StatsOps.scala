@@ -79,7 +79,12 @@ object StatsOps {
       df: DataFrame, valueCol: String, nb: Int, bounds: DataFrame): DataFrame = {
     require(nb > 0, "need at least one bucket")
     val width = (col("hi") - col("lo")) / lit(nb.toDouble)
-    df.crossJoin(broadcast(bounds.select(col("lo"), col("hi"))))
+    // null values must NOT form a bucket row: the guided-rank exact side
+    // ([[histogramQuantiles]]) counts non-null rows only (bounds.n =
+    // count(valueCol)), so a null bucket here would shift every cumulative
+    // count and move exact percentiles to the wrong order statistic
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds.select(col("lo"), col("hi"))))
       .select(
         bucketExpr(col(valueCol).cast("double"), col("lo"), col("hi"), nb).as("bucket"),
         col("lo"), width.as("w"))
@@ -336,8 +341,13 @@ object StatsOps {
       .join(broadcast(itemN.select(col("p").as("cons"), col("n_p").as("n_cons"))), "cons")
       .crossJoin(broadcast(nOrders))
       .select(col("ante"), col("cons"), col("n_ab"),
-        expr("n_ab * 10000 DIV n_ante").as("conf_bp"),
-        expr("n_ab * n_orders * 10000 DIV (n_ante * n_cons)").as("lift_bp"))
+        // decimal(38,0) numerators/denominators (HUGEINT in the oracle):
+        // n_ab * n_orders * 10000 overflows BIGINT once order counts reach
+        // ~1e9 — the 100 TB shape must not ANSI-overflow. DIV on decimals
+        // still yields BIGINT, so the output schema is unchanged.
+        expr("CAST(n_ab AS DECIMAL(38,0)) * 10000 DIV n_ante").as("conf_bp"),
+        expr("CAST(n_ab AS DECIMAL(38,0)) * n_orders * 10000 " +
+          "DIV (CAST(n_ante AS DECIMAL(38,0)) * n_cons)").as("lift_bp"))
     val top = rules.orderBy(col("lift_bp").desc, col("ante"), col("cons")).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("lift_bp").desc, col("ante"), col("cons"))

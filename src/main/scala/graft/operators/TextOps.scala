@@ -776,7 +776,9 @@ object TextOps {
     */
   def packSequences(docs: DataFrame, budget: Long, shardSize: Long = 1000L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    packCounts(
+    // materialized, not bare packCounts: the count pipeline tokenizes the
+    // whole corpus, and packCounts' two-scan contract would tokenize TWICE
+    packCountsMaterialized(
       docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens")),
       budget, shardSize, idCol)
 
@@ -791,10 +793,11 @@ object TextOps {
     * final join) and is deliberately NOT persisted here, because a lazy
     * persist on a frame embedded in the returned plan could never be
     * unpersisted and would leak for the session lifetime. Callers whose
-    * count pipeline is expensive to recompute should persist it themselves
-    * (and release it after the first action on the result), or pass a
-    * frame with cheap lineage — [[bpeEncode]] returns a literal vocab
-    * join precisely so this double scan costs two cheap corpus passes.
+    * count pipeline is expensive to recompute should use
+    * [[packCountsMaterialized]] (one pipeline evaluation behind a
+    * [[graft.Spill]] barrier) or pass a frame with cheap lineage —
+    * [[bpeEncode]] returns a literal vocab join precisely so this double
+    * scan costs two cheap corpus passes.
     */
   def packCounts(perDocCounts: DataFrame, budget: Long, shardSize: Long = 1000L,
       idCol: String = "doc_id"): DataFrame = {
@@ -827,6 +830,28 @@ object TextOps {
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
       .orderBy(col("seq_id"))
+  }
+
+  /** [[packCounts]] behind an explicit materialization barrier
+    * ([[graft.Spill]]): the count frame is written ONCE to session-temp
+    * parquet and the packer's two scans read those files — so a caller
+    * whose count pipeline is expensive (a corpus tokenize, a full BPE
+    * encode) pays ONE pipeline evaluation instead of [[packCounts]]'
+    * two-scan contract, with no cache left behind to leak. The
+    * intermediate is narrow (id + n_tokens, ~16 bytes/row), so the barrier
+    * write is negligible next to the pipeline it halves; at 100 TB this is
+    * the standard "materialize the per-doc stats table" step every
+    * training-data pipeline runs anyway.
+    */
+  def packCountsMaterialized(perDocCounts: DataFrame, budget: Long,
+      shardSize: Long = 1000L, idCol: String = "doc_id"): DataFrame = {
+    val spark = perDocCounts.sparkSession
+    val path = graft.Spill.newDir("graft-packcounts")
+    perDocCounts.write.mode("overwrite").parquet(path)
+    // explicit schema: skips footer inference AND keeps the zero-row
+    // degenerate case readable (a rowless write leaves no part files)
+    packCounts(spark.read.schema(perDocCounts.schema).parquet(path),
+      budget, shardSize, idCol)
   }
 
   /** Unigram-surprisal quality score — the integer-exact stand-in for the

@@ -108,6 +108,24 @@ class GraphOpsSpec extends SparkSpec {
     releaseNewSince(before)
   }
 
+  test("kcore: early-exit fires at the fixpoint, never prematurely") {
+    import spark.implicits._
+    // K4 clique: round 1 deletes nothing (everyone deg 3 >= 2) -> fixpoint
+    // observed -> rounds 2..3's shuffles skipped entirely
+    val clique = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))
+      .toDF("u", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (core, executed) = GraphOps.kcoreWithRounds(clique, k = 2, rounds = 3)
+    assert(core.as[(Long, Long)].collect().toSeq == (1L to 4L).map((_, 3L)))
+    assert(executed == 1, s"expected early exit after 1 round, ran $executed")
+    // the full-cascade fixture really needs every round — no premature exit
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val e = (und ++ und.map(_.swap)).toDF("u", "v")
+    val (_, cascades) = GraphOps.kcoreWithRounds(e, k = 2, rounds = 3)
+    assert(cascades == 3, s"cascade fixture exited after $cascades rounds")
+    releaseNewSince(before)
+  }
+
   test("kcore: under-peeling contract — too few rounds only ever UNDER-peels") {
     import spark.implicits._
     // same fixture with rounds=1: node 4 (not yet cascaded) survives with

@@ -87,6 +87,19 @@ class SampleOpsSpec extends SparkSpec {
     assert(heavyIn >= 35, s"only $heavyIn of 40 heavy items sampled")
   }
 
+  test("prioritySample: fractional weights in (0,1) still bias the sample") {
+    // pre-quantization a raw decimal(38,0) cast truncated these weights to
+    // 0 — every priority 0, the "sample" silently degraded to id-hash
+    // order; bp quantization keeps 0.4 vs 0.0002 a 2000x priority ratio
+    val df = (1L to 400L)
+      .map(i => (i, if (i <= 40) 0.4 else 0.0002)).toDF("id", "w")
+    val got = SampleOps.prioritySample(df, "w", "id", 50)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.length == 50 && got.map(_._1) == (1 to 50))
+    val heavyIn = got.count(_._2 <= 40)
+    assert(heavyIn >= 35, s"only $heavyIn of 40 heavy fractional-weight rows sampled")
+  }
+
   test("prioritySample: raising a weight can only pull a row IN") {
     val df = (1L to 200L).map(i => (i, 10L)).toDF("id", "w")
     val base = SampleOps.prioritySample(df, "w", "id", 20)

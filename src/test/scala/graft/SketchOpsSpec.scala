@@ -129,6 +129,22 @@ class SketchOpsSpec extends SparkSpec {
     assert(df.as[Boolean].collect().toSeq == Seq(true, false, false, true, false, false))
   }
 
+  test("bitset_test: type mismatch is an analysis error, not a constructor throw") {
+    // validation lives in checkInputDataTypes (the analyzer hook), so a bad
+    // call surfaces as AnalysisException with the function's own message —
+    // not an IllegalArgumentException from expression construction
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bitset_test(array('a', 'b'), 1L)").collect()
+    }
+    assert(e.getMessage.contains("bitset_test expects array<bigint>"),
+      s"unexpected message: ${e.getMessage.take(200)}")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bitset_test(array(1L), 'x')").collect()
+    }
+    assert(e2.getMessage.contains("bitset_test expects an integral position"),
+      s"unexpected message: ${e2.getMessage.take(200)}")
+  }
+
   test("bloom: bit tables merge by union (bitwise OR in row form)") {
     val a = (0L until 40L).toDF("k")
     val b = (40L until 80L).toDF("k")

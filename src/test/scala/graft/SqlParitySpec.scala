@@ -4,9 +4,12 @@ package graft
   * fed through `spark.sql` over registered temp views and must produce
   * row-identical results to the declared DataFrame form — exercising the
   * parser/analyzer surface (only `q_sql_grouping_sets` touched it before)
-  * on seven TPC-H shapes for free, since the oracle SQL is already written
-  * in portable ANSI. The single dialect gap is integer division: DuckDB
-  * spells it `//`, Spark spells it `div`.
+  * on seven TPC-H shapes plus three non-relational shapes (two iterative
+  * unrolled-CTE graph queries, one named-window gap-fill/EWMA) for free,
+  * since the oracle SQL is already written in portable ANSI. Dialect gaps
+  * are mechanical: integer division (`//` vs `div`), series generation
+  * (`unnest(generate_series(...))` vs `explode(sequence(...))`), and epoch
+  * extraction (`epoch_us` vs `unix_micros`).
   *
   * This is a three-way agreement once CORRECTNESS runs: DataFrame form ==
   * Spark SQL text == DuckDB on the same text — a parser/analyzer bug, a
@@ -17,19 +20,33 @@ class SqlParitySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   private val tables =
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
-  // the TPC-H declared queries whose oracle SQL is Spark-parseable verbatim
-  // modulo `//` (q3 casts to bare VARCHAR, a DuckDB-ism — excluded)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents")
+  // the declared queries whose oracle SQL is Spark-parseable modulo the
+  // mechanical dialect swaps below (q3 casts to bare VARCHAR, a DuckDB-ism
+  // — excluded): 7 TPC-H shapes + the 3-round unrolled k-core peel, the
+  // 3-round unrolled label propagation, and the named-window binary-decay
+  // EWMA over a generated hourly spine
   private val parityQueries = Seq(
     "q_tpch_q1", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
-    "q_tpch_q12", "q_tpch_q13", "q_tpch_q14")
+    "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
+    "q_kcore", "q_label_prop", "q_events_ewma")
 
   private def sparkSqlText(name: String): String =
-    SparkEntry.oracleSql(name).replace(" // ", " div ")
+    SparkEntry.oracleSql(name)
+      .replace(" // ", " div ")
+      .replace("unnest(generate_series(", "explode(sequence(")
+      .replace("epoch_us(", "unix_micros(")
 
-  test("SQL text == DataFrame form: identical columns and rows, 7 TPC-H shapes") {
-    tables.foreach(t =>
-      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
+  test("SQL text == DataFrame form: identical columns and rows, 10 shapes") {
+    tables.foreach { t =>
+      // the events view needs the same ts normalization the DataFrame path
+      // applies (nanos-as-long parquet reads back BIGINT; DuckDB sees
+      // TIMESTAMP_NS natively, so its view needs no cast)
+      val base = spark.read.parquet(s"$dir/$t.parquet")
+      val df = if (t == "events") graft.operators.EventOps.normalizeTs(base) else base
+      df.createOrReplaceTempView(t)
+    }
     var nonEmpty = 0
     for (q <- parityQueries) {
       val viaSql = spark.sql(sparkSqlText(q))
@@ -43,7 +60,7 @@ class SqlParitySpec extends SparkSpec {
     }
     // q7's nation pair may be empty at sf0.001 (both legs agree on empty);
     // the parity evidence must still rest on real rows for most shapes
-    assert(nonEmpty >= 5, s"only $nonEmpty parity queries had rows at sf0.001")
+    assert(nonEmpty >= 8, s"only $nonEmpty parity queries had rows at sf0.001")
   }
 
   test("SQL text path optimizes like the DataFrame path: filters still pushed") {

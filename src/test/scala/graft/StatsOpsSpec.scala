@@ -63,6 +63,20 @@ class StatsOpsSpec extends SparkSpec {
     assert(got == ((5000L, 4995000L, 4995000L)))
   }
 
+  test("histogramQuantiles: null values shift neither estimate nor exact rank") {
+    // nulls must not form a bucket row: pre-fix they landed in a counter
+    // bucket, inflating cumulative counts past bounds.n (computed non-null)
+    // and pulling the exact percentile off its order statistic
+    val clean = (0 until 1000).map(_.toDouble).toDF("v")
+    val dirty = ((0 until 1000).map(i => java.lang.Double.valueOf(i.toDouble))
+      ++ Seq.fill(257)(null: java.lang.Double)).toDF("v")
+    val a = StatsOps.histogramQuantiles(clean, "v", 10, Seq(0.5, 0.9))
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = StatsOps.histogramQuantiles(dirty, "v", 10, Seq(0.5, 0.9))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, s"null rows changed the quantiles: $a vs $b")
+  }
+
   test("exactPercentiles: bit-identical to Spark's percentile() aggregate") {
     // mixed group sizes, duplicates, negatives, a 1-row group, an all-equal
     // group — every interpolation branch (integral position, equal

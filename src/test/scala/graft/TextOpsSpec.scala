@@ -390,6 +390,27 @@ class TextOpsSpec extends SparkSpec {
     assert(run(7L) == run(1000000L))
   }
 
+  test("packCountsMaterialized: identical to packCounts, pipeline runs ONCE") {
+    val acc = spark.sparkContext.longAccumulator("count-pipeline-evals")
+    val base = (0L until 24L).map(i => (i, i % 7 + 1)).toDF("doc_id", "n_tokens")
+    // instrument the count pipeline: one accumulator bump per partition per
+    // evaluation — packCounts' two-scan contract doubles it, the barrier
+    // must not
+    val counted = base.as[(Long, Long)]
+      .mapPartitions { it => acc.add(1); it }.toDF("doc_id", "n_tokens")
+    val direct = TextOps.packCounts(base, budget = 10, shardSize = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val viaBarrier = TextOps.packCountsMaterialized(counted, budget = 10, shardSize = 4)
+    val evalsAtBuild = acc.value
+    assert(evalsAtBuild > 0, "barrier write should have evaluated the pipeline")
+    val got = viaBarrier.as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == direct)
+    // both packer scans read the spill, not the pipeline
+    viaBarrier.write.format("noop").mode("overwrite").save()
+    assert(acc.value == evalsAtBuild,
+      s"pipeline re-evaluated: $evalsAtBuild evals at build, ${acc.value} after actions")
+  }
+
   test("tokenDiversity: hand-checked counts; empty docs keep all-zero rows") {
     val got = TextOps.tokenDiversity(docs(
       (1L, "a a b"), // c = {a:2, b:1}
