@@ -39,6 +39,23 @@ case class JoinDelta(side: String, k: Long, a_v: Double, b_w: String)
   */
 case class TopKBuffer(entries: List[(Double, Long)])
 
+/** One change-row for [[StreamingOps.extremaStream]]: `mult` is +n for
+  * inserts of value `v_bp`, −n for deletes (the batch
+  * `EventOps.mergeExtremaStates` delta convention, pre-exploded sides
+  * collapsed — a value is a candidate for BOTH extremes).
+  */
+case class ExtremaDelta(event_type: String, v_bp: Long, mult: Long)
+
+/** Per-group state for [[StreamingOps.extremaStream]]: the k smallest and
+  * k largest buffered (v_bp, mult) entries, each side sorted best-first.
+  */
+case class ExtremaBuffer(lo: List[(Long, Long)], hi: List[(Long, Long)])
+
+/** The maintained MIN/MAX view row; a drained side is None — the recompute
+  * signal, never a wrong extreme (the batch `extremaView` contract).
+  */
+case class ExtremaRow(event_type: String, min_bp: Option[Long], max_bp: Option[Long])
+
 /** Open-session state for [[StreamingOps.sessionize]] (epoch millis). */
 case class OpenSession(start: Long, end: Long, n: Long)
 
@@ -330,6 +347,45 @@ object StreamingOps {
       .mapValues(_._2)
       .agg(new graft.functions.KMinAgg(k).toColumn.name("kmins"))
       .toDF("event_type", "kmins")
+  }
+
+  /** Streaming MIN/MAX view maintenance under deletes — the
+    * `mapGroupsWithState` twin of the batch IVM extrema buffer
+    * (`EventOps.extremaState` / `mergeExtremaStates` / `extremaView`,
+    * the fourth textbook IVM case): per event_type the state IS the batch
+    * summary — the k smallest and k largest distinct bp-values with
+    * multiplicities — and each micro-batch's deltas merge by addition,
+    * drop at mult ≤ 0, re-truncate to k per side. Identical soundness
+    * envelope as batch (spec-pinned parity): deletes of never-buffered
+    * values net negative and drop (they sat in the truncated middle); a
+    * fully drained side emits None — the recompute signal, never a wrong
+    * extreme. State is O(groups · 2k); NoTimeout keeps it for the query
+    * lifetime (a production deployment would version epochs and rebuild
+    * on drain, exactly as the batch scaladoc prescribes).
+    */
+  def extremaStream(
+      deltas: Dataset[ExtremaDelta], k: Int = 8): Dataset[ExtremaRow] = {
+    import deltas.sparkSession.implicits._
+    deltas
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (ty: String, batch: Iterator[ExtremaDelta], state: GroupState[ExtremaBuffer]) => {
+          val st = state.getOption.getOrElse(ExtremaBuffer(Nil, Nil))
+          val delta = batch.foldLeft(Map.empty[Long, Long]) { (m, d) =>
+            m.updated(d.v_bp, m.getOrElse(d.v_bp, 0L) + d.mult)
+          }
+          def mergeSide(buf: List[(Long, Long)], asc: Boolean): List[(Long, Long)] = {
+            val m = collection.mutable.LinkedHashMap(buf: _*)
+            delta.foreach { case (v, d) =>
+              m.updateWith(v)(prev => Some(prev.getOrElse(0L) + d)): Unit
+            }
+            val kept = m.toList.filter(_._2 > 0L)
+            (if (asc) kept.sortBy(_._1) else kept.sortBy(v => -v._1)).take(k)
+          }
+          val next = ExtremaBuffer(mergeSide(st.lo, asc = true), mergeSide(st.hi, asc = false))
+          state.update(next)
+          ExtremaRow(ty, next.lo.headOption.map(_._1), next.hi.headOption.map(_._1))
+        })
   }
 
   /** Streaming gap sessionization via `flatMapGroupsWithState` with

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.EventOps
-import graft.streaming.{AsofMatch, StreamEvent, StreamIdEvent, StreamingOps}
+import graft.streaming.{AsofMatch, ExtremaDelta, ExtremaRow, StreamEvent, StreamIdEvent, StreamingOps}
 
 class StreamingOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -571,6 +571,48 @@ class StreamingOpsSpec extends SparkSpec {
         .as[(String, Int, Long, Double)].collect().toSet
       assert(gen2 == batch)
       assert(gen2 == Set(("a", 1, 2L, 5.0), ("a", 2, 4L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("extremaStream: MIN/MAX under deletes matches the batch extrema buffer") {
+    // k=2 buffers; batch 1 builds, batch 2 deletes the ENTIRE lo buffer of
+    // "a" (min must go None — the recompute signal, exactly the batch
+    // drained-side contract) and one of two copies of b's single value
+    val b1 = Seq(
+      ExtremaDelta("a", 10000L, 1L), ExtremaDelta("a", 20000L, 1L),
+      ExtremaDelta("a", 30000L, 1L), ExtremaDelta("a", 90000L, 1L),
+      ExtremaDelta("b", 50000L, 2L))
+    val b2 = Seq(
+      ExtremaDelta("a", 10000L, -1L), ExtremaDelta("a", 20000L, -1L),
+      ExtremaDelta("b", 50000L, -1L))
+    val input = MemoryStream[ExtremaDelta]
+    val q = StreamingOps.extremaStream(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("extrema").outputMode("update").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      // update sink appends per batch: the LAST row per key is the view
+      val rows = spark.table("extrema").as[ExtremaRow].collect()
+      val streamView = rows.zipWithIndex.groupBy(_._1.event_type)
+        .map { case (t, rs) => t -> { val r = rs.maxBy(_._2)._1; (r.min_bp, r.max_bp) } }
+      // batch replay: the same two delta batches through the batch IVM
+      // operators (state-shaped = each value a candidate on BOTH sides)
+      def shaped(ds: Seq[ExtremaDelta]) = ds
+        .flatMap(d => Seq("lo", "hi").map(s => (d.event_type, s, d.v_bp, d.mult)))
+        .toDF("event_type", "side", "v_bp", "mult")
+      val empty = Seq.empty[(String, String, Long, Long)]
+        .toDF("event_type", "side", "v_bp", "mult")
+      val st1 = EventOps.mergeExtremaStates(empty, shaped(b1), k = 2)
+      val st2 = EventOps.mergeExtremaStates(st1, shaped(b2), k = 2)
+      val batchView = EventOps.extremaView(st2).collect().map { r =>
+        r.getString(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      }.toMap
+      assert(streamView == batchView, s"stream $streamView vs batch $batchView")
+      assert(streamView("a") == ((None, Some(90000L))))
+      assert(streamView("b") == ((Some(50000L), Some(50000L))))
     } finally q.stop()
   }
 }
