@@ -1004,6 +1004,13 @@ object SparkEntry {
     // copied paragraphs inside otherwise-dissimilar documents.
     "q_dedup_spans" -> ((s, dir) =>
       DedupOps.dupSpanPairs(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+    // Asymmetric n-gram CONTAINMENT: the quote/excerpt detector — a planted
+    // 40%-prefix quote is ~fully contained in its parent at whole-doc
+    // Jaccard ~0.4, so q_dedup_jaccard's threshold keeps both and the
+    // excerpt trains twice; this query flags it (same postings core + cap).
+    "q_dedup_contain" -> ((s, dir) =>
+      DedupOps.containmentPairs(DedupOps.plantedQuoteCorpus(t(s, dir, "documents")),
+        maxDocFreq = DedupOps.DefaultMaxBucket)),
     // Cross-SOURCE contamination matrix: exact 3-shingle Jaccard between
     // every source pair via source-bounded postings — the rollup a mixture
     // designer reads before setting sampling weights.
@@ -1704,6 +1711,16 @@ object SparkEntry {
       "UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' graftdup' AS text " +
       "FROM documents WHERE doc_id % 10 = 5"
 
+  /** DuckDB mirror of [[graft.operators.DedupOps.plantedQuoteCorpus]]:
+    * [[duckCorpus]] plus the first ⌊2n/5⌋-token prefix (min 1) of every doc
+    * ≡ 3 (mod 10) as a planted quote (id + 300000).
+    */
+  private val duckQuoteCorpus =
+    duckCorpus +
+      " UNION ALL SELECT doc_id + 300000 AS doc_id, " +
+      "array_to_string(list_slice(t, 1, greatest(1, CAST(floor(len(t) * 2.0 / 5) AS INT))), ' ') AS text " +
+      s"FROM (SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id % 10 = 3)"
+
   /** DuckDB CTE chain matching [[SimOps.refinePqCodebooks]] (m=4, subDim=16,
     * seed `vec_id < 8`, one Lloyd round): yields `sb(vec_id, s, sub)` —
     * every vector's subvectors — and the refined codebook `cb(s, c_id, ce)`.
@@ -2384,6 +2401,24 @@ object SparkEntry {
         "SELECT * FROM (SELECT id_a, id_b, " +
         s"${TextOps.roundBpSql("CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)")} AS jac_bp " +
         "FROM p) WHERE jac_bp >= 8000 ORDER BY id_a, id_b"),
+    // mirrors DedupOps.containmentPairs over plantedQuoteCorpus: same
+    // inverted-index CTE chain as q_dedup_jaccard, asymmetric final select
+    "q_dedup_contain" ->
+      (s"WITH corpus AS ($duckQuoteCorpus), " +
+        s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
+        s"s AS (SELECT doc_id, list_distinct($duckShingles3) AS shs FROM t), " +
+        "z AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS sh FROM s), " +
+        "zc AS (SELECT sh FROM z GROUP BY sh " +
+        s"HAVING count(*) > 1 AND count(*) <= ${DedupOps.DefaultMaxBucket}), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, " +
+        "count(*) AS inter FROM z a JOIN z b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "JOIN zc ON zc.sh = a.sh " +
+        "GROUP BY 1, 2, 3, 4) " +
+        "SELECT * FROM (SELECT id_a, id_b, " +
+        s"${TextOps.roundBpSql("CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)")} AS jac_bp, " +
+        s"${TextOps.roundBpSql("CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE)")} AS cont_a_bp, " +
+        s"${TextOps.roundBpSql("CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE)")} AS cont_b_bp " +
+        "FROM p) WHERE greatest(cont_a_bp, cont_b_bp) >= 8000 ORDER BY id_a, id_b"),
     // mirrors DedupOps.sourceOverlap: distinct (source, shingle), pair
     // hits = intersections, unions by inclusion-exclusion
     "q_source_overlap" ->

@@ -67,6 +67,22 @@ object DedupOps {
         .select((col(idCol) + 200000).as(idCol), concat(col(textCol), lit(" graftdup")).as(textCol)))
   }
 
+  /** [[plantedCorpus]] plus a planted QUOTE doc (id + 300000) for every doc
+    * ≡ 3 (mod 10): the first ⌊2n/5⌋ tokens of the parent (min 1). A quote
+    * is ~100% CONTAINED in its parent but only ~40% Jaccard-similar — the
+    * shape symmetric near-dup thresholds structurally miss, planted so
+    * [[containmentPairs]]' declared query demonstrably catches what
+    * [[jaccardPairs]] at the same threshold does not.
+    */
+  def plantedQuoteCorpus(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val cut = greatest(lit(1), floor(size(toks) * lit(2) / lit(5)).cast("int"))
+    plantedCorpus(docs, idCol, textCol)
+      .unionByName(docs.filter(col(idCol) % 10 === 3)
+        .select((col(idCol) + 300000).as(idCol),
+          concat_ws(" ", slice(toks, lit(1), cut)).as(textCol)))
+  }
+
   /** Exact dedup: group by md5 of the normalized token stream, keep the
     * minimum id as the group representative. Output one row per distinct
     * content: (keep_id, n_copies, fp_md5).
@@ -263,7 +279,55 @@ object DedupOps {
       textCol: String = "text",
       thresholdBp: Int = 8000,
       maxDocFreq: Int = 0,
-      hashPostingsKey: Boolean = false): DataFrame = {
+      hashPostingsKey: Boolean = false): DataFrame =
+    shinglePairCounts(corpus, idCol, textCol, maxDocFreq, hashPostingsKey)
+      .select(
+        col("id_a"), col("id_b"),
+        TextOps.roundBp(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jac_bp"))
+      .filter(col("jac_bp") >= thresholdBp)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Asymmetric n-gram CONTAINMENT pairs: C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    * — the quote/excerpt detector. A short doc lifted verbatim from a longer
+    * one has containment ≈ 1 in its parent while whole-doc Jaccard is only
+    * |A|/|B|, far below any symmetric near-dup threshold — so Jaccard dedup
+    * keeps both and the excerpt leaks into training twice. Emits every pair
+    * whose larger-direction containment reaches `thresholdBp`, with the
+    * symmetric Jaccard alongside so the caller can see exactly which pairs
+    * only this operator finds (`jac_bp < threshold ≤ greatest(cont)`).
+    *
+    * Same inverted-index core as [[jaccardPairs]] ([[shinglePairCounts]]):
+    * shuffle keyed on shingles, postings-array pairing, stop-shingle cutoff
+    * — never all-pairs, scales identically.
+    */
+  def containmentPairs(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      thresholdBp: Int = 8000,
+      maxDocFreq: Int = 0): DataFrame =
+    shinglePairCounts(corpus, idCol, textCol, maxDocFreq, hashPostingsKey = false)
+      .select(
+        col("id_a"), col("id_b"),
+        TextOps.roundBp(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jac_bp"),
+        TextOps.roundBp(col("inter").cast("double") / col("n_a").cast("double")).as("cont_a_bp"),
+        TextOps.roundBp(col("inter").cast("double") / col("n_b").cast("double")).as("cont_b_bp"))
+      .filter(greatest(col("cont_a_bp"), col("cont_b_bp")) >= thresholdBp)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Shared inverted-index pair-count core of [[jaccardPairs]] /
+    * [[containmentPairs]]: (id_a < id_b, n_a, n_b, inter) for every pair of
+    * docs sharing ≥ 1 surviving shingle, where n is each doc's distinct
+    * 3-shingle count and inter the distinct shared-shingle count.
+    */
+  private def shinglePairCounts(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Int,
+      hashPostingsKey: Boolean): DataFrame = {
     val s = corpus.select(
       col(idCol),
       array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), 3)).as("shs"))
@@ -311,12 +375,6 @@ object DedupOps {
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-      .select(
-        col("id_a"), col("id_b"),
-        TextOps.roundBp(col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jac_bp"))
-      .filter(col("jac_bp") >= thresholdBp)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Substring-level duplicate-SPAN detection — the "copied paragraph"

@@ -17,6 +17,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(200005L) == "d e f graftdup")
   }
 
+  test("plantedQuoteCorpus: adds a 2n/5-token prefix quote per id%10==3") {
+    val base = docs((3L, "a b c d e f g h i j"), (7L, "k l m n o"))
+    val got = DedupOps.plantedQuoteCorpus(base).as[(Long, String)].collect().toMap
+    assert(got.keySet == Set(3L, 7L, 300003L))
+    assert(got(300003L) == "a b c d") // floor(10 * 2 / 5) = 4 tokens
+  }
+
+  test("containmentPairs: catches the quote pair symmetric Jaccard misses") {
+    val corpus = docs(
+      (1L, "a b c d e f g h i j"), // 8 distinct 3-shingles
+      (2L, "a b c d"))             // 2 shingles, both inside doc 1
+    val cont = DedupOps.containmentPairs(corpus, thresholdBp = 8000)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // jac = 2/8 = 2500, cont into parent = 2/2 = 10000: containment fires...
+    assert(cont == Seq((1L, 2L, 2500L, 2500L, 10000L)))
+    // ...where the same-threshold symmetric Jaccard finds nothing
+    assert(DedupOps.jaccardPairs(corpus, thresholdBp = 8000).isEmpty)
+  }
+
   test("exactDedup: keeps min id per content group, counts copies") {
     val corpus = docs(
       (1L, "same text here"), (2L, "SAME   text HERE"), (3L, "different"))
