@@ -57,6 +57,18 @@ case class ExtremaBuffer(lo: List[(Long, Long)], hi: List[(Long, Long)])
 case class ExtremaRow(event_type: String, min_bp: Option[Long], max_bp: Option[Long])
 
 /** Open-session state for [[StreamingOps.sessionize]] (epoch millis). */
+/** One weighted-sample candidate for [[StreamingOps.prioritySampleStream]]:
+  * `h` = hash60(id)+1 is computed by Catalyst in the pre-pass so the
+  * priority arithmetic is shared with the batch operator.
+  */
+case class PriCand(group: String, id: Long, w_bp: Long, h: Long)
+
+/** Per-group top-k candidate buffer — the state IS the sample. */
+case class PriBuffer(rows: List[(Long, Long, Long)])
+
+/** One emitted member of the maintained per-group priority sample. */
+case class PriSampleRow(group: String, rank: Int, id: Long, w_bp: Long)
+
 case class OpenSession(start: Long, end: Long, n: Long)
 
 /** A closed session emitted by [[StreamingOps.sessionize]]. */
@@ -386,6 +398,60 @@ object StreamingOps {
           state.update(next)
           ExtremaRow(ty, next.lo.headOption.map(_._1), next.hi.headOption.map(_._1))
         })
+  }
+
+  /** Streaming exactly-k weighted sampling without replacement — the
+    * `mapGroupsWithState` twin of
+    * [[graft.operators.SampleOps.prioritySample]] (Duffield-Lund-Thorup
+    * priority sampling), maintained per group: the per-group STATE is the
+    * sample itself — the k candidates of highest priority
+    * `bp(w) · 2^60 div (hash60(id)+1)` — and each micro-batch merges its
+    * rows into the buffer and re-truncates. A row's priority is an
+    * order-free function of (id, weight), so the maintained sample equals
+    * the batch sample over everything streamed so far (spec-pinned
+    * parity) — the same per-group-state-IS-the-batch-summary discipline as
+    * [[kmvSketchStream]] / [[extremaStream]].
+    *
+    * The numerator and denominator come from the SAME Catalyst expressions
+    * as the batch operator (`TextOps.roundBp`, `StableHash.hash60` in the
+    * typed pre-pass — never a JVM re-hash); the merge only re-derives the
+    * truncated quotient, and BigInt `/` on positive operands is exactly
+    * decimal(38,0) `div`. State is O(groups · k); duplicate ids across
+    * batches keep their first-seen row. Output per batch: the group's
+    * current ranked sample (update sinks replace it).
+    */
+  def prioritySampleStream(
+      rows: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int = 8): Dataset[PriSampleRow] = {
+    import rows.sparkSession.implicits._
+    val scale = BigInt(1L << 60)
+    val ord = Ordering.by[(Long, Long, Long), (BigInt, Long)] {
+      case (id, w, h) => (BigInt(w) * scale / BigInt(h), -id)
+    }
+    rows
+      .select(
+        col(groupCol).cast("string").as("group"),
+        col(idCol).cast("long").as("id"),
+        graft.operators.TextOps.roundBp(col(weightCol)).as("w_bp"),
+        (graft.functions.StableHash.hash60(col(idCol).cast("string")) + lit(1L)).as("h"))
+      .as[PriCand]
+      .groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (g: String, batch: Iterator[PriCand], state: GroupState[PriBuffer]) => {
+          val prev = state.getOption.map(_.rows).getOrElse(Nil)
+          val merged = (prev ++ batch.map(c => (c.id, c.w_bp, c.h)))
+            .distinctBy(_._1)
+            .sorted(ord.reverse)
+            .take(k)
+          state.update(PriBuffer(merged))
+          (g, merged.map(t => (t._1, t._2)))
+        })
+      .flatMap { case (g, entries) =>
+        entries.zipWithIndex.map { case ((id, w), i) => PriSampleRow(g, i + 1, id, w) }
+      }
   }
 
   /** Streaming gap sessionization via `flatMapGroupsWithState` with

@@ -574,6 +574,43 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("prioritySampleStream: maintained per-group sample matches batch priority sampling") {
+    import graft.operators.SampleOps
+    // two micro-batches; s0 accumulates 4 candidates (k=2 must evict), s1
+    // grows from 1 to 2; the 2.0-weight late arrival must displace a member
+    val b1 = Seq((1L, "s0", 0.9), (2L, "s0", 0.5), (3L, "s0", 0.8), (10L, "s1", 0.3))
+    val b2 = Seq((4L, "s0", 2.0), (11L, "s1", 0.7))
+    val input = MemoryStream[(Long, String, Double)]
+    val q = StreamingOps.prioritySampleStream(
+        input.toDS().toDF("doc_id", "source", "quality"),
+        groupCol = "source", idCol = "doc_id", weightCol = "quality", k = 2)
+      .writeStream.format("memory").queryName("prisample").outputMode("update").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      // update sink appends per batch: last emission per (group, rank) wins
+      val rows = spark.table("prisample")
+        .as[graft.streaming.PriSampleRow].collect().zipWithIndex
+      val streamView = rows.groupBy(r => (r._1.group, r._1.rank))
+        .map { case (k2, rs) => k2 -> { val r = rs.maxBy(_._2)._1; (r.id, r.w_bp) } }
+      // batch replay: prioritySample over each group's cumulative rows
+      val all = b1 ++ b2
+      val batchView = all.map(_._2).distinct.flatMap { g =>
+        val df = all.filter(_._2 == g).toDF("doc_id", "source", "quality")
+        SampleOps.prioritySample(df, "quality", "doc_id", k = 2)
+          .as[(Int, Long, Double)].collect()
+          .map { case (rank, id, w) =>
+            (g, rank) -> ((id, math.floor(w * 10000.0 + 0.5).toLong))
+          }
+      }.toMap
+      assert(streamView == batchView, s"stream $streamView vs batch $batchView")
+      // the heavy late arrival made it in
+      assert(streamView.exists { case (_, (id, _)) => id == 4L })
+    } finally q.stop()
+  }
+
   test("extremaStream: MIN/MAX under deletes matches the batch extrema buffer") {
     // k=2 buffers; batch 1 builds, batch 2 deletes the ENTIRE lo buffer of
     // "a" (min must go None — the recompute signal, exactly the batch
