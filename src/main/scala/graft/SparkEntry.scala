@@ -948,6 +948,12 @@ object SparkEntry {
     "q_sample_priority" -> ((s, dir) =>
       graft.operators.SampleOps.prioritySample(
         t(s, dir, "documents"), "n_chars", "doc_id", k = 100)),
+    // Per-SOURCE exactly-k weighted sample: the GroupTopK-lowered stratified
+    // form of q_sample_priority (one dev slice per domain, one shuffle,
+    // k-row heaps per group) — batch anchor of prioritySampleStream.
+    "q_sample_priority_group" -> ((s, dir) =>
+      graft.operators.SampleOps.prioritySampleByGroup(
+        t(s, dir, "documents"), "source", "n_chars", "doc_id", k = 10)),
     // Data mixing: per-language sampling multipliers toward a uniform mix.
     "q_mix_weights" -> ((s, dir) =>
       graft.operators.SampleOps.mixWeights(t(s, dir, "documents"), "lang")),
@@ -2038,6 +2044,16 @@ object SparkEntry {
         "r AS (SELECT doc_id, n_chars, row_number() OVER " +
         "(ORDER BY pri DESC, doc_id) AS rank FROM p) " +
         "SELECT rank, doc_id, n_chars FROM r WHERE rank <= 100 ORDER BY rank"),
+    // mirrors SampleOps.prioritySampleByGroup: same priority, ranked per source
+    "q_sample_priority_group" ->
+      (s"WITH p AS (SELECT source, doc_id, n_chars, " +
+        s"(${TextOps.roundBpSql("n_chars")}::HUGEINT * (1::HUGEINT << 60)) // " +
+        s"(${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} + 1) AS pri " +
+        "FROM documents), " +
+        "r AS (SELECT source, doc_id, n_chars, row_number() OVER " +
+        "(PARTITION BY source ORDER BY pri DESC, doc_id) AS rank FROM p) " +
+        "SELECT source, rank, doc_id, n_chars FROM r WHERE rank <= 10 " +
+        "ORDER BY source, rank"),
     // mirrors SampleOps.weightedSample over the q_quality scorer
     "q_sample_weighted" -> {
       val allStops = TextOps.langMarkers.flatMap(_._2).distinct.sorted

@@ -136,6 +136,30 @@ object SampleOps {
       .orderBy(col("rank"))
   }
 
+  /** Per-group exactly-k weighted sample — [[prioritySample]] stratified:
+    * within every group the k highest priorities win, same integer-exact
+    * priority `bp(w) · 2^60 div (hash60(id)+1)` and (priority desc, id)
+    * total order. Declared via the row_number-window shape, which
+    * [[graft.plans.GroupTopKRewrite]] lowers to bounded per-group heaps —
+    * state k rows per group on both shuffle sides, no per-partition full
+    * sort — so the "one dev slice per domain" cut costs one shuffle of
+    * (group, id, weight, priority) rows. The batch anchor of
+    * [[graft.streaming.StreamingOps.prioritySampleStream]].
+    */
+  def prioritySampleByGroup(
+      df: DataFrame, groupCol: String, weightCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__pri").desc, col(idCol))
+    df.select(col(groupCol), col(idCol), col(weightCol),
+        (TextOps.roundBp(col(weightCol)).cast("decimal(38,0)") *
+          lit(1L << 60).cast("decimal(38,0)")).as("__num"),
+        (StableHash.hash60(col(idCol).cast("string")) + lit(1L)).as("__den"))
+      .withColumn("__pri", expr("__num div __den"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col(idCol), col(weightCol))
+      .orderBy(col(groupCol), col("rank"))
+  }
+
   /** Deterministic n-per-stratum sample: the n smallest id-hashes within
     * each stratum (ties impossible: the hash is keyed by the unique id, and
     * the id itself tie-breaks). Output: (strataCol, rn, idCol).

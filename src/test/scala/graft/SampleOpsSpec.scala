@@ -40,6 +40,26 @@ class SampleOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.rewrite.enabled")
   }
 
+  test("prioritySampleByGroup: per-group sample equals global prioritySample per group") {
+    val docs = sf("documents")
+    val got = SampleOps.prioritySampleByGroup(docs, "source", "n_chars", "doc_id", k = 3)
+      .as[(String, Int, Long, Long)].collect().toSeq
+    val bySource = got.groupBy(_._1)
+    assert(bySource.size > 1)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_._2).sorted == (1 to rows.length), s"$src rank not dense")
+      val global = SampleOps.prioritySample(
+          docs.filter(col("source") === src), "n_chars", "doc_id", k = 3)
+        .as[(Int, Long, Long)].collect().toSeq
+      assert(rows.map(r => (r._2, r._3, r._4)) == global, s"$src diverges")
+    }
+    // the window+filter shape must lower to the bounded GroupTopK node
+    val plan = SampleOps.prioritySampleByGroup(docs, "source", "n_chars", "doc_id", 3)
+      .queryExecution.optimizedPlan
+    assert(plan.collect { case g: graft.plans.GroupTopK => g }.nonEmpty,
+      s"GroupTopK rewrite did not fire:\n$plan")
+  }
+
   test("mixWeights: hand-checked uniform-target multipliers") {
     val df = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c"))
       .zipWithIndex.map(_.swap).toDF("id", "grp")
