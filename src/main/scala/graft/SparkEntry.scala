@@ -1279,6 +1279,11 @@ object SparkEntry {
     // integer-exact robust outlier monitor (lower medians, long deviations).
     "q_events_anomaly" -> ((s, dir) =>
       EventOps.hourlyAnomalies(t(s, dir, "events"))),
+    // CUSUM level-shift detection: the sustained-drift complement of the
+    // MAD point-outlier test — one-sided cumulative sums over the hourly
+    // grid, integer-exact in the xC scale, alarm at 2·mean drift.
+    "q_events_cusum" -> ((s, dir) =>
+      EventOps.cusumShifts(t(s, dir, "events"))),
     // Incremental view maintenance: the table split at a cutoff, each half
     // rolled to mergeable integer state, states merged — must equal the
     // oracle's from-scratch aggregation of the WHOLE table exactly.
@@ -3068,6 +3073,30 @@ object SparkEntry {
         "[(len(hist) + 1) // 2] AS mad FROM m) " +
         "SELECT bucket_s, event_type, n, med, mad FROM d " +
         "WHERE abs(n - med) > mad * 3 ORDER BY bucket_s, event_type"),
+    // mirrors EventOps.cusumShifts: the per-type recursion as a recursive
+    // CTE over the hour index (rn), identical xC-scaled BIGINT arithmetic
+    "q_events_cusum" ->
+      ("WITH RECURSIVE h AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s, " +
+        "event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "hr AS (SELECT h.*, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY bucket_s) AS rn FROM h), " +
+        "st AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s, " +
+        "CAST(count(*) AS BIGINT) AS c FROM h GROUP BY 1), " +
+        "rec AS (" +
+        "SELECT hr.event_type, hr.rn, hr.bucket_s, hr.n, " +
+        "greatest(0, hr.n * st.c - st.s - st.s // 2) AS s_hi, " +
+        "greatest(0, st.s - st.s // 2 - hr.n * st.c) AS s_lo " +
+        "FROM hr JOIN st USING (event_type) WHERE hr.rn = 1 " +
+        "UNION ALL " +
+        "SELECT hr.event_type, hr.rn, hr.bucket_s, hr.n, " +
+        "greatest(0, r.s_hi + (hr.n * st.c - st.s - st.s // 2)), " +
+        "greatest(0, r.s_lo + (st.s - st.s // 2 - hr.n * st.c)) " +
+        "FROM rec r JOIN hr ON hr.event_type = r.event_type AND hr.rn = r.rn + 1 " +
+        "JOIN st ON st.event_type = hr.event_type) " +
+        "SELECT r.event_type, r.bucket_s, r.n, r.s_hi, r.s_lo, " +
+        "(r.s_hi > 2 * st.s OR r.s_lo > 2 * st.s) AS alarm " +
+        "FROM rec r JOIN st ON st.event_type = r.event_type " +
+        "ORDER BY r.event_type, r.bucket_s"),
     "q_embed_norms" ->
       ("SELECT vec_id, label, len(embedding) AS dim, " +
         s"${TextOps.roundBpSql("sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))")} AS norm_bp " +

@@ -418,6 +418,69 @@ object EventOps {
       .orderBy(col("bucket_s"), col("event_type"))
   }
 
+  /** CUSUM level-shift detection over hourly counts — the sustained-DRIFT
+    * complement of [[hourlyAnomalies]] (which flags point outliers against
+    * a trailing MAD): a source whose volume steps to a new level and stays
+    * there — a scraper change, an upstream outage, a pipeline fork — raises
+    * each hour's deviation only modestly, so no single hour trips a
+    * point-outlier test, but the one-sided cumulative sums
+    *
+    *   s⁺_i = max(0, s⁺_{i-1} + (x_i − μ − κ)),
+    *   s⁻_i = max(0, s⁻_{i-1} + (μ − κ − x_i))
+    *
+    * accumulate the drift and cross the decision threshold within a few
+    * hours (Page 1954). Slack κ = μ/2 and threshold h = 2μ here: sustained
+    * shifts beyond ±μ/2 accumulate, a full doubling/halving alarms in ~2–4
+    * hours, and everything is a fixed multiple of μ so no tuning input.
+    *
+    * Integer-exact cross-engine: with S = Σx and C = grid size, scaling
+    * the state by C clears the rational μ = S/C — per-hour drift becomes
+    * `x·C − S − S div 2`, and the alarm σ > 2μ becomes `σ·C > 2·S`, i.e.
+    * `s_hi > 2·S` on the scaled state — so both engines compare identical
+    * BIGINTs (at 1e12 events/hour × 1e4 grid hours the products sit at
+    * ~1e16, far inside int64).
+    *
+    * Scale: the corpus-sized work is ONE hash aggregation to the
+    * (hour, type) grid; the recursion folds grid-sized arrays per type
+    * (the [[ewmaHourly]] bounded-state argument — O(hours) per group,
+    * thousands of cells, never corpus rows). Output: every grid cell with
+    * both CUSUM states and its alarm flag.
+    */
+  def cusumShifts(events: DataFrame): DataFrame = {
+    val hourly = normalizeTs(events)
+      .groupBy(expr("(unix_micros(ts) div 3600000000) * 3600").as("bucket_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val outType = "array<struct<bucket_s:bigint,n:bigint,s_hi:bigint,s_lo:bigint>>"
+    hourly
+      .groupBy(col("event_type"))
+      .agg(
+        sort_array(collect_list(struct(col("bucket_s"), col("n")))).as("g"),
+        sum(col("n")).as("s"), count(lit(1)).as("c"))
+      .withColumn("cells", expr(
+        s"""aggregate(
+           |  g,
+           |  struct(0L AS hi, 0L AS lo, CAST(array() AS $outType) AS out),
+           |  (acc, x) -> struct(
+           |    greatest(0L, acc.hi + (x.n * c - s - s div 2)) AS hi,
+           |    greatest(0L, acc.lo + (s - s div 2 - x.n * c)) AS lo,
+           |    concat(acc.out, array(struct(
+           |      x.bucket_s AS bucket_s, x.n AS n,
+           |      greatest(0L, acc.hi + (x.n * c - s - s div 2)) AS s_hi,
+           |      greatest(0L, acc.lo + (s - s div 2 - x.n * c)) AS s_lo))) AS out),
+           |  acc -> acc.out)""".stripMargin))
+      .select(col("event_type"), col("s"), col("c"), explode(col("cells")).as("cell"))
+      .select(
+        col("event_type"),
+        col("cell.bucket_s").as("bucket_s"),
+        col("cell.n").as("n"),
+        col("cell.s_hi").as("s_hi"),
+        col("cell.s_lo").as("s_lo"),
+        (col("cell.s_hi") > lit(2) * col("s") || col("cell.s_lo") > lit(2) * col("s"))
+          .as("alarm"))
+      .orderBy(col("event_type"), col("bucket_s"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is idle
     * longer than `gapSeconds`. Ties on `ts` are broken by `event_id` so the
     * session assignment is fully deterministic.

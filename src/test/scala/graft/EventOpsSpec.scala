@@ -165,6 +165,27 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Seq((base / 1000 + 30 * 3600, "click", 30L, 3L, 1L)))
   }
 
+  test("cusumShifts: hand-computed level shift alarms, flat series stays silent") {
+    // type a: 2/hour for 6 hours then 30/hour for 2 — S=72, C=8, slack
+    // S div 2 = 36. Low hours drift s_lo by 72-36-16=20; the step drifts
+    // s_hi by 240-72-36=132, crossing 2S=144 on its second hour only.
+    // type b: flat 3/hour — drift 12-12-6 < 0 on both sides, all zeros.
+    val rows = Seq.newBuilder[(Long, Long, String, Double)]
+    var id = 0L
+    for (h <- 10 to 15; _ <- 1 to 2) { id += 1; rows += ((id, ms(f"$h%02d:00"), "a", 1.0)) }
+    for (h <- 16 to 17; _ <- 1 to 30) { id += 1; rows += ((id, ms(f"$h%02d:00"), "a", 1.0)) }
+    for (h <- 10 to 13; _ <- 1 to 3) { id += 1; rows += ((id, ms(f"$h%02d:00"), "b", 1.0)) }
+    val got = EventOps.cusumShifts(ev(rows.result(): _*))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    def sec(h: Int) = ms(f"$h%02d:00") / 1000
+    val expectA =
+      (10 to 15).map(h => ("a", sec(h), 2L, 0L, 20L * (h - 9), false)) ++
+        Seq(("a", sec(16), 30L, 132L, 0L, false), ("a", sec(17), 30L, 264L, 0L, true))
+    assert(got.filter(_._1 == "a") == expectA)
+    assert(got.filter(_._1 == "b") ==
+      (10 to 13).map(h => ("b", sec(h), 3L, 0L, 0L, false)))
+  }
+
   test("rollupState merge: any split of the table maintains the exact view") {
     val rows = (1 to 30).map(i =>
       (i.toLong, ms("10:00") + i * 60000L, if (i % 2 == 0) "click" else "view", i * 1.1))
