@@ -38,6 +38,17 @@ object GraftSession {
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Shuffles START at 8x the base partition count and AQE coalesces
+      // DOWN to the advisory size — without this, `shuffle.partitions` is a
+      // hard ceiling AQE can never raise, and any shuffle whose data
+      // outgrows base-count × executor-memory spills (measured: the 100x
+      // q_dedup_jaccard postings shuffle went super-linear at 32
+      // partitions). At small SF the coalesce collapses the extra
+      // partitions, so local runs keep their plans; override via
+      // SPARK_GRAFT_INIT_PARTITIONS (a real cluster wants ~data/128MB).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS",
+          (shufflePartitions * 8).toString))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
