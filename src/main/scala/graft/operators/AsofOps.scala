@@ -56,13 +56,16 @@ object AsofOps {
 
   /** Declared-query shape: for each event of `leftType`, the same user's
     * most recent `rightType` event at or before it, with the gap in µs.
-    * `ts` is the raw ns long (read via nanosAsLong); the join/order uses
-    * full ns precision, but the emitted gap truncates EACH side to µs first
-    * (integer div) because DuckDB's parquet reader truncates ns timestamps
-    * to µs — truncate-then-subtract matches `epoch_us(l) - epoch_us(r)`,
-    * subtract-then-truncate would not.
+    * The join/order uses `ts` at full stored precision in whatever encoding
+    * the file carries; the emitted gap goes through [[EventOps.tsMicros]]
+    * (encoding-dispatching) and truncates EACH side to µs BEFORE the
+    * subtract — on ns-long fixtures DuckDB's parquet reader truncates ns
+    * timestamps to µs, so truncate-then-subtract matches
+    * `epoch_us(l) - epoch_us(r)` where subtract-then-truncate would not
+    * (on µs fixtures the two orders coincide).
     */
   def lastEventBefore(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val tsType = events.schema("ts").dataType
     val cols = Seq("event_id", "user_id", "ts").map(col)
     val l = events.filter(col("event_type") === leftType).select(cols: _*)
     val r = events.filter(col("event_type") === rightType).select(cols: _*)
@@ -71,8 +74,8 @@ object AsofOps {
         col("event_id").as("l_event_id"),
         col("user_id"),
         col("__asof")("event_id").as("r_event_id"),
-        // integer `div`, not `/`: ns epochs (~1.7e18) exceed double's 2^53
-        (expr("ts div 1000") - expr("__asof.ts div 1000")).as("gap_us"))
+        (EventOps.tsMicros("ts", tsType) -
+          EventOps.tsMicros("__asof.ts", tsType)).as("gap_us"))
       .orderBy(col("l_event_id"))
   }
 }

@@ -16,16 +16,49 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
-  /** The events table carries ns-precision parquet timestamps, which Spark
-    * reads only as raw nano longs (`spark.sql.legacy.parquet.nanosAsLong`).
-    * Truncate to µs — integer DIV, not `/`, because ns epochs (~1.7e18)
-    * exceed double's exact range — matching DuckDB's own ns→µs truncation.
+  /** Normalize `ts` to `TimestampType` across the three encodings real
+    * parquet writers produce (SURVEY §7.4 — the portability hazard):
+    *
+    *  - ns-precision int64, surfaced as a raw nano LONG under
+    *    `spark.sql.legacy.parquet.nanosAsLong`: truncate to µs — integer
+    *    DIV, not `/`, because ns epochs (~1.7e18) exceed double's exact
+    *    range — matching DuckDB's own ns→µs truncation.
+    *  - µs `isAdjustedToUTC=false` (`TIMESTAMP_NTZ` — what pandas/pyarrow
+    *    write by default): cast to `TimestampType`, an identity remapping
+    *    of the stored micros under the UTC session timezone GraftSession
+    *    pins.
+    *  - µs UTC-adjusted (`TimestampType`): already normal.
     */
   def normalizeTs(events: DataFrame, tsCol: String = "ts"): DataFrame =
     events.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
         events.withColumn(tsCol, expr(s"timestamp_micros($tsCol DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        events.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
       case _ => events
+    }
+
+  /** Epoch-µs LONG projection of a timestamp expression, dispatching on the
+    * column's dtype in the SOURCE frame (pass `df.schema("ts").dataType`).
+    * The single place raw-encoding arithmetic is allowed: callers that
+    * compare or subtract times as integers (as-of gaps, range-join buckets)
+    * must route through this instead of inlining `ts div 1000` — which is
+    * correct only for the ns-long encoding and an analysis error on the
+    * other two. `sqlExpr` may be any SQL expression (e.g. `__asof.ts`).
+    */
+  def tsMicros(sqlExpr: String, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      // integer `div`, not `/`: ns epochs (~1.7e18) exceed double's 2^53
+      case org.apache.spark.sql.types.LongType => expr(s"($sqlExpr) div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // identity remapping of stored micros under the pinned UTC session tz
+        expr(s"unix_micros(cast(($sqlExpr) as timestamp))")
+      case org.apache.spark.sql.types.TimestampType =>
+        expr(s"unix_micros($sqlExpr)")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported timestamp encoding for `$sqlExpr`: $other")
     }
 
   /** Tumbling-window aggregation: per (truncated time bucket, event type)
@@ -437,13 +470,25 @@ object EventOps {
     * the state by C clears the rational μ = S/C — per-hour drift becomes
     * `x·C − S − S div 2`, and the alarm σ > 2μ becomes `σ·C > 2·S`, i.e.
     * `s_hi > 2·S` on the scaled state — so both engines compare identical
-    * BIGINTs (at 1e12 events/hour × 1e4 grid hours the products sit at
-    * ~1e16, far inside int64).
+    * BIGINTs. Honest int64 bound: the prefix sums below reach at most
+    * grid-hours × max|drift| ≈ H² · x_max, so H = 1e4 grid hours tolerates
+    * up to ~1e10 events/hour (products ~1e14, prefixes ~1e18 < 2^63);
+    * beyond that, pre-divide the counts or shorten the grid — the xC
+    * scaling trades range for exactness deliberately.
+    *
+    * The clipped recursion is NOT folded row-by-row: the classic identity
+    * s⁺_i = P_i − min(0, min_{j≤i} P_j), with P the running sum of the
+    * unclipped drifts (Page 1954 — each max(0,·) clip restarts the sum,
+    * which is exactly "subtract the lowest prefix seen so far"), turns it
+    * into two streaming window passes — a running sum and a running min —
+    * over the already-aggregated grid. O(1) state per row, whole-stage
+    * codegen, no per-row array (the previous `aggregate`-fold built the
+    * output array by concat: O(hours²) copies per type).
     *
     * Scale: the corpus-sized work is ONE hash aggregation to the
-    * (hour, type) grid; the recursion folds grid-sized arrays per type
-    * (the [[ewmaHourly]] bounded-state argument — O(hours) per group,
-    * thousands of cells, never corpus rows). Output: every grid cell with
+    * (hour, type) grid; the windows shuffle grid-sized rows once on
+    * event_type (thousands of cells, never corpus rows), and the per-type
+    * (S, C) totals broadcast onto the grid. Output: every grid cell with
     * both CUSUM states and its alarm flag.
     */
   def cusumShifts(events: DataFrame): DataFrame = {
@@ -451,33 +496,24 @@ object EventOps {
       .groupBy(expr("(unix_micros(ts) div 3600000000) * 3600").as("bucket_s"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val outType = "array<struct<bucket_s:bigint,n:bigint,s_hi:bigint,s_lo:bigint>>"
+    val totals = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("s"), count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hourly
-      .groupBy(col("event_type"))
-      .agg(
-        sort_array(collect_list(struct(col("bucket_s"), col("n")))).as("g"),
-        sum(col("n")).as("s"), count(lit(1)).as("c"))
-      .withColumn("cells", expr(
-        s"""aggregate(
-           |  g,
-           |  struct(0L AS hi, 0L AS lo, CAST(array() AS $outType) AS out),
-           |  (acc, x) -> struct(
-           |    greatest(0L, acc.hi + (x.n * c - s - s div 2)) AS hi,
-           |    greatest(0L, acc.lo + (s - s div 2 - x.n * c)) AS lo,
-           |    concat(acc.out, array(struct(
-           |      x.bucket_s AS bucket_s, x.n AS n,
-           |      greatest(0L, acc.hi + (x.n * c - s - s div 2)) AS s_hi,
-           |      greatest(0L, acc.lo + (s - s div 2 - x.n * c)) AS s_lo))) AS out),
-           |  acc -> acc.out)""".stripMargin))
-      .select(col("event_type"), col("s"), col("c"), explode(col("cells")).as("cell"))
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("p_hi", sum(col("n") * col("c") - col("s") - expr("s div 2")).over(w))
+      .withColumn("p_lo", sum(col("s") - expr("s div 2") - col("n") * col("c")).over(w))
       .select(
         col("event_type"),
-        col("cell.bucket_s").as("bucket_s"),
-        col("cell.n").as("n"),
-        col("cell.s_hi").as("s_hi"),
-        col("cell.s_lo").as("s_lo"),
-        (col("cell.s_hi") > lit(2) * col("s") || col("cell.s_lo") > lit(2) * col("s"))
-          .as("alarm"))
+        col("bucket_s"),
+        col("n"),
+        (col("p_hi") - least(lit(0L), min(col("p_hi")).over(w))).as("s_hi"),
+        (col("p_lo") - least(lit(0L), min(col("p_lo")).over(w))).as("s_lo"),
+        col("s"))
+      .withColumn("alarm",
+        col("s_hi") > lit(2) * col("s") || col("s_lo") > lit(2) * col("s"))
+      .drop("s")
       .orderBy(col("event_type"), col("bucket_s"))
   }
 

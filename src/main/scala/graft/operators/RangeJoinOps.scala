@@ -16,24 +16,27 @@ object RangeJoinOps {
 
   /** Conversion-window pairs: for events of `leftType`, every `rightType`
     * event of the same user STRICTLY after it and within `windowUs`
-    * microseconds. Times compare at µs granularity (ts div 1000 of the raw
-    * ns long) — DuckDB's parquet reader truncates ns timestamps to µs, so
-    * the oracle can only see µs. Output: (l_event_id, r_event_id, user_id,
-    * gap_us), totally ordered.
+    * microseconds. Times compare at µs granularity via
+    * [[EventOps.tsMicros]] (encoding-dispatching: ns-long fixtures
+    * truncate, timestamp fixtures read their stored micros) — DuckDB's
+    * parquet reader sees at most µs, so the oracle compares the same
+    * integers. Output: (l_event_id, r_event_id, user_id, gap_us), totally
+    * ordered.
     */
   def withinWindowPairs(
       events: DataFrame,
       leftType: String,
       rightType: String,
       windowUs: Long = 60L * 60 * 1000 * 1000): DataFrame = {
+    val tsUs = EventOps.tsMicros("ts", events.schema("ts").dataType)
     val l = events.filter(col("event_type") === leftType).select(
       col("user_id"),
       col("event_id").as("l_event_id"),
-      expr("ts div 1000").as("lt_us"))
+      tsUs.as("lt_us"))
     val r = events.filter(col("event_type") === rightType).select(
       col("user_id"),
       col("event_id").as("r_event_id"),
-      expr("ts div 1000").as("rt_us"))
+      tsUs.as("rt_us"))
     val lBucketed = l.withColumn(
       "bucket",
       explode(array(expr(s"lt_us div $windowUs"), expr(s"lt_us div $windowUs") + 1)))

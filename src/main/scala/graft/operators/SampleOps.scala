@@ -121,6 +121,17 @@ object SampleOps {
     * Scale: one scan computing a per-row priority + TakeOrderedAndProject
     * (per-partition k-row heaps, k-row driver merge) — no shuffle of the
     * data, no window. Output: (rank, id, weight), rank 1..k.
+    *
+    * Extreme-weight bound: `__num div __den` is an IntegralDivide whose
+    * LONG result overflows (→ null under non-ANSI) when
+    * `bp(w)·2^60 > (h+1)·(2^63−1)` — i.e. a row whose TRUE priority
+    * exceeds Long.MaxValue, reachable only when bp(w) ≳ 8·(h+1), so for
+    * sane weights only at adversarially small id-hashes (P ≈ 2^-60/row).
+    * Such a row belongs at the TOP, not ranked last where null would
+    * sort: priorities coalesce to Long.MaxValue, which preserves the
+    * winner set exactly (any overflowed priority beats every
+    * non-overflowed one; several overflowed rows fall back to the id
+    * tie-break).
     */
   def prioritySample(
       df: DataFrame, weightCol: String, idCol: String, k: Int): DataFrame = {
@@ -129,7 +140,7 @@ object SampleOps {
         (TextOps.roundBp(col(weightCol)).cast("decimal(38,0)") *
           lit(1L << 60).cast("decimal(38,0)")).as("__num"),
         (StableHash.hash60(col(idCol).cast("string")) + lit(1L)).as("__den"))
-      .withColumn("__pri", expr("__num div __den"))
+      .withColumn("__pri", coalesce(expr("__num div __den"), lit(Long.MaxValue)))
       .orderBy(col("__pri").desc, col(idCol)).limit(k)
       .withColumn("rank", row_number().over(w))
       .select(col("rank"), col(idCol), col(weightCol))
@@ -144,7 +155,9 @@ object SampleOps {
     * state k rows per group on both shuffle sides, no per-partition full
     * sort — so the "one dev slice per domain" cut costs one shuffle of
     * (group, id, weight, priority) rows. The batch anchor of
-    * [[graft.streaming.StreamingOps.prioritySampleStream]].
+    * [[graft.streaming.StreamingOps.prioritySampleStream]]. Overflowed
+    * priorities clamp to Long.MaxValue — [[prioritySample]]'s
+    * extreme-weight bound, order-correct by the same argument.
     */
   def prioritySampleByGroup(
       df: DataFrame, groupCol: String, weightCol: String, idCol: String, k: Int): DataFrame = {
@@ -153,7 +166,7 @@ object SampleOps {
         (TextOps.roundBp(col(weightCol)).cast("decimal(38,0)") *
           lit(1L << 60).cast("decimal(38,0)")).as("__num"),
         (StableHash.hash60(col(idCol).cast("string")) + lit(1L)).as("__den"))
-      .withColumn("__pri", expr("__num div __den"))
+      .withColumn("__pri", coalesce(expr("__num div __den"), lit(Long.MaxValue)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(groupCol), col("rank"), col(idCol), col(weightCol))

@@ -56,7 +56,6 @@ case class ExtremaBuffer(lo: List[(Long, Long)], hi: List[(Long, Long)])
   */
 case class ExtremaRow(event_type: String, min_bp: Option[Long], max_bp: Option[Long])
 
-/** Open-session state for [[StreamingOps.sessionize]] (epoch millis). */
 /** One weighted-sample candidate for [[StreamingOps.prioritySampleStream]]:
   * `h` = hash60(id)+1 is computed by Catalyst in the pre-pass so the
   * priority arithmetic is shared with the batch operator.
@@ -69,6 +68,7 @@ case class PriBuffer(rows: List[(Long, Long, Long)])
 /** One emitted member of the maintained per-group priority sample. */
 case class PriSampleRow(group: String, rank: Int, id: Long, w_bp: Long)
 
+/** Open-session state for [[StreamingOps.sessionize]] (epoch millis). */
 case class OpenSession(start: Long, end: Long, n: Long)
 
 /** A closed session emitted by [[StreamingOps.sessionize]]. */

