@@ -73,12 +73,21 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // Flush accumulated session debris OUTSIDE timed sections: the
+    // warm-up pass leaves thousands of weak-referenced broadcasts/shuffles
+    // whose ContextCleaner reclamation otherwise fires mid-measurement —
+    // observed as a wandering ~16x spike on whichever heavy query the
+    // first post-warm-up GC lands on (r9: q_label_prop 64.8 s vs 3.5 solo;
+    // r10 pre-fix: q_pack_bpe 107.9 s vs 6.6 on pass 2).
+    def settle(): Unit = { System.gc(); Thread.sleep(2000); System.gc() }
     // Warm-up at the smallest SF: JIT + codegen caches, not data volume.
     names.foreach(execute(spark, _, "/root/testdata/sf0.001"))
+    settle()
     // Two timed passes, per-query MIN: single-pass numbers on a shared box
     // randomly attribute multi-second contention spikes to whichever query
     // was running; the min of two runs is the standard suppression.
     val pass1 = names.map(n => n -> execute(spark, n, sfDir)).toMap
+    settle()
     val pass2 = names.map(n => n -> execute(spark, n, sfDir)).toMap
     val results = names.map(n => n -> minOf(pass1(n), pass2(n)))
 
@@ -98,6 +107,7 @@ object Bench {
       spark.stop()
       spark = newSession()
       execute(spark, n, "/root/testdata/sf0.001")
+      settle()
       val r = minOf(execute(spark, n, sfDir), execute(spark, n, sfDir))
       n -> r
     }

@@ -1135,6 +1135,10 @@ object SparkEntry {
     "q_embed_pq_refined" -> ((s, dir) =>
       SimOps.productQuantizeWith(t(s, dir, "embeddings"),
         SimOps.refinePqCodebooks(t(s, dir, "embeddings"), col("vec_id") < 8))),
+    // OPQ-permutation PQ: dims variance-ranked and snake-allocated so each
+    // subspace gets an equal share of the signal, then the same 4x8 chain.
+    "q_embed_pq_opq" -> ((s, dir) =>
+      SimOps.opqQuantize(t(s, dir, "embeddings"), col("vec_id") < 8)),
     // Residual PQ — the IVF-PQ encoding trick in isolation: quantize
     // v - coarse_centroid(v) at the same code budget. Beats raw PQ when
     // the coarse cells explain variance (SimOpsSpec pins it on planted
@@ -2590,6 +2594,31 @@ object SparkEntry {
     // round per subspace, bp-integer means)
     "q_embed_pq_refined" ->
       (s"WITH $duckPqRefineCtes, " +
+        "p AS (SELECT v.vec_id, v.s, c.c_id, " +
+        "list_dot_product(v.sub, v.sub) - 2.0 * list_dot_product(v.sub, c.ce) " +
+        "+ list_dot_product(c.ce, c.ce) AS d2 FROM sb v JOIN cb c ON v.s = c.s), " +
+        "r AS (SELECT vec_id, s, c_id, d2, row_number() OVER (PARTITION BY vec_id, s " +
+        "ORDER BY d2, c_id) AS rn FROM p) " +
+        "SELECT vec_id, CAST(count(*) AS BIGINT) AS n_subs, " +
+        "CAST(sum(c_id * (1::BIGINT << (3 * s))) AS BIGINT) AS code_word, " +
+        s"CAST(sum(${TextOps.roundBpSql("d2")}) AS BIGINT) AS l2sq_err_bp " +
+        "FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"),
+    // mirrors SimOps.opqQuantize: integer-exact per-dim variance scores
+    // (n·Σxb² − (Σxb)², bp longs — DuckDB sums BIGINT into HUGEINT, Spark
+    // uses decimal(38,0): same integers), snake allocation, then the
+    // q_embed_pq chain over the permuted subvectors
+    "q_embed_pq_opq" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), " +
+        "d AS (SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos FROM n), " +
+        s"vs AS (SELECT pos, count(*) * sum(xb * xb) - sum(xb) * sum(xb) AS var_num " +
+        s"FROM (SELECT pos, ${TextOps.roundBpSql("x")} AS xb FROM d) GROUP BY pos), " +
+        "rk AS (SELECT pos, row_number() OVER (ORDER BY var_num DESC, pos) - 1 AS rnk FROM vs), " +
+        "sn AS (SELECT pos, rnk, CASE WHEN (rnk // 4) % 2 = 0 THEN rnk % 4 " +
+        "ELSE 3 - rnk % 4 END AS s FROM rk), " +
+        "sp AS (SELECT pos, s, row_number() OVER (PARTITION BY s ORDER BY rnk) AS spos FROM sn), " +
+        "sb AS (SELECT d.vec_id, sp.s, list(d.x ORDER BY sp.spos) AS sub " +
+        "FROM d JOIN sp USING (pos) GROUP BY d.vec_id, sp.s), " +
+        "cb AS (SELECT s, vec_id AS c_id, sub AS ce FROM sb WHERE vec_id < 8), " +
         "p AS (SELECT v.vec_id, v.s, c.c_id, " +
         "list_dot_product(v.sub, v.sub) - 2.0 * list_dot_product(v.sub, c.ce) " +
         "+ list_dot_product(c.ce, c.ce) AS d2 FROM sb v JOIN cb c ON v.s = c.s), " +

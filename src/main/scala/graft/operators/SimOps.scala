@@ -656,6 +656,86 @@ object SimOps {
       .orderBy(col(idCol))
   }
 
+  /** OPQ-style dimension permutation (Ge et al. 2013, "Optimized Product
+    * Quantization", restricted to the PERMUTATION subfamily of rotations —
+    * the paper's eigenvalue-allocation step without the SVD iteration):
+    * dims ranked by variance, snake-assigned to subspaces so each subspace
+    * receives an equal share of high- and low-variance dims. Plain PQ
+    * splits dims by POSITION; when variance is position-correlated (true
+    * of most learned embeddings — leading dims carry more energy), one
+    * subspace's 8 entries must span most of the signal while others
+    * quantize noise. Balancing variance across subspaces spends the
+    * m × 8-entry budget where the signal is.
+    *
+    * The restriction to permutations is deliberate: a full rotation needs
+    * an eigendecomposition no SQL engine replicates bit-for-bit, while the
+    * permutation is integer-exact end-to-end — per-dim variance scores are
+    * `n·Σxb² − (Σxb)²` over bp-quantized values in decimal(38,0) (exact;
+    * overflows only past ~1e12 rows × bp² ~1e9 — pre-aggregate per
+    * partition first at that scale), ranked (var desc, pos), snake
+    * `s = idx` on even blocks, `m−1−idx` on odd. Same integers, same
+    * permutation, every engine.
+    *
+    * Output: (pos, s, spos) — 0-based source dim, target subspace, 1-based
+    * position within it. d rows total: always broadcast.
+    */
+  def opqPermutation(
+      emb: DataFrame,
+      m: Int = 4,
+      embCol: String = "embedding"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = emb.select(posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "x")))
+    val stats = d
+      .select(col("pos"), TextOps.roundBp(col("x")).as("xb"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("xb"))).as("sx"),
+        sum(dec(col("xb") * col("xb"))).as("sxx"))
+      .select(col("pos"),
+        (dec(col("n")) * col("sxx") - col("sx") * col("sx")).as("var_num"))
+    // d rows (one per dim) — the single-partition window is bounded
+    val ranked = stats
+      .withColumn("rnk", row_number().over(Window.orderBy(col("var_num").desc, col("pos"))) - 1)
+    val snake = when(expr(s"(rnk div $m) % 2") === 0, col("rnk") % m)
+      .otherwise(lit(m - 1) - col("rnk") % m)
+    ranked.withColumn("s", snake.cast("int"))
+      .withColumn("spos",
+        row_number().over(Window.partitionBy(col("s")).orderBy(col("rnk"))))
+      .select(col("pos"), col("s"), col("spos"))
+  }
+
+  /** [[productQuantize]] through the [[opqPermutation]]: subvectors gather
+    * the PERMUTED dims (explode → broadcast-join the d-row permutation →
+    * regroup, one corpus-linear pass, no extra shuffle beyond the regroup),
+    * then the identical assign/aggregate chain — same codebook rows, same
+    * output schema, directly comparable error. SimOpsSpec pins
+    * `Σ l2sq_err <` plain [[productQuantize]]'s on a variance-imbalanced
+    * planted fixture (on variance-flat data the allocation is arbitrary,
+    * but the budget is balanced either way — no regression mode).
+    */
+  def opqQuantize(
+      emb: DataFrame,
+      codebookPred: Column,
+      m: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val perm = opqPermutation(emb, m, embCol)
+    val d = emb.select(col(idCol),
+      posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "x")))
+    val subs = d.join(broadcast(perm), "pos")
+      .groupBy(col(idCol), col("s"))
+      .agg(array_sort(collect_list(struct(col("spos"), col("x")))).as("pv"))
+      .select(col(idCol), col("s"), transform(col("pv"), p => p.getField("x")).as("sub"))
+    val cb = subs.filter(codebookPred)
+      .select(col("s"), col(idCol).as("c_id"), col("sub").as("ce"))
+    pqAssign(subs, cb, idCol)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_subs"),
+        sum(expr("c_id * shiftleft(CAST(1 AS BIGINT), 3 * s)")).as("code_word"),
+        sum(TextOps.roundBp(col("d2"))).as("l2sq_err_bp"))
+      .orderBy(col(idCol))
+  }
+
   /** Lloyd refinement of the PQ codebooks, per subspace — [[refineCentroids]]
     * composed over the m independent subspaces (FAISS trains its PQ books
     * exactly this way; the sampled book is only the seed). Each round

@@ -232,6 +232,38 @@ class SimOpsSpec extends SparkSpec {
     assert(res < raw, s"residual PQ did not improve on clustered data: $res !< $raw")
   }
 
+  test("opqPermutation: balanced partition — d/m dims per subspace") {
+    val df = sf("embeddings")
+    val perm = SimOps.opqPermutation(df).collect()
+    assert(perm.map(_.getInt(0)).toSet == (0 until 64).toSet)
+    val bySub = perm.groupBy(_.getInt(1))
+    assert(bySub.keySet == Set(0, 1, 2, 3))
+    assert(bySub.values.forall(_.length == 16))
+    // spos is a 1..16 ordering within each subspace
+    assert(bySub.values.forall(_.map(_.getInt(2)).sorted.toSeq == (1 to 16)))
+  }
+
+  test("opqQuantize: balanced variance allocation beats positional split") {
+    // variance concentrated in dims 0-15: plain PQ's positional split
+    // spends one 8-entry book on ALL the signal (16 effective dims) and
+    // three books on noise; the OPQ permutation deals 4 hot dims to each
+    // book — 8 entries per 4 effective dims — so total error must drop.
+    val rows = (0 until 64).map { i =>
+      val emb = Array.tabulate(64) { d =>
+        if (d < 16) ((i * 7 + d * 13) % 29 - 14) * 0.11f
+        else ((i + d) % 3 - 1) * 0.004f
+      }
+      (i.toLong, emb.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val raw = SimOps.productQuantize(df, col("vec_id") < 8)
+      .agg(sum(col("l2sq_err_bp"))).as[Long].head()
+    val opq = SimOps.opqQuantize(df, col("vec_id") < 8)
+      .agg(sum(col("l2sq_err_bp"))).as[Long].head()
+    assert(opq < raw, s"OPQ permutation did not improve on imbalanced data: $opq !< $raw")
+    assert(opq > 0L)
+  }
+
   test("residualQuantize: every vector carries its cosine-nearest home cell") {
     val df = sf("embeddings")
     val cells = SimOps.residualQuantize(df,
