@@ -22,11 +22,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // failures land in errors.json, not just stderr: a dump where broken
+    // queries are silently ABSENT reads as 100% pass to any consumer that
+    // iterates the dumped dirs (ADVICE r9 — the 8-query regression was
+    // invisible in CORRECTNESS_r09.json for exactly this reason)
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = e.getClass.getSimpleName
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +50,10 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // exit code stays 0 even on partial failure: the driver must still
+    // compare the queries that DID dump — errors.json is the record
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }
