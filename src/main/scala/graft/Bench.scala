@@ -86,9 +86,23 @@ object Bench {
     // Two timed passes, per-query MIN: single-pass numbers on a shared box
     // randomly attribute multi-second contention spikes to whichever query
     // was running; the min of two runs is the standard suppression.
-    val pass1 = names.map(n => n -> execute(spark, n, sfDir)).toMap
-    settle()
-    val pass2 = names.map(n => n -> execute(spark, n, sfDir)).toMap
+    // Autopsy (r10): the spikes are HOST contention, not the engine — they
+    // wander across queries and passes run-to-run (q_label_prop r9,
+    // q_pack_bpe twice, then q_text_tfidf/q_sim_ivfpq), hit pass 1 and
+    // pass 2 alike, never reproduce in subset mode, and a -Xlog:gc run
+    // capped every GC pause at 278 ms while a 42 s spike landed — no
+    // engine-side state explains that profile. SPARK_GRAFT_BENCH_PASSES
+    // raises the suppression (min of N) when a box is known-noisy.
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(2)
+    val allPasses = (1 to nPasses).map { _ =>
+      val p = names.map(n => n -> execute(spark, n, sfDir)).toMap
+      settle()
+      p
+    }
+    val pass1 = allPasses.head
+    val pass2 = allPasses.tail.reduce { (a, b) =>
+      names.map(n => n -> minOf(a(n), b(n))).toMap
+    }
     val results = names.map(n => n -> minOf(pass1(n), pass2(n)))
 
     // Solo re-runs: fresh SparkContext per query, its own warm-up + two
