@@ -232,6 +232,29 @@ class SimOpsSpec extends SparkSpec {
     assert(res < raw, s"residual PQ did not improve on clustered data: $res !< $raw")
   }
 
+  test("similarity surface is invariant under float->double embedding drift") {
+    // the r9 drift class (fixture dtype regeneration) applied to
+    // embeddings: a double[] re-encode must change nothing — vec_dot
+    // widens floats per-element and every downstream accumulation is
+    // already double, so widening first is bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("emb-enc").toString
+    sf("embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val doubled = spark.read.parquet(s"$dir/embeddings.parquet")
+    assert(doubled.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    for ((name, q) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        "norms" -> (e => SimOps.norms(e)),
+        "bruteTopK" -> (e => SimOps.bruteTopK(e, col("vec_id") < 5)),
+        "opq" -> (e => SimOps.opqQuantize(e, col("vec_id") < 8)))) {
+      val orig = q(sf("embeddings")).collect().toSeq
+      val got = q(doubled).collect().toSeq
+      assert(orig.nonEmpty)
+      assert(got == orig, s"$name diverged under double-encoded embeddings")
+    }
+  }
+
   test("opqPermutation: balanced partition — d/m dims per subspace") {
     val df = sf("embeddings")
     val perm = SimOps.opqPermutation(df).collect()
