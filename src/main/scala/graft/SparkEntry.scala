@@ -2044,11 +2044,14 @@ object SparkEntry {
         "ORDER BY h, doc_id) AS rn FROM h) " +
         "SELECT lang, rn, doc_id FROM r WHERE rn <= 5 ORDER BY lang, rn"),
     // mirrors SampleOps.prioritySample (bp(w)·2^60 div (h+1) priorities —
-    // weights quantized to basis points so fractional scores stay nonzero)
+    // weights quantized to basis points so fractional scores stay nonzero);
+    // least(pri, Long.MaxValue) mirrors the engine's overflow clamp so even
+    // the multi-overflow rank order agrees across all three paths
     "q_sample_priority" ->
       (s"WITH p AS (SELECT doc_id, n_chars, " +
-        s"(${TextOps.roundBpSql("n_chars")}::HUGEINT * (1::HUGEINT << 60)) // " +
-        s"(${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} + 1) AS pri " +
+        s"least((${TextOps.roundBpSql("n_chars")}::HUGEINT * (1::HUGEINT << 60)) // " +
+        s"(${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} + 1), " +
+        "9223372036854775807::HUGEINT) AS pri " +
         "FROM documents), " +
         "r AS (SELECT doc_id, n_chars, row_number() OVER " +
         "(ORDER BY pri DESC, doc_id) AS rank FROM p) " +
@@ -2056,8 +2059,9 @@ object SparkEntry {
     // mirrors SampleOps.prioritySampleByGroup: same priority, ranked per source
     "q_sample_priority_group" ->
       (s"WITH p AS (SELECT source, doc_id, n_chars, " +
-        s"(${TextOps.roundBpSql("n_chars")}::HUGEINT * (1::HUGEINT << 60)) // " +
-        s"(${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} + 1) AS pri " +
+        s"least((${TextOps.roundBpSql("n_chars")}::HUGEINT * (1::HUGEINT << 60)) // " +
+        s"(${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} + 1), " +
+        "9223372036854775807::HUGEINT) AS pri " +
         "FROM documents), " +
         "r AS (SELECT source, doc_id, n_chars, row_number() OVER " +
         "(PARTITION BY source ORDER BY pri DESC, doc_id) AS rank FROM p) " +

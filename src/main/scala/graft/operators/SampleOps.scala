@@ -131,7 +131,10 @@ object SampleOps {
     * sort: priorities coalesce to Long.MaxValue, which preserves the
     * winner set exactly (any overflowed priority beats every
     * non-overflowed one; several overflowed rows fall back to the id
-    * tie-break).
+    * tie-break). The oracle SQL applies the same least(pri, Long.MaxValue)
+    * clamp and [[graft.streaming.StreamingOps.prioritySampleStream]] caps
+    * its exact BigInt priority at the same bound, so all three paths agree
+    * on rank order even in the multi-overflow case.
     */
   def prioritySample(
       df: DataFrame, weightCol: String, idCol: String, k: Int): DataFrame = {

@@ -670,9 +670,10 @@ object SimOps {
     * The restriction to permutations is deliberate: a full rotation needs
     * an eigendecomposition no SQL engine replicates bit-for-bit, while the
     * permutation is integer-exact end-to-end — per-dim variance scores are
-    * `n·Σxb² − (Σxb)²` over bp-quantized values in decimal(38,0) (exact;
-    * overflows only past ~1e12 rows × bp² ~1e9 — pre-aggregate per
-    * partition first at that scale), ranked (var desc, pos), snake
+    * `n·Σxb² − (Σxb)²` over bp-quantized values with every factor cast to
+    * decimal(38,0) BEFORE any multiply (exact: neither the per-element
+    * product nor the accumulation can wrap; decimal(38,0) holds up to
+    * ~1e26 rows × bp² ~1e9 with room to spare), ranked (var desc, pos), snake
     * `s = idx` on even blocks, `m−1−idx` on odd. Same integers, same
     * permutation, every engine.
     *
@@ -689,7 +690,11 @@ object SimOps {
       .select(col("pos"), TextOps.roundBp(col("x")).as("xb"))
       .groupBy(col("pos"))
       .agg(count(lit(1)).as("n"), sum(dec(col("xb"))).as("sx"),
-        sum(dec(col("xb") * col("xb"))).as("sxx"))
+        // each factor cast BEFORE multiplying: a LONG×LONG xb² wraps
+        // silently under non-ANSI Spark once |xb| ≳ 3e9 (bp² > 2^63),
+        // while DuckDB's BIGINT multiply would raise — decimal(38,0) on
+        // both factors makes the per-element product exact in both engines
+        sum(dec(col("xb")) * dec(col("xb"))).as("sxx"))
       .select(col("pos"),
         (dec(col("n")) * col("sxx") - col("sx") * col("sx")).as("var_num"))
     // d rows (one per dim) — the single-partition window is bounded

@@ -428,8 +428,13 @@ object StreamingOps {
       k: Int = 8): Dataset[PriSampleRow] = {
     import rows.sparkSession.implicits._
     val scale = BigInt(1L << 60)
+    // min(Long.MaxValue) mirrors the batch operator's overflow clamp (and
+    // the oracle's least(pri, Long.MaxValue)): without it, two overflowed
+    // priorities would rank by exact BigInt value here but by the id
+    // tie-break in the clamped batch path
+    val maxPri = BigInt(Long.MaxValue)
     val ord = Ordering.by[(Long, Long, Long), (BigInt, Long)] {
-      case (id, w, h) => (BigInt(w) * scale / BigInt(h), -id)
+      case (id, w, h) => ((BigInt(w) * scale / BigInt(h)).min(maxPri), -id)
     }
     rows
       .select(
