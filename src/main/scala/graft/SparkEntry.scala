@@ -1010,6 +1010,11 @@ object SparkEntry {
     // copied paragraphs inside otherwise-dissimilar documents.
     "q_dedup_spans" -> ((s, dir) =>
       DedupOps.dupSpanPairs(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+    // EXACT-substring spans: maximal verbatim repeated runs >= 20 tokens
+    // with exact boundaries — the span you cut, vs q_dedup_spans' sampled
+    // "share >= 2 fingerprints" signal. Finds each planted 60-token splice.
+    "q_dedup_substring" -> ((s, dir) =>
+      DedupOps.exactSubstringSpans(DedupOps.plantedSpliceCorpus(t(s, dir, "documents")))),
     // Asymmetric n-gram CONTAINMENT: the quote/excerpt detector — a planted
     // 40%-prefix quote is ~fully contained in its parent at whole-doc
     // Jaccard ~0.4, so q_dedup_jaccard's threshold keeps both and the
@@ -1725,6 +1730,19 @@ object SparkEntry {
       "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0 " +
       "UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' graftdup' AS text " +
       "FROM documents WHERE doc_id % 10 = 5"
+
+  /** DuckDB CTE body matching [[DedupOps.plantedSpliceCorpus]]: documents
+    * plus a (10 filler + parent tokens 4..63 + 5 filler) splice doc for
+    * every doc ≡ 7 (mod 10) with ≥ 63 tokens.
+    */
+  private val duckSpliceCorpus =
+    "SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT pid + 400000 AS doc_id, array_to_string(" +
+      "list_transform(range(1, 11), i -> 'zqa' || pid || 'x' || i) || " +
+      "t[4:63] || " +
+      "list_transform(range(1, 6), i -> 'zqb' || pid || 'x' || i), ' ') AS text " +
+      s"FROM (SELECT doc_id AS pid, $duckToks AS t FROM documents WHERE doc_id % 10 = 7) " +
+      "WHERE len(t) >= 63"
 
   /** DuckDB mirror of [[graft.operators.DedupOps.plantedQuoteCorpus]]:
     * [[duckCorpus]] plus the first ⌊2n/5⌋-token prefix (min 1) of every doc
@@ -2694,6 +2712,30 @@ object SparkEntry {
         "JOIN okf ON okf.fp = a.fp GROUP BY 1, 2) " +
         "SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2 " +
         "ORDER BY id_a, id_b"),
+    // mirrors DedupOps.exactSubstringSpans: 20-token gram hashes, postings
+    // capped at 64 OCCURRENCES, cross-doc matches coalesced to maximal
+    // spans per (pair, diagonal) via gaps-and-islands (pos_a - rn)
+    "q_dedup_substring" ->
+      (s"WITH corpus AS ($duckSpliceCorpus), " +
+        s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
+        "gr AS (SELECT doc_id, " +
+        "unnest(range(1, greatest(len(t) - 18, 1))) AS pos, " +
+        "unnest(list_transform(range(1, greatest(len(t) - 18, 1)), " +
+        "i -> array_to_string(t[i:i+19], ' '))) AS g FROM t), " +
+        s"gh AS (SELECT doc_id, pos, ${StableHash.hash60Sql("g")} AS gh FROM gr), " +
+        "ok AS (SELECT gh FROM gh GROUP BY gh " +
+        s"HAVING count(*) > 1 AND count(*) <= ${DedupOps.DefaultMaxBucket}), " +
+        "m AS (SELECT a.doc_id AS id_a, a.pos AS pos_a, " +
+        "b.doc_id AS id_b, b.pos AS pos_b " +
+        "FROM gh a JOIN gh b ON a.gh = b.gh AND a.doc_id < b.doc_id " +
+        "JOIN ok ON ok.gh = a.gh), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b, " +
+        "pos_a - pos_b ORDER BY pos_a) AS rn FROM m), " +
+        "s AS (SELECT id_a, id_b, min(pos_a) AS pos_a, min(pos_b) AS pos_b, " +
+        "CAST(count(*) + 19 AS BIGINT) AS span_len " +
+        "FROM r GROUP BY id_a, id_b, pos_a - pos_b, pos_a - rn) " +
+        "SELECT id_a, id_b, pos_a, pos_b, span_len FROM s " +
+        "ORDER BY id_a, id_b, pos_a, pos_b"),
     // mirrors SimOps.knnGraph: same coarse assignment as q_sim_ivf, then a
     // within-cell self-join ranked per source vector
     "q_knn_graph" ->

@@ -83,6 +83,30 @@ object DedupOps {
           concat_ws(" ", slice(toks, lit(1), cut)).as(textCol)))
   }
 
+  /** [[plantedCorpus]]'s splice counterpart: `documents` plus, for every
+    * doc ≡ 7 (mod 10) with ≥ 63 tokens, a SPLICE doc (id + 400000) built as
+    * 10 unique filler tokens + tokens 4..63 of the parent (a 60-token
+    * verbatim run) + 5 more unique fillers. The filler tokens embed the
+    * doc id (`zqa<id>x<i>`), so no two splice docs share them — the only
+    * cross-document repeat each splice introduces is its 60-token run.
+    * This is the contamination shape [[exactSubstringSpans]] exists for: a
+    * verbatim excerpt inside otherwise fresh text, with exact boundaries.
+    */
+  def plantedSpliceCorpus(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    // filler embeds the PARENT id via a pre-projected alias: referencing
+    // idCol directly inside the same select that re-aliases idCol to
+    // id+400000 silently resolves to the NEW id (lateral column alias)
+    def filler(tag: String, n: Int): Column =
+      transform(sequence(lit(1), lit(n)),
+        i => concat(lit(tag), col("__pid").cast("string"), lit("x"), i.cast("string")))
+    val spliceToks = concat(filler("zqa", 10), slice(TextOps.tokens(col(textCol)), lit(4), lit(60)), filler("zqb", 5))
+    docs.select(col(idCol), col(textCol))
+      .unionByName(docs.filter(col(idCol) % 10 === 7 && size(toks) >= 63)
+        .select(col(idCol).as("__pid"), col(textCol))
+        .select((col("__pid") + 400000).as(idCol), concat_ws(" ", spliceToks).as(textCol)))
+  }
+
   /** Exact dedup: group by md5 of the normalized token stream, keep the
     * minimum id as the group representative. Output one row per distinct
     * content: (keep_id, n_copies, fp_md5).
@@ -416,6 +440,85 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** EXACT-substring dedup — maximal verbatim repeated token spans of
+    * ≥ `gramLen` tokens across documents, with exact boundaries. The
+    * precision complement to [[dupSpanPairs]]: winnowing SAMPLES shingle
+    * fingerprints, so it reports "these docs share ≥ n fingerprints"
+    * (probabilistic, no boundaries) and misses entirely when every
+    * fingerprint of the shared run is boilerplate-capped — a 3-token
+    * shingle is common corpus-wide far more easily than a `gramLen`-token
+    * exact gram (see DedupSubstringSpec's planted-splice fixture). This
+    * operator reports "tokens a..a+L of A == tokens b..b+L of B, L
+    * maximal" — the span you can actually CUT.
+    *
+    * Plan (the reference's sorted-run merge, `NodeHandler.java:204-290`,
+    * applied to gram runs): every `gramLen`-token gram is hashed once
+    * ([[StableHash.hash60]] over the joined tokens); postings are grouped
+    * per gram hash and paired IN-ARRAY (the [[jaccardPairs]] shape — no
+    * inverted self-join diamond); a shared span of S ≥ gramLen tokens
+    * shows up as S − gramLen + 1 consecutive gram matches along one
+    * (id_a, id_b, pos_a − pos_b) diagonal, coalesced to a single maximal
+    * span by gaps-and-islands (row_number per diagonal, group on
+    * pos_a − rn). The diagonal window partitions by (pair, offset) — the
+    * shuffle is keyed on pairs, never a global sort.
+    *
+    * Scale bounds: the postings exchange carries (gram_hash, id, pos)
+    * rows — one per token, 16-ish bytes, never document text. Per-gram
+    * fan-out is hard-capped at `maxOcc` OCCURRENCES ([[DefaultMaxBucket]]
+    * applied to occurrence lists — tighter than a doc-count cap, since one
+    * doc repeating a gram k times inflates pairing k-fold): a gram
+    * repeated corpus-wide (boilerplate headers, license blocks) is dropped
+    * before pairing, bounding any posting's pair fan-out at maxOcc²/2
+    * regardless of corpus size, and the cap is mirrored in the DuckDB
+    * oracle so the contract stays cross-engine exact whether or not it
+    * engages. Dropping a hot gram can split a span that crosses it into
+    * two reported spans (or drop a span made ENTIRELY of boilerplate
+    * grams) — the same recall trade every capped postings op here makes.
+    * Gram equality is by 60-bit hash: a collision would take ~2^30 distinct
+    * grams per posting to matter and the oracle hashes identically.
+    *
+    * Output: (id_a, id_b, pos_a, pos_b, span_len), id_a < id_b, positions
+    * 1-based token indexes, one row per maximal span, span_len ≥ gramLen.
+    */
+  def exactSubstringSpans(
+      corpus: DataFrame,
+      gramLen: Int = 20,
+      maxOcc: Int = DefaultMaxBucket,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = corpus
+      .select(col(idCol),
+        posexplode(TextOps.shingles(TextOps.tokens(col(textCol)), gramLen)).as(Seq("p0", "g")))
+      // pos cast long: the oracle's range() positions are BIGINT and the
+      // driver compare wants identical schemas
+      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), StableHash.hash60(col("g")).as("gh"))
+    val postings = grams
+      .groupBy(col("gh"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("pos").as("pos")))).as("ds"))
+      .filter(capBucket(maxOcc))
+    // in-array pairing, cross-document only (sort_array ordered by id then
+    // pos, so x before y with x.id != y.id implies x.id < y.id)
+    val pairs = flatten(transform(col("ds"), (x, i) =>
+      filter(
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+          struct(x("id").as("id_a"), x("pos").as("pos_a"),
+            y("id").as("id_b"), y("pos").as("pos_b"))),
+        p => p("id_a") =!= p("id_b"))))
+    val matches = postings.select(explode(pairs).as("p")).select(col("p.*"))
+    // diag materialized BEFORE the window so the islands groupBy reuses the
+    // window's (id_a, id_b, diag) hash partitioning instead of re-shuffling
+    // on a re-derived pos_a - pos_b expression
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag")).orderBy(col("pos_a"))
+    matches
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
+      .agg(min(col("pos_a")).as("pos_a"), min(col("pos_b")).as("pos_b"),
+        (count(lit(1)) + lit(gramLen - 1)).as("span_len"))
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"), col("span_len"))
+      .orderBy(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"))
   }
 
   /** Connected components over near-dup pairs — the final dedup step: pairs
