@@ -695,6 +695,11 @@ object SparkEntry {
     // per-doc word and BPE token counts via a broadcast vocab join.
     "q_bpe_encode" -> ((s, dir) =>
       TextOps.bpeEncode(t(s, dir, "documents"))),
+    // Unigram-LM tokenizer training (SentencePiece counterpart to BPE):
+    // 2 EM rounds of enumerate-and-argmin Viterbi segmentation over the
+    // distinct-word table under integer sixteenth-bit log2 costs.
+    "q_unigram_lm" -> ((s, dir) =>
+      TextOps.unigramLm(t(s, dir, "documents"))),
     // Integer-exact damped PageRank over the supplier-part co-purchase
     // graph, 3 Pregel-style rounds; link centrality as a curation prior.
     "q_pagerank" -> ((s, dir) => {
@@ -1479,6 +1484,55 @@ object SparkEntry {
     * Positions are 1-based here vs posexplode's 0-based — both appear only
     * in intra-word window arithmetic, where a constant shift cancels.
     */
+  /** DuckDB mirror of [[graft.operators.TextOps.unigramLm]]: the EM loop
+    * unrolled into one CTE block per round (costs from the previous
+    * vocab, mask-enumerated Viterbi argmin, piece recount). `c16` is the
+    * engine's sixteenth-bit fixed-point −log2 (floor-log2 via the binary
+    * digit count + linear mantissa refinement) — integers end-to-end, so
+    * the unrolled chain reproduces the driver loop exactly.
+    */
+  private def duckUnigramSql(
+      rounds: Int, maxPieceLen: Int, seedVocab: Int, maxWordLen: Int): String = {
+    def c16(x: String): String =
+      s"(16 * (length(bin($x)) - 1) + " +
+        s"($x * 16 // (1::BIGINT << (length(bin($x)) - 1)::INT)) - 16)"
+    def roundCtes(r: Int, prev: String): String =
+      s"n$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM $prev), " +
+        s"cost$r AS (SELECT piece, ${c16(s"(SELECT n FROM n$r)")} - ${c16("cnt")} " +
+        s"AS cost_s16 FROM $prev), " +
+        s"sp$r AS (SELECT word, wf, mask, len(pieces) AS np, unnest(pieces) AS piece FROM seg), " +
+        s"sc$r AS (SELECT s.word, s.wf, s.mask, s.np, count(*) AS nk, " +
+        s"sum(c.cost_s16) AS total FROM sp$r s JOIN cost$r c ON s.piece = c.piece " +
+        "GROUP BY 1, 2, 3, 4 HAVING count(*) = s.np), " +
+        s"best$r AS (SELECT word, wf, mask FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY word ORDER BY total, np, mask) AS rn FROM sc$r) WHERE rn = 1), " +
+        s"vocab$r AS (SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt FROM " +
+        s"(SELECT s.wf, unnest(s.pieces) AS piece FROM best$r b " +
+        s"JOIN seg s ON b.word = s.word AND b.mask = s.mask) GROUP BY piece)"
+    val chain = (1 to rounds)
+      .map(r => roundCtes(r, if (r == 1) "vocab0" else s"vocab${r - 1}"))
+      .mkString(", ")
+    "WITH words AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS wf FROM " +
+      s"(SELECT unnest($duckToks) AS t FROM documents) " +
+      s"WHERE length(t) <= $maxWordLen GROUP BY 1), " +
+      "cand AS (SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt FROM (SELECT wf, unnest(" +
+      "flatten(list_transform(range(1, length(word) + 1), " +
+      s"s -> list_transform(range(1, least($maxPieceLen, length(word) - s + 1) + 1), " +
+      "l -> substring(word, s::INT, l::INT))))) AS piece FROM words) GROUP BY piece), " +
+      "vocab0 AS (SELECT piece, cnt FROM (SELECT piece, cnt, row_number() OVER " +
+      s"(ORDER BY cnt DESC, piece) AS rn FROM cand) WHERE rn <= $seedVocab OR length(piece) = 1), " +
+      "seg AS (SELECT word, wf, mask, list_transform(range(1, len(bounds)), " +
+      "j -> substring(word, (bounds[j] + 1)::INT, (bounds[j+1] - bounds[j])::INT)) AS pieces FROM " +
+      "(SELECT word, wf, mask, [0] || cuts || [length(word)] AS bounds FROM " +
+      "(SELECT word, wf, mask, list_filter(range(1, length(word)), " +
+      "i -> ((mask >> (i - 1)::INT) & 1) = 1) AS cuts FROM " +
+      "(SELECT word, wf, unnest(range(0, 1 << (length(word) - 1)::INT)) AS mask FROM words)))), " +
+      chain + ", " +
+      s"nf AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab$rounds) " +
+      s"SELECT piece, cnt, CAST(${c16("(SELECT n FROM nf)")} - ${c16("cnt")} AS BIGINT) " +
+      s"AS score_s16 FROM vocab$rounds ORDER BY cnt DESC, piece"
+  }
+
   /** [[duckBpeCtes]] + the merges-file select — the q_bpe_merges oracle. */
   private def duckBpeSql(nMerges: Int): String = {
     val finals = (1 to nMerges)
@@ -2812,6 +2866,8 @@ object SparkEntry {
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0"),
     // mirrors TextOps.bpeMerges: the 3-round driver loop unrolled into CTEs
     "q_bpe_merges" -> duckBpeSql(3),
+    // mirrors TextOps.unigramLm: EM unrolled, integer sixteenth-bit costs
+    "q_unigram_lm" -> duckUnigramSql(2, 4, 60, 12),
     // mirrors TextOps.bpeEncode: trained state s3 -> word segment counts,
     // doc token stream joined against them
     "q_bpe_encode" ->

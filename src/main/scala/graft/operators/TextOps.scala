@@ -757,6 +757,140 @@ object TextOps {
       .orderBy(col(idCol))
   }
 
+  /** Unigram-LM tokenizer training (Kudo 2018, the SentencePiece model) —
+    * the probabilistic counterpart to greedy [[bpeMerges]]: seed a piece
+    * vocabulary from frequent substrings, then EM — E: segment every word
+    * into the minimum-cost piece sequence under current piece costs
+    * (Viterbi); M: re-estimate piece counts from the chosen segmentations
+    * and recompute costs. Costs are an INTEGER fixed-point −log2 p in
+    * sixteenth-bit units: C(x) = `16·⌊log2 x⌋ + ((x·16) div 2^⌊log2 x⌋) −
+    * 16` (floor-log2 from the binary digit count, plus a linear mantissa
+    * refinement — monotone, deterministic, engine-exact), and cost(p) =
+    * C(N) − C(cnt p) ≈ 16·(−log2 p). A LINEAR surrogate like
+    * [[lmSurprisal]]'s `N div cnt` is wrong here: it penalizes rare
+    * pieces linearly, so L single chars always beat one L-char piece and
+    * EM collapses to the alphabet; the log surrogate preserves the real
+    * unigram-LM trade (one medium-rare piece ≪ many common chars). True
+    * SentencePiece scores with `ln p` (libm-dependent) and prunes by
+    * likelihood loss; the fixed-point surrogate keeps the argmin
+    * structure bit-identical in any engine, so a DuckDB oracle verifies
+    * the trained table exactly.
+    *
+    * The Viterbi step is enumerated, not DP: a word of L chars has
+    * 2^(L−1) segmentations (cut/no-cut at each boundary), generated as a
+    * mask explode and scored relationally — all pieces of a candidate
+    * segmentation must be in vocab (inner join + count check), total cost
+    * is an integer sum, and the argmin per word breaks ties by (cost,
+    * piece count, mask). Enumeration is exact and join-only; it is viable
+    * because it runs over the DISTINCT-WORD table (vocab-bounded, never
+    * the corpus — the one corpus-sized pass is the initial token count)
+    * with `maxWordLen` capping the explode at 2^(maxWordLen−1) rows per
+    * word (longer words are excluded from training, the standard
+    * rare-long-token guard; a banded DP over piece length would replace
+    * the 2^L factor with L·maxPieceLen joins if the cap ever needed
+    * lifting).
+    *
+    * Driver state is bounded by the VOCAB (the [[bpeEncode]] contract):
+    * each round collects the ≤ `seedVocab` + alphabet piece table,
+    * recomputes integer costs locally, and re-emits them as a literal
+    * broadcast frame — keeping every round's plan shallow instead of
+    * growing an unbounded lineage. Feasibility is invariant: round 1's
+    * vocab contains every single char (always segmentable), and a word's
+    * round-k best pieces all survive into round k+1 (they have count > 0),
+    * so no word ever becomes unsegmentable.
+    *
+    * Output: the trained piece table (piece, cnt, score_s16) after
+    * `rounds` EM rounds, ordered by (cnt desc, piece) — cnt the piece's
+    * weighted use count under the final segmentation, score_s16 its
+    * sixteenth-bit surprisal under the final model.
+    */
+  def unigramLm(docs: DataFrame, rounds: Int = 2, maxPieceLen: Int = 4,
+      seedVocab: Int = 60, maxWordLen: Int = 12, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .persist()
+    // seed candidates: every substring of length 1..maxPieceLen, weighted
+    // by word frequency, occurrences counted per position
+    val cand = words
+      .select(col("wf"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+            s -> transform(sequence(1, least($maxPieceLen, length(word) - s + 1)),
+            l -> substring(word, s, l))))""")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wf")).as("cnt"))
+    // top-V head ∪ every single char (the feasibility floor). The
+    // single-partition window is over the candidate table — bounded by
+    // vocab × maxPieceLen substrings, never the corpus.
+    val ranked = cand.withColumn("rn",
+      row_number().over(Window.orderBy(col("cnt").desc, col("piece"))))
+    var vocab: Seq[(String, Long)] = ranked
+      .filter(col("rn") <= seedVocab || length(col("piece")) === 1)
+      .select(col("piece"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+
+    // C(x) in sixteenth-bits — mirrors the oracle's
+    // 16*(length(bin(x))-1) + (x*16 // 2^(length(bin(x))-1)) - 16
+    def c16(x: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      16L * e + ((x << 4) >> e) - 16L
+    }
+    def costs(v: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val n = v.map(_._2).sum
+      v.map { case (p, c) => (p, c16(n) - c16(c)) }
+    }
+
+    // all 2^(L-1) segmentations of each distinct word, as (mask, pieces);
+    // cut after char i iff bit i-1 of mask is set. The inner sequence is
+    // guarded against Spark's descending sequence(1, 0) on 1-char words.
+    val segs = words
+      .select(col("word"), col("wf"), explode(
+        expr("sequence(0, shiftleft(1L, length(word) - 1) - 1)")).as("mask"))
+      .withColumn("cuts", expr(
+        """filter(sequence(1, greatest(length(word) - 1, 1)),
+           i -> i < length(word) AND (shiftright(mask, i - 1) & 1) = 1)"""))
+      .withColumn("bounds", expr(
+        "concat(array(0), cuts, array(length(word)))"))
+      .withColumn("pieces", expr(
+        """transform(sequence(1, size(bounds) - 1),
+           j -> substring(word, element_at(bounds, j) + 1,
+                element_at(bounds, j + 1) - element_at(bounds, j)))"""))
+      .select(col("word"), col("wf"), col("mask"), col("pieces"))
+      .persist()
+
+    (1 to rounds).foreach { _ =>
+      val costDf = costs(vocab).toDF("piece", "cost_s16")
+      val best = segs
+        .select(col("word"), col("wf"), col("mask"),
+          size(col("pieces")).as("np"), explode(col("pieces")).as("piece"))
+        .join(broadcast(costDf), "piece")
+        .groupBy(col("word"), col("wf"), col("mask"), col("np"))
+        .agg(count(lit(1)).as("nk"), sum(col("cost_s16")).as("total"))
+        .filter(col("nk") === col("np"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("word"))
+            .orderBy(col("total"), col("np"), col("mask"))))
+        .filter(col("rn") === 1)
+      vocab = best
+        .select(col("word"), col("wf"), col("mask"))
+        .join(segs.select(col("word"), col("mask"), col("pieces")), Seq("word", "mask"))
+        .select(col("wf"), explode(col("pieces")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wf")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy { case (p, c) => (-c, p) }
+    }
+    words.unpersist(blocking = false)
+    segs.unpersist(blocking = false)
+    val costMap = costs(vocab).toMap
+    vocab.map { case (p, c) => (p, c, costMap(p)) }
+      .toDF("piece", "cnt", "score_s16")
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
   /** Pack documents into fixed token-budget training sequences — the
     * "concat docs in a deterministic order, cut every `budget` tokens"
     * step that precedes batch assembly in an LLM pipeline. Doc d goes to
