@@ -296,6 +296,24 @@ object DedupOps {
     * distinct shingles, self-join on the shingle, count intersections, and
     * emit pairs with similarity ≥ `thresholdBp` basis points. Never
     * all-pairs: only docs sharing ≥1 shingle meet in the join.
+    *
+    * MEASURED growth law of the pairing volume (graft.tools.JaccardGrowth,
+    * round 11), separating the two ways a corpus grows:
+    *
+    *  - KEYED growth (more distinct content — ScaleGen's suffixed
+    *    replication): postings multiply but never lengthen; candidate
+    *    pairs measured EXACTLY linear (1,879,380 → ×30.00 at 30× →
+    *    ×100.00 at 100×, max posting 32 throughout, cap idle). The r10
+    *    rehearsal's 35.6× wall at 100× data is therefore sublinear on
+    *    top of linear work — overhead amortization, no hidden blowup.
+    *  - BOILERPLATE growth (same content repeated — unsuffixed
+    *    replication, `rep=N` probe): every posting lengthens ×N, so
+    *    uncapped pairing grows quadratically (measured 25k → 595k →
+    *    10.3M → 167.4M at 1/4/16/64×) while the `maxDocFreq` cap bounds
+    *    the actual volume at Σ_kept |ds|²/2 ≤ n_shingles·cap²/2 —
+    *    measured 25k → 595k → 7.8M → 15.5M, a ×2 step where uncapped
+    *    takes ×16. Past the cap the pairing cost is CONSTANT per
+    *    shingle, which is the 100 TB boundedness argument in numbers.
     */
   def jaccardPairs(
       corpus: DataFrame,
