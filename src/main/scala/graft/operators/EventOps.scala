@@ -152,16 +152,32 @@ object EventOps {
     * grid-sized (not event-sized) rows. span is a compile-time constant —
     * the plan has no per-row loop.
     */
-  def ewmaHourly(events: DataFrame, span: Int = 8): DataFrame = {
-    require(span >= 1 && span <= 16, s"span must be in [1,16], got $span")
-    val e = normalizeTs(events)
-    val hourly = e
+  def ewmaHourly(events: DataFrame, span: Int = 8): DataFrame =
+    ewmaFromHourly(hourlySums(events), span)
+
+  /** The per-(type, hour) bp-quantized sums [[ewmaHourly]] smooths — split
+    * out so a maintenance loop (batch re-run or the streaming twin,
+    * [[graft.streaming.StreamingOps.hourlySumsStream]]) can keep THIS
+    * grid-sized table up to date and recompute the EWMA view from it
+    * without touching raw events: the sums are the only event-volume pass.
+    */
+  def hourlySums(events: DataFrame): DataFrame =
+    normalizeTs(events)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
       .agg(sum(TextOps.roundBp(col("value"))).as("v_bp"))
-    val hspan = e.agg(
-      date_trunc("hour", min(col("ts"))).as("h0"),
-      date_trunc("hour", max(col("ts"))).as("h1"))
-    val spine = e.select(col("event_type")).distinct()
+
+  /** [[ewmaHourly]]'s grid + decay half, computed from a maintained
+    * [[hourlySums]] table instead of raw events. The spine span and type
+    * set derive from the hourly table itself (`date_trunc` is monotonic,
+    * so min/max bucket equal the truncated min/max event ts; a type with
+    * any event has a row here) — identical output to the fused form, over
+    * grid-sized input.
+    */
+  def ewmaFromHourly(hourly: DataFrame, span: Int = 8): DataFrame = {
+    require(span >= 1 && span <= 16, s"span must be in [1,16], got $span")
+    val hspan = hourly.agg(
+      min(col("bucket")).as("h0"), max(col("bucket")).as("h1"))
+    val spine = hourly.select(col("event_type")).distinct()
       .crossJoin(broadcast(hspan))
       .select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("bucket"))

@@ -459,6 +459,41 @@ object StreamingOps {
       }
   }
 
+  /** Streaming half of the gap-fill/EWMA maintenance loop — the streaming
+    * twin of `EventOps.ewmaHourly`, split exactly where the batch operator
+    * is ([[graft.operators.EventOps.hourlySums]] /
+    * [[graft.operators.EventOps.ewmaFromHourly]]): this update-mode
+    * aggregation keeps the per-(type, hour) bp-sums in STREAMING state (one
+    * long per touched grid cell — grid-sized, not event-sized; a watermark
+    * bounds it to the late-data horizon in production) and each micro-batch
+    * emits the recomputed totals of exactly the cells the batch touched.
+    *
+    * A `foreachBatch` consumer upserts those cells into the maintained
+    * hourly table ([[upsertGridCells]]) and recomputes the EWMA view with
+    * `EventOps.ewmaFromHourly` — grid-sized work per batch, raw events
+    * never re-read. Because the cell sums are integer (bp-quantized) and
+    * a cell's emitted total is the full re-aggregated value (not a delta),
+    * the maintained table equals the batch [[graft.operators.EventOps.hourlySums]]
+    * of everything streamed so far regardless of arrival order or batch
+    * slicing, and the recomputed view equals batch `ewmaHourly` exactly —
+    * (ewma_num, ewma_den) rationals and all (spec-pinned parity).
+    */
+  def hourlySumsStream(events: DataFrame, watermarkDelay: Option[String] = None): DataFrame = {
+    val e = watermarkDelay.fold(events)(events.withWatermark("ts", _))
+    e.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(graft.operators.TextOps.roundBp(col("value"))).as("v_bp"))
+  }
+
+  /** Replace-by-key upsert of updated (event_type, bucket, v_bp) cells into
+    * the maintained hourly table — the grid half of the gap-fill/EWMA
+    * maintenance loop. Anti-join out the stale versions of the touched
+    * cells, union the fresh ones; both sides are grid-sized.
+    */
+  def upsertGridCells(grid: DataFrame, updates: DataFrame): DataFrame =
+    grid.join(updates.select(col("event_type"), col("bucket")),
+        Seq("event_type", "bucket"), "left_anti")
+      .unionByName(updates)
+
   /** Streaming gap sessionization via `flatMapGroupsWithState` with
     * EVENT-TIME timeouts: the streaming twin of `EventOps.sessionStats`.
     * A user's events extend their open session; when the watermark passes

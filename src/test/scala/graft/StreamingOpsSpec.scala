@@ -539,6 +539,48 @@ class StreamingOpsSpec extends SparkSpec {
     assert(maintained.values.sum == 5)
   }
 
+  test("foreachBatch gap-fill/EWMA: maintained grid view equals batch ewmaHourly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    val hourlyDir = s"$base/hourly"
+    // empty maintained hourly table with the operator's schema
+    Seq.empty[(String, Timestamp, Long)].toDF("event_type", "bucket", "v_bp")
+      .write.parquet(hourlyDir)
+    val input = MemoryStream[StreamEvent]
+    // update-mode agg -> foreachBatch: each batch's re-aggregated cell
+    // totals replace the stale cells in the maintained table (never a
+    // delta-add — re-delivery of a total is idempotent), then the EWMA
+    // view recomputes from the grid-sized table alone
+    val q = StreamingOps.hourlySumsStream(input.toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val next = StreamingOps.upsertGridCells(
+          spark.read.parquet(hourlyDir), batch)
+        next.write.mode("overwrite").parquet(s"$base/v$id")
+        spark.read.parquet(s"$base/v$id").write.mode("overwrite").parquet(hourlyDir)
+      }
+      .start()
+    try {
+      // out of order ACROSS batches: hour 11 first, then hour 10 — and the
+      // (10h, click) cell is split across batches so its total must be
+      // REPLACED (3.0), not doubled, by the second upsert
+      input.addData(sample(3), sample(4), sample(0))
+      q.processAllAvailable()
+      input.addData(sample(1), sample(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val maintained = spark.read.parquet(hourlyDir)
+    // the maintained table IS the batch hourlySums of everything streamed
+    val hourlyBatch = EventOps.hourlySums(sample.toDF())
+    assert(maintained.collect().map(_.toSeq).toSet ==
+      hourlyBatch.collect().map(_.toSeq).toSet)
+    // and the recomputed view equals batch ewmaHourly, rationals included
+    val got = EventOps.ewmaFromHourly(maintained, span = 4)
+      .collect().map(_.toSeq).toSeq
+    val want = EventOps.ewmaHourly(sample.toDF(), span = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("topKPerKey: bounded state matches the batch GroupTopK formulation") {
     import graft.streaming.ScoredEvent
     val b1 = Seq(
