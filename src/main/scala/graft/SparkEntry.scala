@@ -645,6 +645,151 @@ object SparkEntry {
           expr("(nation_volume_c * 10000) div total_volume_c").as("mkt_share_bp"))
         .orderBy(col("o_year"))
     }),
+    // TPC-H Q2 shape — minimum-cost supplier: the correlated-subquery
+    // decorrelation (min per part, join back on the min). The schema has no
+    // partsupp table, so the supply catalog is DERIVED: per (part, supplier)
+    // the minimum observed unit price in lineitem — one keyed aggregation
+    // of the fact table, then all remaining joins are broadcasts (filtered
+    // part, EUROPE supplier roster). The per-part minimum is a window over
+    // the already-aggregate-sized frame, never the fact table. Unit cost is
+    // floor(extprice*100/qty + 0.5): pure IEEE double ops in source order,
+    // bit-identical across engines before the floor.
+    "q_tpch_q2" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(floor(col("l_extendedprice") * 100.0 / col("l_quantity") + 0.5)
+          .cast("long")).as("cost_c"))
+      val part = broadcast(t(s, dir, "part")
+        .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_brand")))
+      val eu = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          floor(col("s_acctbal") * 100.0 + 0.5).cast("long").as("acctbal_c"),
+          col("n_name")))
+      val j = ps
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(eu, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("min_cost_c",
+          min(col("cost_c")).over(Window.partitionBy(col("p_partkey"))))
+        .filter(col("cost_c") === col("min_cost_c"))
+        .orderBy(col("acctbal_c").desc, col("s_name"), col("p_partkey"))
+        .limit(100)
+      val w = Window.orderBy(col("acctbal_c").desc, col("s_name"), col("p_partkey"))
+      j.withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_brand"), col("acctbal_c"), col("cost_c"))
+        .orderBy(col("rank"))
+    }),
+    // TPC-H Q9 shape — product-type profit by nation and year: the 5-way
+    // join with an arithmetic measure spanning two tables. No partsupp, so
+    // unit cost substitutes p_retailprice (broadcast with the name-filtered
+    // part dim); profit per line = revenue cents − cost cents, both floored
+    // row-wise so the group sums stay associative-exact. One shuffle join
+    // per fact table; part/supplier/nation all broadcast.
+    "q_tpch_q9" -> ((s, dir) => {
+      val part = broadcast(t(s, dir, "part")
+        .filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val sup = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val nat = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name"), col("o_year"),
+          (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0
+            + 0.5).cast("long")
+            - floor(col("p_retailprice") * col("l_quantity") * 100.0 + 0.5)
+              .cast("long")).as("amount_c"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(col("amount_c")).as("profit_c"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+    // TPC-H Q11 shape — value concentration with a scalar-subquery
+    // threshold: per-part value among one nation's suppliers vs a fraction
+    // of the total. The threshold is a 1-row aggregate broadcast-crossed
+    // onto the per-part frame and compared by integer CROSS-MULTIPLY
+    // (value*1000 > total), never a divided double. Supplier roster is a
+    // broadcast semi-join into the fact scan.
+    "q_tpch_q11" -> ((s, dir) => {
+      val supN = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val perPart = t(s, dir, "lineitem")
+        .join(supN, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("val_c"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("val_c")).as("value_c"))
+      val total = perPart.agg(sum(col("value_c")).as("total_c"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value_c") * 1000 > col("total_c"))
+        .select(col("l_partkey"), col("value_c"))
+        .orderBy(col("value_c").desc, col("l_partkey"))
+    }),
+    // TPC-H Q16 shape — supplier counts per part descriptor with a NOT-IN
+    // exclusion: distinct catalog pairs from the fact table (one shuffle,
+    // the only fact-sized step), broadcast anti-join of the "complaint"
+    // suppliers (negative balance stands in for the comment scan), then
+    // COUNT(DISTINCT) per (brand, type, size) over catalog-sized rows.
+    "q_tpch_q16" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val part = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+      val complaints = broadcast(t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey")))
+      pairs
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+    // TPC-H Q20 shape — the nested-IN promotion query: suppliers holding a
+    // DOMINANT share of a red part's 1996 volume (pair_qty*2 > part total —
+    // the correlated half-of-sum threshold, availqty's role in the
+    // reference schema). Inner aggregation is keyed on (part, supplier);
+    // the per-part total is a window over that aggregate; the final
+    // supplier projection is a semi-join — each level's input is one
+    // aggregation smaller than the last.
+    "q_tpch_q20" -> ((s, dir) => {
+      val red = broadcast(t(s, dir, "part")
+        .filter(col("p_name").like("red%")).select(col("p_partkey")))
+      val perPair = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(red, col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("pair_qty"))
+      val dominant = perPair
+        .withColumn("part_qty",
+          sum(col("pair_qty")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("pair_qty") * 2 > col("part_qty"))
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name"))
+    }),
     // Good-Turing count-of-counts over word bigrams — the smoothing
     // statistic (N_r, r*N_r) an n-gram LM reserves unseen mass from.
     "q_bigram_freqs" -> ((s, dir) =>
@@ -889,6 +1034,27 @@ object SparkEntry {
     // repeated-n-gram ratios, top-2-gram char coverage, combined gate.
     "q_quality_gopher" -> ((s, dir) =>
       TextOps.gopherQuality(t(s, dir, "documents"))),
+    // Exact closed-form least-squares fit of a quality regression
+    // (n_chars ~ token count + stopword count): one aggregation pass for
+    // the integer normal-equation moments, Cramer's rule for exact
+    // rational weights — the model-fitting step of a quality-classifier
+    // pipeline with zero float drift across engines.
+    "q_quality_linreg" -> ((s, dir) => {
+      val allStops = TextOps.langMarkers.flatMap(_._2).distinct.sorted
+      val feats = t(s, dir, "documents")
+        .select(TextOps.tokens(col("text")).as("tk"), col("n_chars"))
+        .filter(size(col("tk")) > 0)
+        .select(size(col("tk")).cast("long").as("x1"),
+          size(filter(col("tk"), x => x.isInCollection(allStops))).cast("long")
+            .as("x2"),
+          col("n_chars").as("y"))
+      StatsOps.linregFit(feats, col("x1"), col("x2"), col("y"))
+    }),
+    // DSIR-style importance scores (hashed-bigram likelihood ratio vs the
+    // en-language target slice, integer bp) — the data-selection weight a
+    // curation run resamples raw crawl against.
+    "q_dsir_score" -> ((s, dir) =>
+      TextOps.dsirScores(t(s, dir, "documents"), col("lang") === "en")),
     // Unigram-surprisal LM score (integer perplexity surrogate): corpus
     // vocab broadcast onto the token stream, per-doc integer mean.
     "q_lm_surprisal" -> ((s, dir) =>
@@ -2088,6 +2254,20 @@ object SparkEntry {
         s"${TextOps.roundBpSql("(nd / n) * 0.5 + (ns / n) * 0.2 + least(n / 100.0, 1.0) * 0.3")} AS quality_bp " +
         "FROM f ORDER BY doc_id"
     },
+    // mirrors q_quality_linreg: HUGEINT normal-equation moments, the same
+    // Cramer cofactor strings as the Spark plan, weights as exact
+    // rational strings
+    "q_quality_linreg" -> {
+      val allStops = TextOps.langMarkers.flatMap(_._2).distinct.sorted
+      StatsOps.linregFitSql(
+        s"SELECT len(t) AS x1, " +
+          s"len(list_filter(t, x -> x IN (${duckInList(allStops)}))) AS x2, " +
+          s"n_chars AS y FROM (SELECT $duckToks AS t, n_chars FROM documents) " +
+          "WHERE len(t) > 0")
+    },
+    // mirrors q_dsir_score: same hashed-bigram bucket models, HUGEINT
+    // cross-products, floored bp division, [1, 10x] clamp
+    "q_dsir_score" -> TextOps.dsirScoresSql("lang = 'en'"),
     "q_mix_weights" ->
       ("WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs " +
         "FROM documents GROUP BY lang) " +
@@ -2980,6 +3160,80 @@ object SparkEntry {
         "CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume_c ELSE 0 END) " +
         "* 10000 // sum(volume_c) AS BIGINT) AS mkt_share_bp " +
         "FROM v GROUP BY o_year ORDER BY o_year"),
+    // mirrors q_tpch_q2: derived supply catalog (min observed unit price
+    // per (part, supplier) pair), per-part min via window, EUROPE roster,
+    // rank over (acctbal desc, s_name, p_partkey), top 100
+    "q_tpch_q2" ->
+      ("WITH ps AS (SELECT l_partkey, l_suppkey, " +
+        "CAST(min(CAST(floor(l_extendedprice * 100.0 / l_quantity + 0.5) " +
+        "AS BIGINT)) AS BIGINT) AS cost_c FROM lineitem GROUP BY 1, 2), " +
+        "eu AS (SELECT s_suppkey, s_name, " +
+        "CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_c, n_name " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), " +
+        "j AS (SELECT p_partkey, p_brand, s_name, n_name, acctbal_c, cost_c, " +
+        "min(cost_c) OVER (PARTITION BY p_partkey) AS min_cost_c " +
+        "FROM ps JOIN part ON l_partkey = p_partkey " +
+        "JOIN eu ON l_suppkey = s_suppkey " +
+        "WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'), " +
+        "top AS (SELECT * FROM j WHERE cost_c = min_cost_c " +
+        "ORDER BY acctbal_c DESC, s_name, p_partkey LIMIT 100) " +
+        "SELECT row_number() OVER (ORDER BY acctbal_c DESC, s_name, p_partkey) " +
+        "AS rank, s_name, n_name, p_partkey, p_brand, acctbal_c, cost_c " +
+        "FROM top ORDER BY rank"),
+    // mirrors q_tpch_q9: profit = revenue cents - retailprice-cost cents,
+    // floored row-wise, by (nation, year)
+    "q_tpch_q9" ->
+      ("WITH j AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) " +
+        "- CAST(floor(p_retailprice * l_quantity * 100.0 + 0.5) AS BIGINT) " +
+        "AS amount_c FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE p_name LIKE '%red%') " +
+        "SELECT n_name, o_year, CAST(sum(amount_c) AS BIGINT) AS profit_c " +
+        "FROM j GROUP BY 1, 2 ORDER BY n_name, o_year DESC"),
+    // mirrors q_tpch_q11: per-part value vs total/1000, integer
+    // cross-multiplied threshold
+    "q_tpch_q11" ->
+      ("WITH li AS (SELECT l_partkey, " +
+        "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS val_c " +
+        "FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7')), " +
+        "pp AS (SELECT l_partkey, CAST(sum(val_c) AS BIGINT) AS value_c " +
+        "FROM li GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM pp) " +
+        "SELECT l_partkey, value_c FROM pp, tot WHERE value_c * 1000 > total_c " +
+        "ORDER BY value_c DESC, l_partkey"),
+    // mirrors q_tpch_q16: distinct catalog pairs, negative-balance
+    // suppliers excluded, COUNT(DISTINCT) per part descriptor
+    "q_tpch_q16" ->
+      ("WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), " +
+        "ok AS (SELECT l_partkey, l_suppkey FROM pairs WHERE l_suppkey NOT IN " +
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) " +
+        "SELECT p_brand, p_type, p_size, " +
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt " +
+        "FROM ok JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' " +
+        "AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22) " +
+        "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+    // mirrors q_tpch_q20: dominant-share suppliers of red parts' 1996
+    // volume (pair_qty*2 > per-part total), nested semi-joins
+    "q_tpch_q20" ->
+      ("WITH li AS (SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) " +
+        "AS qty FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' AND l_partkey IN " +
+        "(SELECT p_partkey FROM part WHERE p_name LIKE 'red%')), " +
+        "pp AS (SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) " +
+        "AS pair_qty FROM li GROUP BY 1, 2), " +
+        "dom AS (SELECT DISTINCT l_suppkey FROM (SELECT l_suppkey, pair_qty, " +
+        "sum(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty FROM pp) " +
+        "WHERE pair_qty * 2 > part_qty) " +
+        "SELECT s_name, n_name FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE s_suppkey IN (SELECT l_suppkey FROM dom) ORDER BY s_name"),
     // mirrors q_tpch_q18 (HAVING sum_qty > 300, rank by totalprice cents)
     "q_tpch_q18" ->
       ("WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty " +

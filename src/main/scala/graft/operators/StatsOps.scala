@@ -429,4 +429,85 @@ object StatsOps {
       "CAST(floor(10000.0 * num / (sqrt(d1) * sqrt(d2)) + 0.5) AS BIGINT) " +
       s"ELSE NULL END AS corr_bp FROM f ORDER BY $groupCol"
   }
+
+  /** Cofactor expansion of a 3x3 determinant over named SQL columns — the
+    * SAME string feeds Spark (decimal(38,0) operands) and DuckDB (HUGEINT
+    * operands), so the two engines evaluate a structurally identical
+    * expression tree over exact integers.
+    */
+  private def det3(r1: Seq[String], r2: Seq[String], r3: Seq[String]): String =
+    s"(${r1(0)})*((${r2(1)})*(${r3(2)}) - (${r2(2)})*(${r3(1)})) " +
+      s"- (${r1(1)})*((${r2(0)})*(${r3(2)}) - (${r2(2)})*(${r3(0)})) " +
+      s"+ (${r1(2)})*((${r2(0)})*(${r3(1)}) - (${r2(1)})*(${r3(0)}))"
+
+  /** The four Cramer determinants of the 3-feature normal equations
+    * A·w = b, A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], b = [sy,s1y,s2y]:
+    * (den, d0, d1, d2) with w_i = d_i / den.
+    */
+  private def cramer3: Seq[(String, String)] = Seq(
+    "den" -> det3(Seq("n", "s1", "s2"), Seq("s1", "s11", "s12"), Seq("s2", "s12", "s22")),
+    "d0" -> det3(Seq("sy", "s1", "s2"), Seq("s1y", "s11", "s12"), Seq("s2y", "s12", "s22")),
+    "d1" -> det3(Seq("n", "sy", "s2"), Seq("s1", "s1y", "s12"), Seq("s2", "s2y", "s22")),
+    "d2" -> det3(Seq("n", "s1", "sy"), Seq("s1", "s11", "s1y"), Seq("s2", "s12", "s2y")))
+
+  /** EXACT closed-form least-squares fit of y ~ w0 + w1·x1 + w2·x2 — the
+    * model-fitting step of a quality-classifier pipeline, done the way a
+    * distributed engine should: ONE aggregation pass collects the integer
+    * normal-equation moments (n, Σx, Σxxᵀ, Σxy — nine decimal(38,0) sums,
+    * the [[corrStats]] discipline at d=3), then Cramer's rule on the 3x3
+    * system yields each weight as an exact integer RATIONAL
+    * (w_num_i, w_den) — no float solve, no iteration, hash-identical
+    * across engines. Emitted as strings because the determinants exceed
+    * int64 (decimal(38,0) ↔ DuckDB HUGEINT).
+    *
+    * Scale shape: the moments are a map-side-combined aggregate of the
+    * feature pass — bytes of state regardless of row count; the solve is
+    * O(1) on a 1-row frame. Exactness envelope: with features ≲ 1e3 and
+    * y ≲ 1e4, determinant terms stay under 38 digits to ~1e7 rows; past
+    * that, fit on a deterministic hash-sample (statistically equivalent
+    * for 3 parameters) or rescale features. A singular system (collinear
+    * features) emits den = 0 — the caller's recompute/regularize signal,
+    * never a wrong weight.
+    *
+    * Output: (coef ∈ {intercept, x1, x2}, w_num, w_den) ordered by coef.
+    */
+  def linregFit(df: DataFrame, x1: Column, x2: Column, y: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("long").cast("decimal(38,0)")
+    val st = df.select(dec(x1).as("x1"), dec(x2).as("x2"), dec(y).as("y"))
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+    st.select(cramer3.map { case (name, e) => expr(e).as(name) }: _*)
+      .selectExpr(
+        "stack(3, 'intercept', d0, 'x1', d1, 'x2', d2) AS (coef, num)", "den")
+      .select(col("coef"), col("num").cast("string").as("w_num"),
+        col("den").cast("string").as("w_den"))
+      .orderBy(col("coef"))
+  }
+
+  /** DuckDB SQL matching [[linregFit]]: `fromSql` must yield columns
+    * (x1, x2, y); moments accumulate in HUGEINT, determinants come from
+    * the SAME cofactor strings as the Spark plan.
+    */
+  def linregFitSql(fromSql: String): String = {
+    val dets = cramer3.map { case (name, e) => s"$e AS $name" }.mkString(", ")
+    s"WITH f AS ($fromSql), " +
+      "st AS (SELECT count(*)::HUGEINT AS n, " +
+      "sum(x1::HUGEINT) AS s1, sum(x2::HUGEINT) AS s2, " +
+      "sum(x1::HUGEINT * x1) AS s11, sum(x1::HUGEINT * x2) AS s12, " +
+      "sum(x2::HUGEINT * x2) AS s22, sum(y::HUGEINT) AS sy, " +
+      "sum(x1::HUGEINT * y) AS s1y, sum(x2::HUGEINT * y) AS s2y FROM f), " +
+      s"dets AS (SELECT $dets FROM st) " +
+      "SELECT 'intercept' AS coef, CAST(d0 AS VARCHAR) AS w_num, " +
+      "CAST(den AS VARCHAR) AS w_den FROM dets " +
+      "UNION ALL SELECT 'x1', CAST(d1 AS VARCHAR), CAST(den AS VARCHAR) FROM dets " +
+      "UNION ALL SELECT 'x2', CAST(d2 AS VARCHAR), CAST(den AS VARCHAR) FROM dets " +
+      "ORDER BY coef"
+  }
 }

@@ -1170,4 +1170,95 @@ object TextOps {
         roundBp(distinctRatio * 0.5 + stopRatio * 0.2 + lenTerm * 0.3).as("quality_bp"))
       .orderBy(col(idCol))
   }
+
+  /** DSIR-style importance scores for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its hashed-bigram features are
+    * under a TARGET distribution (rows matching `targetPred`, e.g. a
+    * trusted language/source) than under the RAW pool — the reweighting
+    * signal a curation run samples against when it wants 100 TB of raw
+    * crawl to look like a curated corpus.
+    *
+    * Both "LMs" are add-one-smoothed hashed-bigram bucket models
+    * (`buckets` cells each), built in ONE pass over the gram stream (the
+    * target counts are a conditional sum beside the raw counts). Per gram,
+    * the likelihood ratio p_t(g)/p_r(g) = (c_t+1)(N_r+B) / ((c_r+1)(N_t+B))
+    * is taken in INTEGER bp — decimal(38,0) cross-products, floored
+    * division, clamped to [1, 10x] — so the per-doc sum is exact and
+    * engine-portable where the paper's float log-ratio sum would drift
+    * (ln is not correctly-rounded; IEEE sqrt/div are). Clamping bounds any
+    * single gram's vote, the same robustness trick as the paper's
+    * per-feature truncation; rank order under the clamp is what the
+    * selection step consumes. Docs with no bigram (< 2 tokens) score NULL
+    * via the left join — distinguishable from a genuinely neutral 10000 bp.
+    *
+    * Scale shape: the gram explode is the only corpus-volume pass; the
+    * count model is `buckets` rows — broadcast onto the gram stream for
+    * the scoring join — and the per-doc rollup is one hash shuffle on the
+    * doc id. Totals ride along as a 1-row broadcast. Nothing driver-side,
+    * nothing pairwise.
+    *
+    * Output: (doc_id, n_grams, lr_sum_bp, lr_avg_bp), ordered.
+    */
+  def dsirScores(docs: DataFrame, targetPred: Column, buckets: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val grams = docs
+      .select(col(idCol), targetPred.as("is_t"),
+        explode(shingles(tokens(col(textCol)), 2)).as("s"))
+      .select(col(idCol), col("is_t"),
+        pmod(StableHash.hash60(col("s")), lit(buckets.toLong)).as("b"))
+    val counts = grams
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val totals = counts.agg(
+      (sum(col("c_r")) + lit(buckets.toLong)).as("nr_b"),
+      (sum(col("c_t")) + lit(buckets.toLong)).as("nt_b"))
+    // per-bucket ratio precomputed on the model table (buckets rows), so
+    // the corpus-sized scoring join carries one small long per gram
+    val ratios = counts
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        least(lit(100000L), greatest(lit(1L),
+          expr("CAST(((c_t + 1) * CAST(nr_b AS DECIMAL(38,0)) * 10000) div " +
+            "((c_r + 1) * CAST(nt_b AS DECIMAL(38,0))) AS BIGINT)")))
+          .as("lr_bp"))
+    docs.select(col(idCol))
+      .join(
+        grams.join(broadcast(ratios), Seq("b"))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_grams"), sum(col("lr_bp")).as("lr_sum_bp")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"), col("lr_sum_bp"),
+        expr("lr_sum_bp div n_grams").as("lr_avg_bp"))
+      .orderBy(col(idCol))
+  }
+
+  /** DuckDB SQL matching [[dsirScores]] on `documents`; `targetSql` is the
+    * boolean target-membership expression (e.g. "lang = 'en'").
+    */
+  def dsirScoresSql(targetSql: String, buckets: Int = 4096): String = {
+    val toksSql =
+      "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> length(t) > 0)"
+    val sh2 = "CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), " +
+      "i -> t[i] || ' ' || t[i+1]) ELSE CAST([] AS VARCHAR[]) END"
+    s"WITH d AS (SELECT doc_id, ($targetSql) AS is_t, $toksSql AS t FROM documents), " +
+      s"g AS (SELECT doc_id, is_t, ${StableHash.hash60Sql("s")} % $buckets AS b " +
+      s"FROM (SELECT doc_id, is_t, unnest($sh2) AS s FROM d)), " +
+      "c AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r, " +
+      "CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t " +
+      "FROM g GROUP BY b), " +
+      s"tot AS (SELECT sum(c_r)::HUGEINT + $buckets AS nr_b, " +
+      s"sum(c_t)::HUGEINT + $buckets AS nt_b FROM c), " +
+      "r AS (SELECT b, least(100000, greatest(1, " +
+      "CAST((c_t + 1) * nr_b * 10000 // ((c_r + 1) * nt_b) AS BIGINT))) AS lr_bp " +
+      "FROM c, tot), " +
+      "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+      "CAST(sum(lr_bp) AS BIGINT) AS lr_sum_bp " +
+      "FROM g JOIN r USING (b) GROUP BY doc_id) " +
+      "SELECT d2.doc_id, n_grams, lr_sum_bp, lr_sum_bp // n_grams AS lr_avg_bp " +
+      "FROM (SELECT DISTINCT doc_id FROM documents) d2 LEFT JOIN per USING (doc_id) " +
+      "ORDER BY doc_id"
+  }
 }

@@ -166,4 +166,29 @@ class StatsOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(merged == full)
   }
+
+  test("linregFit: exact-fit data recovers the generating weights exactly") {
+    // y = 7 + 3*x1 + 5*x2 with no noise: the least-squares solution IS the
+    // generating triple, so each Cramer rational must reduce to it exactly
+    val rows = for (a <- 1 to 6; b <- 0 to 4)
+      yield (a.toLong, (b + a % 3).toLong)
+    val df = rows.map { case (x1, x2) => (x1, x2, 7L + 3 * x1 + 5 * x2) }
+      .toDF("x1", "x2", "y")
+    val got = StatsOps.linregFit(df, col("x1"), col("x2"), col("y"))
+      .as[(String, String, String)].collect().toSeq
+    val den = BigInt(got.head._3)
+    assert(den != 0)
+    val ws = got.map { case (c, num, d) =>
+      assert(BigInt(d) == den); c -> BigInt(num) }.toMap
+    assert(ws("intercept") == BigInt(7) * den)
+    assert(ws("x1") == BigInt(3) * den)
+    assert(ws("x2") == BigInt(5) * den)
+  }
+
+  test("linregFit: collinear features emit den = 0, never a wrong weight") {
+    val df = (1 to 10).map(i => (i.toLong, 2L * i, 5L + i)).toDF("x1", "x2", "y")
+    val got = StatsOps.linregFit(df, col("x1"), col("x2"), col("y"))
+      .as[(String, String, String)].collect().toSeq
+    assert(got.map(_._3).forall(_ == "0"))
+  }
 }

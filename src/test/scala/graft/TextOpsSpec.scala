@@ -462,4 +462,25 @@ class TextOpsSpec extends SparkSpec {
         s"div (cast($big as decimal(38,0)) * 1) AS lift_bp").head()
     assert(r.getLong(0) == (1L << 31) * 10000L)
   }
+
+  test("dsirScores: target-like grams out-score raw-only grams; short docs NULL") {
+    // target slice (is_t) is saturated with "good data" bigrams; doc 10
+    // repeats them, doc 11 uses bigrams seen only in the raw pool, doc 12
+    // has one token (no bigram)
+    val d = Seq(
+      (1L, "good data good data good data", true),
+      (2L, "good data makes good models", true),
+      (10L, "good data good data", false),
+      (11L, "junk spam junk spam junk", false),
+      (12L, "single", false))
+      .toDF("doc_id", "text", "is_t")
+    val got = TextOps.dsirScores(d, col("is_t"), buckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(12L).isEmpty)
+    assert(got(10L).exists(a => got(11L).exists(_ < a)),
+      s"target-like doc must out-score raw-only doc: $got")
+    // a clamped ratio is always within [1, 100000]
+    assert(got.values.flatten.forall(v => v >= 1L && v <= 100000L))
+  }
 }
