@@ -346,6 +346,16 @@ object SimOps {
     * (source, candidate) pair cannot duplicate (each candidate has ONE
     * home cell). SimOpsSpec pins that probes=2 recall dominates probes=1.
     *
+    * Scale law (measured, r11 `KnnScaleCheck` + SKEW_scale.txt): the cost
+    * driver is per-cell OCCUPANCY, not corpus size — O(Σ cell²) means
+    * growing the corpus N× over a FIXED cell set multiplies pairing by N²
+    * (x100 data over the declared 16 cells: a ~10,000x pair blowup,
+    * absorbed in ~70-107x wall). The production discipline is
+    * occupancy-preserving nlist, cells ∝ N with constant vectors/cell —
+    * exactly how IVF sizes nlist — under which the same x100 corpus runs
+    * ~12x the sf0.1 wall (1.1 s → 13.1 s, 1600 cells, min-of-2). The
+    * declared query pins 16 cells only for oracle comparability.
+    *
     * Output: (id_a, rank, id_b, cos_bp), rank over (cosine desc, id_b).
     */
   def knnGraph(
