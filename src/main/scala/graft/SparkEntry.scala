@@ -803,6 +803,17 @@ object SparkEntry {
     // replicate (it scores "the the the the" as maximally probable).
     "q_bigram_surprisal" -> ((s, dir) =>
       TextOps.bigramSurprisal(t(s, dir, "documents"))),
+    // Interpolated Kneser–Ney bigram score: absolute discount D=3/4 plus
+    // the continuation-count back-off term, exact rational in
+    // decimal(38,0) floored to bp — the smoothed LM quality filter
+    // production pipelines run where q_bigram_surprisal is the MLE strawman.
+    "q_kn_score" -> ((s, dir) =>
+      TextOps.kneserNeyScore(t(s, dir, "documents"))),
+    // Multi-signal quality rank fusion per source: Borda-fused competition
+    // ranks computed from (source, value) histograms — never a per-source
+    // row window — calibrated to a per-source percentile in bp.
+    "q_quality_fusion" -> ((s, dir) =>
+      TextOps.qualityFusion(t(s, dir, "documents"))),
     // Triangle census over the part co-order graph (parts restricted to a
     // broadcast-filtered subset so the declared query stays bench-sized;
     // the operator itself is the degree-ordered orientation construction
@@ -1133,6 +1144,13 @@ object SparkEntry {
     // target's aggressive tail upsampling.
     "q_mix_temperature" -> ((s, dir) =>
       graft.operators.SampleOps.temperatureMix(t(s, dir, "documents"), "lang")),
+    // Realize the temperature mixture as rows: per-lang quota from the
+    // target shares, k_s smallest id-hashes win per stratum — the
+    // GroupTopK-lowered cut that turns mixture weights into the actual
+    // reproducible training slice.
+    "q_mix_sample" -> ((s, dir) =>
+      graft.operators.SampleOps.realizeMixture(
+        t(s, dir, "documents"), "lang", "doc_id", total = 200)),
     // Quality-weighted reproducible downsampling: survive with
     // probability quality_bp/1e4, deterministically by id hash.
     "q_sample_weighted" -> ((s, dir) =>
@@ -1408,6 +1426,14 @@ object SparkEntry {
       import s.implicits._
       MultimodalOps.resizePixels(m.as[operators.MediaRow], outW = 4, outH = 3)
     }),
+    // Perceptual near-dup dedup over pixels: groups of 4 consecutive ids
+    // share one planted base image, brightness-shifted per variant; the
+    // 8x8 average-hash is genuinely parsed out of the payload bytes, and
+    // Hamming-LSH banding (one byte-band bucket join, hot buckets capped,
+    // popcount-of-XOR verify) pairs the variants exact md5 dedup misses.
+    "q_media_phash" -> ((s, dir) =>
+      MultimodalOps.phashPairs(
+        MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents"))))),
 
     // --- Time-series / events (north star; EventOps) --------------------
 
@@ -2289,6 +2315,24 @@ object SparkEntry {
         s"${TextOps.roundBpSql("s / s_sum")} AS target_bp, " +
         s"${TextOps.roundBpSql("s * total / (s_sum * n_docs)")} AS weight_bp " +
         "FROM w ORDER BY lang"),
+    // mirrors SampleOps.realizeMixture: temperatureMix quotas (floored
+    // bp share of total=200) gating the per-lang id-hash ranking
+    "q_mix_sample" ->
+      ("WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM documents GROUP BY lang), " +
+        "w AS (SELECT lang, n_docs, " +
+        "sqrt(CAST(n_docs AS DOUBLE)) AS s, " +
+        "sum(sqrt(CAST(n_docs AS DOUBLE))) OVER (ORDER BY lang " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS s_sum FROM c), " +
+        s"q AS (SELECT lang, (200 * ${TextOps.roundBpSql("s / s_sum")}) // 10000 " +
+        "AS quota FROM w), " +
+        "h AS (SELECT lang, doc_id, " +
+        s"${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents), " +
+        "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY h, doc_id) AS rank FROM h) " +
+        "SELECT r.lang, CAST(rank AS BIGINT) AS rank, doc_id " +
+        "FROM r JOIN q ON r.lang = q.lang WHERE rank <= quota " +
+        "ORDER BY r.lang, rank"),
     "q_sample_stratified" ->
       (s"WITH h AS (SELECT lang, doc_id, " +
         s"${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents), " +
@@ -2386,6 +2430,49 @@ object SparkEntry {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
         "CAST(sum(s) // count(*) AS BIGINT) AS avg_surprisal_bp " +
         "FROM b JOIN s USING (bg) GROUP BY doc_id ORDER BY doc_id"),
+    // mirrors TextOps.kneserNeyScore: interpolated KN with D=3/4, the
+    // exact rational carried in HUGEINT (Spark: decimal(38,0)) floored
+    // to bp; n1r/n1l are distinct-follower/predecessor counts off the
+    // same bigram table, T the distinct-type total
+    "q_kn_score" ->
+      (s"WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents), " +
+        s"b AS (SELECT doc_id, unnest($duckShingles2) AS bg FROM tk), " +
+        "c AS (SELECT bg, CAST(count(*) AS BIGINT) AS n12 FROM b GROUP BY bg), " +
+        "cw AS (SELECT bg, n12, string_split(bg, ' ')[1] AS w1, " +
+        "string_split(bg, ' ')[2] AS w2 FROM c), " +
+        "p AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1, " +
+        "CAST(count(*) AS BIGINT) AS n1r FROM cw GROUP BY w1), " +
+        "q AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1l FROM cw GROUP BY w2), " +
+        "tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM c), " +
+        "s AS (SELECT bg, CAST(((4*n12 - 3)::HUGEINT * t_types + " +
+        "3::HUGEINT * n1r * n1l) * 10000 // (4::HUGEINT * n1 * t_types) " +
+        "AS BIGINT) AS kn_bp FROM cw JOIN p USING (w1) JOIN q USING (w2) " +
+        "CROSS JOIN tt) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(kn_bp) // count(*) AS BIGINT) AS avg_kn_bp " +
+        "FROM b JOIN s USING (bg) GROUP BY doc_id ORDER BY doc_id"),
+    // mirrors TextOps.qualityFusion: competition ranks are SQL rank()
+    // exactly (ties share; Spark computes the same from value histograms),
+    // Borda sum, per-source percentile of the fused rank in bp
+    "q_quality_fusion" ->
+      (s"WITH sig AS (SELECT source, doc_id, " +
+        s"CAST(len($duckToks) AS BIGINT) AS n_tok, " +
+        s"CAST(len(list_distinct($duckToks)) AS BIGINT) AS n_div, " +
+        "CAST(length(text) AS BIGINT) AS n_chars FROM documents), " +
+        "r AS (SELECT source, doc_id, " +
+        "CAST(rank() OVER (PARTITION BY source ORDER BY n_tok DESC) AS BIGINT) AS r_tokens, " +
+        "CAST(rank() OVER (PARTITION BY source ORDER BY n_div DESC) AS BIGINT) AS r_distinct, " +
+        "CAST(rank() OVER (PARTITION BY source ORDER BY n_chars DESC) AS BIGINT) AS r_chars " +
+        "FROM sig), " +
+        "f AS (SELECT source, doc_id, r_tokens, r_distinct, r_chars, " +
+        "r_tokens + r_distinct + r_chars AS borda FROM r), " +
+        "g AS (SELECT *, CAST(rank() OVER (PARTITION BY source ORDER BY borda) - 1 " +
+        "AS BIGINT) AS better_cnt, " +
+        "CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src FROM f) " +
+        "SELECT source, doc_id, r_tokens, r_distinct, r_chars, " +
+        "CAST(borda AS BIGINT) AS borda, " +
+        "CAST((n_src - better_cnt) * 10000 // n_src AS BIGINT) AS pct_bp " +
+        "FROM g ORDER BY source, doc_id"),
     // mirrors TextOps.skipgramLift (window=2, minCount=5, k=30): offset
     // pairs via 1-based list indexing, lift in HUGEINT (Spark side:
     // decimal(38,0)) so frequent pairs can't overflow
@@ -3651,6 +3738,41 @@ object SparkEntry {
         "CAST(sum(v) FILTER (WHERE ch = 2) // 12 AS BIGINT) AS b_mean, " +
         "CAST(sum(v) AS BIGINT) AS checksum " +
         "FROM s GROUP BY media_id, kind ORDER BY media_id"),
+    // mirrors MultimodalOps.plantPhashCorpus + phashBands + phashPairs:
+    // the oracle replays the generative pixel formula through the SAME
+    // 8x8 nearest-neighbor sample, strict-mean bit rule, byte-band LSH
+    // (bucket cap 64 mirrored), and popcount-of-XOR verify; the Spark
+    // side only ever reads the planted binary.
+    "q_media_phash" ->
+      ("WITH m AS (SELECT doc_id AS media_id, doc_id // 4 AS grp, " +
+        "(doc_id % 4) * 9 AS shift FROM documents), " +
+        "d AS (SELECT media_id, grp, shift, (grp*3+2)%9+2 AS w, " +
+        "(grp*5+1)%7+2 AS h FROM m), " +
+        "cells AS (SELECT media_id, grp, shift, w, h, " +
+        "unnest(range(0, 64)) AS j FROM d), " +
+        "gray AS (SELECT media_id, j, " +
+        "(grp*31 + ((((j//8)*h//8)*w + (j%8)*w//8)*3 + 0)*7 + shift) % 256 " +
+        "+ (grp*31 + ((((j//8)*h//8)*w + (j%8)*w//8)*3 + 1)*7 + shift) % 256 " +
+        "+ (grp*31 + ((((j//8)*h//8)*w + (j%8)*w//8)*3 + 2)*7 + shift) % 256 AS g " +
+        "FROM cells), " +
+        "tot AS (SELECT media_id, sum(g) AS total FROM gray GROUP BY media_id), " +
+        "bands AS (SELECT gray.media_id, j // 8 AS k, " +
+        "sum(CASE WHEN 64 * g > total THEN 1 << (j % 8) ELSE 0 END) AS bval " +
+        "FROM gray JOIN tot ON gray.media_id = tot.media_id GROUP BY 1, 2), " +
+        "bsize AS (SELECT k, bval, count(*) AS n FROM bands GROUP BY 1, 2), " +
+        "kept AS (SELECT b.* FROM bands b JOIN bsize s ON b.k = s.k " +
+        "AND b.bval = s.bval WHERE s.n > 1 AND s.n <= 64), " +
+        "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b " +
+        "FROM kept a JOIN kept b ON a.k = b.k AND a.bval = b.bval " +
+        "AND a.media_id < b.media_id), " +
+        "ham AS (SELECT c.id_a, c.id_b, " +
+        "sum(bit_count(xor(x.bval, y.bval))) AS hamming FROM cand c " +
+        "JOIN bands x ON x.media_id = c.id_a " +
+        "JOIN bands y ON y.media_id = c.id_b AND y.k = x.k " +
+        "GROUP BY c.id_a, c.id_b) " +
+        "SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming, " +
+        "CAST(id_a // 4 = id_b // 4 AS BIGINT) AS same_src " +
+        "FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b"),
     // DuckDB has native ASOF JOIN — the right side is pre-deduped per
     // (user, ts) to the max event_id, matching AsofOps' tie-break.
     "q_asof_join" ->

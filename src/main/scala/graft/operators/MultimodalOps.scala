@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** One opaque media item: binary payload + typed metadata. */
@@ -21,6 +21,13 @@ case class MediaFeatures(
   * extremes over the raw interleaved-RGB pixel block — every value parsed
   * back out of the payload bytes (see [[MultimodalOps.decodePixels]]).
   */
+/** REAL perceptual-hash decode output of [[MultimodalOps.phashBands]]: the
+  * `grid`-cell average-hash of the planted bitmap, emitted as `grid` band
+  * bytes (band k holds bits k*grid .. k*grid+grid-1) so Hamming-LSH banding
+  * downstream is an index into this array, never bit surgery on an int64.
+  */
+case class MediaPhash(media_id: Long, kind: String, bands: Seq[Long])
+
 case class MediaPixels(
     media_id: Long, kind: String, width: Long, height: Long, n_px: Long,
     r_mean: Long, g_mean: Long, b_mean: Long,
@@ -368,5 +375,157 @@ object MultimodalOps {
   def mediaFeatures(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._
     decodeFeatures(media.as[MediaRow]).toDF().orderBy(col("media_id"))
+  }
+
+  /** Plant a perceptual-dedup corpus: groups of `groupSize` consecutive ids
+    * share ONE base image ([[plantPixels]] format, dims and pixels derived
+    * from `grp = media_id div groupSize`), with each in-group variant
+    * brightness-shifted by `(media_id mod groupSize) * shiftStep` (mod 256,
+    * so a few high pixels wrap — realistic clipping noise). Exact-hash
+    * dedup ([[mediaMeta]]'s md5) sees every variant as unique; the
+    * average-hash of [[phashBands]] is invariant to the constant shift
+    * except at wrapped pixels, which is precisely the robustness a
+    * perceptual hash exists to provide.
+    */
+  def plantPhashCorpus(media: DataFrame, groupSize: Int = 4, shiftStep: Int = 9): DataFrame = {
+    val grp = expr(s"media_id div $groupSize")
+    val shift = pmod(col("media_id"), lit(groupSize)) * shiftStep
+    val w = pmod(grp * 3 + 2, lit(9)) + 2
+    val h = pmod(grp * 5 + 1, lit(7)) + 2
+    val nBytes = w * h * 3
+    val pixHex = array_join(
+      transform(sequence(lit(0L), nBytes - 1),
+        i => lpad(lower(hex(pmod(grp * 31 + i * 7 + shift, lit(256)))), 2, "0")),
+      "")
+    media.select(
+      col("media_id"), col("kind"),
+      to_binary(concat(
+        lit("47524654"), // "GRFT"
+        lpad(lower(hex(w)), 8, "0"),
+        lpad(lower(hex(h)), 8, "0"),
+        pixHex), lit("hex")).as("payload"))
+  }
+
+  /** REAL perceptual average-hash (aHash) decode: parse the [[plantPixels]]
+    * bitmap, nearest-neighbor-sample a `grid` x `grid` luminance matrix
+    * (gray = r+g+b per sampled pixel — a sum, no division, so both engines
+    * agree exactly), and set bit `j` iff `grid² * gray_j > Σ gray` (strict
+    * compare against the mean without ever forming a fraction). The 64 bits
+    * (grid=8, the standard aHash shape) are emitted as `grid` per-row band
+    * bytes rather than one int64 so downstream banding never touches the
+    * sign bit. Same typed `mapPartitions` batch path and dead-letter rules
+    * as [[decodePixels]]; every hash bit exists only in the payload bytes
+    * (corrupt one pixel byte and the hash moves — spec-pinned).
+    */
+  def phashBands(media: Dataset[MediaRow], grid: Int = 8): Dataset[MediaPhash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val magic = Array[Byte](0x47, 0x52, 0x46, 0x54) // "GRFT"
+      def be32(b: Array[Byte], off: Int): Long =
+        ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+          ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      rows.flatMap { r =>
+        val b = r.payload
+        if (b.length < 12 || !b.take(4).sameElements(magic)) None
+        else {
+          val w = be32(b, 4)
+          val h = be32(b, 8)
+          if (w < 1 || h < 1 || b.length.toLong != 12L + w * h * 3) None
+          else {
+            val gray = new Array[Long](grid * grid)
+            var total = 0L
+            var gy = 0
+            while (gy < grid) {
+              val sy = gy * h / grid
+              var gx = 0
+              while (gx < grid) {
+                val sx = gx * w / grid
+                val base = 12 + ((sy * w + sx) * 3).toInt
+                val g = (b(base) & 0xffL) + (b(base + 1) & 0xffL) + (b(base + 2) & 0xffL)
+                gray(gy * grid + gx) = g
+                total += g
+                gx += 1
+              }
+              gy += 1
+            }
+            val bands = new Array[Long](grid)
+            var j = 0
+            while (j < grid * grid) {
+              if (gray(j) * grid * grid > total) bands(j / grid) |= 1L << (j % grid)
+              j += 1
+            }
+            Some(MediaPhash(r.media_id, r.kind, bands.toSeq))
+          }
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-duplicate pairs over the decoded aHash — the media leg
+    * of the dedup family (exact doc / MinHash / SimHash / span / semantic
+    * all cover text or embeddings; this covers pixels). LSH over Hamming
+    * space exactly like `DedupOps.simhashBallPairs`, but the sketch is
+    * genuinely parsed out of image bytes, not token votes:
+    *
+    *  - each hash is already `grid` byte-sized band slices ([[phashBands]]);
+    *  - bucket on (band index, band value): two hashes within Hamming
+    *    distance `maxDist < grid` agree exactly on ≥1 band (pigeonhole),
+    *    so in-ball recall is 1 with no all-pairs scan;
+    *  - hot buckets above `maxBucket` are dropped before pairing (the
+    *    `DedupOps.DefaultMaxBucket` discipline, mirrored in the oracle) —
+    *    at 100 TB a flat-color band byte (0 or 255) is the hot key, and
+    *    the cap bounds pairing at Σ_kept |ds|²/2 per band;
+    *  - GROWTH LAW — the band-key space is `grid · 2^grid` (grid=8:
+    *    2,048 buckets), so mean bucket size grows LINEARLY with corpus
+    *    size and uncapped pairing quadratically; the cap turns that into
+    *    a CONSTANT ≤ grid·2^grid·cap²/2 pairing bound, trading recall on
+    *    overflowed (near-flat, boilerplate-image) buckets exactly like
+    *    `jaccardPairs`' boilerplate regime. The scale knob is `grid`
+    *    itself: grid=16 is the 256-bit hash in 16 bands of 16 bits —
+    *    1.05 M buckets, the Manku-style multi-index sizing for
+    *    billion-image corpora — with the same code path and guarantee
+    *    (maxDist < grid);
+    *  - candidates verify with popcount-of-XOR folded over the band
+    *    arrays (`zip_with` + `aggregate`, codegen'd — both hashes ride in
+    *    the bucket array, no join back).
+    *
+    * Output: (id_a, id_b, hamming, same_src), id_a < id_b, `same_src` = 1
+    * iff the two ids came from the same planted base image — the audit
+    * column a threshold-tuning run reads.
+    */
+  def phashPairs(
+      media: DataFrame,
+      grid: Int = 8,
+      maxDist: Int = 6,
+      groupSize: Int = 4,
+      maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+    require(maxDist < grid, "recall guarantee needs maxDist < number of bands")
+    import media.sparkSession.implicits._
+    val sk = phashBands(media.as[MediaRow], grid).toDF()
+    val buckets = sk
+      .select(col("media_id"), col("bands"), posexplode(col("bands")))
+      .select(col("media_id"), col("bands"),
+        concat_ws(":", col("pos"), col("col")).as("bkey"))
+      .groupBy(col("bkey"))
+      .agg(sort_array(collect_list(
+        struct(col("media_id").as("id"), col("bands").as("bs")))).as("ds"))
+      .filter(if (maxBucket <= 0) size(col("ds")) > 1
+        else size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+    val ham = (xb: Column, yb: Column) =>
+      aggregate(
+        zip_with(xb, yb, (p, q) => bit_count(p.bitwiseXOR(q)).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val pairs = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+        struct(x("id").as("id_a"), y("id").as("id_b"),
+          ham(x("bs"), y("bs")).as("d")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(min(col("p.d")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .withColumn("same_src",
+        expr(s"CAST(id_a div $groupSize = id_b div $groupSize AS BIGINT)"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 }

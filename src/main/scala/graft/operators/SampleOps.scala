@@ -176,6 +176,37 @@ object SampleOps {
       .orderBy(col(groupCol), col("rank"))
   }
 
+  /** Realize a temperature mixture as actual rows — the step between
+    * [[temperatureMix]]'s weights and a training run: per-stratum quota
+    * `k_s = (total · target_bp) div 1e4` (floored; sub-bp strata get 0 —
+    * the α=1/2 flattening is exactly what keeps real tails nonzero), then
+    * the k_s smallest id-hashes within each stratum win. The result IS the
+    * mixture: a fixed `≤ total`-row slice whose stratum shares follow the
+    * temperature target, reproducible across runs and engines.
+    *
+    * Scale shape: quotas come from the strata-sized [[temperatureMix]]
+    * aggregate, broadcast; the per-stratum ranking is declared as
+    * `row_number ≤ total` with a CONSTANT bound, which
+    * [[graft.plans.GroupTopKRewrite]] lowers to bounded per-stratum heaps
+    * (≤ `total` rows per stratum cross the shuffle, never the corpus),
+    * and the variable per-stratum quota is a residual filter on the
+    * broadcast join after the heaps. Output: (strataCol, rank, idCol),
+    * rank 1..k_s per stratum.
+    */
+  def realizeMixture(
+      df: DataFrame, strataCol: String, idCol: String, total: Int): DataFrame = {
+    val quotas = temperatureMix(df, strataCol)
+      .select(col(strataCol), expr(s"($total * target_bp) div 10000").as("quota"))
+    val h = StableHash.hash60(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= total) // constant bound -> GroupTopK heaps
+      .join(broadcast(quotas), strataCol)
+      .filter(col("rank") <= col("quota"))
+      .select(col(strataCol), col("rank"), col(idCol))
+      .orderBy(col(strataCol), col("rank"))
+  }
+
   /** Deterministic n-per-stratum sample: the n smallest id-hashes within
     * each stratum (ties impossible: the hash is keyed by the unique id, and
     * the id itself tie-breaks). Output: (strataCol, rn, idCol).

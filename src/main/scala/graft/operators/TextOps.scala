@@ -565,6 +565,118 @@ object TextOps {
       .orderBy(col(idCol))
   }
 
+  /** Per-document interpolated Kneser–Ney bigram score — the smoothed
+    * upgrade of [[bigramSurprisal]]'s MLE model and the form production
+    * KenLM-style quality filters actually run (Kneser & Ney 1995; Chen &
+    * Goodman 1998). With absolute discount D = 3/4:
+    *
+    *   P_KN(w2|w1) = (n12 − D)/n1 + (D·N1+(w1,·)/n1) · N1+(·,w2)/T
+    *
+    * where n12 = bigram count, n1 = prefix token mass, N1+(w1,·) = distinct
+    * followers of w1, N1+(·,w2) = distinct PREDECESSORS of w2 (the
+    * continuation count — "how many contexts has w2 completed", the term
+    * that stops "francisco" looking probable everywhere), T = distinct
+    * bigram types. Every scored bigram is observed (the model is trained on
+    * the corpus being scored), so n12 ≥ 1 and the discount never floors at
+    * zero. Multiplying through by 4T makes the probability the exact
+    * rational ((4·n12−3)·T + 3·N1r·N1l) / (4·n1·T), carried in
+    * decimal(38,0) (the oracle in HUGEINT — BIGINT would RAISE on overflow
+    * where Spark longs wrap silently, the r10 OPQ lesson) and floored to bp.
+    *
+    * Shape: one corpus pass builds the vocab²-bounded bigram table; prefix
+    * mass and both continuation counts are windows OVER THAT TABLE (no
+    * second corpus pass); T is a 1-row broadcast; the scored table
+    * broadcasts back onto the exploded bigram stream; one per-doc
+    * aggregation. Same two-scan plan discipline as [[bigramSurprisal]].
+    *
+    * Output: (idCol, n_bigrams, avg_kn_bp) ordered by doc id — higher =
+    * more probable text under the corpus model.
+    */
+  def kneserNeyScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = docs.select(col(idCol),
+      explode(shingles(tokens(col(textCol)), 2)).as("bg"))
+    val wPrefix = Window.partitionBy(expr("split(bg, ' ')[0]"))
+    val wSuffix = Window.partitionBy(expr("split(bg, ' ')[1]"))
+    val table = bg.groupBy(col("bg")).agg(count(lit(1)).as("n12"))
+      .withColumn("n1", sum(col("n12")).over(wPrefix))
+      .withColumn("n1r", count(lit(1)).over(wPrefix))
+      .withColumn("n1l", count(lit(1)).over(wSuffix))
+    val tTot = table.agg(count(lit(1)).as("t_types"))
+    val scored = table.crossJoin(broadcast(tTot))
+      .select(col("bg"), expr(
+        "CAST((CAST(4*n12 - 3 AS DECIMAL(38,0)) * t_types + " +
+          "CAST(3 AS DECIMAL(38,0)) * n1r * n1l) * 10000 div " +
+          "(CAST(4 AS DECIMAL(38,0)) * n1 * t_types) AS BIGINT)").as("kn_bp"))
+    bg.join(broadcast(scored), "bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("kn_bp")).as("sum_bp"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("sum_bp div n_bigrams").as("avg_kn_bp"))
+      .orderBy(col(idCol))
+  }
+
+  /** Multi-signal quality rank fusion, per source — the "combine judges"
+    * step a curation pipeline runs when no single quality signal is
+    * trusted: rank every document within its source by each signal
+    * (token count, distinct-token count, char length — all integer, all
+    * from one scan with array functions, no explode), fuse by Borda count
+    * (sum of ranks, smaller = better), and calibrate the fused rank to a
+    * per-source percentile in bp so scores are comparable ACROSS sources
+    * with different size distributions.
+    *
+    * Scale shape — deliberately NOT `row_number() OVER (PARTITION BY
+    * source)`: a per-source window puts an entire source (≫ one executor at
+    * 100 TB; the web crawl IS one source) in a single task. Competition
+    * rank only needs "how many docs beat this value", so each rank is
+    * computed from the (source, value) HISTOGRAM — a hash aggregation
+    * bounded by distinct values, cumulated with a window over the tiny
+    * histogram, broadcast back. Ties share a rank (exactly SQL `rank()`,
+    * which the oracle uses directly), so no per-doc total order is ever
+    * materialized.
+    *
+    * Output: (source, doc_id, r_tokens, r_distinct, r_chars, borda,
+    * pct_bp), pct_bp = share of same-source docs not strictly better, in
+    * bp (best doc = 10000), ordered by (source, doc_id).
+    */
+  def qualityFusion(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val sig = docs.select(col("source"), col(idCol),
+      size(toks).cast("long").as("n_tok"),
+      size(array_distinct(toks)).cast("long").as("n_div"),
+      length(col(textCol)).cast("long").as("n_chars"))
+    // competition rank of signal c (desc) from its (source, value) histogram
+    def rankOf(c: String, rankName: String): DataFrame = {
+      val w = Window.partitionBy(col("source")).orderBy(col(c).desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sig.groupBy(col("source"), col(c)).agg(count(lit(1)).as("n"))
+        .withColumn(rankName, (coalesce(sum(col("n")).over(w), lit(0L)) + 1))
+        .drop("n")
+    }
+    val fused = sig
+      .join(broadcast(rankOf("n_tok", "r_tokens")), Seq("source", "n_tok"))
+      .join(broadcast(rankOf("n_div", "r_distinct")), Seq("source", "n_div"))
+      .join(broadcast(rankOf("n_chars", "r_chars")), Seq("source", "n_chars"))
+      .withColumn("borda", col("r_tokens") + col("r_distinct") + col("r_chars"))
+    // calibrate: percentile of the fused rank, again via histogram (asc)
+    val wB = Window.partitionBy(col("source")).orderBy(col("borda"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bordaHist = fused.groupBy(col("source"), col("borda"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("better_cnt", coalesce(sum(col("n")).over(wB), lit(0L)))
+      .withColumn("n_src",
+        sum(col("n")).over(Window.partitionBy(col("source"))))
+      .drop("n")
+    fused.join(broadcast(bordaHist), Seq("source", "borda"))
+      .select(col("source"), col(idCol),
+        col("r_tokens"), col("r_distinct"), col("r_chars"), col("borda"),
+        expr("(n_src - better_cnt) * 10000 div n_src").as("pct_bp"))
+      .orderBy(col("source"), col(idCol))
+  }
+
   /** Iterative BPE tokenizer training — `nMerges` rounds of (count adjacent
     * symbol pairs, pick the most frequent, greedily merge it everywhere),
     * the full algorithm whose single recount step is [[bpePairCounts]].

@@ -68,6 +68,23 @@ case class PriBuffer(rows: List[(Long, Long, Long)])
 /** One emitted member of the maintained per-group priority sample. */
 case class PriSampleRow(group: String, rank: Int, id: Long, w_bp: Long)
 
+/** One decoded perceptual hash on the media stream (the
+  * `MultimodalOps.phashBands` output schema): `bands` is the aHash split
+  * into byte-sized band slices, ready for Hamming-LSH bucketing.
+  */
+case class PhashItem(media_id: Long, bands: Seq[Long])
+
+/** One (band-bucket, item) pair for [[StreamingOps.phashPairsStream]]. */
+case class PhashBucketItem(bkey: String, media_id: Long, bands: Seq[Long])
+
+/** Per-bucket seen-set for [[StreamingOps.phashPairsStream]] — the items
+  * that have landed in this band bucket so far, id-ascending.
+  */
+case class PhashBucket(rows: List[(Long, Seq[Long])])
+
+/** One emitted perceptual near-dup pair (id_a < id_b). */
+case class PhashPairRow(id_a: Long, id_b: Long, hamming: Long)
+
 /** Open-session state for [[StreamingOps.sessionize]] (epoch millis). */
 case class OpenSession(start: Long, end: Long, n: Long)
 
@@ -457,6 +474,58 @@ object StreamingOps {
       .flatMap { case (g, entries) =>
         entries.zipWithIndex.map { case ((id, w), i) => PriSampleRow(g, i + 1, id, w) }
       }
+  }
+
+  /** Streaming perceptual near-dup detection — the `mapGroupsWithState`
+    * twin of [[graft.operators.MultimodalOps.phashPairs]], extending the
+    * incremental-dedup family ([[dedupIngest]] is the exact-hash member)
+    * to the media modality: as decoded aHashes arrive, each lands in its
+    * `grid` band buckets, and the PER-BUCKET state is the seen-set; a new
+    * item pairs (popcount-of-XOR ≤ `maxDist`) against everything already
+    * in the bucket and is then added. Within a micro-batch items process
+    * id-ascending, so the emitted pair set equals the batch operator's
+    * over everything streamed so far, MODULO two documented deltas:
+    * pairs colliding in several bands are emitted once per band (the
+    * batch groupBy-min dedup has no streaming equivalent without
+    * all-pairs state — downstream `dropDuplicates(id_a, id_b)` is the
+    * dedup), and a `maxBucket` cap freezes a hot bucket from its
+    * (maxBucket+1)-th arrival onward — the batch cap retro-drops the
+    * whole bucket, a stream cannot un-emit (spec pins parity in the
+    * uncapped configuration). State is O(buckets · min(bucket, cap))
+    * hashes — the inverted index itself, the same state a production
+    * incremental LSH dedup keeps.
+    */
+  def phashPairsStream(
+      items: Dataset[PhashItem],
+      maxDist: Int = 6,
+      maxBucket: Int = 0): Dataset[PhashPairRow] = {
+    import items.sparkSession.implicits._
+    items
+      .flatMap(it => it.bands.zipWithIndex.map { case (v, k) =>
+        PhashBucketItem(s"$k:$v", it.media_id, it.bands)
+      })
+      .groupByKey(_.bkey)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (bkey: String, batch: Iterator[PhashBucketItem], state: GroupState[PhashBucket]) => {
+          def ham(a: Seq[Long], b: Seq[Long]): Long =
+            a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+          var rows = state.getOption.map(_.rows).getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long, Long)]
+          batch.toList.sortBy(_.media_id).foreach { it =>
+            val capped = maxBucket > 0 && rows.sizeIs >= maxBucket
+            if (!capped && !rows.exists(_._1 == it.media_id)) {
+              rows.foreach { case (id, bs) =>
+                val d = ham(bs, it.bands)
+                if (d <= maxDist)
+                  out += ((math.min(id, it.media_id), math.max(id, it.media_id), d))
+              }
+              rows = rows :+ (it.media_id, it.bands)
+            }
+          }
+          state.update(PhashBucket(rows))
+          out.result()
+        })
+      .flatMap(_.map { case (a, b, d) => PhashPairRow(a, b, d) })
   }
 
   /** Streaming half of the gap-fill/EWMA maintenance loop — the streaming

@@ -134,4 +134,83 @@ class MultimodalOpsSpec extends SparkSpec {
         0, 0, 0, 2, 0, 0, 0, 2, 1, 2, 3)))
     assert(MultimodalOps.decodePixels(bad.toDS()).collect().isEmpty)
   }
+
+  // --- perceptual hash ------------------------------------------------
+
+  /** Replay of plantPhashCorpus's generative pixel formula. */
+  private def phashPixels(id: Long, groupSize: Int = 4, shiftStep: Int = 9): (Int, Int, Array[Int]) = {
+    val grp = id / groupSize
+    val shift = (id % groupSize) * shiftStep
+    val w = ((grp * 3 + 2) % 9 + 2).toInt
+    val h = ((grp * 5 + 1) % 7 + 2).toInt
+    (w, h, Array.tabulate(w * h * 3)(i => ((grp * 31 + i * 7 + shift) % 256).toInt))
+  }
+
+  /** Replay of phashBands' aHash rule on a raw pixel array. */
+  private def replayBands(w: Int, h: Int, px: Array[Int]): Seq[Long] = {
+    val gray = (for (gy <- 0 until 8; gx <- 0 until 8) yield {
+      val b = ((gy * h / 8) * w + gx * w / 8) * 3
+      (px(b) + px(b + 1) + px(b + 2)).toLong
+    }).toArray
+    val total = gray.sum
+    val bands = new Array[Long](8)
+    for (j <- 0 until 64) if (gray(j) * 64 > total) bands(j / 8) |= 1L << (j % 8)
+    bands.toSeq
+  }
+
+  private def phashDocs(n: Int) =
+    (0 until n).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+
+  test("phashBands: decoded hash equals the generative-formula replay") {
+    val got = MultimodalOps.phashBands(
+      MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(phashDocs(24)))
+        .as[MediaRow]).collect().map(r => r.media_id -> r.bands).toMap
+    assert(got.size == 24)
+    (0L until 24L).foreach { id =>
+      val (w, h, px) = phashPixels(id)
+      assert(got(id) == replayBands(w, h, px), s"id=$id")
+    }
+  }
+
+  test("phashBands: the hash lives in the payload bytes (corruption moves it)") {
+    val (w, h, px) = phashPixels(1L)
+    val base = replayBands(w, h, px)
+    // blow out the first pixel (sampled by several grid cells) to pure
+    // white: its luminance jumps from ~48 to 765, deterministically
+    // crossing the mean threshold. A single-byte nudge deliberately does
+    // NOT flip the hash — that robustness is the point of aHash — so the
+    // corruption here is a full sampled pixel.
+    val mod = px.clone()
+    (0 until 3).foreach(c => mod(c) = 255)
+    val payload = Array[Byte](0x47, 0x52, 0x46, 0x54,
+      0, 0, 0, w.toByte, 0, 0, 0, h.toByte) ++ mod.map(_.toByte)
+    val got = MultimodalOps.phashBands(Seq(MediaRow(1L, "image", payload)).toDS())
+      .collect().head.bands
+    // the decode tracks the corrupted bytes exactly...
+    assert(got == replayBands(w, h, mod))
+    // ...and the hash genuinely moved
+    assert(got != base, "corrupting a sampled pixel must move the hash")
+  }
+
+  test("phashPairs: equals brute-force Hamming pairs; brightness variants found, md5 misses them") {
+    val media = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(phashDocs(24)))
+    val got = MultimodalOps.phashPairs(media, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force over the replayed hashes: maxDist=6 < 8 bands, so LSH
+    // recall is 1 and the output must match exactly
+    val bands = (0L until 24L).map { id =>
+      val (w, h, px) = phashPixels(id); id -> replayBands(w, h, px)
+    }.toMap
+    val expect = (for {
+      a <- 0L until 24L; b <- (a + 1) until 24L
+      d = bands(a).zip(bands(b)).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if d <= 6
+    } yield (a, b, d.toLong, if (a / 4 == b / 4) 1L else 0L)).toSeq
+    assert(got.toSeq.sorted == expect.sorted)
+    // the perceptual point: some same-group brightness variants pair up...
+    assert(got.exists(_._4 == 1L), "no planted variant pair found")
+    // ...while their payloads are byte-distinct (exact dedup would miss them)
+    val md5s = MultimodalOps.mediaMeta(media).select("fp_md5").as[String].collect()
+    assert(md5s.distinct.length == md5s.length)
+  }
 }

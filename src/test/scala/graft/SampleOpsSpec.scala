@@ -132,4 +132,28 @@ class SampleOpsSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(after.contains(inId))
   }
+
+  test("realizeMixture: temperature quotas realized as contiguous hash-ranked slices") {
+    // strata A: 9 docs, B: 4 docs -> s = 3, 2; s_sum = 5
+    // target_bp = 6000 / 4000; total = 10 -> quota A = 6, B = 4
+    val rows = (1L to 9L).map(i => (i, "A")) ++ (101L to 104L).map(i => (i, "B"))
+    val df = rows.toDF("doc_id", "lang")
+    val got = SampleOps.realizeMixture(df, "lang", "doc_id", total = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byLang = got.groupBy(_._1)
+    assert(byLang("A").length == 6 && byLang("B").length == 4)
+    // ranks contiguous from 1 within each stratum
+    assert(byLang("A").map(_._2).sorted.toSeq == (1 to 6))
+    assert(byLang("B").map(_._2).sorted.toSeq == (1 to 4))
+    // deterministic and layout-invariant
+    val again = SampleOps.realizeMixture(df.repartition(7), "lang", "doc_id", total = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+    // the winners are exactly the quota smallest id-hashes per stratum
+    val hashes = df.select(col("doc_id"),
+        graft.functions.StableHash.hash60(col("doc_id").cast("string")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val expectA = (1L to 9L).sortBy(id => (hashes(id), id)).take(6).toSet
+    assert(byLang("A").map(_._3).toSet == expectA)
+  }
 }

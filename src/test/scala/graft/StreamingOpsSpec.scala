@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.EventOps
-import graft.streaming.{AsofMatch, ExtremaDelta, ExtremaRow, StreamEvent, StreamIdEvent, StreamingOps}
+import graft.streaming.{AsofMatch, ExtremaDelta, ExtremaRow, PhashItem, PhashPairRow, StreamEvent, StreamIdEvent, StreamingOps}
 
 class StreamingOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -692,6 +692,32 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamView == batchView, s"stream $streamView vs batch $batchView")
       assert(streamView("a") == ((None, Some(90000L))))
       assert(streamView("b") == ((Some(50000L), Some(50000L))))
+    } finally q.stop()
+  }
+
+  test("phashPairsStream: emitted pairs match batch phashPairs over the streamed corpus") {
+    import graft.operators.{MediaRow, MultimodalOps}
+    val docs = (0 until 24).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val media = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(docs))
+    val decoded = MultimodalOps.phashBands(media.as[MediaRow])
+      .collect().map(p => PhashItem(p.media_id, p.bands))
+    // split mid-corpus so cross-batch pairs exercise the seen-set state
+    val (b1, b2) = decoded.sortBy(_.media_id).splitAt(10)
+    val input = MemoryStream[PhashItem]
+    val q = StreamingOps.phashPairsStream(input.toDS())
+      .writeStream.format("memory").queryName("phashpairs").outputMode("update").start()
+    try {
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.toSeq)
+      q.processAllAvailable()
+      // multi-band collisions emit once per band: distinct is the dedup
+      val streamed = spark.table("phashpairs")
+        .as[PhashPairRow].collect().map(p => (p.id_a, p.id_b, p.hamming)).toSet
+      val batch = MultimodalOps.phashPairs(media, maxBucket = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+      assert(streamed.nonEmpty)
     } finally q.stop()
   }
 }

@@ -483,4 +483,41 @@ class TextOpsSpec extends SparkSpec {
     // a clamped ratio is always within [1, 100000]
     assert(got.values.flatten.forall(v => v >= 1L && v <= 100000L))
   }
+
+  test("kneserNeyScore: hand-computed interpolated KN with D=3/4") {
+    // corpus bigrams: "a b":2, "b a":1, "a c":1 -> T=3
+    // n1(a)=3, n1(b)=1; N1r(a)=2, N1r(b)=1; N1l(a)=1, N1l(b)=1, N1l(c)=1
+    // KN(a b) = ((8-3)*3 + 3*2*1) / (4*3*3) = 21/36 -> 5833 bp
+    // KN(b a) = ((4-3)*3 + 3*1*1) / (4*1*3) =  6/12 -> 5000 bp
+    // KN(a c) = ((4-3)*3 + 3*2*1) / (4*3*3) =  9/36 -> 2500 bp
+    val got = TextOps.kneserNeyScore(docs((0L, "a b a b"), (1L, "a c")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == ((3L, (5833L + 5000L + 5833L) / 3)))
+    assert(got(1L) == ((1L, 2500L)))
+  }
+
+  test("kneserNeyScore: docs with fewer than 2 tokens produce no row") {
+    val got = TextOps.kneserNeyScore(docs((0L, "a b"), (1L, "solo"), (2L, "")))
+    assert(got.select("doc_id").as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("qualityFusion: ranks, Borda sum, and percentile on a hand fixture") {
+    val d = Seq(
+      // source s1: doc 0 dominates every signal; docs 1 and 2 tie on all
+      (0L, "alpha beta gamma delta", "s1"),
+      (1L, "alpha betaa", "s1"), // 11 chars, 2 tokens — ties doc 2 on all
+      (2L, "gamma delta", "s1"), // 11 chars, 2 tokens
+      // source s2: a single doc is rank 1 everywhere by definition
+      (3L, "x", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.qualityFusion(d)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got(0L) == ((1L, 1L, 1L, 3L, 10000L)))
+    // ties share the competition rank (2), so borda=6 for both, and both
+    // sit at percentile (3-1)*10000/3 = 6666
+    assert(got(1L) == ((2L, 2L, 2L, 6L, 6666L)))
+    assert(got(2L) == ((2L, 2L, 2L, 6L, 6666L)))
+    assert(got(3L) == ((1L, 1L, 1L, 3L, 10000L)))
+  }
 }
