@@ -599,9 +599,14 @@ object TextOps {
       explode(shingles(tokens(col(textCol)), 2)).as("bg"))
     val wPrefix = Window.partitionBy(expr("split(bg, ' ')[0]"))
     val wSuffix = Window.partitionBy(expr("split(bg, ' ')[1]"))
+    // both prefix statistics in ONE select so they share a single Window
+    // node (chained withColumn interposes Projects that block
+    // CollapseWindow — plan-audited: two exchanges over the bigram table,
+    // not three)
     val table = bg.groupBy(col("bg")).agg(count(lit(1)).as("n12"))
-      .withColumn("n1", sum(col("n12")).over(wPrefix))
-      .withColumn("n1r", count(lit(1)).over(wPrefix))
+      .select(col("bg"), col("n12"),
+        sum(col("n12")).over(wPrefix).as("n1"),
+        count(lit(1)).over(wPrefix).as("n1r"))
       .withColumn("n1l", count(lit(1)).over(wSuffix))
     val tTot = table.agg(count(lit(1)).as("t_types"))
     val scored = table.crossJoin(broadcast(tTot))
@@ -636,6 +641,25 @@ object TextOps {
     * which the oracle uses directly), so no per-doc total order is ever
     * materialized.
     *
+    * Plan discipline: the signal table is built in ONE corpus pass and
+    * persisted; the three rank histograms and the Borda histogram are
+    * derived from the cache, collected driver-side (they are
+    * distinct-value-sized — the same boundedness that makes them
+    * broadcastable), and the cache is released before the lazy result is
+    * returned ([[graft.Local]]'s no-leak rule). The returned plan is one
+    * fresh corpus scan broadcast-joined to four local literal tables —
+    * two corpus scans end to end, where the naive lazy composition
+    * re-derives the tokenize-and-aggregate subtree seven times.
+    *
+    * Boundedness caveat: the collected histograms are DISTINCT-VALUE
+    * sized, not corpus sized — integer token/char counts concentrate on
+    * ≲10⁵ distinct values at any corpus scale, the same argument that
+    * makes them broadcastable. A corpus engineered so every doc is
+    * distinct in every signal degrades the Borda histogram toward n rows;
+    * the production guard is signal quantization (log-bucket the counts
+    * before ranking), which this declared query skips only to keep the
+    * oracle comparison on raw values.
+    *
     * Output: (source, doc_id, r_tokens, r_distinct, r_chars, borda,
     * pct_bp), pct_bp = share of same-source docs not strictly better, in
     * bp (best doc = 10000), ordered by (source, doc_id).
@@ -644,33 +668,41 @@ object TextOps {
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(col(textCol))
-    val sig = docs.select(col("source"), col(idCol),
+    def signals(df: DataFrame): DataFrame = df.select(col("source"), col(idCol),
       size(toks).cast("long").as("n_tok"),
       size(array_distinct(toks)).cast("long").as("n_div"),
       length(col(textCol)).cast("long").as("n_chars"))
-    // competition rank of signal c (desc) from its (source, value) histogram
+    val sig = signals(docs).persist()
+    // competition rank of signal c (desc) from its (source, value)
+    // histogram — value-bounded, collected as a local literal table
     def rankOf(c: String, rankName: String): DataFrame = {
       val w = Window.partitionBy(col("source")).orderBy(col(c).desc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      sig.groupBy(col("source"), col(c)).agg(count(lit(1)).as("n"))
-        .withColumn(rankName, (coalesce(sum(col("n")).over(w), lit(0L)) + 1))
-        .drop("n")
+      graft.Local.localized(
+        sig.groupBy(col("source"), col(c)).agg(count(lit(1)).as("n"))
+          .withColumn(rankName, (coalesce(sum(col("n")).over(w), lit(0L)) + 1))
+          .drop("n"))
     }
-    val fused = sig
-      .join(broadcast(rankOf("n_tok", "r_tokens")), Seq("source", "n_tok"))
-      .join(broadcast(rankOf("n_div", "r_distinct")), Seq("source", "n_div"))
-      .join(broadcast(rankOf("n_chars", "r_chars")), Seq("source", "n_chars"))
+    val (rTok, rDiv, rChars) =
+      (rankOf("n_tok", "r_tokens"), rankOf("n_div", "r_distinct"),
+        rankOf("n_chars", "r_chars"))
+    def fuse(s: DataFrame): DataFrame = s
+      .join(broadcast(rTok), Seq("source", "n_tok"))
+      .join(broadcast(rDiv), Seq("source", "n_div"))
+      .join(broadcast(rChars), Seq("source", "n_chars"))
       .withColumn("borda", col("r_tokens") + col("r_distinct") + col("r_chars"))
     // calibrate: percentile of the fused rank, again via histogram (asc)
     val wB = Window.partitionBy(col("source")).orderBy(col("borda"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bordaHist = fused.groupBy(col("source"), col("borda"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("better_cnt", coalesce(sum(col("n")).over(wB), lit(0L)))
-      .withColumn("n_src",
-        sum(col("n")).over(Window.partitionBy(col("source"))))
-      .drop("n")
-    fused.join(broadcast(bordaHist), Seq("source", "borda"))
+    val bordaHist = graft.Local.localized(
+      fuse(sig).groupBy(col("source"), col("borda"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("better_cnt", coalesce(sum(col("n")).over(wB), lit(0L)))
+        .withColumn("n_src",
+          sum(col("n")).over(Window.partitionBy(col("source"))))
+        .drop("n"))
+    sig.unpersist(blocking = false)
+    fuse(signals(docs)).join(broadcast(bordaHist), Seq("source", "borda"))
       .select(col("source"), col(idCol),
         col("r_tokens"), col("r_distinct"), col("r_chars"), col("borda"),
         expr("(n_src - better_cnt) * 10000 div n_src").as("pct_bp"))
