@@ -1434,6 +1434,14 @@ object SparkEntry {
     "q_media_phash" -> ((s, dir) =>
       MultimodalOps.phashPairs(
         MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents"))))),
+    // Content-defined chunking storage dedup (rsync/FastCDC shape): cut
+    // payloads at rolling-hash boundaries in a real per-byte executor
+    // loop, then report chunk hashes held by >= 2 media items — the
+    // byte-level, format-agnostic leg of the dedup family. Planted
+    // verbatim/suffixed replicas share chunks without any alignment step.
+    "q_media_cdc" -> ((s, dir) =>
+      MultimodalOps.cdcDuplicateChunks(
+        MultimodalOps.asMedia(DedupOps.plantedCorpus(t(s, dir, "documents"))))),
 
     // --- Time-series / events (north star; EventOps) --------------------
 
@@ -3773,6 +3781,32 @@ object SparkEntry {
         "SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming, " +
         "CAST(id_a // 4 = id_b // 4 AS BIGINT) AS same_src " +
         "FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b"),
+    // mirrors MultimodalOps.cdcChunks + cdcDuplicateChunks on the planted
+    // dedup corpus: the oracle replays the rolling 4-byte window hash
+    // (b0*27+b1*9+b2*3+b3 ≡ 0 mod 32, interior cuts only) over the SAME
+    // ASCII payload text, segments via lead(), and md5s each chunk — the
+    // Spark side runs the real per-byte chunker on the binary.
+    "q_media_cdc" ->
+      (s"WITH m AS ($duckCorpus), " +
+        "d AS (SELECT doc_id, text, length(text) AS n FROM m), " +
+        "bpos AS (SELECT doc_id, text, n, unnest(range(4, n + 1)) AS p FROM d), " +
+        "cut0 AS (SELECT doc_id, p FROM bpos WHERE p < n AND " +
+        "(ascii(substring(text, p-3, 1))*27 + ascii(substring(text, p-2, 1))*9 " +
+        "+ ascii(substring(text, p-1, 1))*3 + ascii(substring(text, p, 1))) % 32 = 0), " +
+        "cuts AS (SELECT doc_id, text, 0 AS cut FROM d " +
+        "UNION ALL SELECT c.doc_id, d.text, c.p AS cut FROM cut0 c JOIN d ON c.doc_id = d.doc_id " +
+        "UNION ALL SELECT doc_id, text, n AS cut FROM d), " +
+        "seg AS (SELECT doc_id, text, cut AS s, lead(cut) OVER " +
+        "(PARTITION BY doc_id ORDER BY cut) AS e FROM cuts), " +
+        "ch AS (SELECT doc_id, e - s AS len, " +
+        "md5(substring(text, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS chunk_md5 " +
+        "FROM seg WHERE e IS NOT NULL) " +
+        "SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_media, " +
+        "CAST(count(*) AS BIGINT) AS n_occ, " +
+        "CAST(min(len) AS BIGINT) AS chunk_bytes, " +
+        "CAST((count(*) - 1) * min(len) AS BIGINT) AS saved_bytes " +
+        "FROM ch GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2 " +
+        "ORDER BY chunk_md5"),
     // DuckDB has native ASOF JOIN — the right side is pre-deduped per
     // (user, ts) to the max event_id, matching AsofOps' tie-break.
     "q_asof_join" ->

@@ -21,6 +21,11 @@ case class MediaFeatures(
   * extremes over the raw interleaved-RGB pixel block — every value parsed
   * back out of the payload bytes (see [[MultimodalOps.decodePixels]]).
   */
+/** One content-defined chunk of a binary payload ([[MultimodalOps.cdcChunks]]):
+  * byte range [start, start+len) and its content hash.
+  */
+case class MediaChunk(media_id: Long, chunk_idx: Long, start: Long, len: Long, chunk_md5: String)
+
 /** REAL perceptual-hash decode output of [[MultimodalOps.phashBands]]: the
   * `grid`-cell average-hash of the planted bitmap, emitted as `grid` band
   * bytes (band k holds bits k*grid .. k*grid+grid-1) so Hamming-LSH banding
@@ -527,5 +532,75 @@ object MultimodalOps {
       .withColumn("same_src",
         expr(s"CAST(id_a div $groupSize = id_b div $groupSize AS BIGINT)"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Content-defined chunking — the rsync/casync/FastCDC storage-dedup
+    * primitive, byte-level and format-agnostic where every other dedup op
+    * here is token- or pixel-level: cut each payload wherever the rolling
+    * 4-byte window hash `b₀·27 + b₁·9 + b₂·3 + b₃ ≡ 0 (mod modulus)`, so
+    * cut points are a pure function of LOCAL content. That makes the
+    * chunking self-synchronizing: insert or flip bytes anywhere and every
+    * chunk outside the edited window keeps its identity (spec-pinned),
+    * which is why identical spans in DIFFERENT payloads — a shared header,
+    * a quoted block, a re-encoded copy — hash to identical chunks without
+    * any alignment step. Expected chunk length ≈ `modulus` bytes.
+    *
+    * Executor shape: one sequential pass per payload in the typed
+    * `mapPartitions` batch path (the digest instance is per-partition
+    * state, reset per chunk — the same decoder-state discipline as
+    * [[decodePixels]]); emits (media_id, chunk_idx, start, len, md5).
+    * No shuffle until the consumer aggregates chunk hashes.
+    */
+  def cdcChunks(media: Dataset[MediaRow], modulus: Int = 32): Dataset[MediaChunk] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val b = r.payload
+        if (b.length == 0) Iterator.empty
+        else {
+          val cuts = collection.mutable.ArrayBuffer[Int](0)
+          var p = 3
+          while (p < b.length) {
+            val h = (b(p - 3) & 0xff) * 27 + (b(p - 2) & 0xff) * 9 +
+              (b(p - 1) & 0xff) * 3 + (b(p) & 0xff)
+            if (h % modulus == 0 && p + 1 < b.length) cuts += p + 1
+            p += 1
+          }
+          cuts += b.length
+          cuts.iterator.sliding(2).zipWithIndex.map { case (Seq(s, e), i) =>
+            md.reset()
+            val hex = md.digest(java.util.Arrays.copyOfRange(b, s, e))
+              .map("%02x".format(_)).mkString
+            MediaChunk(r.media_id, i.toLong, s.toLong, (e - s).toLong, hex)
+          }
+        }
+      }
+    }
+  }
+
+  /** Cross-payload duplicate-chunk report over [[cdcChunks]] — the
+    * storage-dedup ledger: every chunk hash held by ≥ 2 distinct media
+    * items, with its occurrence count and the bytes a content-addressed
+    * store would save by keeping one copy. One hash aggregation over the
+    * chunk stream (map-side combined, keyed by the 32-hex hash — uniform,
+    * skew-free by construction); at 100 TB this is exactly the dedup
+    * estimation pass a backup/lakehouse system runs, and the chunk table
+    * itself is the content-addressed index.
+    *
+    * Output: (chunk_md5, n_media, n_occ, chunk_bytes, saved_bytes)
+    * ordered by hash.
+    */
+  def cdcDuplicateChunks(media: DataFrame, modulus: Int = 32): DataFrame = {
+    import media.sparkSession.implicits._
+    cdcChunks(media.as[MediaRow], modulus).toDF()
+      .groupBy(col("chunk_md5"))
+      .agg(
+        countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_occ"),
+        min(col("len")).as("chunk_bytes"))
+      .filter(col("n_media") >= 2)
+      .withColumn("saved_bytes", (col("n_occ") - 1) * col("chunk_bytes"))
+      .orderBy(col("chunk_md5"))
   }
 }

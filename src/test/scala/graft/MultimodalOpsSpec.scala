@@ -192,6 +192,69 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got != base, "corrupting a sampled pixel must move the hash")
   }
 
+  // --- content-defined chunking ---------------------------------------
+
+  /** Replay of cdcChunks' boundary rule on raw bytes. */
+  private def replayCuts(b: Array[Byte], modulus: Int = 32): Seq[Int] = {
+    val cuts = collection.mutable.ArrayBuffer[Int](0)
+    for (p <- 3 until b.length) {
+      val h = (b(p - 3) & 0xff) * 27 + (b(p - 2) & 0xff) * 9 +
+        (b(p - 1) & 0xff) * 3 + (b(p) & 0xff)
+      if (h % modulus == 0 && p + 1 < b.length) cuts += p + 1
+    }
+    cuts += b.length
+    cuts.toSeq
+  }
+
+  test("cdcChunks: chunks partition the payload at the replayed rolling-hash cuts") {
+    val payload = ("the fast key order sort table scan merge part window " * 4).getBytes("UTF-8")
+    val got = MultimodalOps.cdcChunks(Seq(MediaRow(1L, "image", payload)).toDS())
+      .collect().sortBy(_.chunk_idx)
+    val cuts = replayCuts(payload)
+    assert(got.length == cuts.length - 1)
+    assert(got.map(_.start.toInt).toSeq == cuts.init)
+    assert(got.map(c => (c.start + c.len).toInt).toSeq == cuts.tail)
+    // hashes really are the chunk bytes' md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { c =>
+      md.reset()
+      val hex = md.digest(java.util.Arrays.copyOfRange(
+        payload, c.start.toInt, (c.start + c.len).toInt)).map("%02x".format(_)).mkString
+      assert(c.chunk_md5 == hex)
+    }
+  }
+
+  test("cdcChunks: self-synchronizing — a one-byte edit only disturbs local chunks") {
+    val payload = ("spark merge join order batch stream window dup hash scan " * 8).getBytes("UTF-8")
+    val edited = payload.clone(); edited(payload.length / 2) = 'Z'.toByte
+    val a = MultimodalOps.cdcChunks(Seq(MediaRow(1L, "image", payload)).toDS())
+      .collect().map(_.chunk_md5).toSet
+    val b = MultimodalOps.cdcChunks(Seq(MediaRow(1L, "image", edited)).toDS())
+      .collect().map(_.chunk_md5).toSet
+    assert(a != b, "the edit must move at least one chunk hash")
+    // chunks outside the edited window re-synchronize: most hashes survive
+    assert((a intersect b).size * 2 > a.size, s"lost ${a.size - (a intersect b).size} of ${a.size}")
+  }
+
+  test("cdcDuplicateChunks: a verbatim replica shares every chunk; report counts it") {
+    val base = ("the quick brown fox jumps over the lazy dog again and again " * 5).getBytes("UTF-8")
+    val media = Seq(
+      MediaRow(1L, "image", base),
+      MediaRow(2L, "image", base.clone()),              // byte-identical copy
+      MediaRow(3L, "image", "entirely different content with no shared spans at all".getBytes))
+      .toDF("media_id", "kind", "payload")
+    val dup = MultimodalOps.cdcDuplicateChunks(media).collect()
+    val baseChunks = MultimodalOps.cdcChunks(Seq(MediaRow(1L, "image", base)).toDS()).collect()
+    // every distinct chunk hash of the copied payload is reported, all with
+    // n_media = 2 (doc 3 shares nothing); occurrence bytes cover both copies
+    assert(dup.length == baseChunks.map(_.chunk_md5).distinct.length)
+    assert(dup.forall(_.getAs[Long]("n_media") == 2L))
+    assert(dup.map(r => r.getAs[Long]("n_occ") * r.getAs[Long]("chunk_bytes")).sum
+      == 2L * base.length)
+    // at least one full copy's worth of bytes is deduplicable
+    assert(dup.map(_.getAs[Long]("saved_bytes")).sum >= base.length.toLong)
+  }
+
   test("phashPairs: equals brute-force Hamming pairs; brightness variants found, md5 misses them") {
     val media = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(phashDocs(24)))
     val got = MultimodalOps.phashPairs(media, maxBucket = 0)
