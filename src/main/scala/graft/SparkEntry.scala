@@ -1161,6 +1161,16 @@ object SparkEntry {
     // Top-3 terms per doc by integer-exact tf-idf weighting.
     "q_text_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"))),
+    // HTML -> text extraction (the web-corpus first step): strip planted
+    // markup, decode entities innermost-first, collapse whitespace; the
+    // md5 witnesses byte-identical extraction cross-engine.
+    "q_text_extract" -> ((s, dir) =>
+      TextOps.htmlExtract(t(s, dir, "documents"))),
+    // CCNet head/middle/tail perplexity terciles per language: competition
+    // rank from the (lang, score) histogram — deterministic integer cut,
+    // never a float quantile or a per-lang row window.
+    "q_ccnet_buckets" -> ((s, dir) =>
+      TextOps.perplexityBuckets(t(s, dir, "documents"))),
     // Context-window packing: 40-token chunks every 30 tokens.
     "q_text_chunks" -> ((s, dir) =>
       TextOps.chunkDocs(t(s, dir, "documents"), width = 40, stride = 30)),
@@ -2438,6 +2448,41 @@ object SparkEntry {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
         "CAST(sum(s) // count(*) AS BIGINT) AS avg_surprisal_bp " +
         "FROM b JOIN s USING (bg) GROUP BY doc_id ORDER BY doc_id"),
+    // mirrors TextOps.perplexityBuckets: lmSurprisal's per-doc score
+    // carried with lang, tercile cut by competition rank (SQL rank(),
+    // which the histogram-rank computes exactly)
+    "q_ccnet_buckets" ->
+      (s"WITH tok AS (SELECT doc_id, lang, unnest($duckToks) AS tok FROM documents), " +
+        "v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok), " +
+        "n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM v), " +
+        "sp AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum((n_total * 10000) // cnt) // count(*) AS BIGINT) AS surprisal_bp " +
+        "FROM tok JOIN v USING (tok) CROSS JOIN n GROUP BY doc_id, lang), " +
+        "r AS (SELECT *, CAST(rank() OVER (PARTITION BY lang ORDER BY surprisal_bp) " +
+        "AS BIGINT) AS rnk, CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) " +
+        "AS n_lang FROM sp) " +
+        "SELECT lang, doc_id, n_tokens, surprisal_bp, " +
+        "CASE WHEN rnk * 3 <= n_lang THEN 'head' " +
+        "WHEN rnk * 3 <= n_lang * 2 THEN 'middle' ELSE 'tail' END AS bucket " +
+        "FROM r ORDER BY lang, doc_id"),
+    // mirrors TextOps.plantHtml + htmlExtract: identical wrapper rebuilt
+    // from (id, text); strip tags ('g' flag — Spark's regexp_replace is
+    // global by default), decode entities innermost-first, collapse
+    // whitespace, md5 the result
+    "q_text_extract" ->
+      ("WITH h AS (SELECT doc_id, '<html><head><title>doc ' || doc_id || " +
+        "'</title></head><body><h1>Doc ' || doc_id || '</h1><p>' || " +
+        "replace(text, ' merge ', ' <b>merge</b> ') || " +
+        "'</p><footer>copy &amp; share &lt;freely&gt;</footer></body></html>' " +
+        "AS html FROM documents), " +
+        "s AS (SELECT doc_id, html, " +
+        "regexp_replace(html, '<[^>]*>', ' ', 'g') AS stripped FROM h), " +
+        "c AS (SELECT doc_id, html, trim(regexp_replace(" +
+        "replace(replace(replace(stripped, '&lt;', '<'), '&gt;', '>'), '&amp;', '&'), " +
+        "'\\s+', ' ', 'g')) AS clean FROM s) " +
+        "SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len, " +
+        "CAST(length(html) - length(replace(html, '<', '')) AS BIGINT) AS n_tags, " +
+        "md5(clean) AS clean_md5 FROM c ORDER BY doc_id"),
     // mirrors TextOps.kneserNeyScore: interpolated KN with D=3/4, the
     // exact rational carried in HUGEINT (Spark: decimal(38,0)) floored
     // to bp; n1r/n1l are distinct-follower/predecessor counts off the

@@ -480,16 +480,22 @@ object MultimodalOps {
     *    `DedupOps.DefaultMaxBucket` discipline, mirrored in the oracle) —
     *    at 100 TB a flat-color band byte (0 or 255) is the hot key, and
     *    the cap bounds pairing at Σ_kept |ds|²/2 per band;
-    *  - GROWTH LAW — the band-key space is `grid · 2^grid` (grid=8:
-    *    2,048 buckets), so mean bucket size grows LINEARLY with corpus
-    *    size and uncapped pairing quadratically; the cap turns that into
-    *    a CONSTANT ≤ grid·2^grid·cap²/2 pairing bound, trading recall on
-    *    overflowed (near-flat, boilerplate-image) buckets exactly like
-    *    `jaccardPairs`' boilerplate regime. The scale knob is `grid`
-    *    itself: grid=16 is the 256-bit hash in 16 bands of 16 bits —
-    *    1.05 M buckets, the Manku-style multi-index sizing for
-    *    billion-image corpora — with the same code path and guarantee
-    *    (maxDist < grid);
+    *  - GROWTH LAW (measured, graft.tools.PhashScaleCheck + SKEW_scale.txt)
+    *    — the band-key space is FIXED at `grid · 2^grid` (grid=8: 2,048
+    *    buckets), so occupancy grows linearly with the corpus and uncapped
+    *    pairing quadratically: 6.7 M → 677 M → 67.7 B candidates at
+    *    1×/10×/100× of sf0.1 (×100.4 per ×10 — exactly quadratic; a probe
+    *    that expanded the ×10 uncapped pairs for real OOM'd the JVM). The
+    *    cap turns that into a constant ≤ grid·2^grid·cap²/2 bound —
+    *    measured wall stays 1–2.5 s from 1× to 100× — at the price of
+    *    recall on overflowed buckets. TWO production knobs, both measured:
+    *    `grid` (grid=16 → 16 bands × 2^16 = 1.05 M buckets, the
+    *    Manku-style multi-index sizing, same code path and guarantee), and
+    *    — the one that actually mattered at ×100 — EXACT-DEDUP FIRST:
+    *    collapse identical hashes to one representative before banding
+    *    (the ×100 corpus is exact-dup-saturated; representatives shrink
+    *    the pairing universe 500× and restore in-cap occupancy,
+    *    hottest bucket 60,640 → 139);
     *  - candidates verify with popcount-of-XOR folded over the band
     *    arrays (`zip_with` + `aggregate`, codegen'd — both hashes ride in
     *    the bucket array, no join back).

@@ -709,6 +709,51 @@ object TextOps {
       .orderBy(col("source"), col(idCol))
   }
 
+  /** Plant deterministic HTML around each document — title/head, heading,
+    * paragraph, inline `<b>` markup on a content word, and a footer with
+    * planted character entities — so [[htmlExtract]] demonstrates REAL
+    * markup stripping on markup that genuinely exists in the value. Both
+    * engines rebuild the identical wrapper from (id, text).
+    */
+  def plantHtml(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), concat(
+      lit("<html><head><title>doc "), col(idCol),
+      lit("</title></head><body><h1>Doc "), col(idCol), lit("</h1><p>"),
+      expr(s"replace($textCol, ' merge ', ' <b>merge</b> ')"),
+      lit("</p><footer>copy &amp; share &lt;freely&gt;</footer></body></html>"))
+      .as("html"))
+
+  /** HTML→text extraction — the first step of every web-corpus pipeline
+    * (the trafilatura/jusText slot): strip tags, THEN decode character
+    * entities (the order matters — decoding first would turn planted
+    * `&lt;` content into something the tag regex eats), then collapse
+    * whitespace. Tag stripping is one codegen'd `regexp_replace`
+    * (`<[^>]*>` — RE2/Java-identical), entity decode is a chain of plain
+    * `replace`, innermost-first so `&amp;lt;` can never double-decode.
+    * Deliberately not DOM-aware (title text survives, scripts would too);
+    * the output contract is "visible character stream", which is what
+    * dedup/quality scoring downstream want.
+    *
+    * Output: (idCol, clean_len, n_tags, clean_md5) — the md5 is the
+    * cross-engine witness that the extracted STRING is byte-identical,
+    * not just same-length. Pure per-row expressions: scan-side, no
+    * shuffle except the final order.
+    */
+  def htmlExtract(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    plantHtml(docs, idCol, textCol)
+      .withColumn("stripped", regexp_replace(col("html"), "<[^>]*>", " "))
+      .withColumn("clean", trim(regexp_replace(
+        expr("replace(replace(replace(stripped, '&lt;', '<'), '&gt;', '>'), '&amp;', '&')"),
+        "\\s+", " ")))
+      .select(col(idCol),
+        length(col("clean")).cast("long").as("clean_len"),
+        (length(col("html")) - length(expr("replace(html, '<', '')")))
+          .cast("long").as("n_tags"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col(idCol))
+
   /** Iterative BPE tokenizer training — `nMerges` rounds of (count adjacent
     * symbol pairs, pick the most frequent, greedily merge it everywhere),
     * the full algorithm whose single recount step is [[bpePairCounts]].
@@ -1160,6 +1205,61 @@ object TextOps {
       .select(col(idCol), col("n_tokens"),
         expr("sum_s div n_tokens").as("avg_surprisal_bp"))
       .orderBy(col(idCol))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    * language's documents into head / middle / tail TERCILES by LM score —
+    * the partitioning CommonCrawl curation uses to keep the head, sample
+    * the middle, and drop the tail. The score is [[lmSurprisal]]'s
+    * integer-exact unigram surprisal (lower = more fluent, standing in
+    * for CCNet's KenLM perplexity with identical ordering semantics), and
+    * the tercile cut is by COMPETITION RANK: bucket = head iff
+    * `3·rank ≤ n_lang`, middle iff `3·rank ≤ 2·n_lang` — ties share a
+    * rank, so the rule is deterministic and engine-exact, never a float
+    * quantile.
+    *
+    * Same scale discipline as [[qualityFusion]]: the per-lang rank comes
+    * from the (lang, score) HISTOGRAM (value-bounded, collected local,
+    * broadcast back), never a per-lang row window — a one-language corpus
+    * cannot serialize into a single task. The scored table is persisted
+    * for the histogram build and released before the lazy result returns.
+    *
+    * Output: (lang, doc_id, n_tokens, surprisal_bp, bucket) ordered by
+    * (lang, doc_id); docs with no tokens have no score and no row.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def scored(df: DataFrame): DataFrame = {
+      val tok = df.select(col(idCol), col(langCol), explode(tokens(col(textCol))).as("tok"))
+      val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val n = vocab.agg(sum(col("cnt")).as("n_total"))
+      tok
+        .join(broadcast(vocab), "tok")
+        .crossJoin(broadcast(n))
+        .select(col(idCol), col(langCol), expr("(n_total * 10000) div cnt").as("s"))
+        .groupBy(col(idCol), col(langCol))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("sum_s"))
+        .select(col(idCol), col(langCol), col("n_tokens"),
+          expr("sum_s div n_tokens").as("surprisal_bp"))
+    }
+    val sp = scored(docs).persist()
+    val w = Window.partitionBy(col(langCol)).orderBy(col("surprisal_bp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = graft.Local.localized(
+      sp.groupBy(col(langCol), col("surprisal_bp")).agg(count(lit(1)).as("n"))
+        .withColumn("rnk", coalesce(sum(col("n")).over(w), lit(0L)) + 1)
+        .withColumn("n_lang", sum(col("n")).over(Window.partitionBy(col(langCol))))
+        .drop("n"))
+    sp.unpersist(blocking = false)
+    scored(docs).join(broadcast(hist), Seq(langCol, "surprisal_bp"))
+      .withColumn("bucket",
+        when(col("rnk") * 3 <= col("n_lang"), "head")
+          .when(col("rnk") * 3 <= col("n_lang") * 2, "middle")
+          .otherwise("tail"))
+      .select(col(langCol), col(idCol), col("n_tokens"),
+        col("surprisal_bp"), col("bucket"))
+      .orderBy(col(langCol), col(idCol))
   }
 
   /** Per-source scorecard — the aggregation a curation pipeline uses to

@@ -484,6 +484,36 @@ class TextOpsSpec extends SparkSpec {
     assert(got.values.flatten.forall(v => v >= 1L && v <= 100000L))
   }
 
+  test("htmlExtract: strips tags, decodes entities innermost-first, collapses whitespace") {
+    val got = TextOps.htmlExtract(docs((7L, "alpha merge beta"))).head()
+    val clean = "doc 7 Doc 7 alpha merge beta copy & share <freely>"
+    assert(got.getAs[Long]("clean_len") == clean.length.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.getAs[String]("clean_md5") == hex)
+    // html/head/title + body/h1 + p + the inline b + footer = 16 tags
+    assert(got.getAs[Long]("n_tags") == 16L)
+  }
+
+  test("perplexityBuckets: per-lang terciles by competition rank; ties share a bucket") {
+    val d = Seq(
+      // lang en: 6 docs with strictly increasing rare-token share
+      (1L, "c c c c c c", "en"), (2L, "c c c c c r1", "en"),
+      (3L, "c c c c r2 r3", "en"), (4L, "c c c r4 r5 r6", "en"),
+      (5L, "c c r7 r8 r9 r10", "en"), (6L, "c r11 r12 r13 r14 r15", "en"),
+      // lang xx: 3 byte-identical docs -> all share rank 1 -> all head
+      (10L, "same same", "xx"), (11L, "same same", "xx"), (12L, "same same", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.perplexityBuckets(d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getString(4)))
+    val en = got.filter(_._1 == "en").sortBy(_._3)
+    assert(en.map(_._4).toSeq == Seq("head", "head", "middle", "middle", "tail", "tail"))
+    // scores really are monotone with the planted rare-token share
+    assert(en.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val xx = got.filter(_._1 == "xx")
+    assert(xx.length == 3 && xx.forall(_._4 == "head"))
+  }
+
   test("kneserNeyScore: hand-computed interpolated KN with D=3/4") {
     // corpus bigrams: "a b":2, "b a":1, "a c":1 -> T=3
     // n1(a)=3, n1(b)=1; N1r(a)=2, N1r(b)=1; N1l(a)=1, N1l(b)=1, N1l(c)=1
