@@ -1103,6 +1103,11 @@ object SparkEntry {
     // order via a two-level (shard, in-shard) prefix sum.
     "q_pack_sequences" -> ((s, dir) =>
       TextOps.packSequences(t(s, dir, "documents"), budget = 512)),
+    // Curriculum packing: the same two-level prefix-sum packer in
+    // (quality desc, id) order — best documents fill the first context
+    // windows, realized without a global sort.
+    "q_pack_curriculum" -> ((s, dir) =>
+      TextOps.packCurriculum(t(s, dir, "documents"), budget = 512)),
     // Packing on the POST-BPE token budget — the composition an actual
     // batch assembler runs: trained-tokenizer counts (q_bpe_encode) feed
     // the two-level prefix-sum packer. Whitespace counts over-estimate
@@ -1212,6 +1217,11 @@ object SparkEntry {
     // EXACT-substring spans: maximal verbatim repeated runs >= 20 tokens
     // with exact boundaries — the span you cut, vs q_dedup_spans' sampled
     // "share >= 2 fingerprints" signal. Finds each planted 60-token splice.
+    // The edit pass over the span table: strike every repeated span's
+    // non-canonical (higher-id) occurrences from the token stream and
+    // md5 the surviving text — the step that actually rewrites the corpus.
+    "q_dedup_strike" -> ((s, dir) =>
+      DedupOps.substringStrike(DedupOps.plantedSpliceCorpus(t(s, dir, "documents")))),
     "q_dedup_substring" -> ((s, dir) =>
       DedupOps.exactSubstringSpans(DedupOps.plantedSpliceCorpus(t(s, dir, "documents")))),
     // Asymmetric n-gram CONTAINMENT: the quote/excerpt detector — a planted
@@ -1452,6 +1462,16 @@ object SparkEntry {
     "q_media_cdc" -> ((s, dir) =>
       MultimodalOps.cdcDuplicateChunks(
         MultimodalOps.asMedia(DedupOps.plantedCorpus(t(s, dir, "documents"))))),
+    // Media dedup end-to-end: phash pairs closed into connected
+    // components (large-star/small-star, O(log n) rounds) — the media
+    // mirror of the text pipeline's pairs -> clusters step; min id per
+    // component is the canonical representative.
+    "q_media_clusters" -> ((s, dir) =>
+      DedupOps.dedupClusters(
+        MultimodalOps.phashPairs(
+          MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents"))))
+          .select(col("id_a"), col("id_b")))
+        .withColumnRenamed("doc_id", "media_id")),
 
     // --- Time-series / events (north star; EventOps) --------------------
 
@@ -1989,6 +2009,43 @@ object SparkEntry {
   }
 
   /** DuckDB CTE body matching [[DedupOps.plantedCorpus]]. */
+  /** DuckDB CTE chain mirroring MultimodalOps.plantPhashCorpus +
+    * phashBands + phashPairs: generative pixel formula → 8x8 aHash via
+    * nearest-neighbor sampling and the strict-mean bit rule → byte-band
+    * LSH with the bucket-64 cap → popcount-of-XOR Hamming verify. Ends in
+    * `pp` = the verified pair set (id_a < id_b, hamming ≤ 6) — shared by
+    * q_media_phash and the q_media_clusters closure.
+    */
+  private val duckPhashCtes =
+    "m AS (SELECT doc_id AS media_id, doc_id // 4 AS grp, " +
+      "(doc_id % 4) * 9 AS shift FROM documents), " +
+      "d AS (SELECT media_id, grp, shift, (grp*3+2)%9+2 AS w, " +
+      "(grp*5+1)%7+2 AS h FROM m), " +
+      "cells AS (SELECT media_id, grp, shift, w, h, " +
+      "unnest(range(0, 64)) AS j FROM d), " +
+      "gray AS (SELECT media_id, j, " +
+      "(grp*31 + ((((j//8)*h//8)*w + (j%8)*w//8)*3 + 0)*7 + shift) % 256 " +
+      "+ (grp*31 + ((((j//8)*h//8)*w + (j%8)*w//8)*3 + 1)*7 + shift) % 256 " +
+      "+ (grp*31 + ((((j//8)*h//8)*w + (j%8)*w//8)*3 + 2)*7 + shift) % 256 AS g " +
+      "FROM cells), " +
+      "tot AS (SELECT media_id, sum(g) AS total FROM gray GROUP BY media_id), " +
+      "bands AS (SELECT gray.media_id, j // 8 AS k, " +
+      "sum(CASE WHEN 64 * g > total THEN 1 << (j % 8) ELSE 0 END) AS bval " +
+      "FROM gray JOIN tot ON gray.media_id = tot.media_id GROUP BY 1, 2), " +
+      "bsize AS (SELECT k, bval, count(*) AS n FROM bands GROUP BY 1, 2), " +
+      "kept AS (SELECT b.* FROM bands b JOIN bsize s ON b.k = s.k " +
+      "AND b.bval = s.bval WHERE s.n > 1 AND s.n <= 64), " +
+      "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b " +
+      "FROM kept a JOIN kept b ON a.k = b.k AND a.bval = b.bval " +
+      "AND a.media_id < b.media_id), " +
+      "ham AS (SELECT c.id_a, c.id_b, " +
+      "sum(bit_count(xor(x.bval, y.bval))) AS hamming FROM cand c " +
+      "JOIN bands x ON x.media_id = c.id_a " +
+      "JOIN bands y ON y.media_id = c.id_b AND y.k = x.k " +
+      "GROUP BY c.id_a, c.id_b), " +
+      "pp AS (SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming " +
+      "FROM ham WHERE hamming <= 6)"
+
   private val duckCorpus =
     "SELECT doc_id, text FROM documents " +
       "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0 " +
@@ -2007,6 +2064,33 @@ object SparkEntry {
       "list_transform(range(1, 6), i -> 'zqb' || pid || 'x' || i), ' ') AS text " +
       s"FROM (SELECT doc_id AS pid, $duckToks AS t FROM documents WHERE doc_id % 10 = 7) " +
       "WHERE len(t) >= 63"
+
+  /** DuckDB CTE chain mirroring DedupOps.exactSubstringSpans over the
+    * splice corpus: 20-gram positional hashes, occurrence-capped postings,
+    * cross-doc pairing, diagonal run coalescing. Ends in `s` = the
+    * maximal-span table (id_a, id_b, pos_a, pos_b, span_len), and keeps
+    * `t` (doc_id, token list) in scope — shared by q_dedup_substring and
+    * the q_dedup_strike edit pass.
+    */
+  private val duckSubstringCtes =
+    s"corpus AS ($duckSpliceCorpus), " +
+      s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
+      "gr AS (SELECT doc_id, " +
+      "unnest(range(1, greatest(len(t) - 18, 1))) AS pos, " +
+      "unnest(list_transform(range(1, greatest(len(t) - 18, 1)), " +
+      "i -> array_to_string(t[i:i+19], ' '))) AS g FROM t), " +
+      s"gh AS (SELECT doc_id, pos, ${StableHash.hash60Sql("g")} AS gh FROM gr), " +
+      "ok AS (SELECT gh FROM gh GROUP BY gh " +
+      s"HAVING count(*) > 1 AND count(*) <= ${DedupOps.DefaultMaxBucket}), " +
+      "m AS (SELECT a.doc_id AS id_a, a.pos AS pos_a, " +
+      "b.doc_id AS id_b, b.pos AS pos_b " +
+      "FROM gh a JOIN gh b ON a.gh = b.gh AND a.doc_id < b.doc_id " +
+      "JOIN ok ON ok.gh = a.gh), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b, " +
+      "pos_a - pos_b ORDER BY pos_a) AS rn FROM m), " +
+      "s AS (SELECT id_a, id_b, min(pos_a) AS pos_a, min(pos_b) AS pos_b, " +
+      "CAST(count(*) + 19 AS BIGINT) AS span_len " +
+      "FROM r GROUP BY id_a, id_b, pos_a - pos_b, pos_a - rn)"
 
   /** DuckDB mirror of [[graft.operators.DedupOps.plantedQuoteCorpus]]:
     * [[duckCorpus]] plus the first ⌊2n/5⌋-token prefix (min 1) of every doc
@@ -2297,6 +2381,29 @@ object SparkEntry {
         s"${TextOps.roundBpSql("ns / n")} AS stopword_bp, " +
         s"${TextOps.roundBpSql("(nd / n) * 0.5 + (ns / n) * 0.2 + least(n / 100.0, 1.0) * 0.3")} AS quality_bp " +
         "FROM f ORDER BY doc_id"
+    },
+    // mirrors TextOps.packCurriculum: the q_quality scorer feeding a
+    // running token offset in (quality desc, doc_id) order, floored into
+    // budget-512 sequences (the oracle's single global window IS the
+    // order the engine realizes with the two-level decomposition)
+    "q_pack_curriculum" -> {
+      val allStops = TextOps.langMarkers.flatMap(_._2).distinct.sorted
+      s"WITH d AS (SELECT doc_id, $duckToks AS t FROM documents), " +
+        "f AS (SELECT doc_id, len(t)::DOUBLE AS n, " +
+        "len(list_distinct(t))::DOUBLE AS nd, " +
+        s"len(list_filter(t, x -> x IN (${duckInList(allStops)})))::DOUBLE AS ns " +
+        "FROM d WHERE len(t) > 0), " +
+        "q AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, " +
+        s"${TextOps.roundBpSql("(nd / n) * 0.5 + (ns / n) * 0.2 + least(n / 100.0, 1.0) * 0.3")} AS quality_bp " +
+        "FROM f), " +
+        "p AS (SELECT *, coalesce(sum(n_tokens) OVER (ORDER BY quality_bp DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM q), " +
+        "s AS (SELECT *, CAST(before // 512 AS BIGINT) AS seq_id FROM p) " +
+        "SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(max(quality_bp) AS BIGINT) AS max_quality_bp, " +
+        "CAST(min(quality_bp) AS BIGINT) AS min_quality_bp " +
+        "FROM s GROUP BY seq_id ORDER BY seq_id"
     },
     // mirrors q_quality_linreg: HUGEINT normal-equation moments, the same
     // Cramer cofactor strings as the Spark plan, weights as exact
@@ -3090,26 +3197,27 @@ object SparkEntry {
     // capped at 64 OCCURRENCES, cross-doc matches coalesced to maximal
     // spans per (pair, diagonal) via gaps-and-islands (pos_a - rn)
     "q_dedup_substring" ->
-      (s"WITH corpus AS ($duckSpliceCorpus), " +
-        s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
-        "gr AS (SELECT doc_id, " +
-        "unnest(range(1, greatest(len(t) - 18, 1))) AS pos, " +
-        "unnest(list_transform(range(1, greatest(len(t) - 18, 1)), " +
-        "i -> array_to_string(t[i:i+19], ' '))) AS g FROM t), " +
-        s"gh AS (SELECT doc_id, pos, ${StableHash.hash60Sql("g")} AS gh FROM gr), " +
-        "ok AS (SELECT gh FROM gh GROUP BY gh " +
-        s"HAVING count(*) > 1 AND count(*) <= ${DedupOps.DefaultMaxBucket}), " +
-        "m AS (SELECT a.doc_id AS id_a, a.pos AS pos_a, " +
-        "b.doc_id AS id_b, b.pos AS pos_b " +
-        "FROM gh a JOIN gh b ON a.gh = b.gh AND a.doc_id < b.doc_id " +
-        "JOIN ok ON ok.gh = a.gh), " +
-        "r AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b, " +
-        "pos_a - pos_b ORDER BY pos_a) AS rn FROM m), " +
-        "s AS (SELECT id_a, id_b, min(pos_a) AS pos_a, min(pos_b) AS pos_b, " +
-        "CAST(count(*) + 19 AS BIGINT) AS span_len " +
-        "FROM r GROUP BY id_a, id_b, pos_a - pos_b, pos_a - rn) " +
+      (s"WITH $duckSubstringCtes " +
         "SELECT id_a, id_b, pos_a, pos_b, span_len FROM s " +
         "ORDER BY id_a, id_b, pos_a, pos_b"),
+    // mirrors DedupOps.substringStrike: the same span CTE, strike
+    // positions exploded from the higher-id side, tokens anti-joined,
+    // survivors reassembled in order and md5'd
+    "q_dedup_strike" ->
+      (s"WITH $duckSubstringCtes, " +
+        "st AS (SELECT DISTINCT id_b AS doc_id, " +
+        "unnest(range(pos_b, pos_b + span_len)) AS pos FROM s), " +
+        "tp AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, " +
+        "unnest(t) AS tok FROM t), " +
+        "kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp " +
+        "LEFT JOIN st ON tp.doc_id = st.doc_id AND tp.pos = st.pos " +
+        "WHERE st.pos IS NULL), " +
+        "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(tok, ' ' ORDER BY pos) AS clean FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, " +
+        "CAST(len(t.t) - coalesce(ag.n_kept, 0) AS BIGINT) AS n_struck, " +
+        "md5(coalesce(ag.clean, '')) AS clean_md5 " +
+        "FROM t LEFT JOIN ag ON t.doc_id = ag.doc_id ORDER BY t.doc_id"),
     // mirrors SimOps.knnGraph: same coarse assignment as q_sim_ivf, then a
     // within-cell self-join ranked per source vector
     "q_knn_graph" ->
@@ -3797,35 +3905,21 @@ object SparkEntry {
     // (bucket cap 64 mirrored), and popcount-of-XOR verify; the Spark
     // side only ever reads the planted binary.
     "q_media_phash" ->
-      ("WITH m AS (SELECT doc_id AS media_id, doc_id // 4 AS grp, " +
-        "(doc_id % 4) * 9 AS shift FROM documents), " +
-        "d AS (SELECT media_id, grp, shift, (grp*3+2)%9+2 AS w, " +
-        "(grp*5+1)%7+2 AS h FROM m), " +
-        "cells AS (SELECT media_id, grp, shift, w, h, " +
-        "unnest(range(0, 64)) AS j FROM d), " +
-        "gray AS (SELECT media_id, j, " +
-        "(grp*31 + ((((j//8)*h//8)*w + (j%8)*w//8)*3 + 0)*7 + shift) % 256 " +
-        "+ (grp*31 + ((((j//8)*h//8)*w + (j%8)*w//8)*3 + 1)*7 + shift) % 256 " +
-        "+ (grp*31 + ((((j//8)*h//8)*w + (j%8)*w//8)*3 + 2)*7 + shift) % 256 AS g " +
-        "FROM cells), " +
-        "tot AS (SELECT media_id, sum(g) AS total FROM gray GROUP BY media_id), " +
-        "bands AS (SELECT gray.media_id, j // 8 AS k, " +
-        "sum(CASE WHEN 64 * g > total THEN 1 << (j % 8) ELSE 0 END) AS bval " +
-        "FROM gray JOIN tot ON gray.media_id = tot.media_id GROUP BY 1, 2), " +
-        "bsize AS (SELECT k, bval, count(*) AS n FROM bands GROUP BY 1, 2), " +
-        "kept AS (SELECT b.* FROM bands b JOIN bsize s ON b.k = s.k " +
-        "AND b.bval = s.bval WHERE s.n > 1 AND s.n <= 64), " +
-        "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b " +
-        "FROM kept a JOIN kept b ON a.k = b.k AND a.bval = b.bval " +
-        "AND a.media_id < b.media_id), " +
-        "ham AS (SELECT c.id_a, c.id_b, " +
-        "sum(bit_count(xor(x.bval, y.bval))) AS hamming FROM cand c " +
-        "JOIN bands x ON x.media_id = c.id_a " +
-        "JOIN bands y ON y.media_id = c.id_b AND y.k = x.k " +
-        "GROUP BY c.id_a, c.id_b) " +
-        "SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming, " +
+      (s"WITH $duckPhashCtes " +
+        "SELECT id_a, id_b, hamming, " +
         "CAST(id_a // 4 = id_b // 4 AS BIGINT) AS same_src " +
-        "FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b"),
+        "FROM pp ORDER BY id_a, id_b"),
+    // mirrors q_media_clusters: the same phash pair CTE closed under the
+    // recursive min-label reachability (the q_dedup_clusters pattern)
+    "q_media_clusters" ->
+      (s"WITH RECURSIVE $duckPhashCtes, " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM pp " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM pp), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM e), " +
+        "reach AS (SELECT id, id AS lab FROM nodes " +
+        "UNION SELECT e.src AS id, reach.lab FROM e JOIN reach ON e.dst = reach.id) " +
+        "SELECT id AS media_id, min(lab) AS cluster_id FROM reach " +
+        "GROUP BY id ORDER BY media_id"),
     // mirrors MultimodalOps.cdcChunks + cdcDuplicateChunks on the planted
     // dedup corpus: the oracle replays the rolling 4-byte window hash
     // (b0*27+b1*9+b2*3+b3 ≡ 0 mod 32, interior cuts only) over the SAME

@@ -539,6 +539,56 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"))
   }
 
+  /** The strike-out pass over [[exactSubstringSpans]] — the step that
+    * actually EDITS the corpus (Lee et al. 2022's dedup policy): keep
+    * every repeated span's minimum-id copy and remove the tokens of every
+    * other occurrence. A doc's strike set is the union of `[pos_b,
+    * pos_b+span_len)` over all spans where it is the HIGHER-id side;
+    * overlapping strikes from different partners merge by position
+    * distinctness, surviving tokens reassemble in order, and the output
+    * md5 witnesses the edited text byte-for-byte cross-engine.
+    *
+    * Shape: spans are doc-bounded (the [[DefaultMaxBucket]]-capped
+    * pairing), the strike positions explode from spans (span-volume, not
+    * corpus-volume), the kept set is one LEFT ANTI join of the token
+    * stream against them, and reassembly is a sort_array over per-doc
+    * collected (pos, tok) structs — per-doc-sized arrays, never a window
+    * over the corpus. Docs with every token struck emit the empty-string
+    * md5, never a missing row.
+    *
+    * Output: (idCol, n_tokens, n_struck, clean_md5) ordered by doc id.
+    */
+  def substringStrike(
+      corpus: DataFrame,
+      gramLen: Int = 20,
+      maxOcc: Int = DefaultMaxBucket,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = exactSubstringSpans(corpus, gramLen, maxOcc, idCol, textCol)
+    val struckPos = spans
+      .select(col("id_b").as(idCol),
+        explode(sequence(col("pos_b"), col("pos_b") + col("span_len") - 1)).as("pos"))
+      .distinct()
+    val toks = corpus.select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
+    val pos = toks
+      .select(col(idCol), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val kept = pos
+      .join(struckPos, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok")), " ").as("clean"))
+    toks
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_struck"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+      .orderBy(col(idCol))
+  }
+
   /** Connected components over near-dup pairs — the final dedup step: pairs
     * say who matches whom, clusters say what to DROP (keep the minimum id
     * per component, drop the rest).

@@ -1415,6 +1415,60 @@ object TextOps {
       .orderBy(col(idCol))
   }
 
+  /** Curriculum packing — [[packCounts]]' two-level prefix-sum packer
+    * applied in QUALITY order instead of id order: documents fill context
+    * windows best-first ((quality_bp desc, doc_id) — the easy→hard
+    * ordering curriculum training reads), so early sequences carry the
+    * corpus's highest-quality text and the tail sequences its worst.
+    *
+    * The global order is realized WITHOUT a global sort: the running
+    * token offset decomposes as (tokens of strictly better quality
+    * values) + (tokens of same quality in earlier id-shards) + (tokens of
+    * same quality, same shard, smaller id). Level 1 cumulates the
+    * (quality → tokens) histogram — value-bounded, one broadcast; level 2
+    * cumulates per-(quality, shard) totals within each quality — windowed
+    * over the shard histogram, never rows; level 3 is a window over at
+    * most `shardSize` same-(quality, shard) rows. Same discipline as
+    * [[packCounts]], one extra broadcast.
+    *
+    * Output per packed sequence: (seq_id, n_docs, n_tokens,
+    * max_quality_bp, min_quality_bp) — the quality envelope is the
+    * curriculum's monotonicity witness (spec-pinned: max of seq k+1 never
+    * exceeds min of seq k by more than a boundary doc).
+    */
+  def packCurriculum(docs: DataFrame, budget: Long, shardSize: Long = 1000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = qualityScore(docs, idCol, textCol)
+      .select(col(idCol), col("quality_bp"), col("n_tokens"),
+        expr(s"$idCol div $shardSize").as("shard"))
+    val wQ = Window.orderBy(col("quality_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val qOff = perDoc.groupBy(col("quality_bp"))
+      .agg(sum(col("n_tokens")).as("q_tokens"))
+      .withColumn("q_off", coalesce(sum(col("q_tokens")).over(wQ), lit(0L)))
+      .select(col("quality_bp"), col("q_off"))
+    val wQS = Window.partitionBy(col("quality_bp")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val qsOff = perDoc.groupBy(col("quality_bp"), col("shard"))
+      .agg(sum(col("n_tokens")).as("qs_tokens"))
+      .withColumn("qs_off", coalesce(sum(col("qs_tokens")).over(wQS), lit(0L)))
+      .select(col("quality_bp"), col("shard"), col("qs_off"))
+    val wIn = Window.partitionBy(col("quality_bp"), col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDoc
+      .join(broadcast(qOff), "quality_bp")
+      .join(broadcast(qsOff), Seq("quality_bp", "shard"))
+      .withColumn("before", col("q_off") + col("qs_off") +
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .withColumn("seq_id", expr(s"before div $budget"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        max(col("quality_bp")).as("max_quality_bp"),
+        min(col("quality_bp")).as("min_quality_bp"))
+      .orderBy(col("seq_id"))
+  }
+
   /** DSIR-style importance scores for data selection (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"): score
     * every document by how much more likely its hashed-bigram features are

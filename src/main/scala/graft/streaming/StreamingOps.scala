@@ -190,6 +190,26 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming content-addressed ingest — the streaming twin of
+    * `MultimodalOps.cdcDuplicateChunks`' batch ledger, run at write time:
+    * arriving payloads are cut by the SAME rolling-hash chunker
+    * (`MultimodalOps.cdcChunks`, a typed per-partition pass that works
+    * identically on a stream), and `dropDuplicates` on the chunk hash
+    * admits only first-seen chunks — exactly what a dedup store writes;
+    * suppressed rows ARE the storage savings. Unlike [[dedupIngest]]
+    * there is deliberately no watermark expiry: the seen-hash state is
+    * the store's content index, bounded by DISTINCT content, not by
+    * arrival volume (a production system backs it with the store's own
+    * key lookup or a Bloom pre-filter; the state-store shape here is the
+    * same). Batch parity: emitted hashes equal the batch distinct chunk
+    * set of everything streamed — spec-pinned, with a byte-identical
+    * replica contributing zero rows.
+    */
+  def cdcIngestStream(
+      media: Dataset[graft.operators.MediaRow], modulus: Int = 32): DataFrame =
+    graft.operators.MultimodalOps.cdcChunks(media, modulus).toDF()
+      .dropDuplicates("chunk_md5")
+
   /** Watermarked stream-stream interval self-join: view → purchase
     * conversions within `withinSec` — the streaming twin of
     * `RangeJoinOps.withinWindowPairs`. The time-bound join condition plus

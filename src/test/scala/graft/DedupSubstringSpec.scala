@@ -105,4 +105,33 @@ class DedupSubstringSpec extends SparkSpec {
     // splice run = parent tokens 4..63, landing at splice position 11
     assert(got == Seq((7L, 400007L, 4L, 11L, 60L), (27L, 400027L, 4L, 11L, 60L)))
   }
+
+  test("substringStrike: the splice doc loses exactly the span; the parent keeps everything") {
+    val parent = (1 to 70).map(i => s"p7w$i")
+    val base = docs((7L, parent.mkString(" ")))
+    val got = DedupOps.substringStrike(DedupOps.plantedSpliceCorpus(base))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the parent (lower id) is canonical: nothing struck, text intact
+    assert(got(7L) == ((70L, 0L, md5(parent.mkString(" ")))))
+    // the splice doc: 10 filler + span(60) + 5 filler; tokens 11..70 struck
+    val fill = (1 to 10).map(i => s"zqa7x$i") ++ (1 to 5).map(i => s"zqb7x$i")
+    assert(got(400007L) == ((75L, 60L, md5(fill.mkString(" ")))))
+  }
+
+  test("substringStrike: overlapping strikes from two partners merge by position") {
+    // doc 30 embeds run tokens 1..40 at pos 1 via partner 10, and run
+    // tokens 21..60 at pos 21 via partner 20 — the union strikes 1..60
+    val d10 = (run.slice(0, 40) ++ (1 to 20).map(i => s"x$i")).mkString(" ")
+    val d20 = ((1 to 20).map(i => s"y$i") ++ run.slice(20, 60)).mkString(" ")
+    val d30 = (run ++ (1 to 20).map(i => s"z$i")).mkString(" ")
+    val got = DedupOps.substringStrike(docs((10L, d10), (20L, d20), (30L, d30)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 10 is globally canonical; doc 20 loses the exactly-20-token
+    // overlap it shares with doc 10 (run tokens 21..40)
+    assert(got(10L)._2 == 0L)
+    assert(got(20L) == ((60L, 20L)))
+    assert(got(30L) == ((80L, 60L)))
+  }
 }

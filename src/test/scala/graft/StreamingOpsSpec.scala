@@ -695,6 +695,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcIngestStream: only first-seen chunks admitted; a replica adds zero rows") {
+    import graft.operators.{MediaRow, MultimodalOps}
+    val a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).getBytes("UTF-8")
+    val b = ("one two three four five six seven eight nine ten eleven " * 6).getBytes("UTF-8")
+    val input = MemoryStream[MediaRow]
+    val q = StreamingOps.cdcIngestStream(input.toDS())
+      .writeStream.format("memory").queryName("cdcingest").outputMode("append").start()
+    try {
+      input.addData(MediaRow(1L, "image", a))
+      q.processAllAvailable()
+      val afterA = spark.table("cdcingest").collect()
+      val distinctA = MultimodalOps.cdcChunks(Seq(MediaRow(1L, "image", a)).toDS())
+        .collect().map(_.chunk_md5).distinct.toSet
+      assert(afterA.map(_.getAs[String]("chunk_md5")).toSet == distinctA)
+      // batch 2: a byte-identical replica plus new content
+      input.addData(MediaRow(2L, "image", a.clone()), MediaRow(3L, "image", b))
+      q.processAllAvailable()
+      val all = spark.table("cdcingest").collect()
+      val distinctB = MultimodalOps.cdcChunks(Seq(MediaRow(3L, "image", b)).toDS())
+        .collect().map(_.chunk_md5).distinct.toSet
+      assert(all.map(_.getAs[String]("chunk_md5")).toSet == distinctA ++ distinctB)
+      // the replica's chunks were all suppressed: no row carries media_id 2
+      assert(!all.exists(_.getAs[Long]("media_id") == 2L))
+    } finally q.stop()
+  }
+
   test("phashPairsStream: emitted pairs match batch phashPairs over the streamed corpus") {
     import graft.operators.{MediaRow, MultimodalOps}
     val docs = (0 until 24).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")

@@ -495,6 +495,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got.getAs[Long]("n_tags") == 16L)
   }
 
+  test("packCurriculum: equals the quality-ordered replay; envelope monotone") {
+    val d = docs((1 to 30).map(i =>
+      (i.toLong, ((1 to (i % 7 + 2)).map(j => s"w$j") ++ Seq.fill(i % 3)("the")).mkString(" "))): _*)
+    val budget = 12L
+    val got = TextOps.packCurriculum(d, budget = budget, shardSize = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // direct replay of the declared order: (quality desc, id), running sum
+    val scored = TextOps.qualityScore(d)
+      .select("doc_id", "n_tokens", "quality_bp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, _, q) => (-q, id) }
+    var before = 0L
+    val expect = scored.map { case (id, n, q) =>
+      val seq = before / budget; before += n; (seq, n, q)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (seq, rows) =>
+      (seq, rows.length.toLong, rows.map(_._2).sum, rows.map(_._3).max, rows.map(_._3).min)
+    }
+    assert(got.toSeq == expect)
+    // curriculum monotonicity: a later sequence never holds better text
+    got.sliding(2).foreach { case Array(a, b) => assert(b._4 <= a._5) case _ => }
+  }
+
   test("perplexityBuckets: per-lang terciles by competition rank; ties share a bucket") {
     val d = Seq(
       // lang en: 6 docs with strictly increasing rare-token share
