@@ -1320,6 +1320,13 @@ object SparkEntry {
       SimOps.ivfTopK(t(s, dir, "embeddings"),
         queryPred = col("vec_id") < 5,
         centroidPred = col("vec_id").between(100, 115))),
+    // Embedding drift monitor: both snapshot halves (vec_id parity) are
+    // assigned to the same fixed IVF cells; per-cell occupancy shares in
+    // bp and their delta are the new-crawl alert surface.
+    "q_embed_drift" -> ((s, dir) =>
+      SimOps.cellDrift(t(s, dir, "embeddings"),
+        oldPred = pmod(col("vec_id"), lit(2)) === 0,
+        centroidPred = col("vec_id").between(100, 115))),
     // IVF with the sampled centroids Lloyd-refined first (one integer-exact
     // assign+average round) — the production coarse quantizer.
     "q_sim_ivf_kmeans" -> ((s, dir) =>
@@ -2974,6 +2981,27 @@ object SparkEntry {
         "FROM r WHERE rn = 1 ORDER BY a_doc_id"),
     "q_sim_topk" -> s"WITH $duckSimCtes $duckTopKSelect",
     "q_sim_lsh" -> s"WITH $duckLshCtes $duckTopKSelect",
+    // mirrors SimOps.cellDrift: same nearest-cell assignment as q_sim_ivf,
+    // parity split, per-cell shares in bp with a 1-row totals cross join
+    "q_embed_drift" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 100 AND 115), " +
+        "cs AS (SELECT n.vec_id, c.c_id, " +
+        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n CROSS JOIN c), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
+        "f AS (SELECT c_id, CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_old " +
+        "FROM rk WHERE crn = 1), " +
+        "g AS (SELECT c_id, CAST(sum(is_old) AS BIGINT) AS n_old, " +
+        "CAST(sum(1 - is_old) AS BIGINT) AS n_new FROM f GROUP BY c_id), " +
+        "t AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old, " +
+        "CAST(sum(n_new) AS BIGINT) AS t_new FROM g) " +
+        "SELECT c_id AS cell_id, n_old, n_new, " +
+        "CAST(n_old * 10000 // t_old AS BIGINT) AS share_old_bp, " +
+        "CAST(n_new * 10000 // t_new AS BIGINT) AS share_new_bp, " +
+        "CAST(n_new * 10000 // t_new - n_old * 10000 // t_old AS BIGINT) AS delta_bp " +
+        "FROM g CROSS JOIN t ORDER BY cell_id"),
     "q_sim_ivf" ->
       ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
         "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +

@@ -389,6 +389,47 @@ object SimOps {
       .orderBy(col("id_a"), col("rank"))
   }
 
+  /** Embedding distribution drift between two corpus snapshots — the
+    * monitor a production pipeline runs when a new crawl lands: assign
+    * BOTH snapshots to the same fixed IVF cells and compare per-cell
+    * occupancy shares. A cell whose share moved is where the new data
+    * differs (topic shift, new boilerplate, pipeline bug); the per-cell
+    * deltas are the alert surface. Shares are integer bp
+    * (`n·10⁴ div total` per side), so the drift report is engine-exact
+    * even though the assignment cosine is float (the same
+    * element-order-deterministic `vec_dot` vs `list_dot_product`
+    * equivalence every IVF query relies on).
+    *
+    * Shape: one cell assignment pass (broadcast centroids, per-row argmax
+    * over ≤ nlist cells — the [[knnGraph]] discipline, cells ∝ corpus at
+    * scale), one cell-sized aggregation, totals as a 1-row broadcast.
+    * Output: (cell_id, n_old, n_new, share_old_bp, share_new_bp,
+    * delta_bp) ordered by cell.
+    */
+  def cellDrift(
+      emb: DataFrame,
+      oldPred: Column,
+      centroidPred: Column,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val n = normalized(emb, idCol, embCol)
+    val cents = n.filter(centroidPred)
+      .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val counts = cellRank(n, cents, idCol)
+      .filter(col("crn") === 1)
+      .withColumn("is_old", oldPred.cast("long"))
+      .groupBy(col("c_id"))
+      .agg(sum(col("is_old")).as("n_old"),
+        sum(lit(1L) - col("is_old")).as("n_new"))
+    val totals = counts.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("c_id").as("cell_id"), col("n_old"), col("n_new"),
+        expr("n_old * 10000 div t_old").as("share_old_bp"),
+        expr("n_new * 10000 div t_new").as("share_new_bp"),
+        expr("n_new * 10000 div t_new - n_old * 10000 div t_old").as("delta_bp"))
+      .orderBy(col("cell_id"))
+  }
+
   /** `embeddings` plus planted exact-duplicate vectors (every 100th vec_id,
     * id + 100000) — the embedding analog of [[DedupOps.plantedCorpus]], so
     * the near-dup query demonstrably finds known duplicates.

@@ -448,4 +448,22 @@ class SimOpsSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSeq
     assert(got == Seq((0L, 7, 3L)))
   }
+
+  test("cellDrift: planted topic shift shows as an occupancy delta") {
+    // centroids 100 (x-axis) and 101 (y-axis); OLD snapshot (even ids)
+    // lives near x, NEW (odd ids) mostly near y — the drift
+    val df = emb(
+      (100L, Seq(1f, 0f), 0), (101L, Seq(0f, 1f), 0),  // centroids (even/odd!)
+      (0L, Seq(0.9f, 0.1f), 0), (2L, Seq(0.8f, 0.2f), 0), (4L, Seq(0.95f, 0f), 0),
+      (1L, Seq(0.1f, 0.9f), 0), (3L, Seq(0f, 0.8f), 0), (5L, Seq(0.2f, 0.9f), 0))
+    val got = SimOps.cellDrift(df,
+      oldPred = pmod(col("vec_id"), lit(2)) === 0,
+      centroidPred = col("vec_id").isin(100L, 101L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // cell 100: olds 0,2,4 + centroid 100 itself (even) = 4 old, 0 new
+    // cell 101: news 1,3,5 + centroid 101 (odd) = 0 old, 4 new
+    assert(got(100L) == ((4L, 0L, 10000L, 0L, -10000L)))
+    assert(got(101L) == ((0L, 4L, 0L, 10000L, 10000L)))
+  }
 }
