@@ -1484,6 +1484,11 @@ object SparkEntry {
 
     "q_events_hourly" -> ((s, dir) =>
       EventOps.tumblingAgg(t(s, dir, "events"), "hour")),
+    // Hour-of-day seasonal baseline: per (type, hour 0-23) counts, share
+    // of the type's traffic, mean value, and deviation from the type
+    // mean — all integer ratios of bp-exact sums, one event pass.
+    "q_events_seasonal" -> ((s, dir) =>
+      EventOps.seasonalProfile(t(s, dir, "events"))),
     // Gap-filled hourly grid: generated (type x hour) spine left-joined to
     // the aggregate — zeros where no event landed, raw table never rescanned.
     "q_events_gapfill" -> ((s, dir) =>
@@ -3994,6 +3999,20 @@ object SparkEntry {
         "AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000 " +
         "WHERE l.event_type = 'view' AND r.event_type = 'purchase' " +
         "ORDER BY l_event_id, r_event_id"),
+    // mirrors EventOps.seasonalProfile: bp-quantized per-event values,
+    // per-type totals as windows over the 24-row-per-type aggregate
+    "q_events_seasonal" ->
+      (s"WITH a AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, " +
+        "CAST(count(*) AS BIGINT) AS n_events, " +
+        s"CAST(sum(${TextOps.roundBpSql("value")}) AS BIGINT) AS v_bp " +
+        "FROM events GROUP BY event_type, hour(ts)), " +
+        "w AS (SELECT *, CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS t_events, " +
+        "CAST(sum(v_bp) OVER (PARTITION BY event_type) AS BIGINT) AS t_vbp FROM a) " +
+        "SELECT event_type, hour, n_events, " +
+        "CAST(n_events * 10000 // t_events AS BIGINT) AS share_bp, " +
+        "CAST(v_bp // n_events AS BIGINT) AS mean_bp, " +
+        "CAST(v_bp // n_events - t_vbp // t_events AS BIGINT) AS dev_bp " +
+        "FROM w ORDER BY event_type, hour"),
     "q_events_hourly" ->
       ("SELECT date_trunc('hour', ts) AS bucket, event_type, " +
         "CAST(count(*) AS BIGINT) AS n_events, " +

@@ -166,6 +166,33 @@ object EventOps {
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
       .agg(sum(TextOps.roundBp(col("value"))).as("v_bp"))
 
+  /** Hour-of-day seasonal profile — the baseline a telemetry pipeline
+    * compares live traffic against: per (event_type, hour-of-day 0–23),
+    * the event count, the hour's share of the type's events, the mean
+    * value, and the mean's deviation from the type's overall mean. Values
+    * quantize to bp per event before summing ([[hourlySums]]' rule), so
+    * every output is an integer ratio of exact sums — engine-identical.
+    *
+    * Shape: one event pass into a ≤ 24·|types| hash aggregate; the
+    * per-type totals are windows OVER THAT AGGREGATE (24 rows per
+    * partition), never a second event pass. Output: (event_type, hour,
+    * n_events, share_bp, mean_bp, dev_bp) ordered by (type, hour).
+    */
+  def seasonalProfile(events: DataFrame): DataFrame = {
+    val wType = Window.partitionBy(col("event_type"))
+    normalizeTs(events)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(TextOps.roundBp(col("value"))).as("v_bp"))
+      .withColumn("t_events", sum(col("n_events")).over(wType))
+      .withColumn("t_vbp", sum(col("v_bp")).over(wType))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        expr("n_events * 10000 div t_events").as("share_bp"),
+        expr("v_bp div n_events").as("mean_bp"),
+        expr("v_bp div n_events - t_vbp div t_events").as("dev_bp"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** [[ewmaHourly]]'s grid + decay half, computed from a maintained
     * [[hourlySums]] table instead of raw events. The spine span and type
     * set derive from the hourly table itself (`date_trunc` is monotonic,

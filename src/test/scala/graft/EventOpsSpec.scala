@@ -300,4 +300,22 @@ class EventOpsSpec extends SparkSpec {
     // b's hours 10 and 11 are zero rows, present in the denominator
     assert(b12._4 == 30000L * 128 && b12._5 == 128L + 64L + 32L)
   }
+
+  test("seasonalProfile: hand-computed shares, means, and deviations") {
+    val df = ev(
+      (1L, ms("10:05"), "click", 1.0), (2L, ms("10:40"), "click", 3.0),
+      (3L, ms("11:10"), "click", 2.0),
+      (4L, ms("10:20"), "view", 5.0))
+    val got = EventOps.seasonalProfile(df)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // click: hour 10 = 2 of 3 events (6666 bp), mean (10000+30000)/2 = 20000
+    //        type mean = 60000/3 = 20000 -> dev 0
+    assert(got(("click", 10L)) == ((2L, 6666L, 20000L, 0L)))
+    // click hour 11: 1 of 3 (3333 bp), mean 20000, dev 0
+    assert(got(("click", 11L)) == ((1L, 3333L, 20000L, 0L)))
+    // view: single hour holds 100% of its type
+    assert(got(("view", 10L)) == ((1L, 10000L, 50000L, 0L)))
+    assert(got.size == 3)
+  }
 }
