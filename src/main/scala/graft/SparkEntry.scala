@@ -1320,6 +1320,11 @@ object SparkEntry {
       SimOps.ivfTopK(t(s, dir, "embeddings"),
         queryPred = col("vec_id") < 5,
         centroidPred = col("vec_id").between(100, 115))),
+    // Per-class embedding prototypes: (label, dim) integer-exact mean
+    // components via the bp-quantize-then-average rule — the
+    // class-centroid audit of embedding quality.
+    "q_embed_prototypes" -> ((s, dir) =>
+      SimOps.classPrototypes(t(s, dir, "embeddings"))),
     // Embedding drift monitor: both snapshot halves (vec_id parity) are
     // assigned to the same fixed IVF cells; per-cell occupancy shares in
     // bp and their delta are the new-crawl alert surface.
@@ -1484,6 +1489,11 @@ object SparkEntry {
 
     "q_events_hourly" -> ((s, dir) =>
       EventOps.tumblingAgg(t(s, dir, "events"), "hour")),
+    // Language-ID confusion matrix: langId's ladder crossed against the
+    // ground-truth lang column, per-cell share of the actual row in bp
+    // (diagonal = per-class recall) — one scan, |langs|^2 aggregate.
+    "q_lang_confusion" -> ((s, dir) =>
+      TextOps.langConfusion(t(s, dir, "documents"))),
     // Hour-of-day seasonal baseline: per (type, hour 0-23) counts, share
     // of the type's traffic, mean value, and deviation from the type
     // mean — all integer ratios of bp-exact sums, one event pass.
@@ -2381,6 +2391,40 @@ object SparkEntry {
         s"SELECT doc_id, CASE $ladder ELSE 'unknown' END AS lang_pred " +
         "FROM m ORDER BY doc_id"
     },
+    // mirrors TextOps.langConfusion: the q_lang_id ladder with the actual
+    // lang carried through, matrix shares in bp
+    "q_lang_confusion" -> {
+      val scores = TextOps.langMarkers.map { case (lang, ws) =>
+        s"len(list_filter(t, x -> x IN (${duckInList(ws)}))) AS score_$lang"
+      }.mkString(", ")
+      val mx = TextOps.langMarkers.map { case (lang, _) => s"score_$lang" }
+        .mkString("greatest(", ", ", ")")
+      val ladder = TextOps.langMarkers.map { case (lang, _) =>
+        s"WHEN mx > 0 AND score_$lang = mx THEN '$lang'"
+      }.mkString(" ")
+      s"WITH d AS (SELECT lang, $duckToks AS t FROM documents), " +
+        s"sc AS (SELECT lang, $scores FROM d), " +
+        s"m AS (SELECT *, $mx AS mx FROM sc), " +
+        s"p AS (SELECT lang AS lang_actual, CASE $ladder ELSE 'unknown' END AS lang_pred FROM m), " +
+        "g AS (SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n_docs " +
+        "FROM p GROUP BY lang_actual, lang_pred), " +
+        "w AS (SELECT *, CAST(sum(n_docs) OVER (PARTITION BY lang_actual) AS BIGINT) " +
+        "AS total FROM g) " +
+        "SELECT lang_actual, lang_pred, n_docs, " +
+        "CAST(n_docs * 10000 // total AS BIGINT) AS share_bp " +
+        "FROM w ORDER BY lang_actual, lang_pred"
+    },
+    // mirrors SimOps.classPrototypes: range-indexed unnest, bp-quantized
+    // component means as integer division
+    "q_embed_prototypes" ->
+      ("WITH ex AS (SELECT CAST(label AS BIGINT) AS label, " +
+        "embedding::DOUBLE[] AS e, unnest(range(1, len(embedding) + 1)) AS dim " +
+        "FROM embeddings), " +
+        s"q AS (SELECT label, CAST(dim AS BIGINT) AS dim, " +
+        s"${TextOps.roundBpSql("e[dim]")} AS x_bp FROM ex) " +
+        "SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(floor(sum(x_bp)::DOUBLE / count(*)) AS BIGINT) AS mean_bp " +
+        "FROM q GROUP BY label, dim ORDER BY label, dim"),
     "q_quality" -> {
       val allStops = TextOps.langMarkers.flatMap(_._2).distinct.sorted
       s"WITH d AS (SELECT doc_id, $duckToks AS t FROM documents), " +

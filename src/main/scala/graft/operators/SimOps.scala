@@ -430,6 +430,35 @@ object SimOps {
       .orderBy(col("cell_id"))
   }
 
+  /** Per-class embedding prototypes — the class-centroid report an
+    * embedding-quality audit reads (collapsed classes, mislabeled
+    * clusters, dead dimensions): for every (label, dimension), the count
+    * and the integer-exact mean component, computed as
+    * `sum(roundBp(x)) div n` — the same bp-quantize-then-average rule as
+    * [[refineCentroids]], so both engines agree bit-for-bit where a float
+    * mean never would. Components are signed, so the mean floors a DOUBLE
+    * quotient rather than using integral `div`: Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors, and they disagree exactly on
+    * negative sums — `floor(sum/n)` is engine-identical because an
+    * integer-ratio double at these magnitudes (|sum| < 2^53, n·ulp < 1)
+    * can only round ONTO an integer when the ratio is that integer.
+    * One pass (posexplode to (label, dim) — a |labels|·d-bounded hash
+    * aggregate with map-side combine).
+    * Output: (label, dim, n_vecs, mean_bp) ordered by (label, dim).
+    */
+  def classPrototypes(
+      emb: DataFrame, labelCol: String = "label",
+      embCol: String = "embedding"): DataFrame =
+    emb
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(col(embCol)).as(Seq("dim0", "x")))
+      .select(col("label"), (col("dim0") + 1).cast("long").as("dim"),
+        TextOps.roundBp(col("x")).as("x_bp"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        floor(sum(col("x_bp")).cast("double") / count(lit(1))).cast("long").as("mean_bp"))
+      .orderBy(col("label"), col("dim"))
+
   /** `embeddings` plus planted exact-duplicate vectors (every 100th vec_id,
     * id + 100000) — the embedding analog of [[DedupOps.plantedCorpus]], so
     * the near-dup query demonstrably finds known duplicates.

@@ -198,6 +198,39 @@ object TextOps {
       .orderBy(col(idCol))
   }
 
+  /** Language-ID confusion matrix — the audit that belongs next to any
+    * heuristic classifier ([[langId]]): predictions crossed against the
+    * table's ground-truth `lang` label, with each cell's share of its
+    * actual-language row in bp. The prediction ladder is inlined (not a
+    * join back against [[langId]]'s output) so the whole audit is ONE
+    * corpus scan into a |langs|²-bounded aggregate; row totals are a
+    * window over that tiny matrix. Output: (lang_actual, lang_pred,
+    * n_docs, share_bp) ordered by (actual, pred) — the diagonal's
+    * share_bp is per-class recall.
+    */
+  def langConfusion(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val withScores = docs.select(
+      (col(langCol).as("lang_actual") +: langMarkers.map { case (lang, ws) =>
+        size(filter(toks, t => t.isInCollection(ws))).as(s"score_$lang")
+      }): _*)
+    val maxScore = greatest(langMarkers.map { case (lang, _) => col(s"score_$lang") }: _*)
+    val ladder = langMarkers.reverse.foldLeft(lit("unknown")) { case (els, (lang, _)) =>
+      when(maxScore > 0 && col(s"score_$lang") === maxScore, lit(lang)).otherwise(els)
+    }
+    withScores
+      .select(col("lang_actual"), ladder.as("lang_pred"))
+      .groupBy(col("lang_actual"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("total",
+        sum(col("n_docs")).over(Window.partitionBy(col("lang_actual"))))
+      .select(col("lang_actual"), col("lang_pred"), col("n_docs"),
+        expr("n_docs * 10000 div total").as("share_bp"))
+      .orderBy(col("lang_actual"), col("lang_pred"))
+  }
+
   /** Cross-engine decimal rounding to basis points (4 decimals, as BIGINT).
     *
     * Engine-native `round(double, 4)` is NOT portable: for the identical

@@ -449,6 +449,26 @@ class SimOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 7, 3L)))
   }
 
+  test("classPrototypes: bp-quantized component means; negative components floor like the oracle") {
+    val df = emb(
+      (1L, Seq(1.0f, -0.5f), 7), (2L, Seq(0.0f, -0.2f), 7),
+      (3L, Seq(0.5f, 0.5f), 8))
+    val got = SimOps.classPrototypes(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // label 7 dim 1: (10000 + 0) / 2 = 5000; dim 2: (-5000 + -2000)/2 = -3500
+    assert(got((7L, 1L)) == ((2L, 5000L)))
+    assert(got((7L, 2L)) == ((2L, -3500L)))
+    assert(got((8L, 1L)) == ((1L, 5000L)))
+    // a negative odd sum must FLOOR (DuckDB // semantics), not truncate:
+    // single vector with -0.00015 -> bp -1 (floor(-1.5+0.5)); mean -1
+    val odd = emb((9L, Seq(-0.00025f), 3), (10L, Seq(0f), 3))
+    val m = SimOps.classPrototypes(odd).collect().map(r => r.getLong(3)).head
+    assert(m == -2L || m == -1L) // floor((-2 or -3)/2) by float rendering
+    // and the exact rule: recompute expected from roundBp directly
+    val xbp = odd.select(graft.operators.TextOps.roundBp(col("embedding")(0))).as[Long].collect().sum
+    assert(m == math.floor(xbp / 2.0).toLong)
+  }
+
   test("cellDrift: planted topic shift shows as an occupancy delta") {
     // centroids 100 (x-axis) and 101 (y-axis); OLD snapshot (even ids)
     // lives near x, NEW (odd ids) mostly near y — the drift

@@ -495,6 +495,22 @@ class TextOpsSpec extends SparkSpec {
     assert(got.getAs[Long]("n_tags") == 16L)
   }
 
+  test("langConfusion: diagonal recall and off-diagonal shares, hand-checked") {
+    val d = Seq(
+      (1L, "the cat and the dog", "en"),     // predicted en
+      (2L, "to is in a the", "en"),          // predicted en
+      (3L, "zzz qqq www", "en"),             // no markers -> unknown
+      (4L, "der hund und die katze", "de"))  // predicted de
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.langConfusion(d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("en", "en")) == ((2L, 6666L)))
+    assert(got(("en", "unknown")) == ((1L, 3333L)))
+    assert(got(("de", "de")) == ((1L, 10000L)))
+    assert(got.size == 3)
+  }
+
   test("packCurriculum: equals the quality-ordered replay; envelope monotone") {
     val d = docs((1 to 30).map(i =>
       (i.toLong, ((1 to (i % 7 + 2)).map(j => s"w$j") ++ Seq.fill(i % 3)("the")).mkString(" "))): _*)
