@@ -1625,6 +1625,11 @@ object SparkEntry {
     "q_stats_corr" -> ((s, dir) =>
       StatsOps.corrByGroup(t(s, dir, "lineitem"), "l_returnflag",
         col("l_quantity"), col("l_extendedprice"))),
+    // Welch two-sample t-test (view vs purchase values): exact integer
+    // sufficient stats, shared finalize strings on both engines — the
+    // A/B readout with NULL on degenerate inputs, never a wrong statistic.
+    "q_stats_welch" -> ((s, dir) =>
+      StatsOps.welchTTest(t(s, dir, "events"))),
     // ANALYZE-style one-pass column profile: min/max/nulls/exact-distinct
     // per column via one Expand + one aggregation (the CBO-stats shape).
     "q_profile" -> ((s, dir) =>
@@ -3724,6 +3729,8 @@ object SparkEntry {
     // mirrors StatsOps.corrByGroup (bp quantization, HUGEINT moments)
     "q_stats_corr" -> StatsOps.corrByGroupSql(
       "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"),
+    // mirrors StatsOps.welchTTest — identical finalize strings
+    "q_stats_welch" -> StatsOps.welchTTestSql("events", "view", "purchase"),
     // mirrors StatsOps.profile over the four lineitem numeric columns
     "q_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

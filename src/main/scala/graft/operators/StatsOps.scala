@@ -430,6 +430,83 @@ object StatsOps {
       s"ELSE NULL END AS corr_bp FROM f ORDER BY $groupCol"
   }
 
+  /** Welch finalize fragments — ONE string each feeding both engines (the
+    * [[cofactor]] discipline): every float step is a single IEEE op over
+    * exact integer inputs or prior steps, so the chain is bit-identical
+    * wherever the expression TREE is identical — which sharing the text
+    * guarantees. `w_x` is the variance of side x's mean: the exact
+    * integer numerator n·Σv² − (Σv)² cast to double once, then two
+    * divisions (by n(n−1), then by n).
+    */
+  private[graft] val welchDm =
+    "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+      "CAST(s_a * n_b - s_b * n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) " +
+      "ELSE NULL END"
+  private[graft] def welchW(sfx: String): String =
+    s"CASE WHEN n_$sfx > 1 THEN " +
+      s"CAST(n_$sfx * s2_$sfx - s_$sfx * s_$sfx AS DOUBLE) / " +
+      s"(CAST(n_$sfx AS DOUBLE) * CAST(n_$sfx - 1 AS DOUBLE)) / CAST(n_$sfx AS DOUBLE) " +
+      "ELSE NULL END"
+  private[graft] val welchT =
+    "CASE WHEN n_a > 1 AND n_b > 1 AND w_a + w_b > 0 THEN " +
+      "CAST(floor(10000.0 * (dm / sqrt(w_a + w_b)) + 0.5) AS BIGINT) ELSE NULL END"
+  private[graft] val welchDf =
+    "CASE WHEN n_a > 1 AND n_b > 1 AND w_a * w_a + w_b * w_b > 0 THEN " +
+      "CAST(floor(10000.0 * ((w_a + w_b) * (w_a + w_b) / " +
+      "(w_a * w_a / CAST(n_a - 1 AS DOUBLE) + w_b * w_b / CAST(n_b - 1 AS DOUBLE))) " +
+      "+ 0.5) AS BIGINT) ELSE NULL END"
+
+  /** Welch's two-sample t-test — the A/B readout every event pipeline
+    * ships: does `typeA`'s mean value differ from `typeB`'s, without
+    * assuming equal variances? Sufficient statistics per side are the
+    * exact integer (n, Σv_bp, Σv_bp²) — mergeable, one partial+final
+    * aggregation over the event stream, the [[corrByGroup]] discipline —
+    * and the t statistic and Welch–Satterthwaite df finalize in doubles
+    * through the SHARED [[welchDm]]/[[welchW]]/[[welchT]]/[[welchDf]]
+    * strings, so the oracle is hash-exact. Degenerate inputs (a side with
+    * n ≤ 1, or zero variance on both) emit NULL, never a wrong statistic.
+    *
+    * Output (one row): (n_a, n_b, mean_a_bp, mean_b_bp, t_bp, df_bp).
+    */
+  def welchTTest(
+      events: DataFrame, typeA: String = "view", typeB: String = "purchase",
+      typeCol: String = "event_type", valueCol: String = "value"): DataFrame = {
+    def side(t: String, sfx: String) =
+      events.filter(col(typeCol) === t)
+        .select(TextOps.roundBp(col(valueCol)).cast("decimal(38,0)").as("v"))
+        .agg(count(lit(1)).as(s"n_$sfx"), sum(col("v")).as(s"s_$sfx"),
+          sum(col("v") * col("v")).as(s"s2_$sfx"))
+    side(typeA, "a").crossJoin(broadcast(side(typeB, "b")))
+      .withColumn("dm", expr(welchDm))
+      .withColumn("w_a", expr(welchW("a")))
+      .withColumn("w_b", expr(welchW("b")))
+      .select(
+        col("n_a"), col("n_b"),
+        expr("CASE WHEN n_a > 0 THEN CAST(s_a div n_a AS BIGINT) ELSE NULL END").as("mean_a_bp"),
+        expr("CASE WHEN n_b > 0 THEN CAST(s_b div n_b AS BIGINT) ELSE NULL END").as("mean_b_bp"),
+        expr(welchT).as("t_bp"),
+        expr(welchDf).as("df_bp"))
+  }
+
+  /** DuckDB SQL matching [[welchTTest]] on `table` — HUGEINT sufficient
+    * statistics, then the IDENTICAL finalize strings.
+    */
+  def welchTTestSql(table: String, typeA: String, typeB: String): String = {
+    val vq = TextOps.roundBpSql("value")
+    s"WITH qa AS (SELECT $vq::HUGEINT AS v FROM $table WHERE event_type = '$typeA'), " +
+      "a AS (SELECT CAST(count(*) AS BIGINT) AS n_a, sum(v) AS s_a, " +
+      "sum(v * v) AS s2_a FROM qa), " +
+      s"qb AS (SELECT $vq::HUGEINT AS v FROM $table WHERE event_type = '$typeB'), " +
+      "b AS (SELECT CAST(count(*) AS BIGINT) AS n_b, sum(v) AS s_b, " +
+      "sum(v * v) AS s2_b FROM qb), " +
+      "j AS (SELECT * FROM a CROSS JOIN b), " +
+      s"f AS (SELECT *, $welchDm AS dm, ${welchW("a")} AS w_a, ${welchW("b")} AS w_b FROM j) " +
+      "SELECT n_a, n_b, " +
+      "CASE WHEN n_a > 0 THEN CAST(s_a // n_a AS BIGINT) ELSE NULL END AS mean_a_bp, " +
+      "CASE WHEN n_b > 0 THEN CAST(s_b // n_b AS BIGINT) ELSE NULL END AS mean_b_bp, " +
+      s"$welchT AS t_bp, $welchDf AS df_bp FROM f"
+  }
+
   /** Cofactor expansion of a 3x3 determinant over named SQL columns — the
     * SAME string feeds Spark (decimal(38,0) operands) and DuckDB (HUGEINT
     * operands), so the two engines evaluate a structurally identical

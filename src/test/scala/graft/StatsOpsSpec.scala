@@ -191,4 +191,27 @@ class StatsOpsSpec extends SparkSpec {
       .as[(String, String, String)].collect().toSeq
     assert(got.map(_._3).forall(_ == "0"))
   }
+
+  test("welchTTest: replayed t/df on a hand fixture; degenerate side goes NULL") {
+    def ev(rows: (String, Double)*) = rows.zipWithIndex
+      .map { case ((t, v), i) => (i.toLong, t, v) }
+      .toDF("event_id", "event_type", "value")
+    val df = ev(("view", 1.0), ("view", 2.0), ("view", 3.0),
+      ("purchase", 5.0), ("purchase", 7.0))
+    val r = StatsOps.welchTTest(df).head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 2L)))
+    assert((r.getLong(2), r.getLong(3)) == ((20000L, 60000L)))
+    // replay the shared finalize in plain doubles from the exact bp stats
+    val (na, sa, s2a) = (3.0, 60000.0, 1400000000.0)   // 1,2,3 in bp
+    val (nb, sb, s2b) = (2.0, 120000.0, 7400000000.0)  // 5,7 in bp
+    val dm = (sa * nb - sb * na) / (na * nb)
+    val wa = (na * s2a - sa * sa) / (na * (na - 1.0)) / na
+    val wb = (nb * s2b - sb * sb) / (nb * (nb - 1.0)) / nb
+    assert(r.getLong(4) == math.floor(10000.0 * (dm / math.sqrt(wa + wb)) + 0.5).toLong)
+    assert(r.getLong(5) == math.floor(10000.0 * ((wa + wb) * (wa + wb) /
+      (wa * wa / (na - 1.0) + wb * wb / (nb - 1.0))) + 0.5).toLong)
+    // one-row side: no variance estimate exists -> NULL, never a number
+    val degenerate = StatsOps.welchTTest(ev(("view", 1.0), ("purchase", 2.0))).head()
+    assert(degenerate.isNullAt(4) && degenerate.isNullAt(5))
+  }
 }
