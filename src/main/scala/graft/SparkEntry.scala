@@ -1630,6 +1630,11 @@ object SparkEntry {
     // A/B readout with NULL on degenerate inputs, never a wrong statistic.
     "q_stats_welch" -> ((s, dir) =>
       StatsOps.welchTTest(t(s, dir, "events"))),
+    // Mann-Whitney U / AUC (view vs purchase): midrank-exact ranks in a
+    // x2 integer scale computed on the VALUE HISTOGRAM — never a per-row
+    // rank — the nonparametric A/B and ranking-quality readout.
+    "q_stats_mannwhitney" -> ((s, dir) =>
+      StatsOps.mannWhitney(t(s, dir, "events"))),
     // ANALYZE-style one-pass column profile: min/max/nulls/exact-distinct
     // per column via one Expand + one aggregation (the CBO-stats shape).
     "q_profile" -> ((s, dir) =>
@@ -3731,6 +3736,8 @@ object SparkEntry {
       "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"),
     // mirrors StatsOps.welchTTest — identical finalize strings
     "q_stats_welch" -> StatsOps.welchTTestSql("events", "view", "purchase"),
+    // mirrors StatsOps.mannWhitney — histogram midranks, HUGEINT rank sum
+    "q_stats_mannwhitney" -> StatsOps.mannWhitneySql("events", "view", "purchase"),
     // mirrors StatsOps.profile over the four lineitem numeric columns
     "q_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

@@ -507,6 +507,72 @@ object StatsOps {
       s"$welchT AS t_bp, $welchDf AS df_bp FROM f"
   }
 
+  /** Mann–Whitney U with midrank tie handling — [[welchTTest]]'s
+    * nonparametric sibling and, via AUC = U/(n_a·n_b), the
+    * ranking-quality readout (P(a > b) + ½P(a = b)): does one event
+    * type's value distribution stochastically dominate the other's,
+    * with no normality assumption and NO float anywhere — ranks are
+    * carried in a ×2 integer scale so midranks of ties stay exact
+    * (midrank2(v) = 2·(count below v) + count(v) + 1), and
+    * R_a = Σ_v cntA(v)·midrank2(v) accumulates in decimal(38,0)
+    * (HUGEINT in the oracle).
+    *
+    * Scale shape: never a per-row rank — the whole computation runs on
+    * the VALUE HISTOGRAM (one conditional-sum aggregation over events,
+    * distinct-value-bounded), cumulated with a window over that
+    * histogram. U2_a = R_a2 − n_a(n_a+1) (pairs where A beats B, ×2);
+    * auc_a_bp floors U2_a·10⁴ / (2·n_a·n_b). Output (one row): (n_a, n_b, u2_a, u2_b,
+    * auc_a_bp) — u2_* are the ×2-scaled exact U statistics
+    * (u2_a + u2_b = 2·n_a·n_b, the internal consistency check the spec
+    * pins).
+    */
+  def mannWhitney(
+      events: DataFrame, typeA: String = "view", typeB: String = "purchase",
+      typeCol: String = "event_type", valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = events
+      .filter(col(typeCol).isin(typeA, typeB))
+      .select(TextOps.roundBp(col(valueCol)).as("v"),
+        when(col(typeCol) === typeA, 1L).otherwise(0L).as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+      .withColumn("before", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      .withColumn("mid2", lit(2L) * col("before") + col("ca") + col("cb") + 1L)
+    hist.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("ca").cast("decimal(38,0)") * col("mid2")).as("ra2"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(ra2 - n_a * (n_a + 1) AS BIGINT)").as("u2_a"),
+        expr("CAST(2 * n_a * n_b + n_a * (n_a + 1) - ra2 AS BIGINT)").as("u2_b"),
+        expr("CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+          "CAST((ra2 - n_a * (n_a + 1)) * 10000 div " +
+          "(CAST(2 AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT) ELSE NULL END").as("auc_a_bp"))
+  }
+
+  /** DuckDB SQL matching [[mannWhitney]] on `table`. */
+  def mannWhitneySql(table: String, typeA: String, typeB: String): String = {
+    val vq = TextOps.roundBpSql("value")
+    s"WITH q AS (SELECT $vq AS v, " +
+      s"CASE WHEN event_type = '$typeA' THEN 1 ELSE 0 END AS a " +
+      s"FROM $table WHERE event_type IN ('$typeA', '$typeB')), " +
+      "h AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca, " +
+      "CAST(sum(1 - a) AS BIGINT) AS cb FROM q GROUP BY v), " +
+      "c AS (SELECT *, coalesce(sum(ca + cb) OVER (ORDER BY v " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM h), " +
+      "m AS (SELECT *, 2 * before + ca + cb + 1 AS mid2 FROM c), " +
+      "s AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b, " +
+      "sum(ca::HUGEINT * mid2) AS ra2 FROM m) " +
+      "SELECT n_a, n_b, " +
+      "CAST(ra2 - n_a * (n_a + 1) AS BIGINT) AS u2_a, " +
+      "CAST(2 * n_a * n_b + n_a * (n_a + 1) - ra2 AS BIGINT) AS u2_b, " +
+      "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+      "CAST((ra2 - n_a * (n_a + 1)) * 10000 // " +
+      "(2::HUGEINT * n_a * n_b) AS BIGINT) ELSE NULL END AS auc_a_bp " +
+      "FROM s"
+  }
+
   /** Cofactor expansion of a 3x3 determinant over named SQL columns — the
     * SAME string feeds Spark (decimal(38,0) operands) and DuckDB (HUGEINT
     * operands), so the two engines evaluate a structurally identical

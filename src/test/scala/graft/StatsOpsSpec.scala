@@ -214,4 +214,24 @@ class StatsOpsSpec extends SparkSpec {
     val degenerate = StatsOps.welchTTest(ev(("view", 1.0), ("purchase", 2.0))).head()
     assert(degenerate.isNullAt(4) && degenerate.isNullAt(5))
   }
+
+  test("mannWhitney: midrank-exact U on a tied fixture; U2 halves sum to 2*na*nb") {
+    def ev(rows: (String, Double)*) = rows.zipWithIndex
+      .map { case ((t, v), i) => (i.toLong, t, v) }
+      .toDF("event_id", "event_type", "value")
+    // values: a = {1, 2, 2}, b = {2, 3}; pairs where a beats b: 0,
+    // ties a=2 vs b=2: 2 pairs -> U_a = 0 + 2*(1/2) = 1 -> U2_a = 2
+    val r = StatsOps.mannWhitney(ev(
+      ("view", 1.0), ("view", 2.0), ("view", 2.0),
+      ("purchase", 2.0), ("purchase", 3.0))).head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 2L)))
+    assert(r.getLong(2) == 2L)                    // u2_a
+    assert(r.getLong(3) == 2L * 3L * 2L - 2L)     // u2_b; halves sum to 2*na*nb
+    // AUC_a = U_a/(na*nb) = 1/6 -> 1666 bp
+    assert(r.getLong(4) == 1666L)
+    // stochastic dominance flips the AUC toward 10000
+    val dom = StatsOps.mannWhitney(ev(
+      ("view", 9.0), ("view", 8.0), ("purchase", 1.0), ("purchase", 2.0))).head()
+    assert(dom.getLong(4) == 10000L)
+  }
 }
