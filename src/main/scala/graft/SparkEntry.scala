@@ -824,6 +824,15 @@ object SparkEntry {
         .join(broadcast(small), col("l_partkey") === col("p_partkey"), "left_semi")
       GraphOps.triangleStats(GraphOps.coOrderEdges(li))
     }),
+    // Degree distribution of the same co-order graph with the tail
+    // (degree-or-higher) counts a power-law read fits against — the graph
+    // profile behind the O(sqrt m) orientation bound.
+    "q_graph_degrees" -> ((s, dir) => {
+      val small = t(s, dir, "part").filter(col("p_size") <= 5).select(col("p_partkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(small), col("l_partkey") === col("p_partkey"), "left_semi")
+      GraphOps.degreeHistogram(GraphOps.coOrderEdges(li))
+    }),
     // The FULL co-order graph — no bench-sizing part filter — so the
     // degree-ordered orientation's O(sqrt m) wedge bound is measured on
     // the whole graph (hubs included), not asserted on a subset.
@@ -1499,6 +1508,11 @@ object SparkEntry {
     // mean — all integer ratios of bp-exact sums, one event pass.
     "q_events_seasonal" -> ((s, dir) =>
       EventOps.seasonalProfile(t(s, dir, "events"))),
+    // First-order Markov transitions between consecutive event types per
+    // user (lag over the user timeline), row-share in bp — the
+    // user-journey model behind funnel design.
+    "q_events_markov" -> ((s, dir) =>
+      EventOps.typeTransitions(t(s, dir, "events"))),
     // Gap-filled hourly grid: generated (type x hour) spine left-joined to
     // the aggregate — zeros where no event landed, raw table never rescanned.
     "q_events_gapfill" -> ((s, dir) =>
@@ -3400,6 +3414,21 @@ object SparkEntry {
     "q_kcore" -> GraphOps.kcoreSql(16, 3),
     // mirrors GraphOps.triangleStats over coOrderEdges of the p_size<=5
     // subgraph: same degree-ordered orientation, wedge + closing-edge count
+    // mirrors GraphOps.degreeHistogram over the q_triangles edge CTE:
+    // node degrees, degree histogram, reverse-cumulative tail counts
+    "q_graph_degrees" ->
+      ("WITH sp AS (SELECT p_partkey FROM part WHERE p_size <= 5), " +
+        "lp AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p " +
+        "FROM lineitem JOIN sp ON l_partkey = p_partkey), " +
+        "e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM lp x " +
+        "JOIN lp y ON x.okey = y.okey AND x.p < y.p), " +
+        "dg AS (SELECT x, CAST(count(*) AS BIGINT) AS degree FROM " +
+        "(SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e) GROUP BY x), " +
+        "h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM dg GROUP BY degree) " +
+        "SELECT degree, n_nodes, " +
+        "CAST(sum(n_nodes) OVER (ORDER BY degree DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_nodes_ge " +
+        "FROM h ORDER BY degree"),
     "q_triangles" ->
       ("WITH sp AS (SELECT p_partkey FROM part WHERE p_size <= 5), " +
         "lp AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p " +
@@ -4057,6 +4086,20 @@ object SparkEntry {
         "AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000 " +
         "WHERE l.event_type = 'view' AND r.event_type = 'purchase' " +
         "ORDER BY l_event_id, r_event_id"),
+    // mirrors EventOps.typeTransitions: lag over (user, ts, event_id),
+    // |types|^2 matrix, row shares in bp
+    "q_events_markov" ->
+      ("WITH p AS (SELECT user_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS from_type FROM events), " +
+        "g AS (SELECT from_type, event_type AS to_type, " +
+        "CAST(count(*) AS BIGINT) AS n FROM p WHERE from_type IS NOT NULL " +
+        "GROUP BY from_type, event_type), " +
+        "w AS (SELECT *, CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) " +
+        "AS row_total FROM g) " +
+        "SELECT from_type, to_type, n, " +
+        "CAST(n * 10000 // row_total AS BIGINT) AS p_bp " +
+        "FROM w ORDER BY from_type, to_type"),
     // mirrors EventOps.seasonalProfile: bp-quantized per-event values,
     // per-type totals as windows over the 24-row-per-type aggregate
     "q_events_seasonal" ->

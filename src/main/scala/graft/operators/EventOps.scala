@@ -193,6 +193,31 @@ object EventOps {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** User-journey transition matrix — the first-order Markov model of
+    * event types (view→purchase, click→view, …), the telemetry readout
+    * behind funnel design and next-action prediction: per ordered pair of
+    * consecutive event types WITHIN a user's timeline, the transition
+    * count and its share of the source type's outgoing transitions in bp.
+    * Consecutive-ness is `lag` over (user, ts, event_id) — a per-user
+    * window, the sessionization scale shape (state bounded by a user's
+    * events, users hash-partitioned); the matrix itself is
+    * |types|²-bounded, so row totals are windows over the tiny aggregate.
+    * Output: (from_type, to_type, n, p_bp) ordered.
+    */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    normalizeTs(events)
+      .withColumn("from_type", lag(col("event_type"), 1).over(wU))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(wFrom))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 10000 div row_total").as("p_bp"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** [[ewmaHourly]]'s grid + decay half, computed from a maintained
     * [[hourlySums]] table instead of raw events. The spine span and type
     * set derive from the hourly table itself (`date_trunc` is monotonic,

@@ -106,6 +106,25 @@ object GraphOps {
     * as [[DedupOps.jaccardPairs]]' postings), so no self-join diamond and
     * per-row fan-out is C(items-per-order, 2), independent of corpus size.
     */
+  /** Degree distribution with the tail counts a power-law read needs:
+    * per distinct degree, the node count and the number of nodes of that
+    * degree OR HIGHER (the complementary cumulative the log-log slope is
+    * fit on — and the quantity that justifies this repo's O(√m)
+    * degree-orientation bound empirically). Input: canonical (a < b)
+    * undirected edges. One edge pass into a node-degree aggregate, one
+    * degree-bounded histogram, a window over that histogram — never over
+    * nodes. Output: (degree, n_nodes, n_nodes_ge) ordered by degree.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("degree").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    edges.select(col("a").as("x")).unionByName(edges.select(col("b").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .withColumn("n_nodes_ge", sum(col("n_nodes")).over(w))
+      .orderBy(col("degree"))
+  }
+
   def coOrderEdges(lineitem: DataFrame): DataFrame = {
     val grouped = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))

@@ -301,6 +301,23 @@ class EventOpsSpec extends SparkSpec {
     assert(b12._4 == 30000L * 128 && b12._5 == 128L + 64L + 32L)
   }
 
+  test("typeTransitions: per-user lag pairs, row shares in bp") {
+    val df = ev(
+      // user timelines are interleaved on ts but partition by user
+      (1L, ms("10:00"), "click", 0.0), (2L, ms("10:05"), "view", 0.0),
+      (3L, ms("10:10"), "purchase", 0.0))
+      .unionByName(ev((4L, ms("10:00"), "click", 0.0), (5L, ms("10:01"), "view", 0.0))
+        .withColumn("user_id", lit(8L)))
+      .unionByName(ev((6L, ms("10:00"), "view", 0.0), (7L, ms("10:02"), "click", 0.0))
+        .withColumn("user_id", lit(9L)))
+    val got = EventOps.typeTransitions(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("click", "view")) == ((2L, 10000L)))
+    assert(got(("view", "purchase")) == ((1L, 5000L)))
+    assert(got(("view", "click")) == ((1L, 5000L)))
+    assert(got.size == 3)
+  }
+
   test("seasonalProfile: hand-computed shares, means, and deviations") {
     val df = ev(
       (1L, ms("10:05"), "click", 1.0), (2L, ms("10:40"), "click", 3.0),

@@ -144,6 +144,15 @@ class GraphOpsSpec extends SparkSpec {
     * by the async ContextCleaner would skew another suite's exact
     * persistent-RDD delta.
     */
+  test("degreeHistogram: path + hub fixture, tail counts reverse-cumulate") {
+    // path a-b-c plus hub d connected to a, b, c:
+    // degrees: a=2, b=3, c=2, d=3 -> hist (2,2), (3,2); ge: deg2 -> 4, deg3 -> 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val got = GraphOps.degreeHistogram(edges)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L, 4L), (3L, 2L, 2L)))
+  }
+
   private def releaseNewSince(before: scala.collection.Set[Int]): Unit = {
     val now = spark.sparkContext.getPersistentRDDs
     now.keySet.diff(before).foreach(id => now(id).unpersist(blocking = true))
