@@ -4045,6 +4045,12 @@ object SparkEntry {
     // (b0*27+b1*9+b2*3+b3 ≡ 0 mod 32, interior cuts only) over the SAME
     // ASCII payload text, segments via lead(), and md5s each chunk — the
     // Spark side runs the real per-byte chunker on the binary.
+    // ASCII-CORPUS ASSUMPTION: the oracle walks CHARACTERS via
+    // ascii()/substring()/length() while the operator walks UTF-8 BYTES;
+    // the two coincide only because the documents fixture is pure ASCII
+    // (verified: octet_length(encode(text)) = length(text) for every row
+    // at every SF). A multibyte corpus needs an octet-level oracle
+    // (replay over encode(text)) instead.
     "q_media_cdc" ->
       (s"WITH m AS ($duckCorpus), " +
         "d AS (SELECT doc_id, text, length(text) AS n FROM m), " +
@@ -4110,9 +4116,9 @@ object SparkEntry {
         "w AS (SELECT *, CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS t_events, " +
         "CAST(sum(v_bp) OVER (PARTITION BY event_type) AS BIGINT) AS t_vbp FROM a) " +
         "SELECT event_type, hour, n_events, " +
-        "CAST(n_events * 10000 // t_events AS BIGINT) AS share_bp, " +
-        "CAST(v_bp // n_events AS BIGINT) AS mean_bp, " +
-        "CAST(v_bp // n_events - t_vbp // t_events AS BIGINT) AS dev_bp " +
+        s"${EventOps.seasonalShare} AS share_bp, " +
+        s"${EventOps.seasonalMean} AS mean_bp, " +
+        s"${EventOps.seasonalDev} AS dev_bp " +
         "FROM w ORDER BY event_type, hour"),
     "q_events_hourly" ->
       ("SELECT date_trunc('hour', ts) AS bucket, event_type, " +

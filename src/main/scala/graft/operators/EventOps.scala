@@ -178,6 +178,17 @@ object EventOps {
     * partition), never a second event pass. Output: (event_type, hour,
     * n_events, share_bp, mean_bp, dev_bp) ordered by (type, hour).
     */
+  /** [[seasonalProfile]] finalize fragments — ONE string each for both
+    * engines. mean/dev use [[TextOps.floorDivSql]] because a v_bp sum goes
+    * negative for negative event values, where Spark `div` (truncate) and
+    * DuckDB `//` (floor) disagree; share's operands are counts (never
+    * negative), but it shares the rule for uniformity.
+    */
+  private[graft] val seasonalShare = TextOps.floorDivSql("n_events * 10000", "t_events")
+  private[graft] val seasonalMean = TextOps.floorDivSql("v_bp", "n_events")
+  private[graft] val seasonalDev =
+    s"${TextOps.floorDivSql("v_bp", "n_events")} - ${TextOps.floorDivSql("t_vbp", "t_events")}"
+
   def seasonalProfile(events: DataFrame): DataFrame = {
     val wType = Window.partitionBy(col("event_type"))
     normalizeTs(events)
@@ -187,9 +198,9 @@ object EventOps {
       .withColumn("t_events", sum(col("n_events")).over(wType))
       .withColumn("t_vbp", sum(col("v_bp")).over(wType))
       .select(col("event_type"), col("hour"), col("n_events"),
-        expr("n_events * 10000 div t_events").as("share_bp"),
-        expr("v_bp div n_events").as("mean_bp"),
-        expr("v_bp div n_events - t_vbp div t_events").as("dev_bp"))
+        expr(seasonalShare).as("share_bp"),
+        expr(seasonalMean).as("mean_bp"),
+        expr(seasonalDev).as("dev_bp"))
       .orderBy(col("event_type"), col("hour"))
   }
 

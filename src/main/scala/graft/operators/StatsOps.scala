@@ -447,6 +447,12 @@ object StatsOps {
       s"CAST(n_$sfx * s2_$sfx - s_$sfx * s_$sfx AS DOUBLE) / " +
       s"(CAST(n_$sfx AS DOUBLE) * CAST(n_$sfx - 1 AS DOUBLE)) / CAST(n_$sfx AS DOUBLE) " +
       "ELSE NULL END"
+  /** Side mean in bp: floor-of-double-quotient so negative Σv_bp agrees
+    * across engines (Spark `div` truncates, DuckDB `//` floors — the
+    * [[TextOps.floorDivSql]] rule).
+    */
+  private[graft] def welchMean(sfx: String): String =
+    s"CASE WHEN n_$sfx > 0 THEN ${TextOps.floorDivSql(s"s_$sfx", s"n_$sfx")} ELSE NULL END"
   private[graft] val welchT =
     "CASE WHEN n_a > 1 AND n_b > 1 AND w_a + w_b > 0 THEN " +
       "CAST(floor(10000.0 * (dm / sqrt(w_a + w_b)) + 0.5) AS BIGINT) ELSE NULL END"
@@ -482,8 +488,8 @@ object StatsOps {
       .withColumn("w_b", expr(welchW("b")))
       .select(
         col("n_a"), col("n_b"),
-        expr("CASE WHEN n_a > 0 THEN CAST(s_a div n_a AS BIGINT) ELSE NULL END").as("mean_a_bp"),
-        expr("CASE WHEN n_b > 0 THEN CAST(s_b div n_b AS BIGINT) ELSE NULL END").as("mean_b_bp"),
+        expr(welchMean("a")).as("mean_a_bp"),
+        expr(welchMean("b")).as("mean_b_bp"),
         expr(welchT).as("t_bp"),
         expr(welchDf).as("df_bp"))
   }
@@ -502,8 +508,8 @@ object StatsOps {
       "j AS (SELECT * FROM a CROSS JOIN b), " +
       s"f AS (SELECT *, $welchDm AS dm, ${welchW("a")} AS w_a, ${welchW("b")} AS w_b FROM j) " +
       "SELECT n_a, n_b, " +
-      "CASE WHEN n_a > 0 THEN CAST(s_a // n_a AS BIGINT) ELSE NULL END AS mean_a_bp, " +
-      "CASE WHEN n_b > 0 THEN CAST(s_b // n_b AS BIGINT) ELSE NULL END AS mean_b_bp, " +
+      s"${welchMean("a")} AS mean_a_bp, " +
+      s"${welchMean("b")} AS mean_b_bp, " +
       s"$welchT AS t_bp, $welchDf AS df_bp FROM f"
   }
 
@@ -532,8 +538,12 @@ object StatsOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // NULL values must not enter the histogram: Spark's Window.orderBy
+    // sorts NULLs first while DuckDB's ORDER BY defaults NULLS LAST, which
+    // would shift every midrank on one engine only (and count NULL rows
+    // into n_a/n_b while contributing no rankable value).
     val hist = events
-      .filter(col(typeCol).isin(typeA, typeB))
+      .filter(col(typeCol).isin(typeA, typeB) && col(valueCol).isNotNull)
       .select(TextOps.roundBp(col(valueCol)).as("v"),
         when(col(typeCol) === typeA, 1L).otherwise(0L).as("a"))
       .groupBy(col("v"))
@@ -556,7 +566,8 @@ object StatsOps {
     val vq = TextOps.roundBpSql("value")
     s"WITH q AS (SELECT $vq AS v, " +
       s"CASE WHEN event_type = '$typeA' THEN 1 ELSE 0 END AS a " +
-      s"FROM $table WHERE event_type IN ('$typeA', '$typeB')), " +
+      s"FROM $table WHERE event_type IN ('$typeA', '$typeB') " +
+      "AND value IS NOT NULL), " +
       "h AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca, " +
       "CAST(sum(1 - a) AS BIGINT) AS cb FROM q GROUP BY v), " +
       "c AS (SELECT *, coalesce(sum(ca + cb) OVER (ORDER BY v " +

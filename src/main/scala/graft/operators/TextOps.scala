@@ -245,6 +245,16 @@ object TextOps {
   /** DuckDB fragment matching [[roundBp]]. */
   def roundBpSql(e: String): String = s"CAST(floor(($e) * 10000.0 + 0.5) AS BIGINT)"
 
+  /** Cross-engine FLOOR division of two integer expressions — ONE string
+    * feeding both Spark (`expr`) and DuckDB. Spark's `div` truncates toward
+    * zero while DuckDB's `//` floors, so they disagree exactly when the
+    * quotient is negative; `floor(double / double)` is a single IEEE divide
+    * plus floor, which both engines evaluate bit-identically over the same
+    * expression tree (the [[graft.operators.SimOps.classPrototypes]] rule).
+    */
+  def floorDivSql(a: String, b: String): String =
+    s"CAST(floor(CAST(($a) AS DOUBLE) / CAST(($b) AS DOUBLE)) AS BIGINT)"
+
   /** Quality scoring: fraction of distinct tokens, stopword ratio, a length
     * saturation term, combined into one score. All ratios are emitted as
     * integer basis points ([[roundBp]]) so the result hashes identically

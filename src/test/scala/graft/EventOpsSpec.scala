@@ -335,4 +335,15 @@ class EventOpsSpec extends SparkSpec {
     assert(got(("view", 10L)) == ((1L, 10000L, 50000L, 0L)))
     assert(got.size == 3)
   }
+
+  test("seasonalProfile: negative value sums FLOOR (DuckDB // rule, not div)") {
+    val df = ev(
+      (1L, ms("10:05"), "click", -1.0), (2L, ms("10:40"), "click", -2.0),
+      (3L, ms("10:50"), "click", -2.0))
+    val got = EventOps.seasonalProfile(df).head()
+    // v_bp = -50000 over 3 events: floor(-16666.67) = -16667; truncation
+    // (`div`) would give -16666 and diverge from the DuckDB `//` mirror
+    assert(got.getLong(4) == -16667L)
+    assert(got.getLong(5) == 0L)
+  }
 }

@@ -215,6 +215,31 @@ class StatsOpsSpec extends SparkSpec {
     assert(degenerate.isNullAt(4) && degenerate.isNullAt(5))
   }
 
+  test("welchTTest: negative bp sums FLOOR toward -inf (DuckDB // rule, not div)") {
+    def ev(rows: (String, Double)*) = rows.zipWithIndex
+      .map { case ((t, v), i) => (i.toLong, t, v) }
+      .toDF("event_id", "event_type", "value")
+    val r = StatsOps.welchTTest(ev(
+      ("view", -1.0), ("view", -2.0), ("view", -2.0),
+      ("purchase", 1.0), ("purchase", 2.0))).head()
+    // s_a = -50000 bp over n_a = 3: floor(-16666.67) = -16667; Spark's
+    // `div` would truncate to -16666 and diverge from the DuckDB mirror
+    assert(r.getLong(2) == -16667L)
+    assert(r.getLong(3) == 15000L)
+  }
+
+  test("mannWhitney: NULL values enter neither the ranks nor n_a/n_b") {
+    val df = Seq(
+      (1L, "view", Some(1.0)), (2L, "view", None), (3L, "view", Some(2.0)),
+      (4L, "purchase", Some(2.0)), (5L, "purchase", None), (6L, "purchase", Some(3.0)))
+      .toDF("event_id", "event_type", "value")
+    val r = StatsOps.mannWhitney(df).head()
+    // NULL rows dropped: a = {1,2}, b = {2,3}; a beats b never, one tie
+    // (2,2) -> U_a = 1/2 -> U2_a = 1; halves still sum to 2*na*nb
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getLong(2) == 1L && r.getLong(3) == 2L * 2L * 2L - 1L)
+  }
+
   test("mannWhitney: midrank-exact U on a tied fixture; U2 halves sum to 2*na*nb") {
     def ev(rows: (String, Double)*) = rows.zipWithIndex
       .map { case ((t, v), i) => (i.toLong, t, v) }
