@@ -139,9 +139,29 @@ object Bench {
       if (failed.isEmpty) "" else s""","errors":${failed.distinct.mkString("{", ",", "}")}"""
     val soloJson = if (solo.isEmpty) "" else s""","solo":${fmt(solo)}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min-of-$nPasses","queries":$qs$soloJson$errJson,"sf":"$sfDir"}"""
-    println(json)
-    // stdout tails get clipped by log capture once the query map grows past
-    // ~70 entries — the full artifact always lands on disk as well.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // STDOUT CONTRACT: the driver keeps only the last ~2000 chars of stdout
+    // and json-parses them — but 180 query NAMES alone exceed 2000 chars, so
+    // a full per-query map can never survive the window (r11's BENCH artifact
+    // landed as an unparseable tail-string). Print ONE compact line, sized
+    // under the window, as the ONLY stdout line: headline total + the
+    // heaviest queries (3-decimal secs, every failure always included)
+    // greedily filled to budget; the complete map/passes/solo live in the
+    // on-disk artifact named by the line's "artifact" field.
+    val budget = 1900
+    val compactHead =
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},""" +
+        s""""unit":"sec","protocol":"min-of-$nPasses","n_queries":${names.size},""" +
+        s""""n_failed":${failed.distinct.size},"artifact":"$outFile","sf":"$sfDir","queries":{"""
+    val ranked =
+      results.collect { case (k, Left(_)) => s"\"$k\":-1" } ++
+        results.collect { case (k, Right(v)) => (k, v) }
+          .sortBy { case (k, v) => (-v, k) }
+          .map { case (k, v) => s"\"$k\":${math.rint(v * 1000) / 1000}" }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = compactHead.length + 3 // closing "}}" + newline headroom
+    for (e <- ranked if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    println(compactHead + kept.mkString(",") + "}}")
     //
     // PROTOCOL (the single source of claimed numbers): the on-disk artifact
     // records ALL N raw passes next to the min, plus the run mode — "suite"
@@ -159,7 +179,6 @@ object Bench {
       s""""$n":[${allPasses.map(p => secOrNull(p(n))).mkString(",")}]""")
       .mkString("{", ",", "}")
     val fullJson = json.dropRight(1) + s""","mode":"$mode","passes":$passes}"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile), fullJson.getBytes("UTF-8"))
     spark.stop()
