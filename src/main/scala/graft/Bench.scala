@@ -71,8 +71,20 @@ object Bench {
     // driver sets no filter and measures everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Suite-lifetime experiment knobs (the q_label_prop/q_kcore autopsy —
+    // r11 saw a post-closing run hold the graph family 5-8x slow across
+    // ALL passes of one suite JVM while closing/solo runs were fine):
+    //  - ORDER=reverse runs the suite in reverse name order, so the graph
+    //    family executes EARLY; if slowness follows suite position, it is
+    //    accumulated session state, if it follows the family, it is the
+    //    queries themselves.
+    //  - RESTART=N stops and rebuilds the SparkSession every N queries
+    //    (outside timed sections) — the "per-family session" mitigation.
+    val order = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "asc")
+    val restartEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RESTART", "0").toInt
+    val sortedNames = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val names = if (order == "reverse") sortedNames.reverse else sortedNames
     // Flush accumulated session debris OUTSIDE timed sections: the
     // warm-up pass leaves thousands of weak-referenced broadcasts/shuffles
     // whose ContextCleaner reclamation otherwise fires mid-measurement —
@@ -98,8 +110,19 @@ object Bench {
     // (q_pack_bpe pass1+pass2 both spiked once in r10). Three passes is the
     // recorded default so round-over-round suite totals stay comparable.
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(2)
+    var sinceRestart = 0
+    def maybeRestart(): Unit = if (restartEvery > 0) {
+      sinceRestart += 1
+      if (sinceRestart >= restartEvery) {
+        spark.stop(); spark = newSession(); sinceRestart = 0
+      }
+    }
     val allPasses = (1 to nPasses).map { _ =>
-      val p = names.map(n => n -> execute(spark, n, sfDir)).toMap
+      val p = names.map { n =>
+        val r = n -> execute(spark, n, sfDir)
+        maybeRestart()
+        r
+      }.toMap
       settle()
       p
     }
@@ -178,7 +201,8 @@ object Bench {
     val passes = names.map(n =>
       s""""$n":[${allPasses.map(p => secOrNull(p(n))).mkString(",")}]""")
       .mkString("{", ",", "}")
-    val fullJson = json.dropRight(1) + s""","mode":"$mode","passes":$passes}"""
+    val fullJson = json.dropRight(1) +
+      s""","mode":"$mode","order":"$order","restart_every":$restartEvery,"passes":$passes}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile), fullJson.getBytes("UTF-8"))
     spark.stop()

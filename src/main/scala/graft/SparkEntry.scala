@@ -1240,6 +1240,21 @@ object SparkEntry {
     "q_dedup_contain" -> ((s, dir) =>
       DedupOps.containmentPairs(DedupOps.plantedQuoteCorpus(t(s, dir, "documents")),
         maxDocFreq = DedupOps.DefaultMaxBucket)),
+    // --- Cap/recall telemetry ("no silent caps"): one standard audit
+    // query per capped pairing family, reporting what the hot-bucket cap
+    // drops on the SAME corpus its parent query pairs — n_dropped buckets,
+    // entries and candidate pairs forgone, hottest bucket. The phash x100
+    // collapse proved a cap can hide a total recall cliff behind a great
+    // wall time; these make the trade a queryable number.
+    "q_cap_audit_minhash" -> ((s, dir) =>
+      DedupOps.minhashCapAudit(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+    "q_cap_audit_jaccard" -> ((s, dir) =>
+      DedupOps.jaccardCapAudit(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+    "q_cap_audit_substring" -> ((s, dir) =>
+      DedupOps.substringCapAudit(DedupOps.plantedSpliceCorpus(t(s, dir, "documents")))),
+    "q_cap_audit_phash" -> ((s, dir) =>
+      MultimodalOps.phashCapAudit(
+        MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents"))))),
     // Cross-SOURCE contamination matrix: exact 3-shingle Jaccard between
     // every source pair via source-bounded postings — the rollup a mixture
     // designer reads before setting sampling weights.
@@ -1402,19 +1417,26 @@ object SparkEntry {
       SimOps.knnLabel(t(s, dir, "embeddings"), col("vec_id") < 5)),
     // Corpus-wide kNN graph: every vector's top-3 neighbors within its IVF
     // home cell — cell-partitioned self-join, exchange reused (no diamond).
+    // Centroids are √N-SIZED (the faiss nlist ∝ √N rule, hash-sampled so
+    // the oracle reproduces it): the declared shape IS the scale-safe one
+    // — a fixed cell set at x100 data was a measured ~10,000x pair blowup,
+    // and constant occupancy leaves assignment quadratic (KnnScaleCheck).
     "q_knn_graph" -> ((s, dir) =>
       SimOps.knnGraph(t(s, dir, "embeddings"),
-        centroidPred = col("vec_id").between(100, 115))),
+        centroidPred = SimOps.sqrtCentroidPred(t(s, dir, "embeddings")))),
     // Embedding-cosine near-dup pairs within LSH buckets, over a corpus
     // with planted duplicate vectors.
     "q_embed_neardup" -> ((s, dir) =>
       SimOps.nearDupPairs(SimOps.plantedVectors(t(s, dir, "embeddings")))),
     // SemDeDup: semantic dedup within IVF cells over a planted corpus —
     // cell-bounded pairing, exact copies always caught (same cell as
-    // their original), survivors emitted with their cell.
+    // their original), survivors emitted with their cell. Centroids are
+    // √N-sized (hash-sampled, the faiss nlist ∝ √N rule) — the same
+    // cell-quadratic scale discipline as q_knn_graph.
     "q_semdedup" -> ((s, dir) =>
       SimOps.semDedup(SimOps.plantedVectors(t(s, dir, "embeddings")),
-        centroidPred = col("vec_id").between(100, 115))),
+        centroidPred = SimOps.sqrtCentroidPred(
+          SimOps.plantedVectors(t(s, dir, "embeddings"))))),
     // Composed embedding-curation pipeline: planted corpus → near-dup
     // pairs → drop the larger id of each pair → per-label scorecard.
     // The embedding twin of q_curate_pipeline's text chain.
@@ -2057,10 +2079,14 @@ object SparkEntry {
   /** DuckDB CTE body matching [[DedupOps.plantedCorpus]]. */
   /** DuckDB CTE chain mirroring MultimodalOps.plantPhashCorpus +
     * phashBands + phashPairs: generative pixel formula → 8x8 aHash via
-    * nearest-neighbor sampling and the strict-mean bit rule → byte-band
-    * LSH with the bucket-64 cap → popcount-of-XOR Hamming verify. Ends in
-    * `pp` = the verified pair set (id_a < id_b, hamming ≤ 6) — shared by
-    * q_media_phash and the q_media_clusters closure.
+    * nearest-neighbor sampling and the strict-mean bit rule → EXACT-DEDUP
+    * FIRST (identical hash vectors collapse to a min-id representative) →
+    * byte-band LSH over representatives with the bucket-64 cap (counted in
+    * distinct hashes) → popcount-of-XOR Hamming verify → member
+    * re-attachment (cross-group pairs at the rep distance, intra-group
+    * pairs at hamming 0). Ends in `pp` = the verified pair set
+    * (id_a < id_b, hamming ≤ 6) — shared by q_media_phash and the
+    * q_media_clusters closure.
     */
   private val duckPhashCtes =
     "m AS (SELECT doc_id AS media_id, doc_id // 4 AS grp, " +
@@ -2078,19 +2104,33 @@ object SparkEntry {
       "bands AS (SELECT gray.media_id, j // 8 AS k, " +
       "sum(CASE WHEN 64 * g > total THEN 1 << (j % 8) ELSE 0 END) AS bval " +
       "FROM gray JOIN tot ON gray.media_id = tot.media_id GROUP BY 1, 2), " +
-      "bsize AS (SELECT k, bval, count(*) AS n FROM bands GROUP BY 1, 2), " +
-      "kept AS (SELECT b.* FROM bands b JOIN bsize s ON b.k = s.k " +
+      "hv AS (SELECT media_id, list(bval ORDER BY k) AS hsh FROM bands " +
+      "GROUP BY media_id), " +
+      "grpv AS (SELECT hsh, min(media_id) AS rep FROM hv GROUP BY hsh), " +
+      "mem AS (SELECT hv.media_id AS media_id, grpv.rep AS rep " +
+      "FROM hv JOIN grpv ON hv.hsh = grpv.hsh), " +
+      "rb AS (SELECT b.media_id, b.k, b.bval FROM bands b " +
+      "JOIN grpv ON b.media_id = grpv.rep), " +
+      "bsize AS (SELECT k, bval, count(*) AS n FROM rb GROUP BY 1, 2), " +
+      "kept AS (SELECT b.* FROM rb b JOIN bsize s ON b.k = s.k " +
       "AND b.bval = s.bval WHERE s.n > 1 AND s.n <= 64), " +
-      "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b " +
+      "cand AS (SELECT DISTINCT a.media_id AS ra, b.media_id AS rbid " +
       "FROM kept a JOIN kept b ON a.k = b.k AND a.bval = b.bval " +
       "AND a.media_id < b.media_id), " +
-      "ham AS (SELECT c.id_a, c.id_b, " +
+      "ham AS (SELECT c.ra, c.rbid, " +
       "sum(bit_count(xor(x.bval, y.bval))) AS hamming FROM cand c " +
-      "JOIN bands x ON x.media_id = c.id_a " +
-      "JOIN bands y ON y.media_id = c.id_b AND y.k = x.k " +
-      "GROUP BY c.id_a, c.id_b), " +
-      "pp AS (SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming " +
-      "FROM ham WHERE hamming <= 6)"
+      "JOIN rb x ON x.media_id = c.ra " +
+      "JOIN rb y ON y.media_id = c.rbid AND y.k = x.k " +
+      "GROUP BY c.ra, c.rbid), " +
+      "rp AS (SELECT ra, rbid, CAST(hamming AS BIGINT) AS hamming " +
+      "FROM ham WHERE hamming <= 6), " +
+      "crossp AS (SELECT least(ma.media_id, mb.media_id) AS id_a, " +
+      "greatest(ma.media_id, mb.media_id) AS id_b, hamming FROM rp " +
+      "JOIN mem ma ON rp.ra = ma.rep JOIN mem mb ON rp.rbid = mb.rep), " +
+      "intra AS (SELECT x.media_id AS id_a, y.media_id AS id_b, " +
+      "CAST(0 AS BIGINT) AS hamming FROM mem x JOIN mem y " +
+      "ON x.rep = y.rep AND x.media_id < y.media_id), " +
+      "pp AS (SELECT * FROM crossp UNION ALL SELECT * FROM intra)"
 
   private val duckCorpus =
     "SELECT doc_id, text FROM documents " +
@@ -3009,6 +3049,27 @@ object SparkEntry {
         "SELECT * FROM (SELECT id_a, id_b, " +
         s"${TextOps.roundBpSql("CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)")} AS jac_bp " +
         "FROM p) WHERE jac_bp >= 8000 ORDER BY id_a, id_b"),
+    // cap/recall telemetry mirrors: the same bucket-size CTEs as each
+    // family's pairing oracle, rolled up by DedupOps.capAuditSql
+    "q_cap_audit_minhash" ->
+      (s"WITH $duckMinhashCtes, " +
+        "bs AS (SELECT CAST(count(*) AS BIGINT) AS sz FROM bands GROUP BY bkey) " +
+        DedupOps.capAuditSql(DedupOps.DefaultMaxBucket, "minhash_band")),
+    "q_cap_audit_jaccard" ->
+      (s"WITH corpus AS ($duckCorpus), " +
+        s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
+        s"s AS (SELECT doc_id, list_distinct($duckShingles3) AS shs FROM t), " +
+        "z AS (SELECT doc_id, unnest(shs) AS sh FROM s), " +
+        "bs AS (SELECT CAST(count(*) AS BIGINT) AS sz FROM z GROUP BY sh) " +
+        DedupOps.capAuditSql(DedupOps.DefaultMaxBucket, "jaccard_postings")),
+    "q_cap_audit_substring" ->
+      (s"WITH $duckSubstringCtes, " +
+        "bs AS (SELECT CAST(count(*) AS BIGINT) AS sz FROM gh GROUP BY gh.gh) " +
+        DedupOps.capAuditSql(DedupOps.DefaultMaxBucket, "substring_postings")),
+    "q_cap_audit_phash" ->
+      (s"WITH $duckPhashCtes, " +
+        "bs AS (SELECT CAST(count(*) AS BIGINT) AS sz FROM rb GROUP BY k, bval) " +
+        DedupOps.capAuditSql(DedupOps.DefaultMaxBucket, "phash_band")),
     // mirrors DedupOps.containmentPairs over plantedQuoteCorpus: same
     // inverted-index CTE chain as q_dedup_jaccard, asymmetric final select
     "q_dedup_contain" ->
@@ -3319,12 +3380,14 @@ object SparkEntry {
         "CAST(len(t.t) - coalesce(ag.n_kept, 0) AS BIGINT) AS n_struck, " +
         "md5(coalesce(ag.clean, '')) AS clean_md5 " +
         "FROM t LEFT JOIN ag ON t.doc_id = ag.doc_id ORDER BY t.doc_id"),
-    // mirrors SimOps.knnGraph: same coarse assignment as q_sim_ivf, then a
-    // within-cell self-join ranked per source vector
+    // mirrors SimOps.knnGraph: √N-sized hash-sampled centroids
+    // (hash60(id) % max(4, ceil(sqrt(count))) == 0), coarse assignment,
+    // then a within-cell self-join ranked per source vector
     "q_knn_graph" ->
       ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
         "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
-        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 100 AND 115), " +
+        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n " +
+        s"WHERE ${SimOps.sqrtCentroidPredSql("embeddings")}), " +
         "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
         "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n CROSS JOIN c), " +
         "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
@@ -3877,8 +3940,9 @@ object SparkEntry {
         "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
         "WHERE cos_bp >= 4000 ORDER BY id_a, id_b"
     },
-    // mirrors SimOps.semDedup: IVF cell assignment over the planted
-    // corpus, within-cell cosine >= 0.99 drops the higher id
+    // mirrors SimOps.semDedup: √N-sized hash-sampled IVF cell assignment
+    // over the planted corpus (count over the SAME planted relation),
+    // within-cell cosine >= 0.99 drops the higher id
     "q_semdedup" ->
       ("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
         "UNION ALL SELECT vec_id + 100000 AS vec_id, embedding " +
@@ -3887,7 +3951,7 @@ object SparkEntry {
         "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
         "FROM base), " +
         "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n " +
-        "WHERE vec_id BETWEEN 100 AND 115), " +
+        s"WHERE ${SimOps.sqrtCentroidPredSql("base")}), " +
         "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
         "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n, c), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +

@@ -172,6 +172,103 @@ object DedupOps {
       .orderBy(col("bucket_size"))
   }
 
+  /** Uniform cap/recall telemetry rollup — the "no silent caps" audit every
+    * capped pairing family exposes as a first-class declared query: given
+    * one row per bucket/postings list with its size `sz`, report what the
+    * hot-bucket cap actually costs on THIS corpus. `pairs_forgone` is the
+    * number the phash ×100 collapse proved can silently go to 100% of the
+    * candidate volume while wall time looks great (SKEW_scale.txt): a cap
+    * whose forgone-pair share explodes is a recall cliff, not a tuning
+    * detail, and this rollup is where it becomes visible. One tiny
+    * aggregation over the SAME bucket histogram the pairing op builds —
+    * integer-exact, oracle-mirrored ([[capAuditSql]]).
+    *
+    * Output (one row): (bucket_kind, n_buckets, n_dropped, entries_dropped,
+    * pairs_kept, pairs_forgone, hottest).
+    */
+  private[graft] def capAudit(sizes: DataFrame, maxBucket: Int, kind: String): DataFrame =
+    sizes
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("sz") > maxBucket, 1L).otherwise(0L)), lit(0L))
+          .as("n_dropped"),
+        coalesce(sum(when(col("sz") > maxBucket, col("sz")).otherwise(0L)), lit(0L))
+          .as("entries_dropped"),
+        coalesce(sum(when(col("sz").between(2, maxBucket),
+          expr("sz * (sz - 1) div 2")).otherwise(0L)), lit(0L)).as("pairs_kept"),
+        coalesce(sum(when(col("sz") > maxBucket,
+          expr("sz * (sz - 1) div 2")).otherwise(0L)), lit(0L)).as("pairs_forgone"),
+        coalesce(max(col("sz")), lit(0L)).as("hottest"))
+      .select(lit(kind).as("bucket_kind"), col("n_buckets"), col("n_dropped"),
+        col("entries_dropped"), col("pairs_kept"), col("pairs_forgone"), col("hottest"))
+
+  /** DuckDB rollup matching [[capAudit]]: select from a CTE/subquery named
+    * `bs` exposing one BIGINT column `sz` per bucket.
+    */
+  private[graft] def capAuditSql(maxBucket: Int, kind: String): String =
+    s"SELECT '$kind' AS bucket_kind, CAST(count(*) AS BIGINT) AS n_buckets, " +
+      s"CAST(coalesce(sum(CASE WHEN sz > $maxBucket THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped, " +
+      s"CAST(coalesce(sum(CASE WHEN sz > $maxBucket THEN sz ELSE 0 END), 0) AS BIGINT) AS entries_dropped, " +
+      s"CAST(coalesce(sum(CASE WHEN sz BETWEEN 2 AND $maxBucket THEN sz * (sz - 1) // 2 ELSE 0 END), 0) AS BIGINT) AS pairs_kept, " +
+      s"CAST(coalesce(sum(CASE WHEN sz > $maxBucket THEN sz * (sz - 1) // 2 ELSE 0 END), 0) AS BIGINT) AS pairs_forgone, " +
+      "CAST(coalesce(max(sz), 0) AS BIGINT) AS hottest FROM bs"
+
+  /** Cap telemetry for [[minhashBandPairs]]' band buckets — the standard
+    * audit query of the MinHash-LSH family (same band construction, same
+    * corpus, one rollup instead of pairing).
+    */
+  def minhashCapAudit(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSigs(corpus, idCol, textCol, numHashes)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws(":", lit(b) +: (0 until r).map(j => col(s"s${b * r + j}")): _*)
+    }
+    val sizes = sigs
+      .select(col(idCol), explode(array(bandKeys: _*)).as("bkey"))
+      .groupBy(col("bkey")).agg(count(lit(1)).as("sz"))
+    capAudit(sizes, maxBucket, "minhash_band")
+  }
+
+  /** Cap telemetry for [[jaccardPairs]]/[[containmentPairs]]' shingle
+    * postings (the stop-shingle cutoff's cost on this corpus).
+    */
+  def jaccardCapAudit(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDocFreq: Int = DefaultMaxBucket): DataFrame = {
+    val sizes = corpus
+      .select(col(idCol),
+        explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), 3))).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("sz"))
+    capAudit(sizes, maxDocFreq, "jaccard_postings")
+  }
+
+  /** Cap telemetry for [[exactSubstringSpans]]/[[substringStrike]]' gram
+    * postings (occurrence-capped — one doc repeating a gram counts each
+    * occurrence, exactly like the operator).
+    */
+  def substringCapAudit(
+      corpus: DataFrame,
+      gramLen: Int = 20,
+      maxOcc: Int = DefaultMaxBucket,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sizes = corpus
+      .select(col(idCol),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), gramLen)).as("g"))
+      .select(StableHash.hash60(col("g")).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("sz"))
+    capAudit(sizes, maxOcc, "substring_postings")
+  }
+
   /** MinHash-LSH candidate pairs: signature of `numHashes` min-hashes over
     * distinct word 3-shingles, split into `bands` bands of `numHashes/bands`
     * rows; docs sharing any band signature become a candidate pair. Output:

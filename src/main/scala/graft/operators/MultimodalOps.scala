@@ -472,33 +472,39 @@ object MultimodalOps {
     * space exactly like `DedupOps.simhashBallPairs`, but the sketch is
     * genuinely parsed out of image bytes, not token votes:
     *
+    *  - EXACT-DEDUP FIRST (the default since round 12): identical hash
+    *    vectors collapse to one representative (min id) BEFORE any
+    *    banding — the production order (cheap exact groups strike first,
+    *    perceptual LSH only ever sees unique sketches). Measured law
+    *    (graft.tools.PhashScaleCheck + SKEW_scale.txt): the band-key
+    *    space is FIXED at `grid · 2^grid` (grid=8: 2,048 buckets), so
+    *    raw-hash occupancy grows linearly with the corpus and uncapped
+    *    pairing quadratically (6.7 M → 677 M → 67.7 B candidates at
+    *    1×/10×/100× of sf0.1); at ×100 the corpus is exact-dup-saturated
+    *    and EVERY raw bucket overflows the cap — 0 within-cap pairs,
+    *    silent recall death. Representatives shrink the pairing universe
+    *    500× (hottest bucket 60,640 → 139) and restore in-cap occupancy;
     *  - each hash is already `grid` byte-sized band slices ([[phashBands]]);
-    *  - bucket on (band index, band value): two hashes within Hamming
-    *    distance `maxDist < grid` agree exactly on ≥1 band (pigeonhole),
-    *    so in-ball recall is 1 with no all-pairs scan;
-    *  - hot buckets above `maxBucket` are dropped before pairing (the
-    *    `DedupOps.DefaultMaxBucket` discipline, mirrored in the oracle) —
-    *    at 100 TB a flat-color band byte (0 or 255) is the hot key, and
-    *    the cap bounds pairing at Σ_kept |ds|²/2 per band;
-    *  - GROWTH LAW (measured, graft.tools.PhashScaleCheck + SKEW_scale.txt)
-    *    — the band-key space is FIXED at `grid · 2^grid` (grid=8: 2,048
-    *    buckets), so occupancy grows linearly with the corpus and uncapped
-    *    pairing quadratically: 6.7 M → 677 M → 67.7 B candidates at
-    *    1×/10×/100× of sf0.1 (×100.4 per ×10 — exactly quadratic; a probe
-    *    that expanded the ×10 uncapped pairs for real OOM'd the JVM). The
-    *    cap turns that into a constant ≤ grid·2^grid·cap²/2 bound —
-    *    measured wall stays 1–2.5 s from 1× to 100× — at the price of
-    *    recall on overflowed buckets. TWO production knobs, both measured:
-    *    `grid` (grid=16 → 16 bands × 2^16 = 1.05 M buckets, the
-    *    Manku-style multi-index sizing, same code path and guarantee), and
-    *    — the one that actually mattered at ×100 — EXACT-DEDUP FIRST:
-    *    collapse identical hashes to one representative before banding
-    *    (the ×100 corpus is exact-dup-saturated; representatives shrink
-    *    the pairing universe 500× and restore in-cap occupancy,
-    *    hottest bucket 60,640 → 139);
+    *  - bucket REPRESENTATIVES on (band index, band value): two hashes
+    *    within Hamming distance `maxDist < grid` agree exactly on ≥1 band
+    *    (pigeonhole), so in-ball recall over representatives is 1 with no
+    *    all-pairs scan;
+    *  - hot buckets above `maxBucket` — now counted in DISTINCT hashes,
+    *    not raw rows — are dropped before pairing (the
+    *    `DedupOps.DefaultMaxBucket` discipline, mirrored in the oracle),
+    *    bounding pairing at Σ_kept |ds|²/2 per band; the remaining scale
+    *    knob is `grid` (grid=16 → 16 bands × 2^16 = 1.05 M buckets, the
+    *    Manku-style multi-index sizing, same code path and guarantee);
     *  - candidates verify with popcount-of-XOR folded over the band
     *    arrays (`zip_with` + `aggregate`, codegen'd — both hashes ride in
-    *    the bucket array, no join back).
+    *    the bucket array, no join back);
+    *  - members re-attach AFTER pairing, by equi-join on the member→rep
+    *    map: a verified rep pair (ra, rb, d) expands to every cross-group
+    *    member pair at the SAME distance d (Hamming depends only on the
+    *    hash), and each exact group additionally emits its own
+    *    C(|G|, 2) member pairs at hamming 0 — so the output is the same
+    *    member-level pair set as banding raw hashes, except the cap now
+    *    drops perceptual COLLISION mass instead of exact-duplicate mass.
     *
     * Output: (id_a, id_b, hamming, same_src), id_a < id_b, `same_src` = 1
     * iff the two ids came from the same planted base image — the audit
@@ -513,7 +519,12 @@ object MultimodalOps {
     require(maxDist < grid, "recall guarantee needs maxDist < number of bands")
     import media.sparkSession.implicits._
     val sk = phashBands(media.as[MediaRow], grid).toDF()
-    val buckets = sk
+    // exact-dedup-first: one representative per distinct hash vector
+    val groups = sk.groupBy(col("bands")).agg(min(col("media_id")).as("rep_id"))
+    val mem = sk.join(groups, Seq("bands"))
+      .select(col("media_id"), col("rep_id"))
+    val reps = groups.select(col("rep_id").as("media_id"), col("bands"))
+    val buckets = reps
       .select(col("media_id"), col("bands"), posexplode(col("bands")))
       .select(col("media_id"), col("bands"),
         concat_ws(":", col("pos"), col("col")).as("bkey"))
@@ -530,14 +541,49 @@ object MultimodalOps {
       transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
         struct(x("id").as("id_a"), y("id").as("id_b"),
           ham(x("bs"), y("bs")).as("d")))))
-    buckets
+    val repPairs = buckets
       .select(explode(pairs).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy(col("p.id_a").as("ra"), col("p.id_b").as("rb"))
       .agg(min(col("p.d")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
+    // re-attach members: cross-group pairs inherit the rep distance …
+    val cross = repPairs
+      .join(mem.as("ma"), col("ra") === col("ma.rep_id"))
+      .join(mem.as("mb"), col("rb") === col("mb.rep_id"))
+      .select(
+        least(col("ma.media_id"), col("mb.media_id")).as("id_a"),
+        greatest(col("ma.media_id"), col("mb.media_id")).as("id_b"),
+        col("hamming"))
+    // … and each exact group contributes its own pairs at hamming 0
+    val intra = mem.as("x")
+      .join(mem.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(intra)
       .withColumn("same_src",
         expr(s"CAST(id_a div $groupSize = id_b div $groupSize AS BIGINT)"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Cap telemetry for [[phashPairs]]' representative band buckets — the
+    * media member of the [[DedupOps.capAudit]] family. Buckets are counted
+    * over DISTINCT hashes (the operator's exact-dedup-first universe), so
+    * `pairs_forgone` measures perceptual collision mass the cap actually
+    * drops — the quantity that silently went to 100% of candidates at ×100
+    * under raw-item banding (SKEW_scale.txt).
+    */
+  def phashCapAudit(
+      media: DataFrame,
+      grid: Int = 8,
+      maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+    import media.sparkSession.implicits._
+    val sk = phashBands(media.as[MediaRow], grid).toDF()
+    val reps = sk.groupBy(col("bands")).agg(min(col("media_id")).as("media_id"))
+    val sizes = reps
+      .select(col("media_id"), posexplode(col("bands")))
+      .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("sz"))
+    DedupOps.capAudit(sizes, maxBucket, "phash_band")
   }
 
   /** Content-defined chunking — the rsync/casync/FastCDC storage-dedup

@@ -219,6 +219,39 @@ object SimOps {
       .withColumn("crn", row_number().over(byCell))
   }
 
+  /** Nearest-cell assignment (the `crn == 1` slice of [[cellRank]]) as a
+    * per-ROW argmax fold over the broadcast centroid ARRAY — no row
+    * explosion at all: the centroid table collapses to ONE row holding a
+    * c_id-sorted array of (c_id, ce, cn), broadcast onto every vector row,
+    * and `aggregate` folds it keeping the best (csim, c_id) — strict `>`
+    * so ties keep the earliest (lowest) c_id, exactly the window's
+    * (csim desc, c_id asc) selection. The window path materializes and
+    * SHUFFLES every (vector, centroid) row with its embedding for the
+    * per-vector sort — O(N·nlist) rows, i.e. O(N²/perCell) under
+    * occupancy-preserving nlist (measured 23.5 s at ×100, KnnScaleCheck);
+    * an aggregation-operator argmax (`max_by`) hits ObjectHashAggregate's
+    * sort-based fallback on the same exploded stream and OOMs. This shape
+    * does the identical FLOPs with zero extra rows and no shuffle beyond
+    * the one-row broadcast. Beyond ~1M centroids the broadcast array is
+    * the limit — the point where production IVF switches to a hierarchical
+    * coarse quantizer. [[cellRank]] remains for genuine multi-probe
+    * ranking, applied to the (small, filtered) QUERY side only.
+    */
+  private def cellArgmax(n: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
+    val carr = cents.agg(
+      sort_array(collect_list(struct(col("c_id"), col("ce"), col("cn")))).as("cs"))
+    n.crossJoin(broadcast(carr))
+      .select(col(idCol), col("e"), col("nrm"),
+        aggregate(col("cs"),
+          struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("c")),
+          (acc, c) => {
+            val s = dot(col("e"), c("ce")) / (col("nrm") * c("cn"))
+            when(s > acc("s"), struct(s.as("s"), c("c_id").as("c"))).otherwise(acc)
+          },
+          acc => acc("c")).as("c_id"))
+      .filter(col("c_id") >= 0)
+  }
+
   /** IVF probe phase shared by the sampled and k-means-refined quantizers:
     * assign every vector to its nearest cell, probe each query's `nProbe`
     * nearest cells, brute-force only within the probed cells.
@@ -230,12 +263,12 @@ object SimOps {
       k: Int,
       nProbe: Int,
       idCol: String): DataFrame = {
-    val ranked = cellRank(n, cents, idCol)
-    // every vector lives in exactly its nearest cell...
-    val assigned = ranked.filter(col("crn") === 1)
-      .select(col(idCol), col("e"), col("nrm"), col("c_id"))
-    // ...and each query probes its nProbe nearest cells
-    val probes = ranked.filter(queryPred && col("crn") <= nProbe)
+    // every vector lives in exactly its nearest cell (argmax, no window)...
+    val assigned = cellArgmax(n, cents, idCol)
+    // ...and each query ranks its nProbe nearest cells — a window over the
+    // FILTERED query side only, never the corpus
+    val probes = cellRank(n.filter(queryPred), cents, idCol)
+      .filter(col("crn") <= nProbe)
       .select(col(idCol).as("q_id"), col("c_id"))
     val queries = n.filter(queryPred)
       .select(col(idCol).as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
@@ -274,7 +307,7 @@ object SimOps {
       idCol: String = "vec_id"): DataFrame = {
     var c = cents
     for (_ <- 0 until iters) {
-      val assigned = cellRank(n, c, idCol).filter(col("crn") === 1)
+      val assigned = cellArgmax(n, c, idCol)
         .select(col("c_id"), col("e"))
       val dims = assigned.select(col("c_id"),
         posexplode(transform(col("e"), x => TextOps.roundBp(x))))
@@ -314,6 +347,48 @@ object SimOps {
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
     ivfProbe(n, refineCentroids(n, cents0, iters, idCol), queryPred, k, nProbe, idCol)
   }
+
+  /** Occupancy-preserving centroid selection — the IVF sizing discipline
+    * for the cell-QUADRATIC operators ([[knnGraph]], [[semDedup]]): a
+    * vector is a centroid iff `hash60(id) % perCell == 0`, so the expected
+    * centroid count is n/perCell and expected cell occupancy stays a
+    * CONSTANT (`perCell`) as the corpus grows — exactly how production IVF
+    * sizes nlist (nlist ∝ N), with no count pass, no global sort, and a
+    * deterministic, engine-mirrorable rule ([[hashCentroidPredSql]]).
+    * Measured (KnnScaleCheck, SKEW_scale.txt): a FIXED 16-cell set at
+    * ×100 data is a ~10,000× pair blowup (O(Σ cell²) with occupancy
+    * ×100); occupancy-preserving sizing holds the same run to ~12× wall.
+    */
+  def hashCentroidPred(perCell: Long = 64, idCol: String = "vec_id"): Column =
+    graft.functions.StableHash.hash60(col(idCol).cast("string")) % perCell === 0
+
+  /** DuckDB predicate fragment matching [[hashCentroidPred]]. */
+  def hashCentroidPredSql(perCell: Long = 64, idCol: String = "vec_id"): String =
+    s"${graft.functions.StableHash.hash60Sql(s"CAST($idCol AS VARCHAR)")} % $perCell = 0"
+
+  /** √N-OCCUPANCY centroid sizing — the faiss guideline (nlist ∝ √N) and
+    * the cost-balanced optimum for the cell-quadratic operators: with
+    * nlist cells, assignment costs O(N·nlist) similarity evaluations and
+    * in-cell pairing O(N·perCell) = O(N²/nlist), so total work minimizes
+    * at nlist ≈ √N — O(N^1.5) — where CONSTANT occupancy (nlist = N/64)
+    * leaves assignment quadratic (O(N²/64), the measured residual after
+    * the [[cellArgmax]] shuffle fix: KnnScaleCheck r12). One count()
+    * action derives perCell = max(4, ⌈√N⌉); the predicate itself stays
+    * the deterministic id-hash rule, so the oracle reproduces it from the
+    * same corpus ([[sqrtCentroidPredSql]]).
+    */
+  def sqrtCentroidPred(emb: DataFrame, idCol: String = "vec_id"): Column = {
+    val n = emb.count()
+    hashCentroidPred(math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong), idCol)
+  }
+
+  /** DuckDB predicate fragment matching [[sqrtCentroidPred]]: `fromSql`
+    * must be a relation (table or CTE name) holding the SAME corpus the
+    * Spark side counted.
+    */
+  def sqrtCentroidPredSql(fromSql: String, idCol: String = "vec_id"): String =
+    s"${graft.functions.StableHash.hash60Sql(s"CAST($idCol AS VARCHAR)")} % " +
+      s"greatest(4, CAST(ceil(sqrt((SELECT count(*) FROM $fromSql))) AS BIGINT)) = 0"
 
   private def rankTopK(pairs: DataFrame, k: Int, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
@@ -368,8 +443,9 @@ object SimOps {
     val n = normalized(emb, idCol, embCol)
     val cents = n.filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    val ranked = cellRank(n, cents, idCol)
-      .filter(col("crn") <= probes)
+    val ranked = (if (probes == 1)
+      cellArgmax(n, cents, idCol).withColumn("crn", lit(1))
+    else cellRank(n, cents, idCol).filter(col("crn") <= probes))
       .select(col(idCol), col("e"), col("nrm"), col("c_id"), col("crn"))
       .repartition(col("c_id"))
     val a = ranked.select(col("c_id"), col(idCol).as("id_a"),
@@ -415,8 +491,7 @@ object SimOps {
     val n = normalized(emb, idCol, embCol)
     val cents = n.filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    val counts = cellRank(n, cents, idCol)
-      .filter(col("crn") === 1)
+    val counts = cellArgmax(n, cents, idCol)
       .withColumn("is_old", oldPred.cast("long"))
       .groupBy(col("c_id"))
       .agg(sum(col("is_old")).as("n_old"),
@@ -539,7 +614,7 @@ object SimOps {
     val n = normalized(emb, idCol, embCol)
     val cents = n.filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    val assigned = cellRank(n, cents, idCol).filter(col("crn") === 1)
+    val assigned = cellArgmax(n, cents, idCol)
       .select(col(idCol), col("e"), col("nrm"), col("c_id"))
       .repartition(col("c_id"))
     val wCell = org.apache.spark.sql.expressions.Window
@@ -721,8 +796,7 @@ object SimOps {
     val n = normalized(emb, idCol, embCol)
     val cents = n.filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    val resid = cellRank(n, cents, idCol)
-      .filter(col("crn") === 1)
+    val resid = cellArgmax(n, cents, idCol)
       .select(col(idCol), col("c_id").as("cell_id"), col("e"))
       .join(broadcast(cents.select(col("c_id").as("cell_id"), col("ce"))), "cell_id")
       .select(col(idCol), col("cell_id"),
@@ -905,10 +979,10 @@ object SimOps {
     // production composition (trained cells + trained books)
     val cents =
       if (coarseIters > 0) refineCentroids(n, cents0, coarseIters, idCol) else cents0
-    val ranked = cellRank(n, cents, idCol)
-    val assigned = ranked.filter(col("crn") === 1)
+    val assigned = cellArgmax(n, cents, idCol)
       .select(col(idCol), col("nrm"), col("c_id"))
-    val probes = ranked.filter(queryPred && col("crn") <= nProbe)
+    val probes = cellRank(n.filter(queryPred), cents, idCol)
+      .filter(col("crn") <= nProbe)
       .select(col(idCol).as("q_id"), col("c_id"))
     // PQ index: Lloyd-refined books + per-vector codes (pq_id ≠ coarse c_id)
     val cb = refinePqCodebooks(emb, codebookPred, m, pqIters, idCol, embCol)

@@ -77,10 +77,12 @@ case class PhashItem(media_id: Long, bands: Seq[Long])
 /** One (band-bucket, item) pair for [[StreamingOps.phashPairsStream]]. */
 case class PhashBucketItem(bkey: String, media_id: Long, bands: Seq[Long])
 
-/** Per-bucket seen-set for [[StreamingOps.phashPairsStream]] — the items
-  * that have landed in this band bucket so far, id-ascending.
+/** Per-bucket seen-set for [[StreamingOps.phashPairsStream]] — the EXACT
+  * hash groups that have landed in this band bucket so far (rep id, the
+  * hash, member ids id-ascending), rep-id-ascending. One bands vector per
+  * DISTINCT hash, not per item: the exact-dedup-first state shape.
   */
-case class PhashBucket(rows: List[(Long, Seq[Long])])
+case class PhashBucket(groups: List[(Long, Seq[Long], List[Long])])
 
 /** One emitted perceptual near-dup pair (id_a < id_b). */
 case class PhashPairRow(id_a: Long, id_b: Long, hamming: Long)
@@ -499,21 +501,31 @@ object StreamingOps {
   /** Streaming perceptual near-dup detection — the `mapGroupsWithState`
     * twin of [[graft.operators.MultimodalOps.phashPairs]], extending the
     * incremental-dedup family ([[dedupIngest]] is the exact-hash member)
-    * to the media modality: as decoded aHashes arrive, each lands in its
-    * `grid` band buckets, and the PER-BUCKET state is the seen-set; a new
-    * item pairs (popcount-of-XOR ≤ `maxDist`) against everything already
-    * in the bucket and is then added. Within a micro-batch items process
-    * id-ascending, so the emitted pair set equals the batch operator's
-    * over everything streamed so far, MODULO two documented deltas:
-    * pairs colliding in several bands are emitted once per band (the
-    * batch groupBy-min dedup has no streaming equivalent without
-    * all-pairs state — downstream `dropDuplicates(id_a, id_b)` is the
-    * dedup), and a `maxBucket` cap freezes a hot bucket from its
-    * (maxBucket+1)-th arrival onward — the batch cap retro-drops the
-    * whole bucket, a stream cannot un-emit (spec pins parity in the
-    * uncapped configuration). State is O(buckets · min(bucket, cap))
-    * hashes — the inverted index itself, the same state a production
-    * incremental LSH dedup keeps.
+    * to the media modality, with the same EXACT-DEDUP-FIRST default as the
+    * batch operator: per band bucket the state is a list of exact hash
+    * GROUPS (one bands vector per distinct hash + its member ids), not raw
+    * items. An arriving item either joins its exact group — emitting
+    * hamming-0 pairs against the group's members, handled ONLY in the
+    * hash's band-0 bucket so each intra pair is emitted once — or founds a
+    * new group after pairing (popcount-of-XOR ≤ `maxDist`) against every
+    * OTHER group's members in the bucket. Cross pairs inherit the
+    * group-level distance (Hamming depends only on the hash). Within a
+    * micro-batch items process id-ascending, so the emitted pair set
+    * equals the batch operator's over everything streamed so far, MODULO
+    * two documented deltas: cross pairs colliding in several bands are
+    * emitted once per band (the batch groupBy-min dedup has no streaming
+    * equivalent without all-pairs state — downstream
+    * `dropDuplicates(id_a, id_b)` is the dedup), and a `maxBucket` cap —
+    * counted in DISTINCT hashes, the batch cap's unit — freezes NEW
+    * groups in a hot bucket from its (maxBucket+1)-th distinct hash
+    * onward while members of existing groups still land (exact-duplicate
+    * saturation can no longer kill near-dup recall — the measured ×100
+    * failure mode of raw-item capping). The batch cap retro-drops the
+    * whole bucket; a stream cannot un-emit (spec pins parity in the
+    * uncapped configuration). State is O(buckets · min(distinct-hashes,
+    * cap)) hashes + member id lists — the exact-dedup registry fused into
+    * the inverted LSH index, the same state a production incremental
+    * dedup keeps.
     */
   def phashPairsStream(
       items: Dataset[PhashItem],
@@ -529,20 +541,44 @@ object StreamingOps {
         (bkey: String, batch: Iterator[PhashBucketItem], state: GroupState[PhashBucket]) => {
           def ham(a: Seq[Long], b: Seq[Long]): Long =
             a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
-          var rows = state.getOption.map(_.rows).getOrElse(Nil)
+          val isBandZero = bkey.startsWith("0:")
+          var groups = state.getOption.map(_.groups).getOrElse(Nil)
           val out = List.newBuilder[(Long, Long, Long)]
           batch.toList.sortBy(_.media_id).foreach { it =>
-            val capped = maxBucket > 0 && rows.sizeIs >= maxBucket
-            if (!capped && !rows.exists(_._1 == it.media_id)) {
-              rows.foreach { case (id, bs) =>
-                val d = ham(bs, it.bands)
-                if (d <= maxDist)
-                  out += ((math.min(id, it.media_id), math.max(id, it.media_id), d))
-              }
-              rows = rows :+ (it.media_id, it.bands)
+            val seen = groups.exists(_._3.contains(it.media_id))
+            if (!seen) groups.indexWhere(_._2 == it.bands) match {
+              case gi if gi >= 0 =>
+                // exact-duplicate arrival: hamming-0 pairs once (band 0),
+                // cross pairs against the bucket's OTHER groups (the batch
+                // output is member-level), membership recorded in every
+                // bucket the hash lives in
+                val (rep, bs, members) = groups(gi)
+                if (isBandZero) members.foreach { id =>
+                  out += ((math.min(id, it.media_id), math.max(id, it.media_id), 0L))
+                }
+                groups.foreach { case (r, obs, omembers) =>
+                  if (r != rep) {
+                    val d = ham(obs, it.bands)
+                    if (d <= maxDist) omembers.foreach { id =>
+                      out += ((math.min(id, it.media_id), math.max(id, it.media_id), d))
+                    }
+                  }
+                }
+                groups = groups.updated(gi, (rep, bs, members :+ it.media_id))
+              case _ =>
+                val capped = maxBucket > 0 && groups.sizeIs >= maxBucket
+                if (!capped) {
+                  groups.foreach { case (_, bs, members) =>
+                    val d = ham(bs, it.bands)
+                    if (d <= maxDist) members.foreach { id =>
+                      out += ((math.min(id, it.media_id), math.max(id, it.media_id), d))
+                    }
+                  }
+                  groups = groups :+ ((it.media_id, it.bands, List(it.media_id)))
+                }
             }
           }
-          state.update(PhashBucket(rows))
+          state.update(PhashBucket(groups))
           out.result()
         })
       .flatMap(_.map { case (a, b, d) => PhashPairRow(a, b, d) })

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+
+import graft.GraftSession
+import graft.operators.{DedupOps, MultimodalOps}
+
+/** Measured-decade (1×/10×/100×) rehearsal for the heaviest round-11
+  * families — exact-substring spans, the strike edit pass, and CDC storage
+  * dedup — the same protocol as [[JaccardGrowth]]/[[PhashScaleCheck]]:
+  * min-of-2 walls through the DECLARED operator compositions over the
+  * ScaleGen-replicated dirs.
+  *
+  * Expected laws (each operator's scaladoc makes the bounded-state
+  * argument; this probe turns the two heaviest into numbers):
+  *
+  *  - `exactSubstringSpans` / `substringStrike`: ScaleGen's suffixed
+  *    replication is the KEYED regime — every replica's grams are distinct
+  *    keys, so postings multiply but never lengthen and the occurrence cap
+  *    stays idle; pairing volume should scale ~linearly like
+  *    `jaccardPairs`' keyed regime.
+  *  - `cdcDuplicateChunks`: chunk hashes are uniform keys; the one hash
+  *    aggregation is map-side combined — linear by construction.
+  *
+  * Usage: runMain graft.tools.FamilyScaleCheck [sf01Dir] [x10Dir] [x100Dir]
+  */
+object FamilyScaleCheck {
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val x10 = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val x100 = if (args.length > 2) args(2) else "/tmp/graft_scale100"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession
+      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+
+    val ops: Seq[(String, String => DataFrame)] = Seq(
+      "q_dedup_substring" ->
+        ((dir: String) => DedupOps.exactSubstringSpans(DedupOps.plantedSpliceCorpus(docs(dir)))),
+      "q_dedup_strike" ->
+        ((dir: String) => DedupOps.substringStrike(DedupOps.plantedSpliceCorpus(docs(dir)))),
+      "q_media_cdc" ->
+        ((dir: String) => MultimodalOps.cdcDuplicateChunks(
+          MultimodalOps.asMedia(DedupOps.plantedCorpus(docs(dir))))))
+
+    def once(f: String => DataFrame, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f(dir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // JIT/codegen warm-up at the smallest SF
+    ops.foreach { case (_, f) => once(f, "/root/testdata/sf0.001") }
+    for ((name, f) <- ops; (label, dir) <- Seq("sf0.1" -> sf01, "x10" -> x10, "x100" -> x100)) {
+      val (t1, n) = once(f, dir)
+      val (t2, _) = once(f, dir)
+      println(f"[famscale] $name%-18s $label%-5s: ${math.min(t1, t2)}%6.1f s (min of 2), rows=$n")
+    }
+    spark.stop()
+  }
+}

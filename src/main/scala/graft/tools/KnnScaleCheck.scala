@@ -6,17 +6,26 @@ import graft.GraftSession
 import graft.operators.SimOps
 
 /** Growth-law probe for [[SimOps.knnGraph]] — the r11 autopsy of the x100
-  * rehearsal's 106.7x wall ratio on `q_knn_graph`.
+  * rehearsal's 106.7x wall ratio on `q_knn_graph`, re-recorded in r12
+  * THROUGH the declared entry after occupancy-preserving centroid sizing
+  * became the default shape.
   *
-  * The declared query pins 16 IVF cells (centroids vec_id 100..115) so the
-  * oracle stays comparable; under ScaleGen x100 the corpus grows 100x over
-  * the SAME 16 cells, so per-cell occupancy grows 100x and the in-cell
-  * pairing volume O(Σ cell²) grows ~10,000x — the measured ~107x wall is
-  * the engine absorbing a 10,000x pair blowup, not linear-work overhead.
-  * The IVF discipline at scale is OCCUPANCY-PRESERVING nlist (cells ∝ N,
-  * constant vectors/cell — exactly how production IVF sizes nlist): this
-  * probe re-measures x100 with 1600 cells (100x the cells, same ~125
-  * vectors/cell as sf0.1) and prints both, min-of-2 after a warm-up.
+  * Through round 11 the declared query pinned 16 IVF cells (centroids
+  * vec_id 100..115); under ScaleGen x100 the corpus grows 100x over the
+  * SAME 16 cells, so per-cell occupancy grows 100x and the in-cell pairing
+  * volume O(Σ cell²) grows ~10,000x — the measured ~107x wall was the
+  * engine absorbing a 10,000x pair blowup, not linear-work overhead.
+  *
+  * The scale discipline is corpus-derived nlist. Round 12 measured BOTH
+  * candidate rules through the operator: constant occupancy (nlist = N/64,
+  * [[SimOps.hashCentroidPred]]) kills the pair blowup but leaves
+  * ASSIGNMENT quadratic — O(N·nlist) = O(N²/64) similarity evaluations —
+  * even after [[SimOps.cellArgmax]] removed the window shuffle (28.6 s at
+  * ×100); √N sizing ([[SimOps.sqrtCentroidPred]], the faiss nlist ∝ √N
+  * guideline) balances assignment O(N·√N) against pairing O(N·√N) for
+  * total O(N^1.5), and is the DECLARED shape since round 12. This probe
+  * measures the declared √N rule at 1x and 100x, plus the constant-64
+  * and fixed-16-cell rules at 100x as the two counterexamples.
   *
   * Usage: runMain graft.tools.KnnScaleCheck [scale100Dir] [sf01Dir]
   */
@@ -31,23 +40,31 @@ object KnnScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def once(dir: String, lo: Long, hi: Long): Double = {
+    def once(
+        dir: String,
+        pred: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column): Double = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val p = pred(emb)
       val t0 = System.nanoTime()
-      SimOps.knnGraph(
-        spark.read.parquet(s"$dir/embeddings.parquet"),
-        centroidPred = col("vec_id").between(lo, hi))
+      SimOps.knnGraph(emb, centroidPred = p)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    def run(label: String, dir: String, lo: Long, hi: Long): Unit = {
-      val t = math.min(once(dir, lo, hi), once(dir, lo, hi))
+    def run(
+        label: String, dir: String,
+        pred: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column): Unit = {
+      val t = math.min(once(dir, pred), once(dir, pred))
       println(f"[knnscale] $label: $t%.1f s (min of 2)")
     }
+    val declared = (emb: org.apache.spark.sql.DataFrame) => SimOps.sqrtCentroidPred(emb)
+    val const64 = (_: org.apache.spark.sql.DataFrame) => SimOps.hashCentroidPred()
+    val fixed16 = (_: org.apache.spark.sql.DataFrame) => col("vec_id").between(100, 115)
 
-    once("/root/testdata/sf0.001", 100, 115) // JIT/codegen warm-up
-    run("sf0.1   16 cells (declared shape)", sf01, 100, 115)
-    run("x100    16 cells (fixed nlist — occupancy x100)", x100, 100, 115)
-    run("x100  1600 cells (occupancy-preserving nlist)", x100, 100, 1699)
+    once("/root/testdata/sf0.001", declared) // JIT/codegen warm-up
+    run("sf0.1 DECLARED sqrt-N nlist (faiss rule)", sf01, declared)
+    run("x100  DECLARED sqrt-N nlist (faiss rule)", x100, declared)
+    run("x100  n/64 cells (constant occupancy — assignment quadratic)", x100, const64)
+    run("x100    16 cells (fixed nlist — occupancy x100)", x100, fixed16)
     spark.stop()
   }
 }

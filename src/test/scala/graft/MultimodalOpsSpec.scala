@@ -276,4 +276,32 @@ class MultimodalOpsSpec extends SparkSpec {
     val md5s = MultimodalOps.mediaMeta(media).select("fp_md5").as[String].collect()
     assert(md5s.distinct.length == md5s.length)
   }
+
+  test("phashPairs: exact-dup saturation cannot overflow the cap (dedup-first default)") {
+    // Two exact groups of 20 byte-identical payloads each: 40 raw items per
+    // band bucket would blow any cap <= 40 and silently emit NOTHING under
+    // raw-item banding (the measured x100 failure mode) — dedup-first
+    // collapses each group to one representative, so every bucket holds
+    // <= 2 distinct hashes and the full pair set survives a cap of 4.
+    val (w, h, px) = phashPixels(0L)
+    val mod = px.clone(); (0 until 3).foreach(c => mod(c) = 255)
+    def payload(p: Array[Int]) = Array[Byte](0x47, 0x52, 0x46, 0x54,
+      0, 0, 0, w.toByte, 0, 0, 0, h.toByte) ++ p.map(_.toByte)
+    val media = ((0L until 20L).map(id => (id, "image", payload(px))) ++
+      (20L until 40L).map(id => (id, "image", payload(mod))))
+      .toDF("media_id", "kind", "payload")
+    val hA = replayBands(w, h, px)
+    val hB = replayBands(w, h, mod)
+    val d = hA.zip(hB).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum.toLong
+    assert(d >= 1, "fixture must hold two distinct hashes")
+    val got = MultimodalOps.phashPairs(media, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val intra = (for (g <- Seq(0L, 20L); a <- g until g + 20; b <- (a + 1) until g + 20)
+      yield (a, b, 0L)).toSet
+    val cross = if (d <= 6)
+      (for (a <- 0L until 20L; b <- 20L until 40L) yield (a, b, d)).toSet
+    else Set.empty[(Long, Long, Long)]
+    assert(got == intra ++ cross)
+    assert(got.nonEmpty, "cap must not erase an exact-dup-saturated corpus")
+  }
 }

@@ -746,4 +746,27 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("phashPairsStream: cap counts distinct hashes — exact-dup floods keep pairing") {
+    // 10 items share one hash, then a near-dup (d=1) arrives; cap=3. Under
+    // raw-item capping the bucket froze at the 3rd arrival and the near-dup
+    // never paired (the measured x100 recall death); group-capping holds 2
+    // groups, so every intra pair and all 10 cross pairs are emitted.
+    val h1 = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+    val h2 = Seq(0L, 2L, 3L, 4L, 5L, 6L, 7L, 8L) // band 0 differs by 1 bit
+    val input = MemoryStream[PhashItem]
+    val q = StreamingOps.phashPairsStream(input.toDS(), maxBucket = 3)
+      .writeStream.format("memory").queryName("phashcap").outputMode("update").start()
+    try {
+      input.addData((0L until 10L).map(id => PhashItem(id, h1)))
+      q.processAllAvailable()
+      input.addData(PhashItem(100L, h2))
+      q.processAllAvailable()
+      val got = spark.table("phashcap")
+        .as[PhashPairRow].collect().map(p => (p.id_a, p.id_b, p.hamming)).toSet
+      val intra = (for (a <- 0L until 10L; b <- (a + 1) until 10L) yield (a, b, 0L)).toSet
+      val cross = (0L until 10L).map(id => (id, 100L, 1L)).toSet
+      assert(got == intra ++ cross)
+    } finally q.stop()
+  }
 }
