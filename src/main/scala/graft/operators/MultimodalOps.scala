@@ -566,6 +566,26 @@ object MultimodalOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Corpus-sized `grid` selection for [[phashPairs]] — the banding analog
+    * of `SimOps.sqrtCentroidPred`'s corpus-derived nlist: pick the
+    * smallest supported grid whose band-key space `grid · 2^grid` is at
+    * least the PAIRING UNIVERSE (distinct hashes after exact-dedup-first),
+    * so expected bucket occupancy stays ≤ 1 and the hot-bucket cap only
+    * ever drops true perceptual collision mass. grid=8 (2,048 buckets) is
+    * the standard 64-bit aHash and covers rep universes to ~2k; grid=16
+    * (1.05 M buckets) is the Manku-style multi-index sizing for larger
+    * ones. NOTE the trade the caller owns: `grid` changes the HASH itself
+    * (a 16×16 aHash is a finer fingerprint, not just finer banding), which
+    * is why the declared queries pin grid=8 — the cross-engine oracle
+    * replays that exact fingerprint — and production re-hashing decisions
+    * go through this rule explicitly. Measured at ×100
+    * (PhashScaleCheck/SKEW_scale.txt): rep universe 1,099 → grid=8 still
+    * caps its hottest bucket (139 > 64); grid=16 holds hottest at 86 with
+    * 2.4× the in-cap candidate volume.
+    */
+  def phashGridFor(pairingUniverse: Long): Int =
+    if (pairingUniverse <= 8L * (1L << 8)) 8 else 16
+
   /** Cap telemetry for [[phashPairs]]' representative band buckets — the
     * media member of the [[DedupOps.capAudit]] family. Buckets are counted
     * over DISTINCT hashes (the operator's exact-dedup-first universe), so

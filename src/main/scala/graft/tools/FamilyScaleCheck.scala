@@ -47,18 +47,21 @@ object FamilyScaleCheck {
         ((dir: String) => MultimodalOps.cdcDuplicateChunks(
           MultimodalOps.asMedia(DedupOps.plantedCorpus(docs(dir))))))
 
-    def once(f: String => DataFrame, dir: String): (Double, Long) = {
+    // noop-write timing, NOT count(): under count() Catalyst prunes the
+    // unobserved columns (strike's md5 reassembly, spans' positions) and
+    // elides ordering — the Bench protocol's reason for the noop sink
+    def once(f: String => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
-      val n = f(dir).count()
-      ((System.nanoTime() - t0) / 1e9, n)
+      f(dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
 
     // JIT/codegen warm-up at the smallest SF
     ops.foreach { case (_, f) => once(f, "/root/testdata/sf0.001") }
     for ((name, f) <- ops; (label, dir) <- Seq("sf0.1" -> sf01, "x10" -> x10, "x100" -> x100)) {
-      val (t1, n) = once(f, dir)
-      val (t2, _) = once(f, dir)
-      println(f"[famscale] $name%-18s $label%-5s: ${math.min(t1, t2)}%6.1f s (min of 2), rows=$n")
+      val t = math.min(once(f, dir), once(f, dir))
+      val n = f(dir).count() // rows for the growth law, untimed
+      println(f"[famscale] $name%-18s $label%-5s: $t%6.1f s (min of 2), rows=$n")
     }
     spark.stop()
   }

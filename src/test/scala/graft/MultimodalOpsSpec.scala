@@ -304,4 +304,14 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got == intra ++ cross)
     assert(got.nonEmpty, "cap must not erase an exact-dup-saturated corpus")
   }
+
+  test("phashGridFor: band-key space covers the pairing universe") {
+    def keySpace(g: Int) = g.toLong * (1L << g)
+    for (n <- Seq(1L, 100L, 2048L, 2049L, 100000L, 1048576L)) {
+      val g = MultimodalOps.phashGridFor(n)
+      assert(g == 8 || g == 16)
+      if (n <= keySpace(8)) assert(g == 8, s"n=$n should keep the standard 8x8 aHash")
+      else assert(keySpace(g) >= n || g == 16, s"n=$n")
+    }
+  }
 }
