@@ -526,6 +526,19 @@ class PlanSpec extends SparkSpec {
       s"expected exchange reuse in the knn-graph self-join:\n${executed.take(600)}")
   }
 
+  test("q_media_phash: rep-first plan reuses the decode/hash exchange; no cartesian") {
+    // exact-dedup-first references the decoded hash table from several
+    // branches (groups, member map, reps); the bands-keyed exchange must
+    // be planned once and reused, and member re-attachment must stay
+    // equi-join (rep_id), never a cartesian
+    val df = SparkEntry.queries("q_media_phash")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("TableCacheQueryStage"),
+      s"expected exchange reuse in the rep-first phash plan:\n${executed.take(600)}")
+    assert(!executed.contains("CartesianProduct"))
+  }
+
   test("q_tpch_q3: all three filters pushed; the segment dim broadcasts") {
     val p = plan("q_tpch_q3")
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter not pushed")
