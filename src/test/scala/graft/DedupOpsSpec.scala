@@ -301,4 +301,28 @@ class DedupOpsSpec extends SparkSpec {
     val got = DedupOps.entityMatch(df, titleLen = 19, blockLen = 4, maxDist = 5)
     assert(got.count() == 0L)
   }
+
+  test("jaccardCapAudit: hand-computed drop/keep rollup (no silent caps)") {
+    // shingle "a b c" posts in 5 docs (over the cap of 3: dropped, its 10
+    // candidate pairs forgone); "x y z" posts in 2 (kept, 1 pair)
+    val df = docs(((1L to 5L).map(i => (i, "a b c")) ++
+      Seq((10L, "x y z"), (11L, "x y z"))): _*)
+    val r = DedupOps.jaccardCapAudit(df, maxDocFreq = 3).head()
+    assert(r.getString(0) == "jaccard_postings")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6)) == ((2L, 1L, 5L, 1L, 10L, 5L)))
+  }
+
+  test("substringCapAudit: occurrence counting — one doc repeating a gram counts each") {
+    // 22 tokens = 3 twenty-grams, all distinct -> no bucket is pairable
+    val uniq = (1 to 22).map(i => s"t$i").mkString(" ")
+    val r0 = DedupOps.substringCapAudit(docs((1L, uniq)), maxOcc = 2).head()
+    assert((r0.getLong(1), r0.getLong(4), r0.getLong(5)) == ((3L, 0L, 0L)))
+    // the same 20-gram in 3 docs with occurrence cap 2: dropped, 3 pairs forgone
+    val g = (1 to 20).map(i => s"g$i").mkString(" ")
+    val r1 = DedupOps.substringCapAudit(
+      docs((1L, g), (2L, g), (3L, g)), maxOcc = 2).head()
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(5), r1.getLong(6)) ==
+      ((1L, 1L, 3L, 3L)))
+  }
 }
