@@ -1424,6 +1424,15 @@ object SparkEntry {
     "q_knn_graph" -> ((s, dir) =>
       SimOps.knnGraph(t(s, dir, "embeddings"),
         centroidPred = SimOps.sqrtCentroidPred(t(s, dir, "embeddings")))),
+    // The recall knob as a declared shape: each SOURCE vector probes its 2
+    // nearest cells (candidates stay in their home cell, so pairs cannot
+    // duplicate) — boundary neighbors probes=1 misses are recovered at
+    // linear fan-out. Top-2 assignment is the same zero-row-explosion
+    // fold as probes=1 (cellArgTop2), never the O(N·nlist) window.
+    "q_knn_graph_probe2" -> ((s, dir) =>
+      SimOps.knnGraph(t(s, dir, "embeddings"),
+        centroidPred = SimOps.sqrtCentroidPred(t(s, dir, "embeddings")),
+        probes = 2)),
     // Embedding-cosine near-dup pairs within LSH buckets, over a corpus
     // with planted duplicate vectors.
     "q_embed_neardup" -> ((s, dir) =>
@@ -3396,6 +3405,26 @@ object SparkEntry {
         "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         "list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos " +
         "FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id), " +
+        "r AS (SELECT id_a, id_b, cos, row_number() OVER (PARTITION BY id_a " +
+        "ORDER BY cos DESC, id_b) AS rank FROM p) " +
+        s"SELECT id_a, rank, id_b, ${TextOps.roundBpSql("cos")} AS cos_bp " +
+        "FROM r WHERE rank <= 3 ORDER BY id_a, rank"),
+    // mirrors q_knn_graph_probe2: the SOURCE side takes its 2 nearest
+    // cells (crn <= 2), candidates stay in their home cell (crn = 1)
+    "q_knn_graph_probe2" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n " +
+        s"WHERE ${SimOps.sqrtCentroidPredSql("embeddings")}), " +
+        "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
+        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n CROSS JOIN c), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
+        "asg AS (SELECT vec_id, e, nrm, c_id FROM rk WHERE crn = 1), " +
+        "pr AS (SELECT vec_id, e, nrm, c_id FROM rk WHERE crn <= 2), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos " +
+        "FROM pr a JOIN asg b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id), " +
         "r AS (SELECT id_a, id_b, cos, row_number() OVER (PARTITION BY id_a " +
         "ORDER BY cos DESC, id_b) AS rank FROM p) " +
         s"SELECT id_a, rank, id_b, ${TextOps.roundBpSql("cos")} AS cos_bp " +

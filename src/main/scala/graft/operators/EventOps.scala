@@ -217,11 +217,22 @@ object EventOps {
     */
   def typeTransitions(events: DataFrame): DataFrame = {
     val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val wFrom = Window.partitionBy(col("from_type"))
-    normalizeTs(events)
+    transitionMatrix(normalizeTs(events)
       .withColumn("from_type", lag(col("event_type"), 1).over(wU))
       .filter(col("from_type").isNotNull)
-      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .select(col("from_type"), col("event_type").as("to_type")))
+  }
+
+  /** [[typeTransitions]]' matrix half, split out so the streaming twin
+    * ([[graft.streaming.StreamingOps.typeTransitionsStream]]) can maintain
+    * the per-user lag pairs incrementally and recompute THIS |types|²-sized
+    * rollup from the emitted pair stream: counts per ordered pair, row
+    * shares in bp via a window over the tiny aggregate.
+    */
+  def transitionMatrix(pairs: DataFrame): DataFrame = {
+    val wFrom = Window.partitionBy(col("from_type"))
+    pairs
+      .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("row_total", sum(col("n")).over(wFrom))
       .select(col("from_type"), col("to_type"), col("n"),

@@ -390,6 +390,42 @@ object SimOps {
     s"${graft.functions.StableHash.hash60Sql(s"CAST($idCol AS VARCHAR)")} % " +
       s"greatest(4, CAST(ceil(sqrt((SELECT count(*) FROM $fromSql))) AS BIGINT)) = 0"
 
+  /** [[cellArgmax]]'s two-probe sibling: one fold keeps (best, second)
+    * cells with the window's exact tie-break (sorted-by-c_id array +
+    * strict compares: an equal-sim later cell never displaces rank 1 but
+    * takes rank 2 while it beats the incumbent second), then explodes to
+    * ≤ 2 (crn, c_id) rows per vector. Same zero-row-explosion shape —
+    * probes = 2 is the recall knob's standard setting and should not pay
+    * the O(N·nlist) window shuffle the ≥ 3 fallback accepts.
+    */
+  private def cellArgTop2(n: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
+    val carr = cents.agg(
+      sort_array(collect_list(struct(col("c_id"), col("ce"), col("cn")))).as("cs"))
+    val init = struct(
+      lit(Double.NegativeInfinity).as("s1"), lit(-1L).as("c1"),
+      lit(Double.NegativeInfinity).as("s2"), lit(-1L).as("c2"))
+    n.crossJoin(broadcast(carr))
+      .select(col(idCol), col("e"), col("nrm"),
+        aggregate(col("cs"), init,
+          (acc, c) => {
+            val s = dot(col("e"), c("ce")) / (col("nrm") * c("cn"))
+            when(s > acc("s1"),
+              struct(s.as("s1"), c("c_id").as("c1"),
+                acc("s1").as("s2"), acc("c1").as("c2")))
+              .when(s > acc("s2"),
+                struct(acc("s1").as("s1"), acc("c1").as("c1"),
+                  s.as("s2"), c("c_id").as("c2")))
+              .otherwise(acc)
+          },
+          acc => array(
+            struct(lit(1).as("crn"), acc("c1").as("c_id")),
+            struct(lit(2).as("crn"), acc("c2").as("c_id")))).as("top"))
+      .select(col(idCol), col("e"), col("nrm"), explode(col("top")).as("t"))
+      .select(col(idCol), col("e"), col("nrm"),
+        col("t.c_id").as("c_id"), col("t.crn").as("crn"))
+      .filter(col("c_id") >= 0)
+  }
+
   private def rankTopK(pairs: DataFrame, k: Int, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
     pairs
@@ -443,9 +479,11 @@ object SimOps {
     val n = normalized(emb, idCol, embCol)
     val cents = n.filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    val ranked = (if (probes == 1)
-      cellArgmax(n, cents, idCol).withColumn("crn", lit(1))
-    else cellRank(n, cents, idCol).filter(col("crn") <= probes))
+    val ranked = (probes match {
+      case 1 => cellArgmax(n, cents, idCol).withColumn("crn", lit(1))
+      case 2 => cellArgTop2(n, cents, idCol)
+      case _ => cellRank(n, cents, idCol).filter(col("crn") <= probes)
+    })
       .select(col(idCol), col("e"), col("nrm"), col("c_id"), col("crn"))
       .repartition(col("c_id"))
     val a = ranked.select(col("c_id"), col(idCol).as("id_a"),

@@ -87,6 +87,14 @@ case class PhashBucket(groups: List[(Long, Seq[Long], List[Long])])
 /** One emitted perceptual near-dup pair (id_a < id_b). */
 case class PhashPairRow(id_a: Long, id_b: Long, hamming: Long)
 
+/** Tail of a user's timeline — [[StreamingOps.typeTransitionsStream]]
+  * state: the (event-time µs, event id, type) of the last event seen.
+  */
+case class LastTyped(ts_us: Long, event_id: Long, tpe: String)
+
+/** One emitted user-journey transition (the lag pair). */
+case class TransitionRow(user_id: Long, from_type: String, to_type: String)
+
 /** Open-session state for [[StreamingOps.sessionize]] (epoch millis). */
 case class OpenSession(start: Long, end: Long, n: Long)
 
@@ -582,6 +590,44 @@ object StreamingOps {
           out.result()
         })
       .flatMap(_.map { case (a, b, d) => PhashPairRow(a, b, d) })
+  }
+
+  /** Streaming user-journey transitions — the `mapGroupsWithState` twin of
+    * `EventOps.typeTransitions`' lag half: per user the state is just the
+    * LAST event seen ((event-time µs, event id, type) — one small row per
+    * user, the minimal sessionization state), and each arriving event
+    * emits its (from_type, to_type) lag pair and becomes the new tail.
+    * Within a micro-batch events process in (ts, event_id) order — the
+    * batch operator's window order — so over in-order batches the emitted
+    * pair multiset equals the batch lag pairs exactly; an event arriving
+    * in a LATER batch than a newer one (cross-batch disorder) lags behind
+    * the stored tail instead of its true predecessor — the in-order
+    * arrival assumption every twin here documents, bounded by a watermark
+    * in production. The |types|²-sized matrix itself (counts + row shares)
+    * is recomputed from the emitted pair stream by
+    * `EventOps.transitionMatrix` — grid-sized work per refresh, raw events
+    * never re-read (the [[hourlySumsStream]] maintenance split, spec-pinned
+    * parity).
+    */
+  def typeTransitionsStream(events: Dataset[StreamIdEvent]): Dataset[TransitionRow] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, batch: Iterator[StreamIdEvent], state: GroupState[LastTyped]) => {
+          val sorted = batch.toList.sortBy(e => (micros(e.ts), e.event_id))
+          var last = state.getOption
+          val out = List.newBuilder[TransitionRow]
+          sorted.foreach { e =>
+            last.foreach(l => out += TransitionRow(user, l.tpe, e.event_type))
+            last = Some(LastTyped(micros(e.ts), e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result()
+        })
+      .flatMap(identity)
   }
 
   /** Streaming half of the gap-fill/EWMA maintenance loop — the streaming

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.EventOps
-import graft.streaming.{AsofMatch, ExtremaDelta, ExtremaRow, PhashItem, PhashPairRow, StreamEvent, StreamIdEvent, StreamingOps}
+import graft.streaming.{AsofMatch, ExtremaDelta, ExtremaRow, PhashItem, PhashPairRow, StreamEvent, StreamIdEvent, StreamingOps, TransitionRow}
 
 class StreamingOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -744,6 +744,38 @@ class StreamingOpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
       assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("typeTransitionsStream: matrix recomputed from emitted pairs equals batch") {
+    // three users' interleaved timelines, split mid-user so the stored
+    // tail carries a lag pair across the batch boundary
+    val evs = Seq(
+      StreamIdEvent(1L, ts("10:00"), 7L, "click"), StreamIdEvent(2L, ts("10:05"), 7L, "view"),
+      StreamIdEvent(3L, ts("10:01"), 8L, "click"), StreamIdEvent(4L, ts("10:02"), 8L, "view"),
+      StreamIdEvent(5L, ts("10:10"), 7L, "purchase"),
+      StreamIdEvent(6L, ts("10:11"), 9L, "view"), StreamIdEvent(7L, ts("10:12"), 9L, "click"),
+      StreamIdEvent(8L, ts("10:20"), 8L, "purchase"))
+    val input = MemoryStream[StreamIdEvent]
+    val q = StreamingOps.typeTransitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("transitions").outputMode("update").start()
+    try {
+      input.addData(evs.take(4))
+      q.processAllAvailable()
+      input.addData(evs.drop(4))
+      q.processAllAvailable()
+      val pairs = spark.table("transitions").as[TransitionRow].collect().toSeq
+      // the cross-batch lag pairs exist: user 7 view->purchase, 8 view->purchase
+      assert(pairs.contains(TransitionRow(7L, "view", "purchase")))
+      assert(pairs.contains(TransitionRow(8L, "view", "purchase")))
+      val streamedMatrix = EventOps.transitionMatrix(
+        pairs.toDF().select(col("from_type"), col("to_type")))
+        .collect().map(_.toSeq).toSeq
+      val batchMatrix = EventOps.typeTransitions(
+        evs.map(e => (e.event_id, e.ts, e.user_id, e.event_type, 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect().map(_.toSeq).toSeq
+      assert(streamedMatrix == batchMatrix)
     } finally q.stop()
   }
 
