@@ -1255,6 +1255,8 @@ object SparkEntry {
     "q_cap_audit_phash" -> ((s, dir) =>
       MultimodalOps.phashCapAudit(
         MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents"))))),
+    "q_cap_audit_neardup" -> ((s, dir) =>
+      SimOps.nearDupCapAudit(SimOps.plantedVectors(t(s, dir, "embeddings")))),
     // Cross-SOURCE contamination matrix: exact 3-shingle Jaccard between
     // every source pair via source-bounded postings — the rollup a mixture
     // designer reads before setting sampling weights.
@@ -2140,6 +2142,44 @@ object SparkEntry {
       "CAST(0 AS BIGINT) AS hamming FROM mem x JOIN mem y " +
       "ON x.rep = y.rep AND x.media_id < y.media_id), " +
       "pp AS (SELECT * FROM crossp UNION ALL SELECT * FROM intra)"
+
+  /** CTE chain mirroring [[SimOps.nearDupPairs]] over plantedVectors:
+    * exact-dedup-first on the raw embedding list, sign-bucket the
+    * representatives, participation-cap each bucket at
+    * DedupOps.DefaultMaxBucket lowest-id reps, pair + threshold, then
+    * re-attach members (cross pairs at the rep cosine, intra-group pairs
+    * at cos_bp = 10000). Keeps `base` in scope; ends in
+    * `vp2(id_a, id_b, cos_bp)` — shared by q_embed_neardup and the
+    * q_embed_pipeline drop-set.
+    */
+  private lazy val duckNearDupCtes: String = {
+    val bucket = (0 until 4)
+      .map(i => s"(CASE WHEN e[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    "base AS (SELECT vec_id, embedding, label FROM embeddings " +
+      "UNION ALL SELECT vec_id + 100000 AS vec_id, embedding, label " +
+      "FROM embeddings WHERE vec_id % 100 = 0), " +
+      "egrp AS (SELECT embedding, min(vec_id) AS rep FROM base GROUP BY embedding), " +
+      "emem AS (SELECT b.vec_id AS vec_id, egrp.rep AS rep " +
+      "FROM base b JOIN egrp ON b.embedding = egrp.embedding), " +
+      "nrep AS (SELECT rep AS vec_id, embedding::DOUBLE[] AS e, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM egrp), " +
+      s"nb AS (SELECT *, $bucket AS bucket FROM nrep), " +
+      "ncap AS (SELECT vec_id, e, nrm, bucket FROM (SELECT *, row_number() " +
+      "OVER (PARTITION BY bucket ORDER BY vec_id) AS rk FROM nb) " +
+      s"WHERE rk <= ${DedupOps.DefaultMaxBucket}), " +
+      "rp2 AS (SELECT * FROM (SELECT a.vec_id AS ra, b.vec_id AS rb, " +
+      s"${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} AS cos_bp " +
+      "FROM ncap a JOIN ncap b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+      "WHERE cos_bp >= 4000), " +
+      "crossp2 AS (SELECT least(ma.vec_id, mb.vec_id) AS id_a, " +
+      "greatest(ma.vec_id, mb.vec_id) AS id_b, cos_bp FROM rp2 " +
+      "JOIN emem ma ON rp2.ra = ma.rep JOIN emem mb ON rp2.rb = mb.rep), " +
+      "intra2 AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, " +
+      "CAST(10000 AS BIGINT) AS cos_bp FROM emem x JOIN emem y " +
+      "ON x.rep = y.rep AND x.vec_id < y.vec_id), " +
+      "vp2 AS (SELECT * FROM crossp2 UNION ALL SELECT * FROM intra2)"
+  }
 
   private val duckCorpus =
     "SELECT doc_id, text FROM documents " +
@@ -3079,6 +3119,21 @@ object SparkEntry {
       (s"WITH $duckPhashCtes, " +
         "bs AS (SELECT CAST(count(*) AS BIGINT) AS sz FROM rb GROUP BY k, bval) " +
         DedupOps.capAuditSql(DedupOps.DefaultMaxBucket, "phash_band")),
+    // participation-cap arithmetic (nothing dropped wholesale): kept =
+    // C(min(sz, cap), 2), forgone = the quadratic remainder
+    "q_cap_audit_neardup" -> {
+      val cap = DedupOps.DefaultMaxBucket
+      val kept = s"least(sz, $cap) * (least(sz, $cap) - 1) // 2"
+      s"WITH $duckNearDupCtes, " +
+        "bs AS (SELECT CAST(count(*) AS BIGINT) AS sz FROM nb GROUP BY bucket) " +
+        "SELECT 'neardup_signbucket' AS bucket_kind, " +
+        "CAST(count(*) AS BIGINT) AS n_buckets, " +
+        s"CAST(coalesce(sum(CASE WHEN sz > $cap THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped, " +
+        s"CAST(coalesce(sum(CASE WHEN sz > $cap THEN sz - $cap ELSE 0 END), 0) AS BIGINT) AS entries_dropped, " +
+        s"CAST(coalesce(sum($kept), 0) AS BIGINT) AS pairs_kept, " +
+        s"CAST(coalesce(sum(sz * (sz - 1) // 2 - ($kept)), 0) AS BIGINT) AS pairs_forgone, " +
+        "CAST(coalesce(max(sz), 0) AS BIGINT) AS hottest FROM bs"
+    },
     // mirrors DedupOps.containmentPairs over plantedQuoteCorpus: same
     // inverted-index CTE chain as q_dedup_jaccard, asymmetric final select
     "q_dedup_contain" ->
@@ -3954,21 +4009,9 @@ object SparkEntry {
         "rr AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
         "ORDER BY n_votes DESC, label) AS rn FROM v) " +
         "SELECT q_id, label AS pred_label, n_votes FROM rr WHERE rn = 1 ORDER BY q_id"),
-    "q_embed_neardup" -> {
-      val bucket = (0 until 4)
-        .map(i => s"(CASE WHEN e[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
-        .mkString(" + ")
-      "WITH base AS (SELECT vec_id, embedding, label FROM embeddings " +
-        "UNION ALL SELECT vec_id + 100000 AS vec_id, embedding, label " +
-        "FROM embeddings WHERE vec_id % 100 = 0), " +
-        "n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
-        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm, " +
-        s"$bucket AS bucket FROM base) " +
-        "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-        s"${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} AS cos_bp " +
-        "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
-        "WHERE cos_bp >= 4000 ORDER BY id_a, id_b"
-    },
+    "q_embed_neardup" ->
+      (s"WITH $duckNearDupCtes " +
+        "SELECT id_a, id_b, cos_bp FROM vp2 ORDER BY id_a, id_b"),
     // mirrors SimOps.semDedup: √N-sized hash-sampled IVF cell assignment
     // over the planted corpus (count over the SAME planted relation),
     // within-cell cosine >= 0.99 drops the higher id
@@ -3996,26 +4039,14 @@ object SparkEntry {
         "WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id"),
     // mirrors the q_embed_pipeline composition: the q_embed_neardup pair
     // chain feeding a drop-set left join and per-label rollup
-    "q_embed_pipeline" -> {
-      val bucket = (0 until 4)
-        .map(i => s"(CASE WHEN e[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
-        .mkString(" + ")
-      "WITH base AS (SELECT vec_id, embedding, label FROM embeddings " +
-        "UNION ALL SELECT vec_id + 100000 AS vec_id, embedding, label " +
-        "FROM embeddings WHERE vec_id % 100 = 0), " +
-        "n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
-        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm, " +
-        s"$bucket AS bucket FROM base), " +
-        "d AS (SELECT DISTINCT id_b FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-        s"${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} AS cos_bp " +
-        "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
-        "WHERE cos_bp >= 4000) " +
+    "q_embed_pipeline" ->
+      (s"WITH $duckNearDupCtes, " +
+        "d AS (SELECT DISTINCT id_b FROM vp2) " +
         "SELECT label, CAST(count(*) AS BIGINT) AS n_total, " +
         "CAST(count(d.id_b) AS BIGINT) AS n_dropped, " +
         "CAST(count(*) - count(d.id_b) AS BIGINT) AS n_kept " +
         "FROM base LEFT JOIN d ON base.vec_id = d.id_b " +
-        "GROUP BY label ORDER BY label"
-    },
+        "GROUP BY label ORDER BY label"),
     "q_media_meta" ->
       (s"WITH $duckMedia " +
         "SELECT media_id, kind, n AS n_bytes, md5(text) AS fp_md5, " +

@@ -581,36 +581,106 @@ object SimOps {
       .unionByName(emb.filter(col(idCol) % 100 === 0)
         .select((col(idCol) + 100000).as(idCol), col(embCol), col("label")))
 
-  /** Embedding-cosine near-duplicate pairs: self-join WITHIN sign-LSH
-    * buckets (never corpus x corpus), keep pairs with cosine ≥
-    * `thresholdBp`. Exact duplicates always share a bucket, so recall on
-    * true dups is 1; boundary near-dups follow the LSH trade documented on
-    * [[lshTopK]]. Output: (id_a, id_b, cos_bp), id_a < id_b.
+  /** Embedding-cosine near-duplicate pairs: EXACT-DEDUP-FIRST (identical
+    * raw embedding arrays collapse to a min-id representative — the same
+    * r12 default as `MultimodalOps.phashPairs`), then a self-join of the
+    * REPRESENTATIVES within sign-LSH buckets (never corpus × corpus), a
+    * `maxBucket` participation cap on each bucket (the
+    * [[semDedup]]/`DedupOps.DefaultMaxBucket` rule: only the cap's
+    * lowest-id reps pair, deterministic, oracle-mirrored), and member
+    * re-attachment — cross-group pairs inherit the representative cosine
+    * (identical vectors, identical dot), intra-group pairs are exact
+    * duplicates at cos_bp = 10000. Keep pairs with cosine ≥ `thresholdBp`.
+    * Exact duplicates are always found (group structure, not LSH luck);
+    * boundary near-dups follow the LSH trade documented on [[lshTopK]].
+    * Output: (id_a, id_b, cos_bp), id_a < id_b.
     *
-    * The two join inputs are the SAME derived frame; a naive self-join
-    * plans the scan→normalize→bucket pipeline twice (a diamond with no
-    * exchange reuse). Repartitioning on the bucket key first makes both
-    * sides end in identical exchanges, which Spark's ReuseExchange
-    * collapses — one scan, one normalize pass (plan-asserted in PlanSpec).
+    * SCALE LAW the defaults encode: the sign-bucket key space is FIXED at
+    * 2^bits (16), so rep occupancy grows with the DISTINCT-vector corpus
+    * and uncapped pairing quadratically — the same fixed-key-space shape
+    * the phash ×100 measurement exposed. Dedup-first strikes the
+    * exact-dup mass first; the cap bounds the residual at
+    * 2^bits·cap²/2 comparisons with the forgone volume VISIBLE via the
+    * cap-audit discipline; `bits` itself is the production knob (key
+    * space 2^bits ∝ distinct corpus, exactly [[ivfTopK]]'s nlist rule).
+    *
+    * The pair join's inputs are the SAME derived frame; repartitioning on
+    * the bucket key first makes both sides end in identical exchanges,
+    * which Spark's ReuseExchange collapses — one scan, one normalize pass
+    * (plan-asserted in PlanSpec).
     */
   def nearDupPairs(
       emb: DataFrame,
       thresholdBp: Int = 4000,
       bits: Int = 4,
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val n = normalized(emb, idCol, embCol)
+    val groups = emb.groupBy(col(embCol)).agg(min(col(idCol)).as("rep_id"))
+    val mem = emb.join(groups, Seq(embCol)).select(col(idCol), col("rep_id"))
+    val reps = groups.select(col("rep_id").as(idCol), col(embCol))
+    val n = normalized(reps, idCol, embCol)
       .withColumn("bucket", signBucket(col("e"), bits))
       .repartition(col("bucket"))
-    n.alias("a")
-      .join(n.alias("b"),
+    val wB = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    val capped = (if (maxBucket <= 0) n
+      else n.withColumn("rk", row_number().over(wB)).filter(col("rk") <= maxBucket))
+      .select(col(idCol), col("e"), col("nrm"), col("bucket"))
+    val repPairs = capped.alias("a")
+      .join(capped.alias("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(
-        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col(s"a.$idCol").as("ra"), col(s"b.$idCol").as("rb"),
         TextOps.roundBp(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
           .as("cos_bp"))
       .filter(col("cos_bp") >= thresholdBp)
-      .orderBy(col("id_a"), col("id_b"))
+    val cross = repPairs
+      .join(mem.as("ma"), col("ra") === col("ma.rep_id"))
+      .join(mem.as("mb"), col("rb") === col("mb.rep_id"))
+      .select(
+        least(col(s"ma.$idCol"), col(s"mb.$idCol")).as("id_a"),
+        greatest(col(s"ma.$idCol"), col(s"mb.$idCol")).as("id_b"),
+        col("cos_bp"))
+    val intra = mem.as("x")
+      .join(mem.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        lit(10000L).as("cos_bp"))
+    cross.unionByName(intra).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Cap telemetry for [[nearDupPairs]]' representative sign-buckets — the
+    * embedding member of the `DedupOps.capAudit` family, with
+    * PARTICIPATION-cap arithmetic (only a bucket's `maxBucket` lowest-id
+    * reps pair; nothing is dropped wholesale): `pairs_kept` =
+    * Σ C(min(sz, cap), 2) and `pairs_forgone` the quadratic remainder —
+    * the recall the fixed 2^bits key space actually costs on THIS corpus,
+    * visible instead of silent. Output schema matches the other audits.
+    */
+  def nearDupCapAudit(
+      emb: DataFrame,
+      bits: Int = 4,
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val groups = emb.groupBy(col(embCol)).agg(min(col(idCol)).as("rep_id"))
+    val reps = groups.select(col("rep_id").as(idCol), col(embCol))
+    val sizes = normalized(reps, idCol, embCol)
+      .withColumn("bucket", signBucket(col("e"), bits))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("sz"))
+    val kept = s"least(sz, $maxBucket) * (least(sz, $maxBucket) - 1) div 2"
+    sizes.agg(
+      count(lit(1)).as("n_buckets"),
+      coalesce(sum(when(col("sz") > maxBucket, 1L).otherwise(0L)), lit(0L))
+        .as("n_dropped"),
+      coalesce(sum(when(col("sz") > maxBucket, col("sz") - maxBucket).otherwise(0L)),
+        lit(0L)).as("entries_dropped"),
+      coalesce(sum(expr(kept)), lit(0L)).as("pairs_kept"),
+      coalesce(sum(expr(s"sz * (sz - 1) div 2 - ($kept)")), lit(0L)).as("pairs_forgone"),
+      coalesce(max(col("sz")), lit(0L)).as("hottest"))
+      .select(lit("neardup_signbucket").as("bucket_kind"), col("n_buckets"),
+        col("n_dropped"), col("entries_dropped"), col("pairs_kept"),
+        col("pairs_forgone"), col("hottest"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in

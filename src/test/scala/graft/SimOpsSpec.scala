@@ -379,6 +379,25 @@ class SimOpsSpec extends SparkSpec {
     assert(got.map(g => (g._1, g._2)) == Seq((1L, 2L)))
   }
 
+  test("nearDupPairs: exact-dup floods collapse to one rep; the cap cannot erase them") {
+    // 30 identical vectors + 10 identical near-variants, ALL in one sign
+    // bucket; a participation cap of 2 over RAW items would have silently
+    // truncated pairing — dedup-first leaves 2 representatives, so every
+    // intra pair (cos 10000) and every 30x10 cross pair survives
+    val df = emb(
+      ((1L to 30L).map(i => (i, Seq(1f, 1f, 1f, 1f), 0)) ++
+        (100L to 109L).map(i => (i, Seq(0.9f, 1f, 1f, 1f), 1))): _*)
+    val got = SimOps.nearDupPairs(df, maxBucket = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    val intraA = for (a <- 1L to 30L; b <- (a + 1) to 30L) yield (a, b, 10000L)
+    val intraB = for (a <- 100L to 109L; b <- (a + 1) to 109L) yield (a, b, 10000L)
+    val crossD = got.filter(p => p._1 <= 30L && p._2 >= 100L)
+    assert(crossD.size == 300, s"expected 30x10 cross pairs, got ${crossD.size}")
+    assert(crossD.map(_._3).distinct.size == 1 && crossD.head._3 >= 4000L)
+    assert((intraA ++ intraB).forall(got.contains), "intra pairs must all survive")
+    assert(got.size == intraA.size + intraB.size + 300)
+  }
+
   test("semDedup: planted exact copies are dropped, their originals survive") {
     val planted = SimOps.plantedVectors(sf("embeddings"))
     val kept = SimOps.semDedup(planted, centroidPred = col("vec_id").between(100, 115))
