@@ -4012,18 +4012,23 @@ object SparkEntry {
     "q_embed_neardup" ->
       (s"WITH $duckNearDupCtes " +
         "SELECT id_a, id_b, cos_bp FROM vp2 ORDER BY id_a, id_b"),
-    // mirrors SimOps.semDedup: √N-sized hash-sampled IVF cell assignment
-    // over the planted corpus (count over the SAME planted relation),
-    // within-cell cosine >= 0.99 drops the higher id
+    // mirrors SimOps.semDedup: exact-dedup-first (identical embeddings
+    // collapse to a min-id rep; members never survive), √N-sized
+    // hash-sampled centroids over the FULL planted corpus, rep-only cell
+    // assignment, within-cell cosine >= 0.99 drops the higher rep id
     "q_semdedup" ->
       ("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
         "UNION ALL SELECT vec_id + 100000 AS vec_id, embedding " +
         "FROM embeddings WHERE vec_id % 100 = 0), " +
-        "n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "nall AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
         "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
         "FROM base), " +
-        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n " +
+        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM nall " +
         s"WHERE ${SimOps.sqrtCentroidPredSql("base")}), " +
+        "egrp AS (SELECT embedding, min(vec_id) AS rep FROM base GROUP BY embedding), " +
+        "n AS (SELECT rep AS vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+        "FROM egrp), " +
         "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
         "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n, c), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +

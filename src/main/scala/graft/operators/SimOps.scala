@@ -700,17 +700,28 @@ object SimOps {
     * no all-pairs shape exists anywhere. An exact copy has an identical
     * cell ranking to its original, so same-cell recall on true copies is 1.
     *
+    * EXACT-DEDUP-FIRST (the r12 family default): identical raw embedding
+    * arrays collapse to a min-id representative BEFORE assignment — every
+    * non-rep member is by definition a duplicate of its lower-id
+    * representative (which stays in the corpus), so members drop without
+    * ever entering a cell or consuming the cap. Identical result to
+    * pairing raw vectors while the cap is idle; under an exact-dup FLOOD
+    * the raw path let copies beyond `maxCell` wrongly survive (the
+    * measured phash failure shape) — the rep path cannot.
+    *
     * The quadratic term is additionally HARD-bounded by `maxCell` (the
     * [[DedupOps.DefaultMaxBucket]] rule applied to cells): only the
-    * `maxCell` lowest-id members of a cell participate in pairing, so one
-    * hot cell — a k-means failure mode on clumpy corpora — costs at most
-    * `maxCell²` comparisons instead of going quadratic in the clump.
-    * Beyond-cap members pass through as survivors (never dropped, never
-    * dropping others), the same skip-the-pathological-bucket trade the
-    * MinHash path makes; the cap is deterministic (rank by id) so the
-    * oracle mirrors it exactly.
+    * `maxCell` lowest-id representatives of a cell participate in
+    * pairing, so one hot cell — a k-means failure mode on clumpy
+    * corpora — costs at most `maxCell²` comparisons instead of going
+    * quadratic in the clump. Beyond-cap DISTINCT vectors pass through as
+    * survivors (never dropped, never dropping others), the same
+    * skip-the-pathological-bucket trade the MinHash path makes; the cap
+    * is deterministic (rank by id) so the oracle mirrors it exactly.
     *
-    * Output: surviving (idCol, c_id), ordered by id.
+    * Output: surviving (idCol, c_id), ordered by id. Centroid selection
+    * (`centroidPred`) applies to the FULL corpus, not the rep universe,
+    * so the declared predicate keys stay stable.
     */
   def semDedup(
       emb: DataFrame,
@@ -719,10 +730,11 @@ object SimOps {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       maxCell: Int = DefaultMaxCell): DataFrame = {
-    val n = normalized(emb, idCol, embCol)
-    val cents = n.filter(centroidPred)
+    val groups = emb.groupBy(col(embCol)).agg(min(col(idCol)).as("rep_id"))
+    val reps = groups.select(col("rep_id").as(idCol), col(embCol))
+    val cents = normalized(emb, idCol, embCol).filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    val assigned = cellArgmax(n, cents, idCol)
+    val assigned = cellArgmax(normalized(reps, idCol, embCol), cents, idCol)
       .select(col(idCol), col("e"), col("nrm"), col("c_id"))
       .repartition(col("c_id"))
     val wCell = org.apache.spark.sql.expressions.Window

@@ -440,6 +440,17 @@ class SimOpsSpec extends SparkSpec {
     assert(full == Set(0L, 10L))
   }
 
+  test("semDedup: an exact-dup flood beyond maxCell still dedups (dedup-first)") {
+    // ten byte-identical vectors + a distinct centroid; maxCell=2 over RAW
+    // items would let copies ranked past the cap wrongly survive — the rep
+    // collapse drops every copy regardless of the cap
+    val clump = (10L to 19L).map(i => (i, Seq(10f, 1f, 0f, 0f), 0))
+    val df = emb((0L, Seq(1f, 0f, 0f, 0f), 0) +: clump: _*)
+    val got = SimOps.semDedup(df, col("vec_id") === 0, thresholdBp = 9990L, maxCell = 2)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(got == Set(0L, 10L), s"copies must drop structurally, got $got")
+  }
+
   test("productQuantize: codebook vectors reconstruct exactly, codes pack to 12 bits") {
     val e = sf("embeddings")
     val got = SimOps.productQuantize(e, col("vec_id") < 8)
