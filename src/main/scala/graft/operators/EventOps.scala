@@ -189,12 +189,30 @@ object EventOps {
   private[graft] val seasonalDev =
     s"${TextOps.floorDivSql("v_bp", "n_events")} - ${TextOps.floorDivSql("t_vbp", "t_events")}"
 
-  def seasonalProfile(events: DataFrame): DataFrame = {
-    val wType = Window.partitionBy(col("event_type"))
+  def seasonalProfile(events: DataFrame): DataFrame =
+    seasonalFromSums(seasonalSums(events))
+
+  /** The per-(type, hour-of-day) sufficient statistics [[seasonalProfile]]
+    * finalizes — split out (the [[hourlySums]]/[[ewmaFromHourly]]
+    * discipline) so the streaming twin
+    * ([[graft.streaming.StreamingOps.seasonalSumsStream]]) can maintain
+    * THIS ≤ 24·|types|-row table in update mode and recompute the profile
+    * without touching raw events: the sums are the only event-volume pass.
+    */
+  def seasonalSums(events: DataFrame): DataFrame =
     normalizeTs(events)
       .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour"))
       .agg(count(lit(1)).as("n_events"),
         sum(TextOps.roundBp(col("value"))).as("v_bp"))
+
+  /** [[seasonalProfile]]'s finalize half over a maintained [[seasonalSums]]
+    * table: per-type totals as windows over the 24-row-per-type aggregate,
+    * integer bp ratios via the shared [[seasonalShare]]/[[seasonalMean]]/
+    * [[seasonalDev]] fragments.
+    */
+  def seasonalFromSums(sums: DataFrame): DataFrame = {
+    val wType = Window.partitionBy(col("event_type"))
+    sums
       .withColumn("t_events", sum(col("n_events")).over(wType))
       .withColumn("t_vbp", sum(col("v_bp")).over(wType))
       .select(col("event_type"), col("hour"), col("n_events"),

@@ -655,6 +655,28 @@ object StreamingOps {
       .agg(sum(graft.operators.TextOps.roundBp(col("value"))).as("v_bp"))
   }
 
+  /** Streaming half of the seasonal-baseline maintenance loop — the twin of
+    * `EventOps.seasonalProfile`, split exactly where the batch operator is
+    * (`EventOps.seasonalSums` / `EventOps.seasonalFromSums`): an
+    * update-mode aggregation keeps the per-(type, hour-of-day 0–23)
+    * (n_events, Σv_bp) cells in streaming state — ≤ 24·|types| cells, a
+    * compile-time-bounded grid, never event-volume — and each micro-batch
+    * emits the re-aggregated totals of the touched cells. A `foreachBatch`
+    * consumer upserts them ([[upsertGridCells]]' keying generalizes) and
+    * recomputes the profile with `EventOps.seasonalFromSums` — grid-sized
+    * work per refresh, raw events never re-read. Cell sums are exact
+    * integers and emitted values are full re-aggregations (not deltas), so
+    * the maintained table equals batch [[graft.operators.EventOps.seasonalSums]]
+    * of everything streamed regardless of arrival order or batch slicing,
+    * and the recomputed profile equals batch `seasonalProfile` exactly
+    * (spec-pinned parity).
+    */
+  def seasonalSumsStream(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour"))
+      .agg(sum(lit(1L)).as("n_events"),
+        sum(graft.operators.TextOps.roundBp(col("value"))).as("v_bp"))
+
   /** Replace-by-key upsert of updated (event_type, bucket, v_bp) cells into
     * the maintained hourly table — the grid half of the gap-fill/EWMA
     * maintenance loop. Anti-join out the stale versions of the touched

@@ -581,6 +581,42 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("foreachBatch seasonal loop: maintained cells recompute batch seasonalProfile") {
+    val base = java.nio.file.Files.createTempDirectory("graft-seasonal").toString
+    val cellDir = s"$base/cells"
+    Seq.empty[(String, Long, Long, Long)]
+      .toDF("event_type", "hour", "n_events", "v_bp")
+      .write.parquet(cellDir)
+    val input = MemoryStream[StreamEvent]
+    val q = StreamingOps.seasonalSumsStream(input.toDF())
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // replace-by-key upsert on the (type, hour) grid key
+        val grid = spark.read.parquet(cellDir)
+        val next = grid.join(batch.select(col("event_type"), col("hour")),
+            Seq("event_type", "hour"), "left_anti")
+          .unionByName(batch)
+        next.write.mode("overwrite").parquet(s"$base/v$id")
+        spark.read.parquet(s"$base/v$id").write.mode("overwrite").parquet(cellDir)
+      }
+      .start()
+    try {
+      // the (10h, click) cell is split across batches: its total must be
+      // REPLACED by the second upsert, not doubled
+      input.addData(sample(1), sample(4))
+      q.processAllAvailable()
+      input.addData(sample(0), sample(2), sample(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val maintained = spark.read.parquet(cellDir)
+    assert(maintained.collect().map(_.toSeq).toSet ==
+      EventOps.seasonalSums(sample.toDF()).collect().map(_.toSeq).toSet)
+    // the recomputed profile equals the batch operator exactly
+    val got = EventOps.seasonalFromSums(maintained).collect().map(_.toSeq).toSeq
+    val want = EventOps.seasonalProfile(sample.toDF()).collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("topKPerKey: bounded state matches the batch GroupTopK formulation") {
     import graft.streaming.ScoredEvent
     val b1 = Seq(
