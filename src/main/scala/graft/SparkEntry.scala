@@ -1255,8 +1255,10 @@ object SparkEntry {
     "q_cap_audit_phash" -> ((s, dir) =>
       MultimodalOps.phashCapAudit(
         MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents"))))),
-    "q_cap_audit_neardup" -> ((s, dir) =>
-      SimOps.nearDupCapAudit(SimOps.plantedVectors(t(s, dir, "embeddings")))),
+    "q_cap_audit_neardup" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      SimOps.nearDupCapAudit(planted, bits = SimOps.autoSignBits(planted))
+    }),
     // Cross-SOURCE contamination matrix: exact 3-shingle Jaccard between
     // every source pair via source-bounded postings — the rollup a mixture
     // designer reads before setting sampling weights.
@@ -1436,9 +1438,13 @@ object SparkEntry {
         centroidPred = SimOps.sqrtCentroidPred(t(s, dir, "embeddings")),
         probes = 2)),
     // Embedding-cosine near-dup pairs within LSH buckets, over a corpus
-    // with planted duplicate vectors.
-    "q_embed_neardup" -> ((s, dir) =>
-      SimOps.nearDupPairs(SimOps.plantedVectors(t(s, dir, "embeddings")))),
+    // with planted duplicate vectors. The bucket width is CORPUS-DERIVED
+    // (SimOps.autoSignBits: 2^bits ≥ ⌈distinct-reps / cap⌉, the nlist ∝ N
+    // rule applied to the sign-LSH key space) — no hand-tuned key space.
+    "q_embed_neardup" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      SimOps.nearDupPairs(planted, bits = SimOps.autoSignBits(planted))
+    }),
     // SemDeDup: semantic dedup within IVF cells over a planted corpus —
     // cell-bounded pairing, exact copies always caught (same cell as
     // their original), survivors emitted with their cell. Centroids are
@@ -1453,7 +1459,7 @@ object SparkEntry {
     // The embedding twin of q_curate_pipeline's text chain.
     "q_embed_pipeline" -> ((s, dir) => {
       val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
-      val dropIds = SimOps.nearDupPairs(planted)
+      val dropIds = SimOps.nearDupPairs(planted, bits = SimOps.autoSignBits(planted))
         .select(col("id_b").as("vec_id")).distinct()
         .withColumn("dropped", lit(1L))
       planted
@@ -2145,7 +2151,10 @@ object SparkEntry {
 
   /** CTE chain mirroring [[SimOps.nearDupPairs]] over plantedVectors:
     * exact-dedup-first on the raw embedding list, sign-bucket the
-    * representatives, participation-cap each bucket at
+    * representatives with the CORPUS-DERIVED width (`nbits` mirrors
+    * `SimOps.autoSignBits` — integer compare ladder over
+    * ⌈count(DISTINCT embedding)/cap⌉, so both engines derive the same
+    * `bits` from the same corpus), participation-cap each bucket at
     * DedupOps.DefaultMaxBucket lowest-id reps, pair + threshold, then
     * re-attach members (cross pairs at the rep cosine, intra-group pairs
     * at cos_bp = 10000). Keeps `base` in scope; ends in
@@ -2153,12 +2162,11 @@ object SparkEntry {
     * q_embed_pipeline drop-set.
     */
   private lazy val duckNearDupCtes: String = {
-    val bucket = (0 until 4)
-      .map(i => s"(CASE WHEN e[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
-      .mkString(" + ")
+    val bucket = SimOps.signBucketSql("e", "(SELECT b FROM nbits)")
     "base AS (SELECT vec_id, embedding, label FROM embeddings " +
       "UNION ALL SELECT vec_id + 100000 AS vec_id, embedding, label " +
       "FROM embeddings WHERE vec_id % 100 = 0), " +
+      s"nbits AS ${SimOps.autoSignBitsSql("base")}, " +
       "egrp AS (SELECT embedding, min(vec_id) AS rep FROM base GROUP BY embedding), " +
       "emem AS (SELECT b.vec_id AS vec_id, egrp.rep AS rep " +
       "FROM base b JOIN egrp ON b.embedding = egrp.embedding), " +
@@ -3132,7 +3140,8 @@ object SparkEntry {
         s"CAST(coalesce(sum(CASE WHEN sz > $cap THEN sz - $cap ELSE 0 END), 0) AS BIGINT) AS entries_dropped, " +
         s"CAST(coalesce(sum($kept), 0) AS BIGINT) AS pairs_kept, " +
         s"CAST(coalesce(sum(sz * (sz - 1) // 2 - ($kept)), 0) AS BIGINT) AS pairs_forgone, " +
-        "CAST(coalesce(max(sz), 0) AS BIGINT) AS hottest FROM bs"
+        "CAST(coalesce(max(sz), 0) AS BIGINT) AS hottest, " +
+        "'participation' AS cap_semantics FROM bs"
     },
     // mirrors DedupOps.containmentPairs over plantedQuoteCorpus: same
     // inverted-index CTE chain as q_dedup_jaccard, asymmetric final select

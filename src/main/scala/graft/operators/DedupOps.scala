@@ -184,7 +184,15 @@ object DedupOps {
     * integer-exact, oracle-mirrored ([[capAuditSql]]).
     *
     * Output (one row): (bucket_kind, n_buckets, n_dropped, entries_dropped,
-    * pairs_kept, pairs_forgone, hottest).
+    * pairs_kept, pairs_forgone, hottest, cap_semantics). `cap_semantics` =
+    * `wholesale_drop` here: an over-cap bucket contributes NOTHING
+    * (entries_dropped counts its full size, pairs_forgone its full
+    * C(sz, 2)) — vs the `participation` discipline of
+    * `SimOps.nearDupCapAudit`, where only the entries beyond the cap sit
+    * out and the arithmetic is the quadratic remainder. The column makes
+    * the two disciplines distinguishable IN the audit row itself, so a
+    * consumer comparing rows across bucket_kind values can't misread one
+    * family's numbers under the other family's arithmetic.
     */
   private[graft] def capAudit(sizes: DataFrame, maxBucket: Int, kind: String): DataFrame =
     sizes
@@ -200,7 +208,8 @@ object DedupOps {
           expr("sz * (sz - 1) div 2")).otherwise(0L)), lit(0L)).as("pairs_forgone"),
         coalesce(max(col("sz")), lit(0L)).as("hottest"))
       .select(lit(kind).as("bucket_kind"), col("n_buckets"), col("n_dropped"),
-        col("entries_dropped"), col("pairs_kept"), col("pairs_forgone"), col("hottest"))
+        col("entries_dropped"), col("pairs_kept"), col("pairs_forgone"), col("hottest"),
+        lit("wholesale_drop").as("cap_semantics"))
 
   /** DuckDB rollup matching [[capAudit]]: select from a CTE/subquery named
     * `bs` exposing one BIGINT column `sz` per bucket.
@@ -211,7 +220,8 @@ object DedupOps {
       s"CAST(coalesce(sum(CASE WHEN sz > $maxBucket THEN sz ELSE 0 END), 0) AS BIGINT) AS entries_dropped, " +
       s"CAST(coalesce(sum(CASE WHEN sz BETWEEN 2 AND $maxBucket THEN sz * (sz - 1) // 2 ELSE 0 END), 0) AS BIGINT) AS pairs_kept, " +
       s"CAST(coalesce(sum(CASE WHEN sz > $maxBucket THEN sz * (sz - 1) // 2 ELSE 0 END), 0) AS BIGINT) AS pairs_forgone, " +
-      "CAST(coalesce(max(sz), 0) AS BIGINT) AS hottest FROM bs"
+      "CAST(coalesce(max(sz), 0) AS BIGINT) AS hottest, " +
+      "'wholesale_drop' AS cap_semantics FROM bs"
 
   /** Cap telemetry for [[minhashBandPairs]]' band buckets — the standard
     * audit query of the MinHash-LSH family (same band construction, same

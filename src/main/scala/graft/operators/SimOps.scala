@@ -134,6 +134,63 @@ object SimOps {
       .map(i => when(element_at(embCol, offset + i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** CORPUS-SIZED sign-bucket width for [[nearDupPairs]] — the
+    * [[sqrtCentroidPred]] discipline applied to the LSH key space, closing
+    * the last fixed-key-space knob a user had to turn by hand: one
+    * distinct-count action over the raw embedding column (the DISTINCT-rep
+    * universe the exact-dedup-first pairing actually buckets), then the
+    * smallest `bits` in [4, 16] whose 2^bits key space holds the reps at
+    * ≤ `maxBucket` expected occupancy — i.e. 2^bits ≥ ⌈reps / maxBucket⌉,
+    * so the participation cap goes IDLE in expectation and the forgone
+    * share stays roughly flat as the corpus grows (key space ∝ corpus,
+    * exactly [[ivfTopK]]'s nlist ∝ N rule; the reference's one tunable is
+    * the same idea — `chunkSize` tracks input size, `Client.java:21`).
+    *
+    * The rule is integer-only — `bits = bitLength(⌈reps/maxBucket⌉ − 1)`
+    * clamped to [4, 16] — never a float `log2` whose last bit could differ
+    * cross-engine at exact powers of two; [[autoSignBitsSql]] emits the
+    * equivalent integer compare ladder for DuckDB. The 16 clamp keeps the
+    * bucket id far inside an int and inside the 64-dim test embeddings;
+    * a wider production corpus raises the clamp with its embedding dim
+    * (signBucket reads one dimension per bit).
+    */
+  def autoSignBits(
+      emb: DataFrame,
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
+      embCol: String = "embedding"): Int = {
+    val reps = emb.select(col(embCol)).distinct().count()
+    val m = (reps + maxBucket - 1) / maxBucket
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, m - 1))
+    math.min(16, math.max(4, b.toInt))
+  }
+
+  /** DuckDB scalar subquery matching [[autoSignBits]]: `fromSql` must be a
+    * relation holding the SAME corpus the Spark side counted. Emits
+    * `(SELECT CASE … END AS b FROM (SELECT ⌈count(DISTINCT emb)/cap⌉ AS m …))`
+    * — the integer compare ladder equivalent of the clamped bitLength.
+    */
+  def autoSignBitsSql(
+      fromSql: String,
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
+      embCol: String = "embedding"): String = {
+    val ladder = (15 to 4 by -1)
+      .map(k => s"WHEN m > ${1L << k} THEN ${k + 1}")
+      .mkString(" ")
+    s"(SELECT (CASE $ladder ELSE 4 END) AS b FROM " +
+      s"(SELECT ((count(DISTINCT $embCol) + ${maxBucket - 1}) // $maxBucket) AS m " +
+      s"FROM $fromSql))"
+  }
+
+  /** DuckDB bucket expression matching [[signBucket]] over a DOUBLE-list
+    * column `eSql` with a RUNTIME bit count `bitsSql` (a scalar or scalar
+    * subquery): Σ over i ∈ [1, bits] of (e[i] ≥ 0) · 2^(i−1), via
+    * `list_transform(range(…))` so the term count follows the derived
+    * width instead of being baked into the SQL text.
+    */
+  def signBucketSql(eSql: String, bitsSql: String): String =
+    s"list_sum(list_transform(range(1, ($bitsSql) + 1), " +
+      s"i -> CASE WHEN $eSql[i] >= 0 THEN (1 << (i - 1)) ELSE 0 END))"
+
   /** Multi-table LSH cosine top-k: `tables` independent sign-bucket tables
     * (table t hashes dims [t·bits, (t+1)·bits)); queries meet candidates
     * sharing ANY table's bucket, and duplicate collisions collapse before
@@ -595,14 +652,18 @@ object SimOps {
     * boundary near-dups follow the LSH trade documented on [[lshTopK]].
     * Output: (id_a, id_b, cos_bp), id_a < id_b.
     *
-    * SCALE LAW the defaults encode: the sign-bucket key space is FIXED at
-    * 2^bits (16), so rep occupancy grows with the DISTINCT-vector corpus
-    * and uncapped pairing quadratically — the same fixed-key-space shape
-    * the phash ×100 measurement exposed. Dedup-first strikes the
-    * exact-dup mass first; the cap bounds the residual at
-    * 2^bits·cap²/2 comparisons with the forgone volume VISIBLE via the
-    * cap-audit discipline; `bits` itself is the production knob (key
-    * space 2^bits ∝ distinct corpus, exactly [[ivfTopK]]'s nlist rule).
+    * SCALE LAW: a FIXED `bits` leaves the 2^bits key space constant, so
+    * rep occupancy grows with the DISTINCT-vector corpus and uncapped
+    * pairing quadratically — the same fixed-key-space shape the phash
+    * ×100 measurement exposed. Dedup-first strikes the exact-dup mass
+    * first; the cap bounds the residual at 2^bits·cap²/2 comparisons with
+    * the forgone volume VISIBLE via the cap-audit discipline; and `bits`
+    * itself SELF-SIZES via [[autoSignBits]] (2^bits ≥ ⌈reps/cap⌉, key
+    * space ∝ distinct corpus — [[ivfTopK]]'s nlist rule), which is how
+    * the declared queries call it: the cap idles in expectation and the
+    * forgone share stays flat across decades instead of climbing. The
+    * static default (4) remains for oracle-pinned small fixtures and
+    * direct spec calls.
     *
     * The pair join's inputs are the SAME derived frame; repartitioning on
     * the bucket key first makes both sides end in identical exchanges,
@@ -654,8 +715,12 @@ object SimOps {
     * PARTICIPATION-cap arithmetic (only a bucket's `maxBucket` lowest-id
     * reps pair; nothing is dropped wholesale): `pairs_kept` =
     * Σ C(min(sz, cap), 2) and `pairs_forgone` the quadratic remainder —
-    * the recall the fixed 2^bits key space actually costs on THIS corpus,
-    * visible instead of silent. Output schema matches the other audits.
+    * the recall the 2^bits key space actually costs on THIS corpus,
+    * visible instead of silent. Output schema matches the other audits;
+    * `cap_semantics` = `participation` marks the different arithmetic in
+    * the row itself (`entries_dropped` here counts entries that only LOSE
+    * PAIRING PARTNERS beyond the cap, not wholesale-dropped entries as in
+    * the `wholesale_drop` rows of `DedupOps.capAudit`).
     */
   def nearDupCapAudit(
       emb: DataFrame,
@@ -680,7 +745,8 @@ object SimOps {
       coalesce(max(col("sz")), lit(0L)).as("hottest"))
       .select(lit("neardup_signbucket").as("bucket_kind"), col("n_buckets"),
         col("n_dropped"), col("entries_dropped"), col("pairs_kept"),
-        col("pairs_forgone"), col("hottest"))
+        col("pairs_forgone"), col("hottest"),
+        lit("participation").as("cap_semantics"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in

@@ -398,6 +398,28 @@ class SimOpsSpec extends SparkSpec {
     assert(got.size == intraA.size + intraB.size + 300)
   }
 
+  test("autoSignBits: smallest 2^bits covering the distinct-rep universe at cap occupancy") {
+    def vecs(n: Int) = (1 to n).map(i => (i.toLong, Seq(i.toFloat, 0f), 0))
+    // 64 distinct at cap 1: m = 64 -> 2^6 = 64 suffices -> 6
+    assert(SimOps.autoSignBits(emb(vecs(64): _*), maxBucket = 1) == 6)
+    // 65 distinct at cap 1: m = 65 -> needs 2^7 -> 7
+    assert(SimOps.autoSignBits(emb(vecs(65): _*), maxBucket = 1) == 7)
+    // duplicates collapse before sizing: 65 rows, 3 distinct -> clamp floor 4
+    val dups = (1 to 65).map(i => (i.toLong, Seq((i % 3).toFloat, 1f), 0))
+    assert(SimOps.autoSignBits(emb(dups: _*), maxBucket = 1) == 4)
+    // default cap (64): the sf fixture's ~500 reps give m = 8 -> floor 4
+    assert(SimOps.autoSignBits(sf("embeddings")) == 4)
+  }
+
+  test("autoSignBits-driven nearDupPairs still finds planted duplicates") {
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    val bits = SimOps.autoSignBits(planted)
+    val got = SimOps.nearDupPairs(planted, thresholdBp = 9999, bits = bits)
+      .as[(Long, Long, Long)].collect().toSeq
+    val expected = Seq(0L, 100L, 200L, 300L, 400L).map(i => (i, i + 100000L))
+    expected.foreach(p => assert(got.map(g => (g._1, g._2)).contains(p)))
+  }
+
   test("semDedup: planted exact copies are dropped, their originals survive") {
     val planted = SimOps.plantedVectors(sf("embeddings"))
     val kept = SimOps.semDedup(planted, centroidPred = col("vec_id").between(100, 115))
