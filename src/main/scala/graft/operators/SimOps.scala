@@ -62,7 +62,7 @@ object SimOps {
     * `transform(_.cast("double"))` here would only allocate a second array
     * per row for identical arithmetic.
     */
-  private def normalized(emb: DataFrame, idCol: String, embCol: String): DataFrame =
+  private[graft] def normalized(emb: DataFrame, idCol: String, embCol: String): DataFrame =
     emb.select(
       col(idCol),
       col(embCol).as("e"),
@@ -266,13 +266,19 @@ object SimOps {
 
   /** Every vector scored against every centroid (centroids broadcast),
     * ranked per vector by (cosine desc, c_id): `crn = 1` is the vector's
-    * home cell, `crn <= nProbe` are a query's probe cells.
+    * home cell, `crn <= nProbe` are a query's probe cells. NULL
+    * similarities (NULL embedding/element) are filtered before ranking,
+    * so a vector ranks only among its non-NULL cells and a vector with
+    * no non-NULL similarity emits nothing — the SAME degenerate-row
+    * contract as [[cellArgmax]] and [[cellArgTopP]]: every assignment
+    * path agrees on such rows regardless of the probes setting.
     */
-  private def cellRank(n: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
+  private[graft] def cellRank(n: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
     val byCell = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("c_id"))
     n.crossJoin(broadcast(cents))
       .select(col(idCol), col("e"), col("nrm"),
         col("c_id"), (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("csim"))
+      .filter(col("csim").isNotNull)
       .withColumn("crn", row_number().over(byCell))
   }
 
@@ -293,6 +299,13 @@ object SimOps {
     * the limit — the point where production IVF switches to a hierarchical
     * coarse quantizer. [[cellRank]] remains for genuine multi-probe
     * ranking, applied to the (small, filtered) QUERY side only.
+    *
+    * Degenerate rows: a NULL similarity never wins the fold (`NULL > acc`
+    * is NULL → `when` keeps the accumulator), so a vector whose every
+    * similarity is NULL keeps c = −1 and the trailing `c_id >= 0` filter
+    * drops it — the same contract [[cellRank]] and [[cellArgTopP]]
+    * enforce by filtering NULL sims: all assignment paths agree on
+    * degenerate rows regardless of the probes setting.
     */
   private def cellArgmax(n: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
     val carr = cents.agg(
@@ -447,40 +460,49 @@ object SimOps {
     s"${graft.functions.StableHash.hash60Sql(s"CAST($idCol AS VARCHAR)")} % " +
       s"greatest(4, CAST(ceil(sqrt((SELECT count(*) FROM $fromSql))) AS BIGINT)) = 0"
 
-  /** [[cellArgmax]]'s two-probe sibling: one fold keeps (best, second)
-    * cells with the window's exact tie-break (sorted-by-c_id array +
-    * strict compares: an equal-sim later cell never displaces rank 1 but
-    * takes rank 2 while it beats the incumbent second), then explodes to
-    * ≤ 2 (crn, c_id) rows per vector. Same zero-row-explosion shape —
-    * probes = 2 is the recall knob's standard setting and should not pay
-    * the O(N·nlist) window shuffle the ≥ 3 fallback accepts.
+  /** [[cellArgmax]] generalized to the top-`p` cells — the fold that
+    * finishes what the r12 probe-2 commit started: ONE pass over the
+    * broadcast c_id-sorted centroid array keeps a ≤ p array of (csim,
+    * c_id) via sorted insert (`filter`/`concat`/`slice` on the
+    * accumulator: incumbents with sim ≥ the newcomer stay ahead, so an
+    * equal-sim later cell never displaces an earlier one but may take a
+    * lower slot — exactly the window's (csim desc, c_id asc) tie-break),
+    * then posexplodes to ≤ p (crn, c_id) rows per vector. Replaces both
+    * r12's fixed two-slot fold AND the probes ≥ 3 fallback through
+    * [[cellRank]]'s O(N·nlist) window shuffle: every probe setting now
+    * rides the same zero-row-explosion shape, O(nlist·p) array work per
+    * row, no shuffle beyond the one-row broadcast. Each centroid's dot is
+    * computed once (`transform` first, fold over the scored array).
+    *
+    * Degenerate rows: a NULL similarity (NULL embedding or element) is
+    * dropped BEFORE the fold, so a vector ranks only among its non-NULL
+    * cells and a vector with no non-NULL similarity emits nothing — the
+    * same contract as [[cellArgmax]]'s `c_id >= 0` filter and
+    * [[cellRank]]'s NULL-sim filter (all three paths agree on degenerate
+    * rows regardless of the probes setting).
     */
-  private def cellArgTop2(n: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
+  private[graft] def cellArgTopP(
+      n: DataFrame, cents: DataFrame, idCol: String, p: Int): DataFrame = {
     val carr = cents.agg(
       sort_array(collect_list(struct(col("c_id"), col("ce"), col("cn")))).as("cs"))
-    val init = struct(
-      lit(Double.NegativeInfinity).as("s1"), lit(-1L).as("c1"),
-      lit(Double.NegativeInfinity).as("s2"), lit(-1L).as("c2"))
     n.crossJoin(broadcast(carr))
       .select(col(idCol), col("e"), col("nrm"),
-        aggregate(col("cs"), init,
-          (acc, c) => {
-            val s = dot(col("e"), c("ce")) / (col("nrm") * c("cn"))
-            when(s > acc("s1"),
-              struct(s.as("s1"), c("c_id").as("c1"),
-                acc("s1").as("s2"), acc("c1").as("c2")))
-              .when(s > acc("s2"),
-                struct(acc("s1").as("s1"), acc("c1").as("c1"),
-                  s.as("s2"), c("c_id").as("c2")))
-              .otherwise(acc)
-          },
-          acc => array(
-            struct(lit(1).as("crn"), acc("c1").as("c_id")),
-            struct(lit(2).as("crn"), acc("c2").as("c_id")))).as("top"))
-      .select(col(idCol), col("e"), col("nrm"), explode(col("top")).as("t"))
+        aggregate(
+          filter(
+            transform(col("cs"), c => struct(
+              (dot(col("e"), c("ce")) / (col("nrm") * c("cn"))).as("s"),
+              c("c_id").as("c"))),
+            x => x("s").isNotNull),
+          array().cast("array<struct<s:double,c:bigint>>"),
+          (acc, x) => slice(
+            concat(
+              filter(acc, a => a("s") >= x("s")),
+              array(x),
+              filter(acc, a => a("s") < x("s"))),
+            1, p)).as("top"))
+      .select(col(idCol), col("e"), col("nrm"), posexplode(col("top")))
       .select(col(idCol), col("e"), col("nrm"),
-        col("t.c_id").as("c_id"), col("t.crn").as("crn"))
-      .filter(col("c_id") >= 0)
+        col("col.c").as("c_id"), (col("pos") + 1).cast("int").as("crn"))
   }
 
   private def rankTopK(pairs: DataFrame, k: Int, idCol: String): DataFrame = {
@@ -538,8 +560,7 @@ object SimOps {
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
     val ranked = (probes match {
       case 1 => cellArgmax(n, cents, idCol).withColumn("crn", lit(1))
-      case 2 => cellArgTop2(n, cents, idCol)
-      case _ => cellRank(n, cents, idCol).filter(col("crn") <= probes)
+      case p => cellArgTopP(n, cents, idCol, p)
     })
       .select(col(idCol), col("e"), col("nrm"), col("c_id"), col("crn"))
       .repartition(col("c_id"))

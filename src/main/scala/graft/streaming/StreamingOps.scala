@@ -79,10 +79,14 @@ case class PhashBucketItem(bkey: String, media_id: Long, bands: Seq[Long])
 
 /** Per-bucket seen-set for [[StreamingOps.phashPairsStream]] — the EXACT
   * hash groups that have landed in this band bucket so far (rep id, the
-  * hash, member ids id-ascending), rep-id-ascending. One bands vector per
-  * DISTINCT hash, not per item: the exact-dedup-first state shape.
+  * hash, member ids id-ascending, frozen flag), rep-id-ascending. One
+  * bands vector per DISTINCT hash, not per item: the exact-dedup-first
+  * state shape. A FROZEN group (founded in a band-0 bucket already at the
+  * cap) participates only in intra (hamming-0) emission, never in
+  * cross-group pairing — the exact-dedup registry entry without the
+  * quadratic pairing cost.
   */
-case class PhashBucket(groups: List[(Long, Seq[Long], List[Long])])
+case class PhashBucket(groups: List[(Long, Seq[Long], List[Long], Boolean)])
 
 /** One emitted perceptual near-dup pair (id_a < id_b). */
 case class PhashPairRow(id_a: Long, id_b: Long, hamming: Long)
@@ -91,6 +95,12 @@ case class PhashPairRow(id_a: Long, id_b: Long, hamming: Long)
   * state: the (event-time µs, event id, type) of the last event seen.
   */
 case class LastTyped(ts_us: Long, event_id: Long, tpe: String)
+
+/** Buffered per-user state for [[StreamingOps.typeTransitionsStream]]:
+  * the last FINALIZED event (the chain tail, already paired) plus the
+  * not-yet-finalizable events above the watermark, unordered.
+  */
+case class TransitBuffer(tail: Option[LastTyped], pending: List[LastTyped])
 
 /** One emitted user-journey transition (the lag pair). */
 case class TransitionRow(user_id: Long, from_type: String, to_type: String)
@@ -524,16 +534,25 @@ object StreamingOps {
     * emitted once per band (the batch groupBy-min dedup has no streaming
     * equivalent without all-pairs state — downstream
     * `dropDuplicates(id_a, id_b)` is the dedup), and a `maxBucket` cap —
-    * counted in DISTINCT hashes, the batch cap's unit — freezes NEW
-    * groups in a hot bucket from its (maxBucket+1)-th distinct hash
-    * onward while members of existing groups still land (exact-duplicate
-    * saturation can no longer kill near-dup recall — the measured ×100
-    * failure mode of raw-item capping). The batch cap retro-drops the
-    * whole bucket; a stream cannot un-emit (spec pins parity in the
-    * uncapped configuration). State is O(buckets · min(distinct-hashes,
-    * cap)) hashes + member id lists — the exact-dedup registry fused into
-    * the inverted LSH index, the same state a production incremental
-    * dedup keeps.
+    * counted in DISTINCT hashes, the batch cap's unit — stops NEW groups
+    * from CROSS-pairing in a hot bucket from its (maxBucket+1)-th
+    * distinct hash onward while members of existing groups still land
+    * (exact-duplicate saturation can no longer kill near-dup recall — the
+    * measured ×100 failure mode of raw-item capping). In non-zero bands an
+    * over-cap founder is simply not recorded; in the BAND-0 bucket — the
+    * designated home of intra (hamming-0) emission — it is recorded as a
+    * FROZEN group instead: frozen groups never cross-pair (cost stays
+    * ≤ cap² per bucket) but their later exact duplicates still emit intra
+    * pairs, so hamming-0 recall is UNCONDITIONAL even when a group's
+    * band-0 bucket was saturated before its founder arrived (r12 left
+    * that gap: such a group existed only in other bands and its exact-dup
+    * pairs were silently lost). The frozen entries are exactly the state
+    * an incremental EXACT dedup must keep anyway (one entry per distinct
+    * hash). The batch cap retro-drops the whole bucket; a stream cannot
+    * un-emit (spec pins parity in the uncapped configuration). State is
+    * O(buckets · min(distinct-hashes, cap)) hashes for pairing plus the
+    * band-0 exact-dedup registry + member id lists — the same state a
+    * production incremental dedup keeps.
     */
   def phashPairsStream(
       items: Dataset[PhashItem],
@@ -556,33 +575,42 @@ object StreamingOps {
             val seen = groups.exists(_._3.contains(it.media_id))
             if (!seen) groups.indexWhere(_._2 == it.bands) match {
               case gi if gi >= 0 =>
-                // exact-duplicate arrival: hamming-0 pairs once (band 0),
-                // cross pairs against the bucket's OTHER groups (the batch
-                // output is member-level), membership recorded in every
-                // bucket the hash lives in
-                val (rep, bs, members) = groups(gi)
+                // exact-duplicate arrival: hamming-0 pairs once (band 0,
+                // frozen or not — exact-dup recall is unconditional),
+                // cross pairs against the bucket's OTHER unfrozen groups
+                // (the batch output is member-level), membership recorded
+                // in every bucket the hash lives in
+                val (rep, bs, members, frozen) = groups(gi)
                 if (isBandZero) members.foreach { id =>
                   out += ((math.min(id, it.media_id), math.max(id, it.media_id), 0L))
                 }
-                groups.foreach { case (r, obs, omembers) =>
-                  if (r != rep) {
+                if (!frozen) groups.foreach { case (r, obs, omembers, ofrozen) =>
+                  if (r != rep && !ofrozen) {
                     val d = ham(obs, it.bands)
                     if (d <= maxDist) omembers.foreach { id =>
                       out += ((math.min(id, it.media_id), math.max(id, it.media_id), d))
                     }
                   }
                 }
-                groups = groups.updated(gi, (rep, bs, members :+ it.media_id))
+                groups = groups.updated(gi, (rep, bs, members :+ it.media_id, frozen))
               case _ =>
-                val capped = maxBucket > 0 && groups.sizeIs >= maxBucket
+                val capped = maxBucket > 0 &&
+                  groups.count(!_._4) >= maxBucket
                 if (!capped) {
-                  groups.foreach { case (_, bs, members) =>
-                    val d = ham(bs, it.bands)
-                    if (d <= maxDist) members.foreach { id =>
-                      out += ((math.min(id, it.media_id), math.max(id, it.media_id), d))
+                  groups.foreach { case (_, bs, members, ofrozen) =>
+                    if (!ofrozen) {
+                      val d = ham(bs, it.bands)
+                      if (d <= maxDist) members.foreach { id =>
+                        out += ((math.min(id, it.media_id), math.max(id, it.media_id), d))
+                      }
                     }
                   }
-                  groups = groups :+ ((it.media_id, it.bands, List(it.media_id)))
+                  groups = groups :+ ((it.media_id, it.bands, List(it.media_id), false))
+                } else if (isBandZero) {
+                  // band 0 is where intra pairs emit: record the group
+                  // FROZEN so later exact duplicates still pair, without
+                  // re-opening the quadratic cross-pairing the cap bounds
+                  groups = groups :+ ((it.media_id, it.bands, List(it.media_id), true))
                 }
             }
           }
@@ -592,42 +620,59 @@ object StreamingOps {
       .flatMap(_.map { case (a, b, d) => PhashPairRow(a, b, d) })
   }
 
-  /** Streaming user-journey transitions — the `mapGroupsWithState` twin of
-    * `EventOps.typeTransitions`' lag half: per user the state is just the
-    * LAST event seen ((event-time µs, event id, type) — one small row per
-    * user, the minimal sessionization state), and each arriving event
-    * emits its (from_type, to_type) lag pair and becomes the new tail.
-    * Within a micro-batch events process in (ts, event_id) order — the
-    * batch operator's window order — so over in-order batches the emitted
-    * pair multiset equals the batch lag pairs exactly; an event arriving
-    * in a LATER batch than a newer one (cross-batch disorder) lags behind
-    * the stored tail instead of its true predecessor — the in-order
-    * arrival assumption every twin here documents, bounded by a watermark
-    * in production. The |types|²-sized matrix itself (counts + row shares)
-    * is recomputed from the emitted pair stream by
-    * `EventOps.transitionMatrix` — grid-sized work per refresh, raw events
-    * never re-read (the [[hourlySumsStream]] maintenance split, spec-pinned
-    * parity).
+  /** Streaming user-journey transitions — the WATERMARK-BOUND twin of
+    * `EventOps.typeTransitions`' lag half, with the same disorder
+    * contract as [[asofJoinStream]] (not the in-order-arrival assumption
+    * r12's version documented): per user the state buffers events still
+    * ABOVE the watermark plus the last finalized tail, and an event emits
+    * its (from_type, to_type) lag pair only once the watermark passes its
+    * timestamp — no earlier-in-event-time event can still arrive — so the
+    * finalized chain is the true (ts, event_id)-ordered timeline and the
+    * emitted pair multiset equals the batch lag pairs regardless of
+    * arrival order or micro-batch slicing (parity spec shuffles the SAME
+    * events across batch boundaries). State is one tail row plus at most
+    * the watermark horizon's worth of pending events per user; an
+    * event-time timeout flushes pending events when the watermark moves
+    * with no new data for the user. The |types|²-sized matrix itself
+    * (counts + row shares) is recomputed from the emitted pair stream by
+    * `EventOps.transitionMatrix` — grid-sized work per refresh, raw
+    * events never re-read (the [[hourlySumsStream]] maintenance split,
+    * spec-pinned parity).
     */
-  def typeTransitionsStream(events: Dataset[StreamIdEvent]): Dataset[TransitionRow] = {
+  def typeTransitionsStream(
+      events: Dataset[StreamIdEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[TransitionRow] = {
     import events.sparkSession.implicits._
     def micros(t: java.sql.Timestamp): Long =
       t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
-        (user: Long, batch: Iterator[StreamIdEvent], state: GroupState[LastTyped]) => {
-          val sorted = batch.toList.sortBy(e => (micros(e.ts), e.event_id))
-          var last = state.getOption
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, batch: Iterator[StreamIdEvent], state: GroupState[TransitBuffer]) => {
+          val buf0 = state.getOption.getOrElse(TransitBuffer(None, Nil))
+          val pending = buf0.pending ++
+            batch.map(e => LastTyped(micros(e.ts), e.event_id, e.event_type))
+          val wmMs = state.getCurrentWatermarkMs()
+          // finalize every event the watermark has passed, in the batch
+          // operator's window order (ts, event_id)
+          val (ready, still) = pending.partition(_.ts_us <= wmMs * 1000L)
+          var tail = buf0.tail
           val out = List.newBuilder[TransitionRow]
-          sorted.foreach { e =>
-            last.foreach(l => out += TransitionRow(user, l.tpe, e.event_type))
-            last = Some(LastTyped(micros(e.ts), e.event_id, e.event_type))
+          ready.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            tail.foreach(l => out += TransitionRow(user, l.tpe, e.tpe))
+            tail = Some(e)
           }
-          last.foreach(state.update)
-          out.result()
+          if (still.isEmpty && tail.isEmpty) state.remove()
+          else {
+            state.update(TransitBuffer(tail, still))
+            // wake when the watermark reaches the oldest pending event
+            if (still.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(wmMs + 1, still.map(_.ts_us).min / 1000L))
+          }
+          out.result().iterator
         })
-      .flatMap(identity)
   }
 
   /** Streaming half of the gap-fill/EWMA maintenance loop — the streaming

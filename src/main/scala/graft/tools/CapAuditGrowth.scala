@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.DataFrame
 
 import graft.GraftSession
-import graft.operators.{DedupOps, MultimodalOps}
+import graft.operators.{DedupOps, MultimodalOps, SimOps}
 
 /** Growth readout THROUGH the declared cap-audit queries — the telemetry
   * proving its own worth: at each decade (1×/10×/100×) print every
@@ -28,17 +28,30 @@ object CapAuditGrowth {
     spark.sparkContext.setLogLevel("WARN")
 
     def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+    def embs(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
     val audits: Seq[(String, String => DataFrame)] = Seq(
       "minhash" -> ((d: String) => DedupOps.minhashCapAudit(DedupOps.plantedCorpus(docs(d)))),
       "jaccard" -> ((d: String) => DedupOps.jaccardCapAudit(DedupOps.plantedCorpus(docs(d)))),
       "substring" -> ((d: String) => DedupOps.substringCapAudit(DedupOps.plantedSpliceCorpus(docs(d)))),
       "phash" -> ((d: String) => MultimodalOps.phashCapAudit(
-        MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(docs(d))))))
+        MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(docs(d))))),
+      // r13: the declared q_cap_audit_neardup shape — autoSignBits derives
+      // the key space from the distinct-rep count, so the forgone share
+      // should stay roughly FLAT across decades (vs climbing at fixed bits)
+      "neardup-auto" -> ((d: String) => {
+        val planted = SimOps.plantedVectors(embs(d))
+        val bits = SimOps.autoSignBits(planted)
+        println(s"[capaudit] derived autoSignBits($d) = $bits")
+        SimOps.nearDupCapAudit(planted, bits = bits)
+      }),
+      "neardup-fixed4" -> ((d: String) =>
+        SimOps.nearDupCapAudit(SimOps.plantedVectors(embs(d)), bits = 4)))
 
     for ((label, dir) <- Seq("sf0.1" -> sf01, "x10" -> x10, "x100" -> x100);
          (fam, f) <- audits) {
       val r = f(dir).head()
-      println(s"[capaudit] $label $fam: buckets=${r.getLong(1)} dropped=${r.getLong(2)} " +
+      val kind = r.getString(0)
+      println(s"[capaudit] $label $fam($kind): buckets=${r.getLong(1)} dropped=${r.getLong(2)} " +
         s"entries_dropped=${r.getLong(3)} pairs_kept=${r.getLong(4)} " +
         s"pairs_forgone=${r.getLong(5)} hottest=${r.getLong(6)}")
     }

@@ -42,18 +42,20 @@ object KnnScaleCheck {
 
     def once(
         dir: String,
-        pred: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column): Double = {
+        pred: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
+        probes: Int = 1): Double = {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val p = pred(emb)
       val t0 = System.nanoTime()
-      SimOps.knnGraph(emb, centroidPred = p)
+      SimOps.knnGraph(emb, centroidPred = p, probes = probes)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     def run(
         label: String, dir: String,
-        pred: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column): Unit = {
-      val t = math.min(once(dir, pred), once(dir, pred))
+        pred: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
+        probes: Int = 1): Unit = {
+      val t = math.min(once(dir, pred, probes), once(dir, pred, probes))
       println(f"[knnscale] $label: $t%.1f s (min of 2)")
     }
     val declared = (emb: org.apache.spark.sql.DataFrame) => SimOps.sqrtCentroidPred(emb)
@@ -65,6 +67,9 @@ object KnnScaleCheck {
     run("x100  DECLARED sqrt-N nlist (faiss rule)", x100, declared)
     run("x100  n/64 cells (constant occupancy — assignment quadratic)", x100, const64)
     run("x100    16 cells (fixed nlist — occupancy x100)", x100, fixed16)
+    // probes=4 through the cellArgTopP fold (r13): before the fold, this
+    // setting rode cellRank's O(N·nlist) window shuffle
+    run("x100  DECLARED sqrt-N nlist, probes=4 (cellArgTopP fold)", x100, declared, probes = 4)
     spark.stop()
   }
 }

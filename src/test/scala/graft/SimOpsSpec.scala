@@ -180,7 +180,7 @@ class SimOpsSpec extends SparkSpec {
     }
   }
 
-  test("knnGraph: probing 2 cells dominates single-cell recall vs exact top-3") {
+  test("knnGraph: probing more cells never loses recall vs exact top-3") {
     val df = sf("embeddings")
     val brute = SimOps.bruteTopK(df, lit(true), k = 3)
       .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
@@ -191,9 +191,41 @@ class SimOpsSpec extends SparkSpec {
     }
     val r1 = recall(1)
     val r2 = recall(2)
-    // a source probing its 2nd-nearest cell can only ADD candidates
+    val r4 = recall(4) // probes >= 3 rides the same cellArgTopP fold now
+    // a source probing additional cells can only ADD candidates
     assert(r2 >= r1, s"probe recall regressed: $r2 < $r1")
+    assert(r4 >= r2, s"probe recall regressed: $r4 < $r2")
     assert(r1 > 0.2, s"suspiciously low 1-cell graph recall: $r1")
+  }
+
+  test("cellArgTopP: fold matches the cellRank window for p = 1..4") {
+    val n = SimOps.normalized(sf("embeddings"), "vec_id", "embedding")
+    val cents = n.filter(col("vec_id").between(100, 115))
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    for (p <- 1 to 4) {
+      val fold = SimOps.cellArgTopP(n, cents, "vec_id", p)
+        .select("vec_id", "c_id", "crn").as[(Long, Long, Int)].collect().toSet
+      val win = SimOps.cellRank(n, cents, "vec_id").filter(col("crn") <= p)
+        .select("vec_id", "c_id", "crn").as[(Long, Long, Int)].collect().toSet
+      assert(fold == win, s"probe fold diverges from the window ranking at p=$p")
+    }
+  }
+
+  test("cellArgTopP: equal-sim ties rank the lower c_id first") {
+    // centroids 1 and 2 are the SAME direction -> every vector ties on
+    // them; the window tie-break (csim desc, c_id asc) must hold in the
+    // fold: c_id 1 before c_id 2, the orthogonal cell 3 last
+    val df = emb(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(2f, 0f), 0), (3L, Seq(0f, 1f), 0),
+      (10L, Seq(3f, 1f), 0))
+    val n = SimOps.normalized(df, "vec_id", "embedding")
+    val cents = n.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val got = SimOps.cellArgTopP(n, cents, "vec_id", 3)
+      .filter(col("vec_id") === 10L)
+      .orderBy(col("crn"))
+      .select("c_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L), s"tie-break order violated: $got")
   }
 
   test("refinePqCodebooks: one Lloyd round never worsens total PQ error") {

@@ -794,11 +794,17 @@ class StreamingOpsSpec extends SparkSpec {
       StreamIdEvent(8L, ts("10:20"), 8L, "purchase"))
     val input = MemoryStream[StreamIdEvent]
     val q = StreamingOps.typeTransitionsStream(input.toDS())
-      .writeStream.format("memory").queryName("transitions").outputMode("update").start()
+      .writeStream.format("memory").queryName("transitions").outputMode("append").start()
     try {
       input.addData(evs.take(4))
       q.processAllAvailable()
       input.addData(evs.drop(4))
+      q.processAllAvailable()
+      // flush: a far-future single event (user 99 emits no pair itself)
+      // pushes the watermark past every real timestamp
+      input.addData(StreamIdEvent(999L, ts("23:00"), 99L, "view"))
+      q.processAllAvailable()
+      input.addData(StreamIdEvent(998L, ts("23:30"), 98L, "view"))
       q.processAllAvailable()
       val pairs = spark.table("transitions").as[TransitionRow].collect().toSeq
       // the cross-batch lag pairs exist: user 7 view->purchase, 8 view->purchase
@@ -812,6 +818,38 @@ class StreamingOpsSpec extends SparkSpec {
           .toDF("event_id", "ts", "user_id", "event_type", "value"))
         .collect().map(_.toSeq).toSeq
       assert(streamedMatrix == batchMatrix)
+    } finally q.stop()
+  }
+
+  test("typeTransitionsStream: cross-batch DISORDER still matches batch pairs") {
+    // the same timeline as the parity test but delivered out of order
+    // ACROSS batches: user 7's 10:10 purchase lands a batch BEFORE its
+    // 10:05 view, and user 8's 10:02 view before its 10:01 click. r12's
+    // last-event-state version paired against the stored tail here; the
+    // watermark-bound buffer must reconstruct the true (ts, id) order.
+    val evs = Seq(
+      StreamIdEvent(1L, ts("10:00"), 7L, "click"), StreamIdEvent(2L, ts("10:05"), 7L, "view"),
+      StreamIdEvent(3L, ts("10:01"), 8L, "click"), StreamIdEvent(4L, ts("10:02"), 8L, "view"),
+      StreamIdEvent(5L, ts("10:10"), 7L, "purchase"),
+      StreamIdEvent(8L, ts("10:20"), 8L, "purchase"))
+    val input = MemoryStream[StreamIdEvent]
+    val q = StreamingOps.typeTransitionsStream(input.toDS(), watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("transitions_ooo").outputMode("append").start()
+    try {
+      input.addData(evs(0), evs(4), evs(3)) // 10:00 click7, 10:10 purchase7, 10:02 view8
+      q.processAllAvailable()
+      input.addData(evs(1), evs(2), evs(5)) // 10:05 view7, 10:01 click8, 10:20 purchase8
+      q.processAllAvailable()
+      input.addData(StreamIdEvent(999L, ts("23:00"), 99L, "view")) // flush
+      q.processAllAvailable()
+      input.addData(StreamIdEvent(998L, ts("23:30"), 98L, "view"))
+      q.processAllAvailable()
+      val pairs = spark.table("transitions_ooo").as[TransitionRow].collect().toSeq
+        .map(p => (p.user_id, p.from_type, p.to_type)).sorted
+      val batch = Seq(
+        (7L, "click", "view"), (7L, "view", "purchase"),
+        (8L, "click", "view"), (8L, "view", "purchase")).sorted
+      assert(pairs == batch, s"disorder broke lag pairing: $pairs")
     } finally q.stop()
   }
 
@@ -835,6 +873,38 @@ class StreamingOpsSpec extends SparkSpec {
       val intra = (for (a <- 0L until 10L; b <- (a + 1) until 10L) yield (a, b, 0L)).toSet
       val cross = (0L until 10L).map(id => (id, 100L, 1L)).toSet
       assert(got == intra ++ cross)
+    } finally q.stop()
+  }
+
+  test("phashPairsStream: group founded past the band-0 cap still emits exact-dup pairs") {
+    // cap=2; hashes hA/hB fill the shared band-0 bucket first, then hC
+    // lands in the SAME band-0 bucket over cap. r12 dropped hC's group
+    // entirely there (its exact duplicate at id 11 then paired nowhere —
+    // all bands saturated the same way); the frozen-group fix records hC
+    // in band 0 so (10, 11, 0) still emits, while hC never cross-pairs.
+    // hA/hB/hC share bands 0-6 (each shared bucket is at cap=2 once
+    // hA+hB land); band 7 is distinct for all three, so band-7 buckets
+    // are singletons. hC sits at hamming 1 from hA and 3 from hB — both
+    // within maxDist=4 — so ANY bucket that let the frozen group
+    // cross-pair would emit a (·, 10, ·) pair.
+    val hA = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    val hB = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L)
+    val hC = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 6L)
+    val input = MemoryStream[PhashItem]
+    val q = StreamingOps.phashPairsStream(input.toDS(), maxDist = 4, maxBucket = 2)
+      .writeStream.format("memory").queryName("phashfrozen").outputMode("update").start()
+    try {
+      input.addData(PhashItem(0L, hA), PhashItem(1L, hB))
+      q.processAllAvailable()
+      input.addData(PhashItem(10L, hC)) // founds FROZEN in band 0 (cap reached)
+      q.processAllAvailable()
+      input.addData(PhashItem(11L, hC)) // exact duplicate of the frozen group
+      q.processAllAvailable()
+      val got = spark.table("phashfrozen")
+        .as[PhashPairRow].collect().map(p => (p.id_a, p.id_b, p.hamming)).toSet
+      // exactly: the in-cap hA-hB cross pair and the frozen group's
+      // exact-dup pair — no cross pair touches the frozen group
+      assert(got == Set((0L, 1L, 4L), (10L, 11L, 0L)), s"got: $got")
     } finally q.stop()
   }
 }
