@@ -248,12 +248,25 @@ object TextOps {
   /** Cross-engine FLOOR division of two integer expressions — ONE string
     * feeding both Spark (`expr`) and DuckDB. Spark's `div` truncates toward
     * zero while DuckDB's `//` floors, so they disagree exactly when the
-    * quotient is negative; `floor(double / double)` is a single IEEE divide
-    * plus floor, which both engines evaluate bit-identically over the same
-    * expression tree (the [[graft.operators.SimOps.classPrototypes]] rule).
+    * quotient is negative, and neither spells integer division the same
+    * way — so the portable form goes through doubles, shaped to stay
+    * INTEGER-EXACT at the 100 TB design point:
+    * `(a − mod_floor(a, b))` is computed in exact BIGINT arithmetic
+    * (`((a % b) + b) % b` is the sign-of-b mod; both engines' `%`
+    * truncates, so the composite is engine-identical), making the
+    * numerator an exact multiple of b whose true quotient IS the floor;
+    * the double divide then recovers that integer via `floor(q + 0.5)`
+    * ([[roundBp]]'s proven fragment). Operand rounding costs ≤ ~2 ulp
+    * relative error, so the result is exact whenever |floor(a/b)| < 2^49
+    * — REGARDLESS of |a|. The previous single-divide form
+    * (`floor(a/b)` on doubles) was exact only while |a| < 2^53: a v_bp /
+    * t_vbp / n·10⁴ SUM can exceed 2^53 at 100 TB while the bp-scale
+    * quotients (means, shares) never approach 2^49, which is why the
+    * subtract-mod shape is the default and not a scaladoc caveat.
     */
   def floorDivSql(a: String, b: String): String =
-    s"CAST(floor(CAST(($a) AS DOUBLE) / CAST(($b) AS DOUBLE)) AS BIGINT)"
+    s"CAST(floor(CAST(($a) - (((($a) % ($b)) + ($b)) % ($b)) AS DOUBLE) / " +
+      s"CAST(($b) AS DOUBLE) + 0.5) AS BIGINT)"
 
   /** Quality scoring: fraction of distinct tokens, stopword ratio, a length
     * saturation term, combined into one score. All ratios are emitted as

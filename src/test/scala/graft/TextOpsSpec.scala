@@ -588,4 +588,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 2L, 2L, 6L, 6666L)))
     assert(got(3L) == ((1L, 1L, 1L, 3L, 10000L)))
   }
+
+  test("floorDivSql: exact integer floor beyond 2^53 numerators") {
+    // (a, b) covering sign combinations and numerators past the 2^53
+    // double-exactness cliff where the old single-divide form was off by
+    // one (a = k*b - 1 rounds UP to k*b as a double)
+    val cases = Seq(
+      (7L, 2L), (-7L, 2L), (7L, -2L), (-7L, -2L), (0L, 5L),
+      (100000000000000003L, 1000000000L),
+      ((1L << 55) - 1, 1024L), (-((1L << 55) - 1), 1024L),
+      (123456789012345678L, 997L))
+    cases.foreach { case (a, b) =>
+      val got = spark.sql(s"SELECT ${TextOps.floorDivSql(a.toString, b.toString)}")
+        .collect()(0).getLong(0)
+      assert(got == Math.floorDiv(a, b),
+        s"floorDivSql($a, $b) = $got, want ${Math.floorDiv(a, b)}")
+    }
+  }
 }
