@@ -1428,6 +1428,15 @@ object SparkEntry {
     "q_knn_graph" -> ((s, dir) =>
       SimOps.knnGraph(t(s, dir, "embeddings"),
         centroidPred = SimOps.sqrtCentroidPred(t(s, dir, "embeddings")))),
+    // The kNN graph through the TWO-LEVEL coarse quantizer
+    // (cellArgmaxHier): ~2·√nlist similarity evaluations per vector and
+    // no broadcast array past √nlist entries — the shape that carries
+    // IVF assignment beyond the flat fold's ~1M-centroid limit, declared
+    // and oracle-mirrored (supercell selection, centroid->supercell
+    // argmax, block-restricted assignment all replayed in SQL).
+    "q_knn_graph_hier" -> ((s, dir) =>
+      SimOps.knnGraphHier(t(s, dir, "embeddings"),
+        centroidPred = SimOps.sqrtCentroidPred(t(s, dir, "embeddings")))),
     // The recall knob as a declared shape: each SOURCE vector probes its 2
     // nearest cells (candidates stay in their home cell, so pairs cannot
     // duplicate) — boundary neighbors probes=1 misses are recovered at
@@ -3489,6 +3498,39 @@ object SparkEntry {
         "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         "list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos " +
         "FROM pr a JOIN asg b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id), " +
+        "r AS (SELECT id_a, id_b, cos, row_number() OVER (PARTITION BY id_a " +
+        "ORDER BY cos DESC, id_b) AS rank FROM p) " +
+        s"SELECT id_a, rank, id_b, ${TextOps.roundBpSql("cos")} AS cos_bp " +
+        "FROM r WHERE rank <= 3 ORDER BY id_a, rank"),
+    // mirrors SimOps.knnGraphHier: every per-th centroid (by c_id rank,
+    // per = max(2, ceil(sqrt(nlist)))) is a supercenter; centroids argmax
+    // into supercells; vectors argmax over supercenters then over ONLY
+    // their supercell's centroid block; pairing as q_knn_graph
+    "q_knn_graph_hier" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n " +
+        s"WHERE ${SimOps.sqrtCentroidPredSql("embeddings")}), " +
+        "per AS (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS p FROM c), " +
+        "sup AS (SELECT c_id AS sc_id, ce AS sce, cn AS scn FROM " +
+        "(SELECT *, row_number() OVER (ORDER BY c_id) AS rk FROM c) " +
+        "WHERE (rk - 1) % (SELECT p FROM per) = 0), " +
+        "css AS (SELECT c.c_id AS cid0, sup.sc_id, " +
+        "list_dot_product(c.ce, sup.sce) / (c.cn * sup.scn) AS s FROM c CROSS JOIN sup), " +
+        "c2s AS (SELECT cid0, sc_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY cid0 ORDER BY s DESC, sc_id) AS rn FROM css) WHERE rn = 1), " +
+        "vs0 AS (SELECT n.vec_id, n.e, n.nrm, sup.sc_id, " +
+        "list_dot_product(n.e, sup.sce) / (n.nrm * sup.scn) AS s FROM n CROSS JOIN sup), " +
+        "vs AS (SELECT vec_id, e, nrm, sc_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY s DESC, sc_id) AS rn FROM vs0) WHERE rn = 1), " +
+        "bs AS (SELECT v.vec_id, v.e, v.nrm, c.c_id, " +
+        "list_dot_product(v.e, c.ce) / (v.nrm * c.cn) AS s " +
+        "FROM vs v JOIN c2s ON v.sc_id = c2s.sc_id JOIN c ON c.c_id = c2s.cid0), " +
+        "asg AS (SELECT vec_id, e, nrm, c_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn FROM bs) WHERE rn = 1), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos " +
+        "FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id), " +
         "r AS (SELECT id_a, id_b, cos, row_number() OVER (PARTITION BY id_a " +
         "ORDER BY cos DESC, id_b) AS rank FROM p) " +
         s"SELECT id_a, rank, id_b, ${TextOps.roundBpSql("cos")} AS cos_bp " +

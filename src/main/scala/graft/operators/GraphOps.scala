@@ -316,14 +316,19 @@ object GraphOps {
     var executed = 0
     var converged = false
     while (executed < rounds && !converged) {
+      // keep has TWO consumers (the u- and v-side restriction joins):
+      // persisted so the degree aggregation runs once per round, not
+      // twice — released as soon as the round's edge set materializes
       val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("u"))
+        .persist()
       val next = e.join(keep, Seq("u"))
         .join(keep.withColumnRenamed("u", "v"), Seq("v"))
         .select(col("u"), col("v"))
         .persist()
       cached += next
       val cnt = next.count()
+      keep.unpersist(blocking = false)
       executed += 1
       converged = cnt == prevEdges
       prevEdges = cnt

@@ -307,7 +307,7 @@ object SimOps {
     * enforce by filtering NULL sims: all assignment paths agree on
     * degenerate rows regardless of the probes setting.
     */
-  private def cellArgmax(n: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
+  private[graft] def cellArgmax(n: DataFrame, cents: DataFrame, idCol: String): DataFrame = {
     val carr = cents.agg(
       sort_array(collect_list(struct(col("c_id"), col("ce"), col("cn")))).as("cs"))
     n.crossJoin(broadcast(carr))
@@ -320,6 +320,109 @@ object SimOps {
           },
           acc => acc("c")).as("c_id"))
       .filter(col("c_id") >= 0)
+  }
+
+  /** TWO-LEVEL (hierarchical) coarse-quantizer assignment — the design
+    * [[cellArgmax]]'s scaladoc names as the path past its ~1M-centroid
+    * broadcast-array limit, made real through the same fold machinery:
+    * every `per ≈ ⌈√nlist⌉`-th centroid (by c_id rank — deterministic,
+    * never empty, oracle-mirrorable) becomes a SUPERCELL center; each
+    * centroid folds over the small supercenter array to find its home
+    * supercell ([[cellArgmax]], exact); the centroids regroup into
+    * per-supercell BLOCKS (≈ √nlist-sized sorted arrays); and each
+    * corpus vector folds over the supercenter array, broadcast-joins its
+    * supercell's block, and folds over THAT — ~2·√nlist similarity
+    * evaluations per row instead of nlist, and no single broadcast array
+    * ever exceeds √nlist entries (1M centroids → ~1k supercenters + ~1k
+    * 1k-entry blocks: both sides stay far inside executor memory where
+    * the flat array would be ~GBs). `superProbes` > 1 scans that many
+    * nearest supercells' blocks and keeps the best cell across them
+    * ((csim desc, c_id) over ≤ superProbes candidates — a window over
+    * superProbes rows per vector, not nlist).
+    *
+    * The price is the standard hierarchical-IVF approximation: with
+    * `superProbes` = 1 a vector whose true nearest centroid lives in a
+    * DIFFERENT supercell than its nearest supercenter gets its best
+    * in-block cell instead (SimOpsSpec pins the fixture agreement rate
+    * and that `superProbes` covering every supercell recovers
+    * [[cellArgmax]] exactly). Degenerate rows follow the uniform
+    * NULL-sim contract: dropped everywhere.
+    */
+  private[graft] def cellArgmaxHier(
+      n: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      superProbes: Int = 1): DataFrame = {
+    val nlist = cents.count()
+    val per = math.max(2L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
+    val wc = Window.orderBy(col("c_id"))
+    val sup = cents.withColumn("rk", row_number().over(wc))
+      .filter((col("rk") - 1) % per === 0)
+      .select(col("c_id").as("c_id"), col("ce").as("ce"), col("cn").as("cn"))
+    // each centroid's home supercell — exact argmax over the small
+    // supercenter set (cents is nlist-sized: this stage is cheap)
+    val c2s = cellArgmax(
+      cents.select(col("c_id").as("cid0"), col("ce").as("e"), col("cn").as("nrm")),
+      sup, "cid0")
+      .select(col("cid0"), col("c_id").as("sc_id"))
+    val blocks = cents.join(c2s, col("c_id") === col("cid0"))
+      .groupBy(col("sc_id"))
+      .agg(sort_array(collect_list(struct(col("c_id"), col("ce"), col("cn")))).as("cs"))
+    val vsup = (if (superProbes == 1) cellArgmax(n, sup, idCol)
+      else cellArgTopP(n, sup, idCol, superProbes))
+      .select(col(idCol), col("e"), col("nrm"), col("c_id").as("sc_id"))
+    val scored = vsup.join(broadcast(blocks), "sc_id")
+      .select(col(idCol), col("e"), col("nrm"),
+        aggregate(col("cs"),
+          struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("c")),
+          (acc, c) => {
+            val s = dot(col("e"), c("ce")) / (col("nrm") * c("cn"))
+            when(s > acc("s"), struct(s.as("s"), c("c_id").as("c"))).otherwise(acc)
+          }).as("best"))
+      .filter(col("best.c") >= 0)
+    if (superProbes == 1)
+      scored.select(col(idCol), col("e"), col("nrm"), col("best.c").as("c_id"))
+    else {
+      val wv = Window.partitionBy(col(idCol))
+        .orderBy(col("best.s").desc, col("best.c"))
+      scored.withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+        .select(col(idCol), col("e"), col("nrm"), col("best.c").as("c_id"))
+    }
+  }
+
+  /** [[knnGraph]] with the hierarchical coarse quantizer
+    * ([[cellArgmaxHier]]) doing cell assignment — the variant that
+    * carries the IVF family past the flat fold's ~1M-centroid broadcast
+    * limit. Pairing, ranking, and output shape are identical to
+    * [[knnGraph]] at probes = 1; only the assignment stage differs (and
+    * with it the documented supercell-boundary approximation).
+    */
+  def knnGraphHier(
+      emb: DataFrame,
+      centroidPred: Column,
+      k: Int = 3,
+      superProbes: Int = 1,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val n = normalized(emb, idCol, embCol)
+    val cents = n.filter(centroidPred)
+      .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val ranked = cellArgmaxHier(n, cents, idCol, superProbes)
+      .repartition(col("c_id"))
+    val a = ranked.select(col("c_id"), col(idCol).as("id_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = ranked.select(col("c_id"), col(idCol).as("id_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, "c_id")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("rank"), col("id_b"), TextOps.roundBp(col("cos")).as("cos_bp"))
+      .orderBy(col("id_a"), col("rank"))
   }
 
   /** IVF probe phase shared by the sampled and k-means-refined quantizers:

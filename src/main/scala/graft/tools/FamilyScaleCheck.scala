@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.DataFrame
 
 import graft.GraftSession
-import graft.operators.{DedupOps, MultimodalOps}
+import graft.operators.{DedupOps, MultimodalOps, TextOps}
 
 /** Measured-decade (1×/10×/100×) rehearsal for the heaviest round-11
   * families — exact-substring spans, the strike edit pass, and CDC storage
@@ -45,7 +45,18 @@ object FamilyScaleCheck {
         ((dir: String) => DedupOps.substringStrike(DedupOps.plantedSpliceCorpus(docs(dir)))),
       "q_media_cdc" ->
         ((dir: String) => MultimodalOps.cdcDuplicateChunks(
-          MultimodalOps.asMedia(DedupOps.plantedCorpus(docs(dir))))))
+          MultimodalOps.asMedia(DedupOps.plantedCorpus(docs(dir))))),
+      // r13: the two remaining scaladoc-only bounded-state families. The
+      // law to observe: unigramLm's EM state is the distinct-WORD table
+      // (ScaleGen suffixing multiplies the word universe ~linearly; the
+      // vocab-sized driver collect is the segmentation cost table, bounded
+      // by vocab not corpus), and packCurriculum is two prefix-sum passes
+      // whose only non-linear step is the source-sized window — walls
+      // should track corpus ~linearly with caps/collects flat.
+      "q_unigram_lm" ->
+        ((dir: String) => TextOps.unigramLm(docs(dir))),
+      "q_pack_curriculum" ->
+        ((dir: String) => TextOps.packCurriculum(docs(dir), budget = 512)))
 
     // noop-write timing, NOT count(): under count() Catalyst prunes the
     // unobserved columns (strike's md5 reassembly, spans' positions) and

@@ -211,6 +211,26 @@ class SimOpsSpec extends SparkSpec {
     }
   }
 
+  test("cellArgmaxHier: full-coverage superProbes recovers flat; top-1 agreement high") {
+    val n = SimOps.normalized(sf("embeddings"), "vec_id", "embedding")
+    val cents = n.filter(SimOps.sqrtCentroidPred(sf("embeddings")))
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val flat = SimOps.cellArgmax(n, cents, "vec_id")
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    // superProbes >= the supercell count scans every block -> the
+    // two-stage selection must equal the flat argmax exactly
+    val full = SimOps.cellArgmaxHier(n, cents, "vec_id", superProbes = 64)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(full == flat, "full-coverage hierarchical assignment diverged from flat")
+    // the default single-probe hierarchy pays only supercell-boundary
+    // misassignments — on the clustered fixture the agreement stays high
+    val h1 = SimOps.cellArgmaxHier(n, cents, "vec_id")
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(h1.keySet == flat.keySet, "hierarchical assignment lost vectors")
+    val agree = h1.count { case (v, c) => flat(v) == c }.toDouble / flat.size
+    assert(agree >= 0.6, s"suspiciously low supercell-boundary agreement: $agree")
+  }
+
   test("cellArgTopP: equal-sim ties rank the lower c_id first") {
     // centroids 1 and 2 are the SAME direction -> every vector ties on
     // them; the window tie-break (csim desc, c_id asc) must hold in the
