@@ -91,6 +91,19 @@ case class PhashBucket(groups: List[(Long, Seq[Long], List[Long], Boolean)])
 /** One emitted perceptual near-dup pair (id_a < id_b). */
 case class PhashPairRow(id_a: Long, id_b: Long, hamming: Long)
 
+/** One embedding arrival for [[StreamingOps.embedNearDupStream]]. */
+case class EmbedItem(vec_id: Long, embedding: Seq[Float])
+
+/** Per-bucket exact-dedup groups for [[StreamingOps.embedNearDupStream]]:
+  * (rep id, the raw embedding, its L2 norm, member ids id-ascending,
+  * frozen flag) per DISTINCT vector — the same exact-dedup-first state
+  * shape as [[PhashBucket]], with the norm precomputed once per group.
+  */
+case class EmbedBucket(groups: List[(Long, Seq[Float], Double, List[Long], Boolean)])
+
+/** One emitted embedding near-dup pair (id_a < id_b, cosine in bp). */
+case class EmbedPairRow(id_a: Long, id_b: Long, cos_bp: Long)
+
 /** Tail of a user's timeline — [[StreamingOps.typeTransitionsStream]]
   * state: the (event-time µs, event id, type) of the last event seen.
   */
@@ -618,6 +631,98 @@ object StreamingOps {
           out.result()
         })
       .flatMap(_.map { case (a, b, d) => PhashPairRow(a, b, d) })
+  }
+
+  /** Streaming embedding-cosine near-dup detection — the
+    * `mapGroupsWithState` twin of
+    * [[graft.operators.SimOps.nearDupPairs]], completing the
+    * incremental-dedup family across modalities ([[dedupIngest]] exact
+    * text, [[phashPairsStream]] perceptual media, this one embeddings):
+    * each arrival lands in its single sign-LSH bucket (the batch
+    * operator's `signBucket` over the first `bits` dims, computed
+    * executor-side — one bucket per item, no per-band duplication), where
+    * the state is the exact-dedup group list. An exact duplicate joins
+    * its group — emitting intra pairs at cos_bp = 10000 against the
+    * members — and cross pairs inherit the REP-level cosine (identical
+    * vectors, identical dot: the batch member-re-attach rule); a new
+    * distinct vector pairs against the bucket's other groups at the
+    * double-exact batch arithmetic (float-elem dots accumulated
+    * left-to-right, `floor(c·10⁴ + 0.5)` — bit-identical to
+    * `vec_dot` + `roundBp`) before founding its own group. Over any batch
+    * slicing the emitted pair set equals the UNCAPPED batch operator's
+    * (spec-pinned parity; id-ascending processing inside each
+    * micro-batch). `maxBucket` > 0 applies the [[phashPairsStream]]
+    * frozen-group discipline: beyond the cap new groups only register for
+    * intra emission (exact-dup recall unconditional) and never
+    * cross-pair — arrival-order capping, vs the batch's id-rank
+    * participation cap (parity is pinned uncapped, the family's
+    * documented delta). `bits` is pinned per stream — a stream cannot
+    * re-shard its key space mid-flight; production re-buckets offline
+    * with `SimOps.autoSignBits` when the registry outgrows the space.
+    * State: one entry per distinct vector per bucket + member id lists —
+    * the exact-dedup registry an incremental dedup keeps anyway.
+    */
+  def embedNearDupStream(
+      items: Dataset[EmbedItem],
+      thresholdBp: Int = 4000,
+      bits: Int = 4,
+      maxBucket: Int = 0): Dataset[EmbedPairRow] = {
+    import items.sparkSession.implicits._
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def bp(c: Double): Long = math.floor(c * 10000.0 + 0.5).toLong
+    def bucketOf(e: Seq[Float]): Int =
+      (0 until math.min(bits, e.length)).map(i => if (e(i) >= 0f) 1 << i else 0).sum
+    items
+      .groupByKey(it => bucketOf(it.embedding))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (bucket: Int, batch: Iterator[EmbedItem], state: GroupState[EmbedBucket]) => {
+          var groups = state.getOption.map(_.groups).getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long, Long)]
+          batch.toList.sortBy(_.vec_id).foreach { it =>
+            val seen = groups.exists(_._4.contains(it.vec_id))
+            if (!seen) groups.indexWhere(_._2 == it.embedding) match {
+              case gi if gi >= 0 =>
+                val (rep, e, nr, members, frozen) = groups(gi)
+                members.foreach { id =>
+                  out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), 10000L))
+                }
+                if (!frozen) groups.foreach { case (r, oe, onr, om, ofz) =>
+                  if (r != rep && !ofz) {
+                    val c = bp(dot(e, oe) / (nr * onr))
+                    if (c >= thresholdBp) om.foreach { id =>
+                      out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), c))
+                    }
+                  }
+                }
+                groups = groups.updated(gi, (rep, e, nr, members :+ it.vec_id, frozen))
+              case _ =>
+                val nr = math.sqrt(dot(it.embedding, it.embedding))
+                val capped = maxBucket > 0 && groups.count(!_._5) >= maxBucket
+                if (!capped) {
+                  groups.foreach { case (_, oe, onr, om, ofz) =>
+                    if (!ofz) {
+                      val c = bp(dot(it.embedding, oe) / (nr * onr))
+                      if (c >= thresholdBp) om.foreach { id =>
+                        out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), c))
+                      }
+                    }
+                  }
+                  groups = groups :+ ((it.vec_id, it.embedding, nr, List(it.vec_id), false))
+                } else {
+                  // frozen: exact-dup registry entry — intra pairs only
+                  groups = groups :+ ((it.vec_id, it.embedding, nr, List(it.vec_id), true))
+                }
+            }
+          }
+          state.update(EmbedBucket(groups))
+          out.result()
+        })
+      .flatMap(_.map { case (a, b, c) => EmbedPairRow(a, b, c) })
   }
 
   /** Streaming user-journey transitions — the WATERMARK-BOUND twin of

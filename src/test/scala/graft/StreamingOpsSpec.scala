@@ -6,8 +6,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.operators.EventOps
-import graft.streaming.{AsofMatch, ExtremaDelta, ExtremaRow, PhashItem, PhashPairRow, StreamEvent, StreamIdEvent, StreamingOps, TransitionRow}
+import graft.operators.{EventOps, SimOps}
+import graft.streaming.{AsofMatch, EmbedItem, EmbedPairRow, ExtremaDelta, ExtremaRow, PhashItem, PhashPairRow, StreamEvent, StreamIdEvent, StreamingOps, TransitionRow}
 
 class StreamingOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -873,6 +873,50 @@ class StreamingOpsSpec extends SparkSpec {
       val intra = (for (a <- 0L until 10L; b <- (a + 1) until 10L) yield (a, b, 0L)).toSet
       val cross = (0L until 10L).map(id => (id, 100L, 1L)).toSet
       assert(got == intra ++ cross)
+    } finally q.stop()
+  }
+
+  test("embedNearDupStream: matches uncapped batch nearDupPairs under shuffled arrival") {
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    // deterministic shuffle: dup copies arrive BEFORE their originals for
+    // some groups, and batch boundaries cut through groups
+    val rows = planted.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .sortBy { case (id, _) => (id * 2654435761L) % 1000003L }
+      .map { case (id, e) => EmbedItem(id, e) }
+    val input = MemoryStream[EmbedItem]
+    val q = StreamingOps.embedNearDupStream(input.toDS())
+      .writeStream.format("memory").queryName("embedndp").outputMode("update").start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("embedndp").as[EmbedPairRow].collect()
+        .map(p => (p.id_a, p.id_b, p.cos_bp)).toSet
+      val batch = SimOps.nearDupPairs(planted, maxBucket = 0)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("embedNearDupStream: cap freezes new groups to intra-only emission") {
+    // one sign bucket; cap=1: e1 founds the only unfrozen group, e2
+    // arrives over cap (cos(e1,e2) ~ 0.997 would pair if allowed) and is
+    // recorded FROZEN; exact dups of BOTH groups still emit intra pairs,
+    // and no cross pair ever involves the frozen group
+    val e1 = Seq(1f, 1f, 1f, 1f)
+    val e2 = Seq(0.9f, 1f, 1f, 1f)
+    val input = MemoryStream[EmbedItem]
+    val q = StreamingOps.embedNearDupStream(input.toDS(), maxBucket = 1)
+      .writeStream.format("memory").queryName("embedndpcap").outputMode("update").start()
+    try {
+      input.addData(EmbedItem(1L, e1), EmbedItem(2L, e2))
+      q.processAllAvailable()
+      input.addData(EmbedItem(3L, e2), EmbedItem(4L, e1))
+      q.processAllAvailable()
+      val got = spark.table("embedndpcap").as[EmbedPairRow].collect()
+        .map(p => (p.id_a, p.id_b, p.cos_bp)).toSet
+      assert(got == Set((2L, 3L, 10000L), (1L, 4L, 10000L)), s"got: $got")
     } finally q.stop()
   }
 
