@@ -70,6 +70,26 @@ object KnnScaleCheck {
     // probes=4 through the cellArgTopP fold (r13): before the fold, this
     // setting rode cellRank's O(N·nlist) window shuffle
     run("x100  DECLARED sqrt-N nlist, probes=4 (cellArgTopP fold)", x100, declared, probes = 4)
+
+    // r13: ASSIGNMENT-ONLY walls, flat fold vs two-level quantizer — the
+    // cellArgmaxHier FLOP claim (~2·√nlist vs nlist sims per row) as a
+    // measured row; pairing is excluded so the delta is pure assignment
+    def assignOnce(dir: String, hier: Boolean): Double = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = SimOps.normalized(emb, "vec_id", "embedding")
+      val cents = n.filter(SimOps.sqrtCentroidPred(emb))
+        .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+      val t0 = System.nanoTime()
+      (if (hier) SimOps.cellArgmaxHier(n, cents, "vec_id")
+       else SimOps.cellArgmax(n, cents, "vec_id"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for (hier <- Seq(false, true)) {
+      val t = math.min(assignOnce(x100, hier), assignOnce(x100, hier))
+      val label = if (hier) "two-level cellArgmaxHier" else "flat cellArgmax        "
+      println(f"[knnscale] x100  assignment-only, $label: $t%.1f s (min of 2)")
+    }
     spark.stop()
   }
 }

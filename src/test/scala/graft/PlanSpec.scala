@@ -526,6 +526,17 @@ class PlanSpec extends SparkSpec {
       s"expected exchange reuse in the knn-graph self-join:\n${executed.take(600)}")
   }
 
+  test("q_knn_graph_hier: the cell self-join reuses one two-level assignment pipeline") {
+    // hier assignment (supercenter fold + block join + block fold) feeds
+    // both self-join sides through one c_id repartition — the second side
+    // must reuse it, or the whole two-level pipeline runs twice
+    val df = SparkEntry.queries("q_knn_graph_hier")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("TableCacheQueryStage"),
+      s"expected exchange reuse in the hier knn-graph self-join:\n${executed.take(600)}")
+  }
+
   test("q_media_phash: rep-first plan reuses the decode/hash exchange; no cartesian") {
     // exact-dedup-first references the decoded hash table from several
     // branches (groups, member map, reps); the bands-keyed exchange must
