@@ -95,8 +95,24 @@ object ScaleGen {
       else df
         .withColumn("text", regexp_replace(col("text"), "\\S+", s"$$0_r$r"))
         .withColumn("n_chars", length(col("text")).cast("long")))
+    // two embedding growth modes (4th arg, default "noise"):
+    //  - noise: per-element nudge <= ~5e-4 — DENSITY growth (every replica
+    //    is a near-copy of its parent: the dedup-workload decade);
+    //  - shift: cyclic dimension rotation by r — EXTENT growth (replica
+    //    vectors are genuinely new directions with the same within-replica
+    //    cluster geometry: the corpus-gets-bigger decade, under which
+    //    key-space self-sizing should hold recall shares flat)
+    val embedMode = if (args.length > 3) args(3) else "noise"
     replicate("embeddings", Map("vec_id" -> stepVec), (df, r) =>
       if (r == 0) df
+      else if (embedMode == "shift") {
+        // rotate by r mod dim; negate once the rotations wrap (keeps
+        // replicas distinct directions up to 2*dim replicas)
+        val sign = if (r >= 64) "-" else ""
+        df.withColumn("embedding",
+          expr(s"transform(embedding, (x, i) -> " +
+            s"${sign}element_at(embedding, cast((i + $r % 64) % size(embedding) as int) + 1))"))
+      }
       else df.withColumn("embedding",
         expr(s"transform(embedding, (x, i) -> " +
           s"cast(x + ((vec_id * 7 + i * 13 + $r * 101) % 997 - 498) * 1e-6 as float))")))
