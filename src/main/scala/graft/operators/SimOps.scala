@@ -355,10 +355,16 @@ object SimOps {
       superProbes: Int = 1): DataFrame = {
     val nlist = cents.count()
     val per = math.max(2L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
+    // rank over the PROJECTED id column only — the single-partition sort
+    // the global row_number needs moves 8-byte keys, never the embedding
+    // arrays; the ~√nlist selected ids broadcast back onto cents
     val wc = Window.orderBy(col("c_id"))
-    val sup = cents.withColumn("rk", row_number().over(wc))
+    val supIds = cents.select(col("c_id"))
+      .withColumn("rk", row_number().over(wc))
       .filter((col("rk") - 1) % per === 0)
-      .select(col("c_id").as("c_id"), col("ce").as("ce"), col("cn").as("cn"))
+      .select(col("c_id"))
+    val sup = cents.join(broadcast(supIds), Seq("c_id"))
+      .select(col("c_id"), col("ce"), col("cn"))
     // each centroid's home supercell — exact argmax over the small
     // supercenter set (cents is nlist-sized: this stage is cheap)
     val c2s = cellArgmax(
