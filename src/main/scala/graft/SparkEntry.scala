@@ -1466,6 +1466,17 @@ object SparkEntry {
     // Composed embedding-curation pipeline: planted corpus → near-dup
     // pairs → drop the larger id of each pair → per-label scorecard.
     // The embedding twin of q_curate_pipeline's text chain.
+    // Embedding near-dup CLUSTERS: the pair stream closed into connected
+    // components (large-star/small-star, the q_media_clusters machinery)
+    // — completes the pairs -> clusters symmetry across modalities; min
+    // id per component is the canonical representative.
+    "q_embed_clusters" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      DedupOps.dedupClusters(
+        SimOps.nearDupPairs(planted, bits = SimOps.autoSignBits(planted))
+          .select(col("id_a"), col("id_b")))
+        .withColumnRenamed("doc_id", "vec_id")
+    }),
     "q_embed_pipeline" -> ((s, dir) => {
       val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
       val dropIds = SimOps.nearDupPairs(planted, bits = SimOps.autoSignBits(planted))
@@ -4063,6 +4074,17 @@ object SparkEntry {
     "q_embed_neardup" ->
       (s"WITH $duckNearDupCtes " +
         "SELECT id_a, id_b, cos_bp FROM vp2 ORDER BY id_a, id_b"),
+    // mirrors q_embed_clusters: the near-dup pair CTE closed under the
+    // recursive min-label reachability (the q_media_clusters pattern)
+    "q_embed_clusters" ->
+      (s"WITH RECURSIVE $duckNearDupCtes, " +
+        "eg AS (SELECT id_a AS src, id_b AS dst FROM vp2 " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM vp2), " +
+        "ndz AS (SELECT DISTINCT src AS id FROM eg), " +
+        "reach AS (SELECT id, id AS lab FROM ndz " +
+        "UNION SELECT eg.src AS id, reach.lab FROM eg JOIN reach ON eg.dst = reach.id) " +
+        "SELECT id AS vec_id, min(lab) AS cluster_id FROM reach " +
+        "GROUP BY id ORDER BY vec_id"),
     // mirrors SimOps.semDedup: exact-dedup-first (identical embeddings
     // collapse to a min-id rep; members never survive), √N-sized
     // hash-sampled centroids over the FULL planted corpus, rep-only cell
