@@ -236,4 +236,20 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("floorDivSql equals Math.floorDiv wherever |quotient| < 2^49") {
+    // numerators range across the 2^53 double-exactness cliff; quotients
+    // stay inside the documented 2^49 exactness domain
+    val gen = for {
+      b <- Gen.oneOf(Gen.chooseNum(1L, 8192L), Gen.chooseNum(-8192L, -1L))
+      q <- Gen.chooseNum(-(1L << 48), 1L << 48) // |q*b| <= 2^61: no overflow
+      r <- Gen.chooseNum(0L, math.abs(b) - 1)
+    } yield (q * b + (if (b > 0) r else -r), b) // a with known floor quotient
+    check("floorDivSql", 30, Prop.forAll(gen) { case (a, b) =>
+      val got = spark.sql(
+        s"SELECT ${graft.operators.TextOps.floorDivSql(a.toString, b.toString)}")
+        .collect()(0).getLong(0)
+      got == Math.floorDiv(a, b)
+    })
+  }
 }
