@@ -1259,6 +1259,14 @@ object SparkEntry {
       val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
       SimOps.nearDupCapAudit(planted, bits = SimOps.autoSignBits(planted))
     }),
+    // The RECALL side of the near-dup audit pair: exact ground truth on a
+    // ~64-anchor hash sample (O(anchors*reps), anchor side broadcast)
+    // vs the declared bucket pairing — bucket-miss AND cap loss in one
+    // oracle-verified number, at the derived bits.
+    "q_recall_audit_neardup" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      SimOps.nearDupRecallAudit(planted, bits = SimOps.autoSignBits(planted))
+    }),
     // Cross-SOURCE contamination matrix: exact 3-shingle Jaccard between
     // every source pair via source-bounded postings — the rollup a mixture
     // designer reads before setting sampling weights.
@@ -1466,6 +1474,18 @@ object SparkEntry {
     // Composed embedding-curation pipeline: planted corpus → near-dup
     // pairs → drop the larger id of each pair → per-label scorecard.
     // The embedding twin of q_curate_pipeline's text chain.
+    // OR-amplified multi-table near-dup pairs, FULLY CORPUS-DERIVED:
+    // bits from autoSignBits (per-table caps stay idle), tables =
+    // floor(dims / bits) (every embedding dimension hashes exactly once)
+    // — recovers the boundary recall a single corpus-sized table trades
+    // away (measured: 75% vs 5.4% of anchor-sample truth at sf0.1,
+    // ~tables x amplification at every decade; CapAuditGrowth).
+    "q_embed_neardup_multi" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      val bits = SimOps.autoSignBits(planted)
+      SimOps.nearDupPairsMulti(planted, bits = bits,
+        tables = math.max(1, 64 / bits))
+    }),
     // Embedding near-dup CLUSTERS: the pair stream closed into connected
     // components (large-star/small-star, the q_media_clusters machinery)
     // — completes the pairs -> clusters symmetry across modalities; min
@@ -4074,6 +4094,55 @@ object SparkEntry {
     "q_embed_neardup" ->
       (s"WITH $duckNearDupCtes " +
         "SELECT id_a, id_b, cos_bp FROM vp2 ORDER BY id_a, id_b"),
+    // mirrors SimOps.nearDupRecallAudit: ~64 hash-chosen anchor reps
+    // scored exactly against every rep (truth), the rp2 bucket pairing's
+    // anchor-touching pairs divided in (found)
+    "q_recall_audit_neardup" ->
+      (s"WITH $duckNearDupCtes, " +
+        "anch AS (SELECT vec_id AS a_id, e AS ae, nrm AS an FROM nrep " +
+        s"WHERE ${StableHash.hash60Sql("CAST(vec_id AS VARCHAR)")} % " +
+        "greatest(1, CAST(ceil((SELECT count(*) FROM nrep) / 64.0) AS BIGINT)) = 0), " +
+        "tp AS (SELECT DISTINCT least(n.vec_id, a.a_id) AS pa, " +
+        "greatest(n.vec_id, a.a_id) AS pb FROM nrep n CROSS JOIN anch a " +
+        "WHERE n.vec_id <> a.a_id AND " +
+        s"${TextOps.roundBpSql("list_dot_product(n.e, a.ae) / (n.nrm * a.an)")} >= 4000), " +
+        "fa AS (SELECT DISTINCT ra AS pa, rb AS pb FROM rp2 JOIN anch " +
+        "ON rp2.ra = anch.a_id OR rp2.rb = anch.a_id) " +
+        "SELECT (SELECT count(*) FROM anch) AS n_anchors, " +
+        "(SELECT count(*) FROM tp) AS n_truth, " +
+        "(SELECT count(*) FROM fa) AS n_found, " +
+        "CASE WHEN (SELECT count(*) FROM tp) > 0 THEN " +
+        TextOps.floorDivSql("(SELECT count(*) FROM fa) * 10000",
+          "(SELECT count(*) FROM tp)") +
+        " ELSE 10000 END AS recall_bp"),
+    // mirrors SimOps.nearDupPairsMulti at the DERIVED configuration:
+    // floor(64 / nbits) tables of nbits bits over disjoint dim blocks,
+    // per-(t, bucket) participation cap, pair dedup on (ra, rb, cos_bp),
+    // member re-attach via the shared emem/intra2 CTEs
+    "q_embed_neardup_multi" ->
+      (s"WITH $duckNearDupCtes, " +
+        "tt AS (SELECT unnest(range(0, greatest(1, 64 // (SELECT b FROM nbits)))) AS t), " +
+        // the bit width joins in as a COLUMN (DuckDB lambdas reject
+        // subqueries but accept outer column references)
+        "mk AS (SELECT n.vec_id, n.e, n.nrm, tt.t, " +
+        "list_sum(list_transform(range(1, nbits.b + 1), i -> " +
+        "CASE WHEN n.e[CAST(tt.t * nbits.b + i AS BIGINT)] >= 0 " +
+        "THEN (1 << (i - 1)) ELSE 0 END)) AS bval " +
+        "FROM nrep n CROSS JOIN tt CROSS JOIN nbits), " +
+        "mcap AS (SELECT vec_id, e, nrm, t, bval FROM (SELECT *, row_number() " +
+        "OVER (PARTITION BY t, bval ORDER BY vec_id) AS rk FROM mk) " +
+        s"WHERE rk <= ${DedupOps.DefaultMaxBucket}), " +
+        "rpm AS (SELECT DISTINCT ra, rb, cos_bp FROM (SELECT a.vec_id AS ra, " +
+        "b.vec_id AS rb, " +
+        s"${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} AS cos_bp " +
+        "FROM mcap a JOIN mcap b ON a.t = b.t AND a.bval = b.bval " +
+        "AND a.vec_id < b.vec_id) WHERE cos_bp >= 4000), " +
+        "crossm AS (SELECT least(ma.vec_id, mb.vec_id) AS id_a, " +
+        "greatest(ma.vec_id, mb.vec_id) AS id_b, cos_bp FROM rpm " +
+        "JOIN emem ma ON rpm.ra = ma.rep JOIN emem mb ON rpm.rb = mb.rep) " +
+        "SELECT id_a, id_b, cos_bp FROM " +
+        "(SELECT * FROM crossm UNION ALL SELECT * FROM intra2) " +
+        "ORDER BY id_a, id_b"),
     // mirrors q_embed_clusters: the near-dup pair CTE closed under the
     // recursive min-label reachability (the q_media_clusters pattern)
     "q_embed_clusters" ->

@@ -840,6 +840,75 @@ object SimOps {
     cross.unionByName(intra).orderBy(col("id_a"), col("id_b"))
   }
 
+  /** OR-AMPLIFIED multi-table [[nearDupPairs]] — the boundary-recall
+    * remedy the recall audit ([[nearDupRecallAudit]]) prices the need
+    * for: a single sign-bucket table finds a cos-θ pair with probability
+    * (1 − θ/π)^bits, which for moderate-similarity pairs collapses as
+    * `bits` grows with the corpus (measured: 31 bp at the ×100 derived
+    * bits). `tables` independent tables (table t hashes dims
+    * [t·bits, (t+1)·bits) — [[lshTopK]]'s construction) recover
+    * 1 − (1 − p)^tables: candidates meet in ANY table, identical pairs
+    * collapse on (ra, rb, cos_bp) before member re-attach. Same
+    * exact-dedup-first + per-table participation cap + member re-attach
+    * contract as [[nearDupPairs]]; cost is `tables`× the single-table
+    * bucket pairing, bounded by tables·2^bits·cap²/2. Requires
+    * tables·bits ≤ embedding dims. SCALE DISCIPLINE (measured,
+    * CapAuditGrowth r13): FIXED 8×4 tables hit the cap wall exactly like
+    * fixed single-table bits (found → 0 by ×10); the production
+    * configuration derives `bits` = [[autoSignBits]] (caps idle) and
+    * `tables` = ⌊dims / bits⌋ (every dimension hashes once) — the
+    * declared q_embed_neardup_multi shape, measured at 75% of
+    * anchor-sample truth at sf0.1 vs 5.4% single-table, with ~tables×
+    * amplification at every decade. The single-table form stays the
+    * cheap default for exact-plus-tight near-dups; past the recall this
+    * buys, loose-threshold similarity at corpus scale belongs to
+    * [[semDedup]]/[[ivfTopK]] cells, not sign-LSH.
+    */
+  def nearDupPairsMulti(
+      emb: DataFrame,
+      thresholdBp: Int = 4000,
+      bits: Int = 4,
+      tables: Int = 8,
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val groups = emb.groupBy(col(embCol)).agg(min(col(idCol)).as("rep_id"))
+    val mem = emb.join(groups, Seq(embCol)).select(col(idCol), col("rep_id"))
+    val reps = groups.select(col("rep_id").as(idCol), col(embCol))
+    val tableKeys = array((0 until tables).map { t =>
+      concat_ws(":", lit(t), signBucket(col("e"), bits, offset = t * bits))
+    }: _*)
+    val n = normalized(reps, idCol, embCol)
+      .select(col(idCol), col("e"), col("nrm"), explode(tableKeys).as("tb"))
+      .repartition(col("tb"))
+    val wB = Window.partitionBy(col("tb")).orderBy(col(idCol))
+    val capped = (if (maxBucket <= 0) n
+      else n.withColumn("rk", row_number().over(wB)).filter(col("rk") <= maxBucket))
+      .select(col(idCol), col("e"), col("nrm"), col("tb"))
+    val repPairs = capped.alias("a")
+      .join(capped.alias("b"),
+        col("a.tb") === col("b.tb") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("ra"), col(s"b.$idCol").as("rb"),
+        TextOps.roundBp(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_bp"))
+      .filter(col("cos_bp") >= thresholdBp)
+      .distinct()
+    val cross = repPairs
+      .join(mem.as("ma"), col("ra") === col("ma.rep_id"))
+      .join(mem.as("mb"), col("rb") === col("mb.rep_id"))
+      .select(
+        least(col(s"ma.$idCol"), col(s"mb.$idCol")).as("id_a"),
+        greatest(col(s"ma.$idCol"), col(s"mb.$idCol")).as("id_b"),
+        col("cos_bp"))
+    val intra = mem.as("x")
+      .join(mem.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        lit(10000L).as("cos_bp"))
+    cross.unionByName(intra).orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Cap telemetry for [[nearDupPairs]]' representative sign-buckets — the
     * embedding member of the `DedupOps.capAudit` family, with
     * PARTICIPATION-cap arithmetic (only a bucket's `maxBucket` lowest-id
@@ -877,6 +946,77 @@ object SimOps {
         col("n_dropped"), col("entries_dropped"), col("pairs_kept"),
         col("pairs_forgone"), col("hottest"),
         lit("participation").as("cap_semantics"))
+  }
+
+  /** RECALL audit for [[nearDupPairs]] — the number the cap audit cannot
+    * see: `pairs_forgone` counts only in-bucket pairs the cap dropped,
+    * while sign-LSH also loses near-dup pairs whose endpoints hash to
+    * DIFFERENT buckets (the boundary trade documented on [[lshTopK]]).
+    * This audit measures both at once, against exact ground truth on an
+    * ANCHOR sample: ~64 hash-chosen representatives (one count() + the
+    * deterministic id-hash rule, the [[sqrtCentroidPred]] discipline, so
+    * the oracle reproduces the sample) are scored against EVERY rep —
+    * O(anchors·reps) with the anchor side broadcast, never reps² — and
+    * the declared bucket pairing's anchor-touching pairs divide into
+    * them: `recall_bp` = found·10⁴ div truth. Run it at the declared
+    * `bits` and the number is the recall the production key-space setting
+    * actually buys on THIS corpus — the companion to
+    * [[nearDupCapAudit]]'s cost-side report.
+    *
+    * Output (one row): (n_anchors, n_truth, n_found, recall_bp).
+    */
+  def nearDupRecallAudit(
+      emb: DataFrame,
+      thresholdBp: Int = 4000,
+      bits: Int = 4,
+      maxBucket: Int = DedupOps.DefaultMaxBucket,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val groups = emb.groupBy(col(embCol)).agg(min(col(idCol)).as("rep_id"))
+    val reps = groups.select(col("rep_id").as(idCol), col(embCol))
+    val nReps = reps.count()
+    val every = math.max(1L, math.ceil(nReps / 64.0).toLong)
+    val anchorPred = graft.functions.StableHash.hash60(col(idCol).cast("string")) %
+      every === 0
+    val n = normalized(reps, idCol, embCol)
+    val anchors = n.filter(anchorPred)
+      .select(col(idCol).as("a_id"), col("e").as("ae"), col("nrm").as("an"))
+    val truthPairs = n.crossJoin(broadcast(anchors))
+      .filter(col(idCol) =!= col("a_id"))
+      .select(
+        least(col(idCol), col("a_id")).as("pa"),
+        greatest(col(idCol), col("a_id")).as("pb"),
+        TextOps.roundBp(dot(col("e"), col("ae")) / (col("nrm") * col("an")))
+          .as("cos_bp"))
+      .filter(col("cos_bp") >= thresholdBp)
+      .select(col("pa"), col("pb")).distinct()
+    val bucketed = n.withColumn("bucket", signBucket(col("e"), bits))
+      .repartition(col("bucket"))
+    val wB = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    val capped = (if (maxBucket <= 0) bucketed
+      else bucketed.withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= maxBucket))
+      .select(col(idCol), col("e"), col("nrm"), col("bucket"))
+    val foundPairs = capped.alias("a")
+      .join(capped.alias("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("pa"), col(s"b.$idCol").as("pb"),
+        TextOps.roundBp(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_bp"))
+      .filter(col("cos_bp") >= thresholdBp)
+      .select(col("pa"), col("pb"))
+    val anchorIds = anchors.select(col("a_id"))
+    val foundAnchor = foundPairs
+      .join(broadcast(anchorIds),
+        col("pa") === col("a_id") || col("pb") === col("a_id"))
+      .select(col("pa"), col("pb")).distinct()
+    val stats = truthPairs.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(foundAnchor.agg(count(lit(1)).as("n_found")))
+      .crossJoin(anchors.agg(count(lit(1)).as("n_anchors")))
+    stats.select(col("n_anchors"), col("n_truth"), col("n_found"),
+      expr(s"CASE WHEN n_truth > 0 THEN " +
+        TextOps.floorDivSql("n_found * 10000", "n_truth") +
+        " ELSE 10000 END").as("recall_bp"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in

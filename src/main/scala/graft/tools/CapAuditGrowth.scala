@@ -55,6 +55,40 @@ object CapAuditGrowth {
         s"entries_dropped=${r.getLong(3)} pairs_kept=${r.getLong(4)} " +
         s"pairs_forgone=${r.getLong(5)} hottest=${r.getLong(6)}")
     }
+    // r13: the recall SIDE of the neardup audit pair — anchor-sample exact
+    // truth vs the declared bucket pairing, at derived and fixed bits,
+    // plus the OR-amplified 8-table remedy measured the same way
+    import org.apache.spark.sql.functions._
+    for ((label, dir) <- Seq("sf0.1" -> sf01, "x10" -> x10, "x100" -> x100)) {
+      val planted = SimOps.plantedVectors(embs(dir))
+      val bits = SimOps.autoSignBits(planted)
+      for ((fam, b) <- Seq(s"auto[bits=$bits]" -> bits, "fixed4" -> 4)) {
+        val r = SimOps.nearDupRecallAudit(planted, bits = b).head()
+        println(s"[recallaudit] $label neardup-$fam: anchors=${r.getLong(0)} " +
+          s"truth=${r.getLong(1)} found=${r.getLong(2)} recall_bp=${r.getLong(3)}")
+      }
+      // multi-table: rep-level pairs (dedup-first on a rep-only corpus),
+      // anchor rule identical to the audit's
+      val reps = planted.groupBy(col("embedding"))
+        .agg(min(col("vec_id")).as("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val nR = reps.count()
+      val every = math.max(1L, math.ceil(nR / 64.0).toLong)
+      val anch = reps.filter(
+        graft.functions.StableHash.hash60(col("vec_id").cast("string")) % every === 0)
+        .select(col("vec_id").as("a_id"))
+      def multiFound(mbits: Int, mtables: Int): Long =
+        SimOps.nearDupPairsMulti(reps, bits = mbits, tables = mtables)
+          .join(broadcast(anch),
+            col("id_a") === col("a_id") || col("id_b") === col("a_id"))
+          .select(col("id_a"), col("id_b")).distinct().count()
+      // fixed 8x4 (the declared small-corpus shape) and the scale-safe
+      // derivation: bits from the corpus, tables = floor(dims / bits)
+      val dtables = math.max(1, 64 / bits)
+      println(s"[recallaudit] $label neardup-multi8x4: found=${multiFound(4, 8)} (same truth)")
+      println(s"[recallaudit] $label neardup-multi${dtables}x$bits: " +
+        s"found=${multiFound(bits, dtables)} (same truth)")
+    }
     spark.stop()
   }
 }

@@ -475,6 +475,19 @@ class SimOpsSpec extends SparkSpec {
     assert(SimOps.autoSignBits(sf("embeddings")) == 4)
   }
 
+  test("nearDupPairsMulti: superset of single-table pairs, recovers boundary pairs") {
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    val single = SimOps.nearDupPairs(planted, maxBucket = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    val multi = SimOps.nearDupPairsMulti(planted, maxBucket = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    // table 0 IS the single table (offset 0), so OR-amplification can
+    // only add pairs — and on the fixture it demonstrably does
+    assert(single.subsetOf(multi), "multi-table lost single-table pairs")
+    assert(multi.size > single.size,
+      s"no boundary pairs recovered: ${multi.size} vs ${single.size}")
+  }
+
   test("autoSignBits-driven nearDupPairs still finds planted duplicates") {
     val planted = SimOps.plantedVectors(sf("embeddings"))
     val bits = SimOps.autoSignBits(planted)
