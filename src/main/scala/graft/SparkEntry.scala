@@ -1205,6 +1205,11 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       DedupOps.minhashBandPairs(DedupOps.plantedCorpus(t(s, dir, "documents")),
         maxBucket = DedupOps.DefaultMaxBucket)),
+    // The RECALL side of the MinHash audit pair (q_cap_audit_minhash is
+    // the cost side): exact anchor-sample Jaccard truth vs the verified
+    // banding pipeline — band-miss + cap loss as one declared number.
+    "q_recall_audit_minhash" -> ((s, dir) =>
+      DedupOps.minhashRecallAudit(DedupOps.plantedCorpus(t(s, dir, "documents")))),
     // SimHash sketches + identical-sketch grouping.
     "q_dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(DedupOps.plantedCorpus(t(s, dir, "documents")))),
@@ -3053,6 +3058,33 @@ object SparkEntry {
     "q_dedup_verified" ->
       (s"WITH $duckMinhashCtes, $duckVerifiedPairsCte " +
         "SELECT id_a, id_b, jac_bp FROM vp ORDER BY id_a, id_b"),
+    // mirrors DedupOps.minhashRecallAudit: ~64 hash-chosen anchor docs,
+    // exact anchor-side Jaccard truth through the inverted shingle index,
+    // the verified pipeline's anchor-touching pairs divided in
+    "q_recall_audit_minhash" ->
+      (s"WITH $duckMinhashCtes, $duckVerifiedPairsCte, " +
+        "anchd AS (SELECT doc_id AS a_id, shs AS a_shs FROM sl " +
+        s"WHERE ${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % " +
+        "greatest(1, CAST(ceil((SELECT count(*) FROM corpus) / 64.0) AS BIGINT)) = 0), " +
+        "ashx AS (SELECT a_id, unnest(a_shs) AS s FROM anchd), " +
+        "cidx AS (SELECT DISTINCT ashx.a_id, sh.doc_id FROM ashx " +
+        "JOIN sh ON ashx.s = sh.s AND sh.doc_id <> ashx.a_id), " +
+        "tp AS (SELECT DISTINCT least(a_id, doc_id) AS pa, " +
+        "greatest(a_id, doc_id) AS pb FROM (SELECT cidx.a_id, cidx.doc_id, " +
+        s"${TextOps.roundBpSql(
+          "CAST(len(list_filter(anchd.a_shs, e -> list_contains(sl.shs, e))) AS DOUBLE) / " +
+            "CAST(len(list_distinct(list_concat(anchd.a_shs, sl.shs))) AS DOUBLE)")} AS jac_bp " +
+        "FROM cidx JOIN anchd ON cidx.a_id = anchd.a_id " +
+        "JOIN sl ON sl.doc_id = cidx.doc_id) WHERE jac_bp >= 8000), " +
+        "fa AS (SELECT DISTINCT id_a AS pa, id_b AS pb FROM vp JOIN anchd " +
+        "ON vp.id_a = anchd.a_id OR vp.id_b = anchd.a_id) " +
+        "SELECT (SELECT count(*) FROM anchd) AS n_anchors, " +
+        "(SELECT count(*) FROM tp) AS n_truth, " +
+        "(SELECT count(*) FROM fa) AS n_found, " +
+        "CASE WHEN (SELECT count(*) FROM tp) > 0 THEN " +
+        TextOps.floorDivSql("(SELECT count(*) FROM fa) * 10000",
+          "(SELECT count(*) FROM tp)") +
+        " ELSE 10000 END AS recall_bp"),
     // mirrors DedupOps.minhashErrorAudit: same capped candidates, the
     // signature-agreement estimate joined to the exact shingle Jaccard
     "q_dedup_minhash_err" -> {

@@ -918,6 +918,69 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** RECALL audit for the MinHash-LSH leg — the text member of the
+    * r13 recall-audit pair (`SimOps.nearDupRecallAudit` is the embedding
+    * one): the cap audit prices dropped candidates, this prices the pairs
+    * the BANDING never surfaces (the S-curve's left shoulder: a pair at
+    * Jaccard j shares a band with probability 1 − (1 − j^r)^b). Truth is
+    * the exact shingle Jaccard ≥ `thresholdBp` over pairs touching ~64
+    * hash-chosen ANCHOR docs, computed through the inverted shingle index
+    * restricted to anchor postings — O(Σ docfreq(anchor shingles)), never
+    * corpus² — with the same set arithmetic as [[verifiedNearDups]]'s
+    * verify stage; found is the verified pipeline's anchor-touching
+    * pairs. One count() + the deterministic id-hash anchor rule, so the
+    * oracle reproduces the sample.
+    *
+    * Output (one row): (n_anchors, n_truth, n_found, recall_bp).
+    */
+  def minhashRecallAudit(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 8,
+      bands: Int = 4,
+      thresholdBp: Int = 8000,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val nDocs = corpus.count()
+    val every = math.max(1L, math.ceil(nDocs / 64.0).toLong)
+    val s = corpus.select(
+      col(idCol),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), 3)).as("shs"))
+    val anch = s.filter(
+      StableHash.hash60(col(idCol).cast("string")) % every === 0)
+      .select(col(idCol).as("a_id"), col("shs").as("a_shs"))
+    val ainv = anch.select(col("a_id"), explode(col("a_shs")).as("sh"))
+    val inv = s.select(col(idCol), explode(col("shs")).as("sh"))
+    val candIds = inv.join(broadcast(ainv), Seq("sh"))
+      .filter(col(idCol) =!= col("a_id"))
+      .select(col("a_id"), col(idCol)).distinct()
+    val truth = candIds
+      .join(broadcast(anch), Seq("a_id"))
+      .join(s, Seq(idCol))
+      .select(
+        least(col("a_id"), col(idCol)).as("pa"),
+        greatest(col("a_id"), col(idCol)).as("pb"),
+        TextOps.roundBp(
+          size(array_intersect(col("a_shs"), col("shs"))).cast("double") /
+            size(array_union(col("a_shs"), col("shs"))).cast("double")).as("jac_bp"))
+      .filter(col("jac_bp") >= thresholdBp)
+      .select(col("pa"), col("pb")).distinct()
+    val vp = verifiedNearDups(corpus, idCol, textCol, numHashes, bands,
+      thresholdBp, maxBucket)
+    val anchorIds = anch.select(col("a_id"))
+    val found = vp
+      .join(broadcast(anchorIds),
+        col("id_a") === col("a_id") || col("id_b") === col("a_id"))
+      .select(col("id_a"), col("id_b")).distinct()
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(anch.agg(count(lit(1)).as("n_anchors")))
+      .select(col("n_anchors"), col("n_truth"), col("n_found"),
+        expr(s"CASE WHEN n_truth > 0 THEN " +
+          TextOps.floorDivSql("n_found * 10000", "n_truth") +
+          " ELSE 10000 END").as("recall_bp"))
+  }
+
   /** Sketch-error audit of the MinHash estimator — for every LSH candidate
     * pair, the signature-agreement estimate (matching positions / signature
     * length, the unbiased MinHash Jaccard estimator) next to the exact

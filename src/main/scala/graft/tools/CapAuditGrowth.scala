@@ -88,6 +88,11 @@ object CapAuditGrowth {
       println(s"[recallaudit] $label neardup-multi8x4: found=${multiFound(4, 8)} (same truth)")
       println(s"[recallaudit] $label neardup-multi${dtables}x$bits: " +
         s"found=${multiFound(bits, dtables)} (same truth)")
+      // the text leg: MinHash banding recall at Jaccard >= 0.8 (b=4, r=2:
+      // collision prob >= 98% at the threshold — expect ~flat high recall)
+      val mr = DedupOps.minhashRecallAudit(DedupOps.plantedCorpus(docs(dir))).head()
+      println(s"[recallaudit] $label minhash-b4r2: anchors=${mr.getLong(0)} " +
+        s"truth=${mr.getLong(1)} found=${mr.getLong(2)} recall_bp=${mr.getLong(3)}")
     }
     spark.stop()
   }
