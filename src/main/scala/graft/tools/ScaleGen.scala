@@ -63,8 +63,14 @@ object ScaleGen {
     val stepCust = maxOf("customer" -> "c_custkey", "orders" -> "o_custkey")
     val stepEvent = maxOf("events" -> "event_id")
     val stepUser = maxOf("events" -> "user_id")
-    val stepDoc = maxOf("documents" -> "doc_id")
-    val stepVec = maxOf("embeddings" -> "vec_id")
+    // doc/vec replicas step by >= 1M: the planted-fixture families
+    // (plantedCorpus/plantedVectors/plantedSpliceCorpus/plantedQuoteCorpus)
+    // offset their planted copies at FIXED +100k..+400k — a tight replica
+    // step makes planted ids collide with later replicas' base ids past
+    // ~x20 (duplicate ids, different content: the r13 x100 fixture caveat).
+    // A 1M stride keeps every replica's planted range inside its own slot.
+    val stepDoc = math.max(1000000L, maxOf("documents" -> "doc_id"))
+    val stepVec = math.max(1000000L, maxOf("embeddings" -> "vec_id"))
 
     /** Union `factor` shifted replicas of `name` and write to `outDir`. */
     def replicate(
