@@ -1339,9 +1339,10 @@ object SparkEntry {
     }),
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      val step = DedupOps.plantStep(docs, "doc_id")
       val batch = docs.filter(col("source") === "src0").select(col("doc_id"), col("text"))
         .unionByName(docs.filter(col("source") === "src1" && col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 3 * step).as("doc_id"), col("text")))
       val existing = docs.filter(col("source") =!= "src0").select(col("doc_id"), col("text"))
       DedupOps.incrementalNew(batch, existing)
     }),
@@ -1453,8 +1454,9 @@ object SparkEntry {
     // The recall knob as a declared shape: each SOURCE vector probes its 2
     // nearest cells (candidates stay in their home cell, so pairs cannot
     // duplicate) — boundary neighbors probes=1 misses are recovered at
-    // linear fan-out. Top-2 assignment is the same zero-row-explosion
-    // fold as probes=1 (cellArgTop2), never the O(N·nlist) window.
+    // linear fan-out. Top-2 assignment rides the same zero-row-explosion
+    // sorted-insert fold as every probe count (cellArgTopP), never the
+    // O(N·nlist) window.
     "q_knn_graph_probe2" -> ((s, dir) =>
       SimOps.knnGraph(t(s, dir, "embeddings"),
         centroidPred = SimOps.sqrtCentroidPred(t(s, dir, "embeddings")),
@@ -1488,8 +1490,9 @@ object SparkEntry {
     "q_embed_neardup_multi" -> ((s, dir) => {
       val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
       val bits = SimOps.autoSignBits(planted)
+      val dim = SimOps.embDim(planted)
       SimOps.nearDupPairsMulti(planted, bits = bits,
-        tables = math.max(1, 64 / bits))
+        tables = math.max(1, dim / bits))
     }),
     // Embedding near-dup CLUSTERS: the pair stream closed into connected
     // components (large-star/small-star, the q_media_clusters machinery)
@@ -2209,7 +2212,8 @@ object SparkEntry {
   private lazy val duckNearDupCtes: String = {
     val bucket = SimOps.signBucketSql("e", "(SELECT b FROM nbits)")
     "base AS (SELECT vec_id, embedding, label FROM embeddings " +
-      "UNION ALL SELECT vec_id + 100000 AS vec_id, embedding, label " +
+      s"UNION ALL SELECT vec_id + ${DedupOps.plantStepSql("embeddings", "vec_id")} " +
+      "AS vec_id, embedding, label " +
       "FROM embeddings WHERE vec_id % 100 = 0), " +
       s"nbits AS ${SimOps.autoSignBitsSql("base")}, " +
       "egrp AS (SELECT embedding, min(vec_id) AS rep FROM base GROUP BY embedding), " +
@@ -2234,10 +2238,16 @@ object SparkEntry {
       "vp2 AS (SELECT * FROM crossp2 UNION ALL SELECT * FROM intra2)"
   }
 
+  /** Corpus-derived plant stride mirror (DedupOps.plantStep): planted ids
+    * sit above every real id at any corpus scale — the r13 ×20+ replica
+    * collision fix, mirrored on both engines.
+    */
+  private val duckDocStep = DedupOps.plantStepSql("documents", "doc_id")
+
   private val duckCorpus =
     "SELECT doc_id, text FROM documents " +
-      "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0 " +
-      "UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' graftdup' AS text " +
+      s"UNION ALL SELECT doc_id + $duckDocStep AS doc_id, text FROM documents WHERE doc_id % 10 = 0 " +
+      s"UNION ALL SELECT doc_id + 2 * $duckDocStep AS doc_id, text || ' graftdup' AS text " +
       "FROM documents WHERE doc_id % 10 = 5"
 
   /** DuckDB CTE body matching [[DedupOps.plantedSpliceCorpus]]: documents
@@ -2246,7 +2256,7 @@ object SparkEntry {
     */
   private val duckSpliceCorpus =
     "SELECT doc_id, text FROM documents " +
-      "UNION ALL SELECT pid + 400000 AS doc_id, array_to_string(" +
+      s"UNION ALL SELECT pid + 4 * $duckDocStep AS doc_id, array_to_string(" +
       "list_transform(range(1, 11), i -> 'zqa' || pid || 'x' || i) || " +
       "t[4:63] || " +
       "list_transform(range(1, 6), i -> 'zqb' || pid || 'x' || i), ' ') AS text " +
@@ -2282,11 +2292,11 @@ object SparkEntry {
 
   /** DuckDB mirror of [[graft.operators.DedupOps.plantedQuoteCorpus]]:
     * [[duckCorpus]] plus the first ⌊2n/5⌋-token prefix (min 1) of every doc
-    * ≡ 3 (mod 10) as a planted quote (id + 300000).
+    * ≡ 3 (mod 10) as a planted quote (id + 3·plantStep).
     */
   private val duckQuoteCorpus =
     duckCorpus +
-      " UNION ALL SELECT doc_id + 300000 AS doc_id, " +
+      s" UNION ALL SELECT doc_id + 3 * $duckDocStep AS doc_id, " +
       "array_to_string(list_slice(t, 1, greatest(1, CAST(floor(len(t) * 2.0 / 5) AS INT))), ' ') AS text " +
       s"FROM (SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id % 10 = 3)"
 
@@ -3037,7 +3047,7 @@ object SparkEntry {
         "FROM tr JOIN b USING (g) GROUP BY doc_id ORDER BY doc_id"),
     "q_dedup_incremental" ->
       ("WITH b AS (SELECT doc_id, text FROM documents WHERE source = 'src0' " +
-        "UNION ALL SELECT doc_id + 300000 AS doc_id, text FROM documents " +
+        s"UNION ALL SELECT doc_id + 3 * $duckDocStep AS doc_id, text FROM documents " +
         "WHERE source = 'src1' AND doc_id % 5 = 0), " +
         "ex AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'), " +
         s"fb AS (SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp_md5 FROM b), " +
@@ -4148,12 +4158,13 @@ object SparkEntry {
           "(SELECT count(*) FROM tp)") +
         " ELSE 10000 END AS recall_bp"),
     // mirrors SimOps.nearDupPairsMulti at the DERIVED configuration:
-    // floor(64 / nbits) tables of nbits bits over disjoint dim blocks,
+    // floor(dim / nbits) tables of nbits bits over disjoint dim blocks,
     // per-(t, bucket) participation cap, pair dedup on (ra, rb, cos_bp),
     // member re-attach via the shared emem/intra2 CTEs
     "q_embed_neardup_multi" ->
       (s"WITH $duckNearDupCtes, " +
-        "tt AS (SELECT unnest(range(0, greatest(1, 64 // (SELECT b FROM nbits)))) AS t), " +
+        "tt AS (SELECT unnest(range(0, greatest(1, " +
+        s"${SimOps.embDimSql("base")} // (SELECT b FROM nbits)))) AS t), " +
         // the bit width joins in as a COLUMN (DuckDB lambdas reject
         // subqueries but accept outer column references)
         "mk AS (SELECT n.vec_id, n.e, n.nrm, tt.t, " +
@@ -4192,7 +4203,8 @@ object SparkEntry {
     // assignment, within-cell cosine >= 0.99 drops the higher rep id
     "q_semdedup" ->
       ("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
-        "UNION ALL SELECT vec_id + 100000 AS vec_id, embedding " +
+        s"UNION ALL SELECT vec_id + ${DedupOps.plantStepSql("embeddings", "vec_id")} " +
+        "AS vec_id, embedding " +
         "FROM embeddings WHERE vec_id % 100 = 0), " +
         "nall AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
         "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +

@@ -54,37 +54,59 @@ object DedupOps {
     */
   val DefaultMaxBucket = 64
 
+  /** Corpus-derived plant stride: `max(id) + 1`, so planted ids land
+    * strictly ABOVE every real id at ANY corpus scale. The r13 fixture
+    * caveat: fixed `+100k` offsets collide with ScaleGen replica base ids
+    * past ~×20 (duplicate ids, different content — both truth and found
+    * counts go id-ambiguous). Multipliers 1..4 keep the four planted
+    * families (exact, near, quote, splice) in disjoint ranges; the DuckDB
+    * oracles mirror the same rule via [[plantStepSql]]. One extra
+    * single-column max() scan per fixture build — negligible next to the
+    * pairing work it feeds, and exactly the id-domain probe a production
+    * plant would run (reference analog: the sentinel-domain assumption at
+    * `NodeHandler.java:223` is the same bug class, baked in instead of
+    * derived).
+    */
+  def plantStep(docs: DataFrame, idCol: String): Long =
+    docs.agg(max(col(idCol)).cast("long")).head.getLong(0) + 1
+
+  /** DuckDB scalar-subquery mirror of [[plantStep]]. */
+  def plantStepSql(table: String, idCol: String): String =
+    s"(SELECT max($idCol) + 1 FROM $table)"
+
   /** `documents` plus planted duplicates: an exact copy of every 10th doc
-    * (id + 100000) and a near copy (one appended token, id + 200000) of
-    * every doc ≡ 5 (mod 10).
+    * (id + step) and a near copy (one appended token, id + 2·step) of
+    * every doc ≡ 5 (mod 10), step = [[plantStep]].
     */
   def plantedCorpus(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val step = plantStep(docs, idCol)
     val base = docs.select(col(idCol), col(textCol))
     base
       .unionByName(docs.filter(col(idCol) % 10 === 0)
-        .select((col(idCol) + 100000).as(idCol), col(textCol)))
+        .select((col(idCol) + step).as(idCol), col(textCol)))
       .unionByName(docs.filter(col(idCol) % 10 === 5)
-        .select((col(idCol) + 200000).as(idCol), concat(col(textCol), lit(" graftdup")).as(textCol)))
+        .select((col(idCol) + 2 * step).as(idCol), concat(col(textCol), lit(" graftdup")).as(textCol)))
   }
 
-  /** [[plantedCorpus]] plus a planted QUOTE doc (id + 300000) for every doc
-    * ≡ 3 (mod 10): the first ⌊2n/5⌋ tokens of the parent (min 1). A quote
+  /** [[plantedCorpus]] plus a planted QUOTE doc (id + 3·[[plantStep]]) for
+    * every doc ≡ 3 (mod 10): the first ⌊2n/5⌋ tokens of the parent (min 1). A quote
     * is ~100% CONTAINED in its parent but only ~40% Jaccard-similar — the
     * shape symmetric near-dup thresholds structurally miss, planted so
     * [[containmentPairs]]' declared query demonstrably catches what
     * [[jaccardPairs]] at the same threshold does not.
     */
   def plantedQuoteCorpus(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val step = plantStep(docs, idCol)
     val toks = TextOps.tokens(col(textCol))
     val cut = greatest(lit(1), floor(size(toks) * lit(2) / lit(5)).cast("int"))
     plantedCorpus(docs, idCol, textCol)
       .unionByName(docs.filter(col(idCol) % 10 === 3)
-        .select((col(idCol) + 300000).as(idCol),
+        .select((col(idCol) + 3 * step).as(idCol),
           concat_ws(" ", slice(toks, lit(1), cut)).as(textCol)))
   }
 
   /** [[plantedCorpus]]'s splice counterpart: `documents` plus, for every
-    * doc ≡ 7 (mod 10) with ≥ 63 tokens, a SPLICE doc (id + 400000) built as
+    * doc ≡ 7 (mod 10) with ≥ 63 tokens, a SPLICE doc (id + 4·[[plantStep]]) built as
     * 10 unique filler tokens + tokens 4..63 of the parent (a 60-token
     * verbatim run) + 5 more unique fillers. The filler tokens embed the
     * doc id (`zqa<id>x<i>`), so no two splice docs share them — the only
@@ -93,10 +115,11 @@ object DedupOps {
     * verbatim excerpt inside otherwise fresh text, with exact boundaries.
     */
   def plantedSpliceCorpus(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val step = plantStep(docs, idCol)
     val toks = TextOps.tokens(col(textCol))
     // filler embeds the PARENT id via a pre-projected alias: referencing
     // idCol directly inside the same select that re-aliases idCol to
-    // id+400000 silently resolves to the NEW id (lateral column alias)
+    // id+4·step silently resolves to the NEW id (lateral column alias)
     def filler(tag: String, n: Int): Column =
       transform(sequence(lit(1), lit(n)),
         i => concat(lit(tag), col("__pid").cast("string"), lit("x"), i.cast("string")))
@@ -104,7 +127,7 @@ object DedupOps {
     docs.select(col(idCol), col(textCol))
       .unionByName(docs.filter(col(idCol) % 10 === 7 && size(toks) >= 63)
         .select(col(idCol).as("__pid"), col(textCol))
-        .select((col("__pid") + 400000).as(idCol), concat_ws(" ", spliceToks).as(textCol)))
+        .select((col("__pid") + 4 * step).as(idCol), concat_ws(" ", spliceToks).as(textCol)))
   }
 
   /** Exact dedup: group by md5 of the normalized token stream, keep the

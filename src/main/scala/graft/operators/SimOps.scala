@@ -181,6 +181,21 @@ object SimOps {
       s"FROM $fromSql))"
   }
 
+  /** Embedding dimensionality, read once from a single row — the corpus
+    * tables are fixed-width (a ragged production corpus is broken upstream
+    * of any LSH). Feeds [[nearDupPairsMulti]]'s derived table count
+    * (`tables = ⌊dim / bits⌋`: every dimension hashes exactly once) and
+    * its `tables·bits ≤ dim` guard, so no caller bakes in a literal 64.
+    */
+  def embDim(emb: DataFrame, embCol: String = "embedding"): Int =
+    emb.select(size(col(embCol)).as("d")).head.getInt(0)
+
+  /** DuckDB scalar-subquery mirror of [[embDim]] (max() for determinism —
+    * all rows agree on a fixed-width corpus).
+    */
+  def embDimSql(fromSql: String, embCol: String = "embedding"): String =
+    s"(SELECT max(len($embCol)) FROM $fromSql)"
+
   /** DuckDB bucket expression matching [[signBucket]] over a DOUBLE-list
     * column `eSql` with a RUNTIME bit count `bitsSql` (a scalar or scalar
     * subquery): Σ over i ∈ [1, bits] of (e[i] ≥ 0) · 2^(i−1), via
@@ -760,13 +775,17 @@ object SimOps {
       .orderBy(col("label"), col("dim"))
 
   /** `embeddings` plus planted exact-duplicate vectors (every 100th vec_id,
-    * id + 100000) — the embedding analog of [[DedupOps.plantedCorpus]], so
-    * the near-dup query demonstrably finds known duplicates.
+    * id + [[DedupOps.plantStep]] = max(vec_id)+1, so planted ids stay above
+    * every real id at any corpus scale) — the embedding analog of
+    * [[DedupOps.plantedCorpus]], so the near-dup query demonstrably finds
+    * known duplicates.
     */
-  def plantedVectors(emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+  def plantedVectors(emb: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val step = DedupOps.plantStep(emb, idCol)
     emb.select(col(idCol), col(embCol), col("label"))
       .unionByName(emb.filter(col(idCol) % 100 === 0)
-        .select((col(idCol) + 100000).as(idCol), col(embCol), col("label")))
+        .select((col(idCol) + step).as(idCol), col(embCol), col("label")))
+  }
 
   /** Embedding-cosine near-duplicate pairs: EXACT-DEDUP-FIRST (identical
     * raw embedding arrays collapse to a min-id representative — the same
@@ -851,8 +870,9 @@ object SimOps {
     * collapse on (ra, rb, cos_bp) before member re-attach. Same
     * exact-dedup-first + per-table participation cap + member re-attach
     * contract as [[nearDupPairs]]; cost is `tables`× the single-table
-    * bucket pairing, bounded by tables·2^bits·cap²/2. Requires
-    * tables·bits ≤ embedding dims. SCALE DISCIPLINE (measured,
+    * bucket pairing, bounded by tables·2^bits·cap²/2. Requires (and
+    * ENFORCES, via [[embDim]] read from the corpus) tables·bits ≤
+    * embedding dim. SCALE DISCIPLINE (measured,
     * CapAuditGrowth r13): FIXED 8×4 tables hit the cap wall exactly like
     * fixed single-table bits (found → 0 by ×10); the production
     * configuration derives `bits` = [[autoSignBits]] (caps idle) and
@@ -872,6 +892,10 @@ object SimOps {
       maxBucket: Int = DedupOps.DefaultMaxBucket,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    val dim = embDim(emb, embCol)
+    require(tables * bits <= dim,
+      s"tables ($tables) x bits ($bits) = ${tables * bits} exceeds embedding dim $dim: " +
+        "table t hashes dims [t*bits, (t+1)*bits) and must stay inside the vector")
     val groups = emb.groupBy(col(embCol)).agg(min(col(idCol)).as("rep_id"))
     val mem = emb.join(groups, Seq(embCol)).select(col(idCol), col("rep_id"))
     val reps = groups.select(col("rep_id").as(idCol), col(embCol))

@@ -258,7 +258,11 @@ object TextOps {
     * the double divide then recovers that integer via `floor(q + 0.5)`
     * ([[roundBp]]'s proven fragment). Operand rounding costs ≤ ~2 ulp
     * relative error, so the result is exact whenever |floor(a/b)| < 2^49
-    * — REGARDLESS of |a|. The previous single-divide form
+    * — regardless of |a|, PROVIDED |b| < 2^62 (the mod-floor composite
+    * `((a % b) + b) % b` itself overflows BIGINT past that, and
+    * `a − mod_floor` can overflow at a = −2^63 with huge |b|; every bp
+    * divisor here is ≤ ~10⁸, ten decades inside the bound). The
+    * previous single-divide form
     * (`floor(a/b)` on doubles) was exact only while |a| < 2^53: a v_bp /
     * t_vbp / n·10⁴ SUM can exceed 2^53 at 100 TB while the bp-scale
     * quotients (means, shares) never approach 2^49, which is why the

@@ -660,7 +660,13 @@ object StreamingOps {
     * re-shard its key space mid-flight; production re-buckets offline
     * with `SimOps.autoSignBits` when the registry outgrows the space.
     * State: one entry per distinct vector per bucket + member id lists —
-    * the exact-dedup registry an incremental dedup keeps anyway.
+    * the exact-dedup registry an incremental dedup keeps anyway. Ingest
+    * cost contract: bookkeeping (seen check, exact-group lookup) is O(1)
+    * per arrival via transient hash indexes rebuilt per micro-batch
+    * invocation; the rep-dot cross-pairing is O(active groups) per
+    * DISTINCT arrival — inherent to the semantics, O(cap) when
+    * `maxBucket` > 0 and O(bucket's distinct corpus) uncapped (same
+    * caveat as the state size).
     */
   def embedNearDupStream(
       items: Dataset[EmbedItem],
@@ -681,12 +687,27 @@ object StreamingOps {
       .groupByKey(it => bucketOf(it.embedding))
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
         (bucket: Int, batch: Iterator[EmbedItem], state: GroupState[EmbedBucket]) => {
-          var groups = state.getOption.map(_.groups).getOrElse(Nil)
+          // transient per-invocation indexes over the persisted List state:
+          // member-id set (seen check) and embedding → group index (exact-
+          // dup lookup), so per-arrival BOOKKEEPING is O(1) instead of the
+          // O(groups·members) linear scans r13 shipped. The cross-pairing
+          // loop below stays O(active groups) per distinct arrival — that
+          // is the operator's semantics (every new vector must dot against
+          // each group rep), bounded by `maxBucket` when capped.
+          val groups = scala.collection.mutable.ArrayBuffer.empty[
+            (Long, Seq[Float], Double, List[Long], Boolean)]
+          state.getOption.foreach(_.groups.foreach(groups += _))
+          val memberIds = scala.collection.mutable.HashSet.empty[Long]
+          val embIdx = scala.collection.mutable.HashMap.empty[Seq[Float], Int]
+          groups.zipWithIndex.foreach { case (g, i) =>
+            g._4.foreach(memberIds += _)
+            if (!embIdx.contains(g._2)) embIdx(g._2) = i
+          }
+          var nActive = groups.count(!_._5)
           val out = List.newBuilder[(Long, Long, Long)]
           batch.toList.sortBy(_.vec_id).foreach { it =>
-            val seen = groups.exists(_._4.contains(it.vec_id))
-            if (!seen) groups.indexWhere(_._2 == it.embedding) match {
-              case gi if gi >= 0 =>
+            if (!memberIds.contains(it.vec_id)) embIdx.get(it.embedding) match {
+              case Some(gi) =>
                 val (rep, e, nr, members, frozen) = groups(gi)
                 members.foreach { id =>
                   out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), 10000L))
@@ -699,10 +720,11 @@ object StreamingOps {
                     }
                   }
                 }
-                groups = groups.updated(gi, (rep, e, nr, members :+ it.vec_id, frozen))
-              case _ =>
+                groups(gi) = (rep, e, nr, members :+ it.vec_id, frozen)
+                memberIds += it.vec_id
+              case None =>
                 val nr = math.sqrt(dot(it.embedding, it.embedding))
-                val capped = maxBucket > 0 && groups.count(!_._5) >= maxBucket
+                val capped = maxBucket > 0 && nActive >= maxBucket
                 if (!capped) {
                   groups.foreach { case (_, oe, onr, om, ofz) =>
                     if (!ofz) {
@@ -712,14 +734,18 @@ object StreamingOps {
                       }
                     }
                   }
-                  groups = groups :+ ((it.vec_id, it.embedding, nr, List(it.vec_id), false))
+                  embIdx(it.embedding) = groups.length
+                  groups += ((it.vec_id, it.embedding, nr, List(it.vec_id), false))
+                  nActive += 1
                 } else {
                   // frozen: exact-dup registry entry — intra pairs only
-                  groups = groups :+ ((it.vec_id, it.embedding, nr, List(it.vec_id), true))
+                  embIdx(it.embedding) = groups.length
+                  groups += ((it.vec_id, it.embedding, nr, List(it.vec_id), true))
                 }
+                memberIds += it.vec_id
             }
           }
-          state.update(EmbedBucket(groups))
+          state.update(EmbedBucket(groups.toList))
           out.result()
         })
       .flatMap(_.map { case (a, b, c) => EmbedPairRow(a, b, c) })

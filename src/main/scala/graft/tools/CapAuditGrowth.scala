@@ -83,8 +83,9 @@ object CapAuditGrowth {
             col("id_a") === col("a_id") || col("id_b") === col("a_id"))
           .select(col("id_a"), col("id_b")).distinct().count()
       // fixed 8x4 (the declared small-corpus shape) and the scale-safe
-      // derivation: bits from the corpus, tables = floor(dims / bits)
-      val dtables = math.max(1, 64 / bits)
+      // derivation: bits from the corpus, tables = floor(dim / bits)
+      // with dim read from the corpus (no literal 64)
+      val dtables = math.max(1, SimOps.embDim(planted) / bits)
       println(s"[recallaudit] $label neardup-multi8x4: found=${multiFound(4, 8)} (same truth)")
       println(s"[recallaudit] $label neardup-multi${dtables}x$bits: " +
         s"found=${multiFound(bits, dtables)} (same truth)")

@@ -63,14 +63,14 @@ object ScaleGen {
     val stepCust = maxOf("customer" -> "c_custkey", "orders" -> "o_custkey")
     val stepEvent = maxOf("events" -> "event_id")
     val stepUser = maxOf("events" -> "user_id")
-    // doc/vec replicas step by >= 1M: the planted-fixture families
-    // (plantedCorpus/plantedVectors/plantedSpliceCorpus/plantedQuoteCorpus)
-    // offset their planted copies at FIXED +100k..+400k — a tight replica
-    // step makes planted ids collide with later replicas' base ids past
-    // ~x20 (duplicate ids, different content: the r13 x100 fixture caveat).
-    // A 1M stride keeps every replica's planted range inside its own slot.
-    val stepDoc = math.max(1000000L, maxOf("documents" -> "doc_id"))
-    val stepVec = math.max(1000000L, maxOf("embeddings" -> "vec_id"))
+    // doc/vec replicas step compactly like every other key family: the
+    // planted-fixture families (plantedCorpus/plantedVectors/
+    // plantedSpliceCorpus/plantedQuoteCorpus) derive their plant offsets
+    // from the corpus max id (DedupOps.plantStep), so planted ids sit above
+    // ANY replica id at any factor — the r13 fixed-offset collision (and
+    // the 1M-stride stopgap it forced here) is gone at the root.
+    val stepDoc = maxOf("documents" -> "doc_id")
+    val stepVec = maxOf("embeddings" -> "vec_id")
 
     /** Union `factor` shifted replicas of `name` and write to `outDir`. */
     def replicate(
@@ -109,15 +109,19 @@ object ScaleGen {
     //    cluster geometry: the corpus-gets-bigger decade, under which
     //    key-space self-sizing should hold recall shares flat)
     val embedMode = if (args.length > 3) args(3) else "noise"
+    // actual embedding dimension, read once — a hardcoded 64 desynchronizes
+    // the rotation amount from the size(embedding) modulus on other dims
+    val embDim = table("embeddings")
+      .select(size(col("embedding"))).head.getInt(0)
     replicate("embeddings", Map("vec_id" -> stepVec), (df, r) =>
       if (r == 0) df
       else if (embedMode == "shift") {
         // rotate by r mod dim; negate once the rotations wrap (keeps
         // replicas distinct directions up to 2*dim replicas)
-        val sign = if (r >= 64) "-" else ""
+        val sign = if (r >= embDim) "-" else ""
         df.withColumn("embedding",
           expr(s"transform(embedding, (x, i) -> " +
-            s"${sign}element_at(embedding, cast((i + $r % 64) % size(embedding) as int) + 1))"))
+            s"${sign}element_at(embedding, cast((i + $r % $embDim) % size(embedding) as int) + 1))"))
       }
       else df.withColumn("embedding",
         expr(s"transform(embedding, (x, i) -> " +

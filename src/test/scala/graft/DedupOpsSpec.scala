@@ -10,18 +10,20 @@ class DedupOpsSpec extends SparkSpec {
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
   test("plantedCorpus: adds an exact copy per id%10==0 and a near copy per id%10==5") {
+    // corpus-derived stride: max id 7 -> step 8 (exact at +8, near at +16)
     val base = docs((0L, "a b c"), (5L, "d e f"), (7L, "g h i"))
     val got = DedupOps.plantedCorpus(base).as[(Long, String)].collect().toMap
-    assert(got.keySet == Set(0L, 5L, 7L, 100000L, 200005L))
-    assert(got(100000L) == "a b c")
-    assert(got(200005L) == "d e f graftdup")
+    assert(got.keySet == Set(0L, 5L, 7L, 8L, 21L))
+    assert(got(8L) == "a b c")
+    assert(got(21L) == "d e f graftdup")
   }
 
   test("plantedQuoteCorpus: adds a 2n/5-token prefix quote per id%10==3") {
+    // max id 7 -> step 8, quote family at +3*8
     val base = docs((3L, "a b c d e f g h i j"), (7L, "k l m n o"))
     val got = DedupOps.plantedQuoteCorpus(base).as[(Long, String)].collect().toMap
-    assert(got.keySet == Set(3L, 7L, 300003L))
-    assert(got(300003L) == "a b c d") // floor(10 * 2 / 5) = 4 tokens
+    assert(got.keySet == Set(3L, 7L, 27L))
+    assert(got(27L) == "a b c d") // floor(10 * 2 / 5) = 4 tokens
   }
 
   test("containmentPairs: catches the quote pair symmetric Jaccard misses") {
@@ -244,9 +246,10 @@ class DedupOpsSpec extends SparkSpec {
     val got = DedupOps.verifiedNearDups(corpus, thresholdBp = 5000)
       .as[(Long, Long, Long)].collect().toSeq
     // exact copy of doc 0 at 10000 bp; near copy of doc 5 above 5000 bp
-    assert(got.map(p => (p._1, p._2)).contains((0L, 100000L)))
-    assert(got.find(p => (p._1, p._2) == (0L, 100000L)).get._3 == 10000L)
-    assert(got.map(p => (p._1, p._2)).contains((5L, 200005L)))
+    // (max id 7 -> step 8: exact plant at 0+8, near plant at 5+16)
+    assert(got.map(p => (p._1, p._2)).contains((0L, 8L)))
+    assert(got.find(p => (p._1, p._2) == (0L, 8L)).get._3 == 10000L)
+    assert(got.map(p => (p._1, p._2)).contains((5L, 21L)))
   }
 
   test("sourceOverlap: hand-checked cross-source shingle Jaccard") {

@@ -90,10 +90,11 @@ class DedupSubstringSpec extends SparkSpec {
     val short17 = (1 to 40).map(i => s"v$i").mkString(" ")
     val got = DedupOps.plantedSpliceCorpus(docs((7L, long7), (17L, short17), (8L, long7)))
       .as[(Long, String)].collect().toMap
-    assert(got.keySet == Set(7L, 17L, 8L, 400007L))
+    // max id 17 -> step 18, splice family at +4*18 = +72
+    assert(got.keySet == Set(7L, 17L, 8L, 79L))
     val expected = ((1 to 10).map(i => s"zqa7x$i") ++
       (4 to 63).map(i => s"w$i") ++ (1 to 5).map(i => s"zqb7x$i")).mkString(" ")
-    assert(got(400007L) == expected)
+    assert(got(79L) == expected)
   }
 
   test("declared shape: splice corpus spans include each planted (parent, splice) pair") {
@@ -103,7 +104,8 @@ class DedupSubstringSpec extends SparkSpec {
       (3L, (1 to 80).map(i => s"p3w$i").mkString(" ")))
     val got = spans(DedupOps.plantedSpliceCorpus(base))
     // splice run = parent tokens 4..63, landing at splice position 11
-    assert(got == Seq((7L, 400007L, 4L, 11L, 60L), (27L, 400027L, 4L, 11L, 60L)))
+    // max id 27 -> step 28, splices at id + 4*28 = +112
+    assert(got == Seq((7L, 119L, 4L, 11L, 60L), (27L, 139L, 4L, 11L, 60L)))
   }
 
   test("substringStrike: the splice doc loses exactly the span; the parent keeps everything") {
@@ -117,7 +119,8 @@ class DedupSubstringSpec extends SparkSpec {
     assert(got(7L) == ((70L, 0L, md5(parent.mkString(" ")))))
     // the splice doc: 10 filler + span(60) + 5 filler; tokens 11..70 struck
     val fill = (1 to 10).map(i => s"zqa7x$i") ++ (1 to 5).map(i => s"zqb7x$i")
-    assert(got(400007L) == ((75L, 60L, md5(fill.mkString(" ")))))
+    // max id 7 -> step 8, splice at 7 + 4*8 = 39
+    assert(got(39L) == ((75L, 60L, md5(fill.mkString(" ")))))
   }
 
   test("substringStrike: overlapping strikes from two partners merge by position") {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.SimOps
+import graft.operators.{DedupOps, SimOps}
 
 class SimOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -428,8 +428,10 @@ class SimOpsSpec extends SparkSpec {
     val planted = SimOps.plantedVectors(sf("embeddings"))
     val got = SimOps.nearDupPairs(planted, thresholdBp = 9999)
       .as[(Long, Long, Long)].collect().toSeq
-    // every 100th vec (0,100,200,300,400) has an exact copy at id+100000
-    val expected = Seq(0L, 100L, 200L, 300L, 400L).map(i => (i, i + 100000L))
+    // every 100th vec (0,100,200,300,400) has an exact copy at
+    // id + step, step = max(vec_id)+1 (corpus-derived plant stride)
+    val step = DedupOps.plantStep(sf("embeddings"), "vec_id")
+    val expected = Seq(0L, 100L, 200L, 300L, 400L).map(i => (i, i + step))
     expected.foreach(p => assert(got.map(g => (g._1, g._2)).contains(p)))
     assert(got.forall(_._3 >= 9999L))
   }
@@ -493,7 +495,8 @@ class SimOpsSpec extends SparkSpec {
     val bits = SimOps.autoSignBits(planted)
     val got = SimOps.nearDupPairs(planted, thresholdBp = 9999, bits = bits)
       .as[(Long, Long, Long)].collect().toSeq
-    val expected = Seq(0L, 100L, 200L, 300L, 400L).map(i => (i, i + 100000L))
+    val step = DedupOps.plantStep(sf("embeddings"), "vec_id")
+    val expected = Seq(0L, 100L, 200L, 300L, 400L).map(i => (i, i + step))
     expected.foreach(p => assert(got.map(g => (g._1, g._2)).contains(p)))
   }
 
@@ -501,11 +504,12 @@ class SimOpsSpec extends SparkSpec {
     val planted = SimOps.plantedVectors(sf("embeddings"))
     val kept = SimOps.semDedup(planted, centroidPred = col("vec_id").between(100, 115))
       .as[(Long, Long)].collect().map(_._1).toSet
-    // every 100th vec has an exact copy at id+100000: identical vector ->
+    // every 100th vec has an exact copy at id+step: identical vector ->
     // identical cell ranking -> same cell -> cos 1.0 -> the copy drops
+    val step = DedupOps.plantStep(sf("embeddings"), "vec_id")
     Seq(0L, 100L, 200L, 300L, 400L).foreach { i =>
       assert(kept.contains(i), s"original $i must survive")
-      assert(!kept.contains(i + 100000L), s"planted copy of $i must be dropped")
+      assert(!kept.contains(i + step), s"planted copy of $i must be dropped")
     }
   }
 
