@@ -1257,9 +1257,10 @@ object SparkEntry {
       DedupOps.jaccardCapAudit(DedupOps.plantedCorpus(t(s, dir, "documents")))),
     "q_cap_audit_substring" -> ((s, dir) =>
       DedupOps.substringCapAudit(DedupOps.plantedSpliceCorpus(t(s, dir, "documents")))),
-    "q_cap_audit_phash" -> ((s, dir) =>
-      MultimodalOps.phashCapAudit(
-        MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents"))))),
+    "q_cap_audit_phash" -> ((s, dir) => {
+      val m = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents")))
+      MultimodalOps.phashCapAudit(m, grid = MultimodalOps.autoPhashGrid(m))
+    }),
     "q_cap_audit_neardup" -> ((s, dir) => {
       val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
       SimOps.nearDupCapAudit(planted, bits = SimOps.autoSignBits(planted))
@@ -1556,12 +1557,16 @@ object SparkEntry {
     }),
     // Perceptual near-dup dedup over pixels: groups of 4 consecutive ids
     // share one planted base image, brightness-shifted per variant; the
-    // 8x8 average-hash is genuinely parsed out of the payload bytes, and
-    // Hamming-LSH banding (one byte-band bucket join, hot buckets capped,
-    // popcount-of-XOR verify) pairs the variants exact md5 dedup misses.
-    "q_media_phash" -> ((s, dir) =>
-      MultimodalOps.phashPairs(
-        MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents"))))),
+    // average-hash is genuinely parsed out of the payload bytes at the
+    // CORPUS-DERIVED grid (autoPhashGrid: probe-count the grid-8 hash
+    // universe, re-hash at 16 when it outgrows 8·2^8 — the last fixed
+    // key space closed), and Hamming-LSH banding (one byte-band bucket
+    // join, hot buckets capped, popcount-of-XOR verify) pairs the
+    // variants exact md5 dedup misses.
+    "q_media_phash" -> ((s, dir) => {
+      val m = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents")))
+      MultimodalOps.phashPairs(m, grid = MultimodalOps.autoPhashGrid(m))
+    }),
     // Content-defined chunking storage dedup (rsync/FastCDC shape): cut
     // payloads at rolling-hash boundaries in a real per-byte executor
     // loop, then report chunk hashes held by >= 2 media items — the
@@ -1574,12 +1579,13 @@ object SparkEntry {
     // components (large-star/small-star, O(log n) rounds) — the media
     // mirror of the text pipeline's pairs -> clusters step; min id per
     // component is the canonical representative.
-    "q_media_clusters" -> ((s, dir) =>
+    "q_media_clusters" -> ((s, dir) => {
+      val m = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents")))
       DedupOps.dedupClusters(
-        MultimodalOps.phashPairs(
-          MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents"))))
+        MultimodalOps.phashPairs(m, grid = MultimodalOps.autoPhashGrid(m))
           .select(col("id_a"), col("id_b")))
-        .withColumnRenamed("doc_id", "media_id")),
+        .withColumnRenamed("doc_id", "media_id")
+    }),
 
     // --- Time-series / events (north star; EventOps) --------------------
 
@@ -2142,35 +2148,51 @@ object SparkEntry {
   }
 
   /** DuckDB CTE body matching [[DedupOps.plantedCorpus]]. */
+  /** One aHash pass of the phash oracle at grid `g`: cells →
+    * nearest-neighbor-sampled gray → total → per-row band bytes → hash
+    * vector, all suffixed `sfx` so the probe pass (fixed grid 8) and the
+    * pairing pass (derived grid) coexist in one WITH chain. The grid
+    * rides as a materialized COLUMN `gg` (for the derived pass,
+    * `extraFrom` cross-joins the one-row `pgrid` CTE) — a scalar
+    * subquery in the cell/bit expressions would be re-evaluated per row,
+    * recomputing the whole probe pipeline each time.
+    */
+  private def duckPhashHashCtes(sfx: String, g: String, extraFrom: String = ""): String =
+    s"cells$sfx AS (SELECT media_id, grp, shift, w, h, ($g) AS gg, " +
+      s"unnest(range(0, ($g)*($g))) AS j FROM d$extraFrom), " +
+      s"gray$sfx AS (SELECT media_id, j, gg, " +
+      "(grp*31 + ((((j//gg)*h//gg)*w + (j%gg)*w//gg)*3 + 0)*7 + shift) % 256 " +
+      "+ (grp*31 + ((((j//gg)*h//gg)*w + (j%gg)*w//gg)*3 + 1)*7 + shift) % 256 " +
+      "+ (grp*31 + ((((j//gg)*h//gg)*w + (j%gg)*w//gg)*3 + 2)*7 + shift) % 256 AS g " +
+      s"FROM cells$sfx), " +
+      s"tot$sfx AS (SELECT media_id, sum(g) AS total FROM gray$sfx GROUP BY media_id), " +
+      s"bands$sfx AS (SELECT gray$sfx.media_id, j // gg AS k, " +
+      "sum(CASE WHEN gg*gg * g > total THEN 1 << (j % gg) ELSE 0 END) AS bval " +
+      s"FROM gray$sfx JOIN tot$sfx ON gray$sfx.media_id = tot$sfx.media_id GROUP BY 1, 2), " +
+      s"hv$sfx AS (SELECT media_id, list(bval ORDER BY k) AS hsh FROM bands$sfx " +
+      "GROUP BY media_id)"
+
   /** DuckDB CTE chain mirroring MultimodalOps.plantPhashCorpus +
-    * phashBands + phashPairs: generative pixel formula → 8x8 aHash via
-    * nearest-neighbor sampling and the strict-mean bit rule → EXACT-DEDUP
-    * FIRST (identical hash vectors collapse to a min-id representative) →
-    * byte-band LSH over representatives with the bucket-64 cap (counted in
-    * distinct hashes) → popcount-of-XOR Hamming verify → member
-    * re-attachment (cross-group pairs at the rep distance, intra-group
-    * pairs at hamming 0). Ends in `pp` = the verified pair set
-    * (id_a < id_b, hamming ≤ 6) — shared by q_media_phash and the
-    * q_media_clusters closure.
+    * phashBands + phashPairs AT THE CORPUS-DERIVED GRID: generative pixel
+    * formula → grid-8 PROBE hash → `pgrid` (MultimodalOps.autoPhashGrid's
+    * rule over the probe's distinct-hash count) → aHash at the derived
+    * grid via nearest-neighbor sampling and the strict-mean bit rule →
+    * EXACT-DEDUP FIRST (identical hash vectors collapse to a min-id
+    * representative) → byte-band LSH over representatives with the
+    * bucket-64 cap (counted in distinct hashes) → popcount-of-XOR Hamming
+    * verify → member re-attachment (cross-group pairs at the rep
+    * distance, intra-group pairs at hamming 0). Ends in `pp` = the
+    * verified pair set (id_a < id_b, hamming ≤ 6) — shared by
+    * q_media_phash and the q_media_clusters closure.
     */
   private val duckPhashCtes =
     "m AS (SELECT doc_id AS media_id, doc_id // 4 AS grp, " +
       "(doc_id % 4) * 9 AS shift FROM documents), " +
       "d AS (SELECT media_id, grp, shift, (grp*3+2)%9+2 AS w, " +
       "(grp*5+1)%7+2 AS h FROM m), " +
-      "cells AS (SELECT media_id, grp, shift, w, h, " +
-      "unnest(range(0, 64)) AS j FROM d), " +
-      "gray AS (SELECT media_id, j, " +
-      "(grp*31 + ((((j//8)*h//8)*w + (j%8)*w//8)*3 + 0)*7 + shift) % 256 " +
-      "+ (grp*31 + ((((j//8)*h//8)*w + (j%8)*w//8)*3 + 1)*7 + shift) % 256 " +
-      "+ (grp*31 + ((((j//8)*h//8)*w + (j%8)*w//8)*3 + 2)*7 + shift) % 256 AS g " +
-      "FROM cells), " +
-      "tot AS (SELECT media_id, sum(g) AS total FROM gray GROUP BY media_id), " +
-      "bands AS (SELECT gray.media_id, j // 8 AS k, " +
-      "sum(CASE WHEN 64 * g > total THEN 1 << (j % 8) ELSE 0 END) AS bval " +
-      "FROM gray JOIN tot ON gray.media_id = tot.media_id GROUP BY 1, 2), " +
-      "hv AS (SELECT media_id, list(bval ORDER BY k) AS hsh FROM bands " +
-      "GROUP BY media_id), " +
+      duckPhashHashCtes("8", "8") + ", " +
+      s"pgrid AS ${MultimodalOps.autoPhashGridSql("hv8")}, " +
+      duckPhashHashCtes("", "pgrid.g", " CROSS JOIN pgrid") + ", " +
       "grpv AS (SELECT hsh, min(media_id) AS rep FROM hv GROUP BY hsh), " +
       "mem AS (SELECT hv.media_id AS media_id, grpv.rep AS rep " +
       "FROM hv JOIN grpv ON hv.hsh = grpv.hsh), " +

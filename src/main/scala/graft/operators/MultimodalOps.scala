@@ -575,16 +575,46 @@ object MultimodalOps {
     * the standard 64-bit aHash and covers rep universes to ~2k; grid=16
     * (1.05 M buckets) is the Manku-style multi-index sizing for larger
     * ones. NOTE the trade the caller owns: `grid` changes the HASH itself
-    * (a 16×16 aHash is a finer fingerprint, not just finer banding), which
-    * is why the declared queries pin grid=8 — the cross-engine oracle
-    * replays that exact fingerprint — and production re-hashing decisions
-    * go through this rule explicitly. Measured at ×100
+    * (a 16×16 aHash is a finer fingerprint, not just finer banding) — a
+    * re-hash, not just a re-shard; production re-hashing decisions go
+    * through this rule explicitly, and since r14 the declared queries DO
+    * (grid = [[autoPhashGrid]], with the DuckDB oracle deriving the same
+    * grid from the same probe count and replaying the derived
+    * fingerprint). Measured at ×100
     * (PhashScaleCheck/SKEW_scale.txt): rep universe 1,099 → grid=8 still
     * caps its hottest bucket (139 > 64); grid=16 holds hottest at 86 with
     * 2.4× the in-cap candidate volume.
     */
   def phashGridFor(pairingUniverse: Long): Int =
     if (pairingUniverse <= 8L * (1L << 8)) 8 else 16
+
+  /** CORPUS-DERIVED `grid` for the phash family — the last fixed key
+    * space closed, by the [[graft.operators.SimOps.autoSignBits]] recipe:
+    * one probe pass hashes at the BASE grid (8, the standard 64-bit
+    * aHash), one count() measures the distinct-hash universe (the
+    * exact-dedup-first pairing universe), and [[phashGridFor]] picks the
+    * smallest grid whose band-key space `grid · 2^grid` holds it at ≤ 1
+    * expected occupancy. The probe costs one extra decode + distinct
+    * scan — the id-domain probe a production run amortizes by caching the
+    * sketch table; counting at the base grid breaks the circularity that
+    * the universe at grid g needs grid g (the grid-8 universe
+    * lower-bounds every finer grid's, so a space sized for it only ever
+    * errs toward re-hashing finer). [[autoPhashGridSql]] mirrors the rule
+    * for DuckDB over a grid-8 hash relation.
+    */
+  def autoPhashGrid(media: DataFrame): Int = {
+    import media.sparkSession.implicits._
+    val universe = phashBands(media.as[MediaRow], 8).toDF()
+      .select(col("bands")).distinct().count()
+    phashGridFor(universe)
+  }
+
+  /** DuckDB scalar-subquery mirror of [[autoPhashGrid]]: `hashRel` must
+    * hold the grid-8 hash vectors of the SAME corpus in column `hashCol`.
+    */
+  def autoPhashGridSql(hashRel: String, hashCol: String = "hsh"): String =
+    s"(SELECT CASE WHEN count(DISTINCT $hashCol) <= ${8L * (1L << 8)} " +
+      s"THEN 8 ELSE 16 END AS g FROM $hashRel)"
 
   /** Cap telemetry for [[phashPairs]]' representative band buckets — the
     * media member of the [[DedupOps.capAudit]] family. Buckets are counted

@@ -33,7 +33,17 @@ object CapAuditGrowth {
       "minhash" -> ((d: String) => DedupOps.minhashCapAudit(DedupOps.plantedCorpus(docs(d)))),
       "jaccard" -> ((d: String) => DedupOps.jaccardCapAudit(DedupOps.plantedCorpus(docs(d)))),
       "substring" -> ((d: String) => DedupOps.substringCapAudit(DedupOps.plantedSpliceCorpus(docs(d)))),
-      "phash" -> ((d: String) => MultimodalOps.phashCapAudit(
+      // r14: the declared q_cap_audit_phash shape — grid derived from the
+      // probe-counted grid-8 hash universe (autoPhashGrid), so the forgone
+      // share should flatten once the universe outgrows 8·2^8 and the rule
+      // re-hashes at 16 (vs the fixed-8 row below)
+      "phash-auto" -> ((d: String) => {
+        val m = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(docs(d)))
+        val grid = MultimodalOps.autoPhashGrid(m)
+        println(s"[capaudit] derived autoPhashGrid($d) = $grid")
+        MultimodalOps.phashCapAudit(m, grid = grid)
+      }),
+      "phash-fixed8" -> ((d: String) => MultimodalOps.phashCapAudit(
         MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(docs(d))))),
       // r13: the declared q_cap_audit_neardup shape — autoSignBits derives
       // the key space from the distinct-rep count, so the forgone share

@@ -314,4 +314,18 @@ class MultimodalOpsSpec extends SparkSpec {
       else assert(keySpace(g) >= n || g == 16, s"n=$n")
     }
   }
+
+  test("autoPhashGrid: derives the grid from the probe-counted grid-8 hash universe") {
+    // the planted fixture corpus collapses to far fewer than 2048 distinct
+    // hashes -> the rule keeps the standard 8x8 aHash, and the derived-grid
+    // pair set equals the grid-8 pair set exactly
+    val media = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(sf("documents")))
+    val g = MultimodalOps.autoPhashGrid(media)
+    assert(g == 8, s"fixture universe must stay inside 8*2^8, got grid $g")
+    val auto = MultimodalOps.phashPairs(media, grid = g)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val fixed = MultimodalOps.phashPairs(media, grid = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(auto == fixed)
+  }
 }
