@@ -117,13 +117,24 @@ object Bench {
         spark.stop(); spark = newSession(); sinceRestart = 0
       }
     }
+    // host-contention discriminator: 1-minute system load average sampled
+    // at each pass's start and end, recorded in the artifact — the r10/
+    // r12/r13 whole-run contention signature (uniform suite inflation with
+    // no code change) becomes mechanically separable from a plan
+    // regression (which moves one query, not the box)
+    def loadAvg(): Double = math.rint(
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage * 100) / 100
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val allPasses = (1 to nPasses).map { _ =>
+      val la0 = loadAvg()
       val p = names.map { n =>
         val r = n -> execute(spark, n, sfDir)
         maybeRestart()
         r
       }.toMap
       settle()
+      passLoads += ((la0, loadAvg()))
       p
     }
     val results = names.map(n =>
@@ -201,8 +212,11 @@ object Bench {
     val passes = names.map(n =>
       s""""$n":[${allPasses.map(p => secOrNull(p(n))).mkString(",")}]""")
       .mkString("{", ",", "}")
+    val loadJson = passLoads
+      .map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
     val fullJson = json.dropRight(1) +
-      s""","mode":"$mode","order":"$order","restart_every":$restartEvery,"passes":$passes}"""
+      s""","mode":"$mode","order":"$order","restart_every":$restartEvery,""" +
+      s""""loadavg":$loadJson,"passes":$passes}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile), fullJson.getBytes("UTF-8"))
     spark.stop()

@@ -1506,6 +1506,18 @@ object SparkEntry {
           .select(col("id_a"), col("id_b")))
         .withColumnRenamed("doc_id", "vec_id")
     }),
+    // Loose-threshold near-dup pairs through IVF CELL GEOMETRY — the
+    // declared handoff the recall audits price: sign-LSH structurally
+    // cannot serve cos >= 0.40 at scale (r13: 1.8% of anchor truth found
+    // at x100 even OR-amplified), nearest-centroid co-location can.
+    // Occupancy-preserving centroids (hash-sampled, nlist = N/64) keep
+    // cell granularity constant as the corpus grows and the 256-cap idle
+    // in expectation; pairing is knnGraph's cell-partitioned self-join
+    // at a threshold instead of top-k.
+    "q_embed_neardup_cells" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      SimOps.cellNearDupPairs(planted, centroidPred = SimOps.hashCentroidPred(64))
+    }),
     "q_embed_pipeline" -> ((s, dir) => {
       val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
       val dropIds = SimOps.nearDupPairs(planted, bits = SimOps.autoSignBits(planted))
@@ -4219,6 +4231,47 @@ object SparkEntry {
         "UNION SELECT eg.src AS id, reach.lab FROM eg JOIN reach ON eg.dst = reach.id) " +
         "SELECT id AS vec_id, min(lab) AS cluster_id FROM reach " +
         "GROUP BY id ORDER BY vec_id"),
+    // mirrors SimOps.cellNearDupPairs: exact-dedup-first, occupancy-64
+    // hash-sampled centroids over the FULL planted corpus, rep argmax
+    // cell assignment, id-rank 256-cap per cell, within-cell threshold
+    // pairing, member re-attach (cross at rep cosine, intra at 10000)
+    "q_embed_neardup_cells" ->
+      ("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+        s"UNION ALL SELECT vec_id + ${DedupOps.plantStepSql("embeddings", "vec_id")} " +
+        "AS vec_id, embedding " +
+        "FROM embeddings WHERE vec_id % 100 = 0), " +
+        "nall AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+        "FROM base), " +
+        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM nall " +
+        s"WHERE ${SimOps.hashCentroidPredSql(64)}), " +
+        "egrp AS (SELECT embedding, min(vec_id) AS rep FROM base GROUP BY embedding), " +
+        "emem AS (SELECT b.vec_id AS vec_id, egrp.rep AS rep " +
+        "FROM base b JOIN egrp ON b.embedding = egrp.embedding), " +
+        "n AS (SELECT rep AS vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+        "FROM egrp), " +
+        "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
+        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n, c), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
+        "asg AS (SELECT vec_id, e, nrm, c_id FROM r WHERE crn = 1), " +
+        s"p AS (SELECT vec_id, e, nrm, c_id FROM (SELECT *, row_number() " +
+        "OVER (PARTITION BY c_id ORDER BY vec_id) AS rk FROM asg) " +
+        s"WHERE rk <= ${SimOps.DefaultMaxCell}), " +
+        "rp AS (SELECT * FROM (SELECT a.vec_id AS ra, b.vec_id AS rb, " +
+        s"${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} AS cos_bp " +
+        "FROM p a JOIN p b ON a.c_id = b.c_id AND a.vec_id < b.vec_id) " +
+        "WHERE cos_bp >= 4000), " +
+        "crossp AS (SELECT least(ma.vec_id, mb.vec_id) AS id_a, " +
+        "greatest(ma.vec_id, mb.vec_id) AS id_b, cos_bp FROM rp " +
+        "JOIN emem ma ON rp.ra = ma.rep JOIN emem mb ON rp.rb = mb.rep), " +
+        "intra AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, " +
+        "CAST(10000 AS BIGINT) AS cos_bp FROM emem x JOIN emem y " +
+        "ON x.rep = y.rep AND x.vec_id < y.vec_id) " +
+        "SELECT id_a, id_b, cos_bp FROM " +
+        "(SELECT * FROM crossp UNION ALL SELECT * FROM intra) " +
+        "ORDER BY id_a, id_b"),
     // mirrors SimOps.semDedup: exact-dedup-first (identical embeddings
     // collapse to a min-id rep; members never survive), √N-sized
     // hash-sampled centroids over the FULL planted corpus, rep-only cell

@@ -1043,6 +1043,80 @@ object SimOps {
         " ELSE 10000 END").as("recall_bp"))
   }
 
+  /** Loose-threshold near-duplicate pairs through IVF CELL GEOMETRY — the
+    * measured handoff past sign-LSH's moderate-cosine recall limit: the
+    * r13 recall audits showed even OR-amplified corpus-derived sign-LSH
+    * finds ~1.8% of the cos ≥ 0.40 anchor truth at ×100, because a random
+    * hyperplane family collides at (1 − θ/π)^bits and collapses as `bits`
+    * grows with the corpus. Cells pair by NEAREST-CENTROID geometry
+    * instead: cosine-close vectors co-locate with probability governed by
+    * cell granularity (occupancy-preserving nlist = N/perCell keeps that
+    * granularity constant as the corpus grows), not by random-projection
+    * collision math — the same reason [[semDedup]] and [[ivfTopK]] own
+    * the loose-threshold regime.
+    *
+    * Shape, all existing parts: exact-dedup-first reps (the
+    * [[nearDupPairs]] contract) → cell assignment over centroids drawn
+    * from the FULL corpus ([[cellArgmax]]'s broadcast fold, or
+    * [[cellArgmaxHier]] when `hier` — the ~2·√nlist path past the flat
+    * fold's broadcast limit, mandatory at production nlist) → per-cell
+    * id-rank participation cap (`maxCell`, [[semDedup]]'s discipline —
+    * idle in expectation at occupancy perCell ≤ maxCell) → within-cell
+    * threshold pairing ([[knnGraph]]'s cell-partitioned self-join at a
+    * threshold instead of top-k, O(Σ cell²) never corpus²) → member
+    * re-attach (cross pairs at the rep cosine, intra-group pairs at
+    * cos_bp = 10000). Cross-CELL pairs at the threshold boundary are
+    * missed by design (the IVF trade; probes would recover them
+    * linearly); [[nearDupRecallAudit]]'s anchor-sample construction
+    * scores the price the same way it scores sign-LSH's.
+    *
+    * Output: (id_a, id_b, cos_bp), id_a < id_b, ordered.
+    */
+  def cellNearDupPairs(
+      emb: DataFrame,
+      centroidPred: Column,
+      thresholdBp: Int = 4000,
+      maxCell: Int = DefaultMaxCell,
+      hier: Boolean = false,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val groups = emb.groupBy(col(embCol)).agg(min(col(idCol)).as("rep_id"))
+    val mem = emb.join(groups, Seq(embCol)).select(col(idCol), col("rep_id"))
+    val reps = groups.select(col("rep_id").as(idCol), col(embCol))
+    val cents = normalized(emb, idCol, embCol).filter(centroidPred)
+      .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val nR = normalized(reps, idCol, embCol)
+    val assigned = (if (hier) cellArgmaxHier(nR, cents, idCol)
+      else cellArgmax(nR, cents, idCol))
+      .select(col(idCol), col("e"), col("nrm"), col("c_id"))
+      .repartition(col("c_id"))
+    val wCell = Window.partitionBy(col("c_id")).orderBy(col(idCol))
+    val pairable = (if (maxCell <= 0) assigned
+      else assigned.withColumn("rk", row_number().over(wCell))
+        .filter(col("rk") <= maxCell))
+      .select(col(idCol), col("e"), col("nrm"), col("c_id"))
+    val repPairs = pairable.alias("a")
+      .join(pairable.alias("b"),
+        col("a.c_id") === col("b.c_id") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("ra"), col(s"b.$idCol").as("rb"),
+        TextOps.roundBp(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_bp"))
+      .filter(col("cos_bp") >= thresholdBp)
+    val cross = repPairs
+      .join(mem.as("ma"), col("ra") === col("ma.rep_id"))
+      .join(mem.as("mb"), col("rb") === col("mb.rep_id"))
+      .select(
+        least(col(s"ma.$idCol"), col(s"mb.$idCol")).as("id_a"),
+        greatest(col(s"ma.$idCol"), col(s"mb.$idCol")).as("id_b"),
+        col("cos_bp"))
+    val intra = mem.as("x")
+      .join(mem.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        lit(10000L).as("cos_bp"))
+    cross.unionByName(intra).orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in
     * embedding space — catches meaning-level copies (paraphrases,
     * re-encodings) no lexical dedup can see. The corpus is clustered by

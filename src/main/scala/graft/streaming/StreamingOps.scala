@@ -658,7 +658,9 @@ object StreamingOps {
     * participation cap (parity is pinned uncapped, the family's
     * documented delta). `bits` is pinned per stream — a stream cannot
     * re-shard its key space mid-flight; production re-buckets offline
-    * with `SimOps.autoSignBits` when the registry outgrows the space.
+    * with [[rebucketRegistry]] (`SimOps.autoSignBits` of the current
+    * registry → rebuilt per-bucket state → resume via `initialState`)
+    * when the registry outgrows the space.
     * State: one entry per distinct vector per bucket + member id lists —
     * the exact-dedup registry an incremental dedup keeps anyway. Ingest
     * cost contract: bookkeeping (seen check, exact-group lookup) is O(1)
@@ -672,7 +674,8 @@ object StreamingOps {
       items: Dataset[EmbedItem],
       thresholdBp: Int = 4000,
       bits: Int = 4,
-      maxBucket: Int = 0): Dataset[EmbedPairRow] = {
+      maxBucket: Int = 0,
+      initialState: Option[Dataset[(Int, EmbedBucket)]] = None): Dataset[EmbedPairRow] = {
     import items.sparkSession.implicits._
     def dot(a: Seq[Float], b: Seq[Float]): Double = {
       var s = 0.0; var i = 0
@@ -683,9 +686,8 @@ object StreamingOps {
     def bp(c: Double): Long = math.floor(c * 10000.0 + 0.5).toLong
     def bucketOf(e: Seq[Float]): Int =
       (0 until math.min(bits, e.length)).map(i => if (e(i) >= 0f) 1 << i else 0).sum
-    items
-      .groupByKey(it => bucketOf(it.embedding))
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+    val grouped = items.groupByKey(it => bucketOf(it.embedding))
+    val update =
         (bucket: Int, batch: Iterator[EmbedItem], state: GroupState[EmbedBucket]) => {
           // transient per-invocation indexes over the persisted List state:
           // member-id set (seen check) and embedding → group index (exact-
@@ -747,8 +749,57 @@ object StreamingOps {
           }
           state.update(EmbedBucket(groups.toList))
           out.result()
-        })
+        }
+    (initialState match {
+      case Some(init) => grouped.mapGroupsWithState(
+        GroupStateTimeout.NoTimeout,
+        init.groupByKey(_._1).mapValues(_._2))(update)
+      case None => grouped.mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+    })
       .flatMap(_.map { case (a, b, c) => EmbedPairRow(a, b, c) })
+  }
+
+  /** OFFLINE re-shard of [[embedNearDupStream]]'s registry — the
+    * production answer to "a stream cannot re-shard its key space
+    * mid-flight": export the ingested corpus (the exact-dedup registry an
+    * incremental dedup keeps anyway), derive the new width with
+    * `SimOps.autoSignBits`, and rebuild the per-bucket state at that
+    * width; a stream resumed FROM this state (the `initialState`
+    * parameter) emits, for every subsequent arrival, exactly the pairs a
+    * fresh batch run at the new width emits for pairs involving that
+    * arrival (spec-pinned: resumed-stream output = uncapped batch pairs
+    * of the full corpus minus batch pairs of the already-registered
+    * corpus — old-vs-old pairs are never re-emitted, old-vs-new and
+    * new-vs-new land exactly once).
+    *
+    * Shape: one groupBy(embedding) rebuilds the exact-dedup groups
+    * (rep = min id, members id-ascending — deterministic regardless of
+    * the original arrival order), one groupBy(bucket) packs them
+    * rep-ascending into [[EmbedBucket]]s; norms recompute in the packing
+    * map (cheaper to recompute than to ship). Distributed end to end —
+    * the state never visits the driver.
+    */
+  def rebucketRegistry(
+      items: Dataset[EmbedItem], bits: Int): Dataset[(Int, EmbedBucket)] = {
+    import items.sparkSession.implicits._
+    items.toDF()
+      .groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep"),
+        sort_array(collect_list(col("vec_id"))).as("members"))
+      .select(
+        graft.operators.SimOps.signBucket(col("embedding"), bits)
+          .cast("int").as("bucket"),
+        struct(col("rep"), col("embedding").as("e"), col("members")).as("g"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("g"))).as("gs"))
+      .as[(Int, Seq[(Long, Seq[Float], Seq[Long])])]
+      .map { case (b, gs) =>
+        (b, EmbedBucket(gs.map { case (rep, e, members) =>
+          var s = 0.0; var i = 0
+          while (i < e.length) { s += e(i).toDouble * e(i).toDouble; i += 1 }
+          (rep, e, math.sqrt(s), members.toList, false)
+        }.toList))
+      }
   }
 
   /** Streaming user-journey transitions — the WATERMARK-BOUND twin of

@@ -57,7 +57,11 @@ object CapAuditGrowth {
       "neardup-fixed4" -> ((d: String) =>
         SimOps.nearDupCapAudit(SimOps.plantedVectors(embs(d)), bits = 4)))
 
-    for ((label, dir) <- Seq("sf0.1" -> sf01, "x10" -> x10, "x100" -> x100);
+    // optional 4th arg "recall" skips the [capaudit] section (re-measuring
+    // only the recallaudit rows after a recall-side change)
+    val recallOnly = args.lift(3).contains("recall")
+    for ((label, dir) <- Seq("sf0.1" -> sf01, "x10" -> x10, "x100" -> x100)
+           if !recallOnly;
          (fam, f) <- audits) {
       val r = f(dir).head()
       val kind = r.getString(0)
@@ -99,6 +103,21 @@ object CapAuditGrowth {
       println(s"[recallaudit] $label neardup-multi8x4: found=${multiFound(4, 8)} (same truth)")
       println(s"[recallaudit] $label neardup-multi${dtables}x$bits: " +
         s"found=${multiFound(bits, dtables)} (same truth)")
+      // r14: the cell-geometry handoff leg (q_embed_neardup_cells) scored
+      // against the SAME anchor truth — nearest-centroid co-location at
+      // occupancy-preserving nlist = reps/64; hier assignment (the
+      // production path: ~2·√nlist sims/row where flat is nlist/row)
+      def cellFound(hier: Boolean): Long =
+        SimOps.cellNearDupPairs(reps,
+          centroidPred = SimOps.hashCentroidPred(64), hier = hier)
+          .join(broadcast(anch),
+            col("id_a") === col("a_id") || col("id_b") === col("a_id"))
+          .select(col("id_a"), col("id_b")).distinct().count()
+      println(s"[recallaudit] $label neardup-cells-hier: " +
+        s"found=${cellFound(true)} (same truth)")
+      if (label == "sf0.1")
+        println(s"[recallaudit] $label neardup-cells-flat: " +
+          s"found=${cellFound(false)} (same truth)")
       // the text leg: MinHash banding recall at Jaccard >= 0.8 (b=4, r=2:
       // collision prob >= 98% at the threshold — expect ~flat high recall)
       val mr = DedupOps.minhashRecallAudit(DedupOps.plantedCorpus(docs(dir))).head()

@@ -477,6 +477,51 @@ class SimOpsSpec extends SparkSpec {
     assert(SimOps.autoSignBits(sf("embeddings")) == 4)
   }
 
+  test("cellNearDupPairs: loose-threshold pairs pair within cells, not across") {
+    // two tight clusters around orthogonal axes: within-cluster cosines
+    // ~0.99 (>= 4000 bp), cross-cluster ~0.1 (< threshold). One centroid
+    // per cluster (the seeds, ids 1 and 3), so each cluster owns a cell
+    // and the threshold pairing never crosses cells
+    val df = emb(
+      (1L, Seq(1f, 0.1f, 0f, 0f), 0), (2L, Seq(1f, 0f, 0.1f, 0f), 0),
+      (3L, Seq(0f, 0.1f, 0f, 1f), 1), (4L, Seq(0.1f, 0f, 0f, 1f), 1))
+    val got = SimOps.cellNearDupPairs(df,
+      centroidPred = col("vec_id").isin(1L, 3L), thresholdBp = 4000)
+      .as[(Long, Long, Long)].collect().toSeq
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => Set(1L, 2L).contains(p._1) && Set(3L, 4L).contains(p._2)),
+      s"cross-cluster pair leaked: $got")
+  }
+
+  test("cellNearDupPairs: planted exact copies found at cos_bp 10000, flat and hier") {
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    val step = DedupOps.plantStep(sf("embeddings"), "vec_id")
+    val expected = Seq(0L, 100L, 200L, 300L, 400L).map(i => (i, i + step))
+    for (hier <- Seq(false, true)) {
+      val got = SimOps.cellNearDupPairs(planted,
+        centroidPred = SimOps.hashCentroidPred(64), hier = hier)
+        .as[(Long, Long, Long)].collect().toSeq
+      // exact dups collapse to reps BEFORE assignment, so intra pairs are
+      // unconditional on the quantizer (flat or hierarchical)
+      expected.foreach { p =>
+        val hit = got.find(g => (g._1, g._2) == p)
+        assert(hit.isDefined, s"hier=$hier missing planted pair $p")
+        assert(hit.get._3 == 10000L)
+      }
+    }
+  }
+
+  test("cellNearDupPairs: maxCell caps pairing by id rank within a cell") {
+    // one cell (single centroid direction), 5 near-identical vectors;
+    // cap=3 -> only reps ranked 1..3 pair: C(3,2)=3 pairs, none involve 4/5
+    val df = emb((1L to 5L).map(i => (i, Seq(1f, i.toFloat * 1e-4f), 0)): _*)
+    val got = SimOps.cellNearDupPairs(df, centroidPred = col("vec_id") === 1,
+      thresholdBp = 4000, maxCell = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("nearDupPairsMulti: superset of single-table pairs, recovers boundary pairs") {
     val planted = SimOps.plantedVectors(sf("embeddings"))
     val single = SimOps.nearDupPairs(planted, maxBucket = 0)

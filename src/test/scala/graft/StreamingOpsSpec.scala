@@ -920,6 +920,75 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rebucketRegistry: resumed stream at derived bits equals fresh-bits batch for new arrivals") {
+    // the offline re-shard contract: half the corpus is the registry, bits
+    // re-derived with a tightened cap so the re-shard is GENUINE (4 -> 5
+    // bits, not a no-op), state rebuilt at the new width, stream resumed
+    // from it; everything the resumed stream emits must equal the uncapped
+    // batch pairs of the FULL corpus minus those of the registry alone
+    // (old-vs-old never re-emits; old-vs-new and new-vs-new land once)
+    val all = SimOps.plantedVectors(sf("embeddings"))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .sortBy { case (id, _) => (id * 2654435761L) % 1000003L }
+      .map { case (id, e) => EmbedItem(id, e) }
+    val (oldItems, newItems) = all.splitAt(all.length / 2)
+    val registry = spark.createDataset(oldItems.toIndexedSeq)
+    val bits2 = SimOps.autoSignBits(registry.toDF(), maxBucket = 8)
+    assert(bits2 != 4, "fixture must force a real re-shard")
+    val init = StreamingOps.rebucketRegistry(registry, bits2)
+    val input = MemoryStream[EmbedItem]
+    val q = StreamingOps.embedNearDupStream(input.toDS(), bits = bits2,
+      initialState = Some(init))
+      .writeStream.format("memory").queryName("rebucket").outputMode("update").start()
+    try {
+      val (b1, b2) = newItems.splitAt(newItems.length / 2)
+      Seq(b1, b2).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("rebucket").as[EmbedPairRow].collect()
+        .map(p => (p.id_a, p.id_b, p.cos_bp)).toSet
+      def batch(items: Seq[EmbedItem]) =
+        SimOps.nearDupPairs(spark.createDataset(items.toIndexedSeq).toDF(),
+          bits = bits2, maxBucket = 0)
+          .as[(Long, Long, Long)].collect().toSet
+      val expected = batch(all.toSeq) -- batch(oldItems.toSeq)
+      assert(streamed == expected,
+        s"stream ${streamed.size} vs full-minus-old ${expected.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("embedNearDupStream capped-mode delta: arrival-order cap vs the batch id-rank cap") {
+    // the family's documented delta pinned to exact pairs: one bucket
+    // (all components non-negative -> bucket 15 at bits=4), three distinct
+    // pairwise-similar vectors, cap 2, arrival order 3, 2, 1 (one
+    // micro-batch each — the stream sorts WITHIN a batch by id).
+    //   stream: 3 founds, 2 pairs with 3 and founds, 1 arrives over cap ->
+    //           frozen registry entry, never cross-pairs -> {(2,3)}
+    //   batch:  id-rank cap keeps the LOWEST ids {1,2}      -> {(1,2)}
+    // so the two cap disciplines agree on the pair COUNT but differ in
+    // which ids survive: earliest arrivals vs lowest ids; (1,3) is found
+    // by neither.
+    val e1 = Seq(1f, 0f, 0f, 0f)
+    val e2 = Seq(1f, 0.05f, 0f, 0f)
+    val e3 = Seq(1f, 0f, 0.05f, 0f)
+    val input = MemoryStream[EmbedItem]
+    val q = StreamingOps.embedNearDupStream(input.toDS(), maxBucket = 2)
+      .writeStream.format("memory").queryName("capdelta").outputMode("update").start()
+    try {
+      Seq(EmbedItem(3L, e3), EmbedItem(2L, e2), EmbedItem(1L, e1)).foreach { it =>
+        input.addData(it); q.processAllAvailable()
+      }
+      val streamed = spark.table("capdelta").as[EmbedPairRow].collect()
+        .map(p => (p.id_a, p.id_b)).toSet
+      val batch = SimOps.nearDupPairs(
+        Seq((1L, e1), (2L, e2), (3L, e3)).toDF("vec_id", "embedding"),
+        maxBucket = 2).as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+      assert(streamed == Set((2L, 3L)), s"streamed: $streamed")
+      assert(batch == Set((1L, 2L)), s"batch: $batch")
+      assert((streamed & batch).isEmpty,
+        "delta must be total: no shared pair under this fixture")
+    } finally q.stop()
+  }
+
   test("phashPairsStream: group founded past the band-0 cap still emits exact-dup pairs") {
     // cap=2; hashes hA/hB fill the shared band-0 bucket first, then hC
     // lands in the SAME band-0 bucket over cap. r12 dropped hC's group
