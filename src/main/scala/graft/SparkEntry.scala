@@ -1452,6 +1452,14 @@ object SparkEntry {
     "q_knn_graph_hier" -> ((s, dir) =>
       SimOps.knnGraphHier(t(s, dir, "embeddings"),
         centroidPred = SimOps.sqrtCentroidPred(t(s, dir, "embeddings")))),
+    // The hier quantizer's RECALL KNOB as a declared shape: top-2
+    // supercells per vector (fixture agreement with flat argmax 0.49 at
+    // superProbes=1 -> 0.656 at 2, SKEW r13), block fan-out linear in
+    // superProbes, no broadcast ever exceeding √nlist entries.
+    "q_knn_graph_hier2" -> ((s, dir) =>
+      SimOps.knnGraphHier(t(s, dir, "embeddings"),
+        centroidPred = SimOps.sqrtCentroidPred(t(s, dir, "embeddings")),
+        superProbes = 2)),
     // The recall knob as a declared shape: each SOURCE vector probes its 2
     // nearest cells (candidates stay in their home cell, so pairs cannot
     // duplicate) — boundary neighbors probes=1 misses are recovered at
@@ -2183,6 +2191,43 @@ object SparkEntry {
       s"FROM gray$sfx JOIN tot$sfx ON gray$sfx.media_id = tot$sfx.media_id GROUP BY 1, 2), " +
       s"hv$sfx AS (SELECT media_id, list(bval ORDER BY k) AS hsh FROM bands$sfx " +
       "GROUP BY media_id)"
+
+  /** DuckDB mirror of SimOps.knnGraphHier at `superProbes`: √nlist-strided
+    * supercenters, centroid→supercell argmax, each vector's top-`superProbes`
+    * supercells' blocks scanned, best cell across the union ((s desc, c_id)
+    * — a two-stage max equals the global max under that tie order), then
+    * the within-cell top-3 ranking. superProbes = 1 is the declared
+    * q_knn_graph_hier; 2 is the recall knob declared as q_knn_graph_hier2.
+    */
+  private def duckKnnHierSql(superProbes: Int): String =
+    "WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+      "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n " +
+      s"WHERE ${SimOps.sqrtCentroidPredSql("embeddings")}), " +
+      "per AS (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS p FROM c), " +
+      "sup AS (SELECT c_id AS sc_id, ce AS sce, cn AS scn FROM " +
+      "(SELECT *, row_number() OVER (ORDER BY c_id) AS rk FROM c) " +
+      "WHERE (rk - 1) % (SELECT p FROM per) = 0), " +
+      "css AS (SELECT c.c_id AS cid0, sup.sc_id, " +
+      "list_dot_product(c.ce, sup.sce) / (c.cn * sup.scn) AS s FROM c CROSS JOIN sup), " +
+      "c2s AS (SELECT cid0, sc_id FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY cid0 ORDER BY s DESC, sc_id) AS rn FROM css) WHERE rn = 1), " +
+      "vs0 AS (SELECT n.vec_id, n.e, n.nrm, sup.sc_id, " +
+      "list_dot_product(n.e, sup.sce) / (n.nrm * sup.scn) AS s FROM n CROSS JOIN sup), " +
+      "vs AS (SELECT vec_id, e, nrm, sc_id FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY vec_id ORDER BY s DESC, sc_id) AS rn FROM vs0) WHERE rn <= $superProbes), " +
+      "bs AS (SELECT v.vec_id, v.e, v.nrm, c.c_id, " +
+      "list_dot_product(v.e, c.ce) / (v.nrm * c.cn) AS s " +
+      "FROM vs v JOIN c2s ON v.sc_id = c2s.sc_id JOIN c ON c.c_id = c2s.cid0), " +
+      "asg AS (SELECT vec_id, e, nrm, c_id FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn FROM bs) WHERE rn = 1), " +
+      "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos " +
+      "FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id), " +
+      "r AS (SELECT id_a, id_b, cos, row_number() OVER (PARTITION BY id_a " +
+      "ORDER BY cos DESC, id_b) AS rank FROM p) " +
+      s"SELECT id_a, rank, id_b, ${TextOps.roundBpSql("cos")} AS cos_bp " +
+      "FROM r WHERE rank <= 3 ORDER BY id_a, rank"
 
   /** DuckDB CTE chain mirroring MultimodalOps.plantPhashCorpus +
     * phashBands + phashPairs AT THE CORPUS-DERIVED GRID: generative pixel
@@ -3613,35 +3658,12 @@ object SparkEntry {
     // per = max(2, ceil(sqrt(nlist)))) is a supercenter; centroids argmax
     // into supercells; vectors argmax over supercenters then over ONLY
     // their supercell's centroid block; pairing as q_knn_graph
-    "q_knn_graph_hier" ->
-      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
-        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
-        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n " +
-        s"WHERE ${SimOps.sqrtCentroidPredSql("embeddings")}), " +
-        "per AS (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS p FROM c), " +
-        "sup AS (SELECT c_id AS sc_id, ce AS sce, cn AS scn FROM " +
-        "(SELECT *, row_number() OVER (ORDER BY c_id) AS rk FROM c) " +
-        "WHERE (rk - 1) % (SELECT p FROM per) = 0), " +
-        "css AS (SELECT c.c_id AS cid0, sup.sc_id, " +
-        "list_dot_product(c.ce, sup.sce) / (c.cn * sup.scn) AS s FROM c CROSS JOIN sup), " +
-        "c2s AS (SELECT cid0, sc_id FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY cid0 ORDER BY s DESC, sc_id) AS rn FROM css) WHERE rn = 1), " +
-        "vs0 AS (SELECT n.vec_id, n.e, n.nrm, sup.sc_id, " +
-        "list_dot_product(n.e, sup.sce) / (n.nrm * sup.scn) AS s FROM n CROSS JOIN sup), " +
-        "vs AS (SELECT vec_id, e, nrm, sc_id FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY vec_id ORDER BY s DESC, sc_id) AS rn FROM vs0) WHERE rn = 1), " +
-        "bs AS (SELECT v.vec_id, v.e, v.nrm, c.c_id, " +
-        "list_dot_product(v.e, c.ce) / (v.nrm * c.cn) AS s " +
-        "FROM vs v JOIN c2s ON v.sc_id = c2s.sc_id JOIN c ON c.c_id = c2s.cid0), " +
-        "asg AS (SELECT vec_id, e, nrm, c_id FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn FROM bs) WHERE rn = 1), " +
-        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-        "list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos " +
-        "FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id), " +
-        "r AS (SELECT id_a, id_b, cos, row_number() OVER (PARTITION BY id_a " +
-        "ORDER BY cos DESC, id_b) AS rank FROM p) " +
-        s"SELECT id_a, rank, id_b, ${TextOps.roundBpSql("cos")} AS cos_bp " +
-        "FROM r WHERE rank <= 3 ORDER BY id_a, rank"),
+    "q_knn_graph_hier" -> duckKnnHierSql(1),
+    // mirrors knnGraphHier at superProbes = 2: each vector's TOP-2
+    // supercells' blocks both scan, best cell across the union — the
+    // declared recall knob on the two-stage quantizer (fixture agreement
+    // vs flat argmax 0.49 at superProbes=1, 0.656 at 2; SKEW r13)
+    "q_knn_graph_hier2" -> duckKnnHierSql(2),
     // mirrors TextOps.bpePairCounts (k=20): DuckDB range(1, n) == Spark
     // sequence(1, n-1); both substring(tok, i, 2) 1-based
     "q_bpe_pairs" ->
