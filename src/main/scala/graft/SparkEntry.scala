@@ -1526,6 +1526,18 @@ object SparkEntry {
       val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
       SimOps.cellNearDupPairs(planted, centroidPred = SimOps.hashCentroidPred(64))
     }),
+    // The same cell pairing through the TWO-LEVEL quantizer
+    // (cellArgmaxHier) — the assignment that survives past the flat
+    // fold's ~1M-centroid broadcast limit, oracle-verified end to end:
+    // the DuckDB mirror replays supercenter striding, centroid→supercell
+    // argmax, block-restricted best cell, then the identical cap/pair/
+    // re-attach chain. Recall price per growth mode is a measured number
+    // (SKEW r14: cheap on clustered corpora, ~2x on structure-free).
+    "q_embed_neardup_cells_hier" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      SimOps.cellNearDupPairs(planted,
+        centroidPred = SimOps.hashCentroidPred(64), hier = true)
+    }),
     "q_embed_pipeline" -> ((s, dir) => {
       val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
       val dropIds = SimOps.nearDupPairs(planted, bits = SimOps.autoSignBits(planted))
@@ -2191,6 +2203,72 @@ object SparkEntry {
       s"FROM gray$sfx JOIN tot$sfx ON gray$sfx.media_id = tot$sfx.media_id GROUP BY 1, 2), " +
       s"hv$sfx AS (SELECT media_id, list(bval ORDER BY k) AS hsh FROM bands$sfx " +
       "GROUP BY media_id)"
+
+  /** DuckDB mirror of SimOps.cellNearDupPairs over the planted embedding
+    * corpus: exact-dedup-first reps, occupancy-64 hash-sampled centroids
+    * from the FULL corpus, cell assignment (flat argmax, or the two-level
+    * quantizer when `hier` — the duckKnnHierSql construction), id-rank
+    * 256-cap per cell, within-cell threshold pairing, member re-attach.
+    */
+  private def duckCellsSql(hier: Boolean): String = {
+    val assign =
+      if (!hier)
+        "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
+          "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n, c), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+          "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
+          "asg AS (SELECT vec_id, e, nrm, c_id FROM r WHERE crn = 1), "
+      else
+        "per AS (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS p FROM c), " +
+          "sup AS (SELECT c_id AS sc_id, ce AS sce, cn AS scn FROM " +
+          "(SELECT *, row_number() OVER (ORDER BY c_id) AS rk FROM c) " +
+          "WHERE (rk - 1) % (SELECT p FROM per) = 0), " +
+          "css AS (SELECT c.c_id AS cid0, sup.sc_id, " +
+          "list_dot_product(c.ce, sup.sce) / (c.cn * sup.scn) AS s FROM c CROSS JOIN sup), " +
+          "c2s AS (SELECT cid0, sc_id FROM (SELECT *, row_number() OVER " +
+          "(PARTITION BY cid0 ORDER BY s DESC, sc_id) AS rn FROM css) WHERE rn = 1), " +
+          "vs0 AS (SELECT n.vec_id, n.e, n.nrm, sup.sc_id, " +
+          "list_dot_product(n.e, sup.sce) / (n.nrm * sup.scn) AS s FROM n CROSS JOIN sup), " +
+          "vs AS (SELECT vec_id, e, nrm, sc_id FROM (SELECT *, row_number() OVER " +
+          "(PARTITION BY vec_id ORDER BY s DESC, sc_id) AS rn FROM vs0) WHERE rn = 1), " +
+          "bs AS (SELECT v.vec_id, v.e, v.nrm, c.c_id, " +
+          "list_dot_product(v.e, c.ce) / (v.nrm * c.cn) AS s " +
+          "FROM vs v JOIN c2s ON v.sc_id = c2s.sc_id JOIN c ON c.c_id = c2s.cid0), " +
+          "asg AS (SELECT vec_id, e, nrm, c_id FROM (SELECT *, row_number() OVER " +
+          "(PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn FROM bs) WHERE rn = 1), "
+    "WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+      s"UNION ALL SELECT vec_id + ${DedupOps.plantStepSql("embeddings", "vec_id")} " +
+      "AS vec_id, embedding " +
+      "FROM embeddings WHERE vec_id % 100 = 0), " +
+      "nall AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+      "FROM base), " +
+      "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM nall " +
+      s"WHERE ${SimOps.hashCentroidPredSql(64)}), " +
+      "egrp AS (SELECT embedding, min(vec_id) AS rep FROM base GROUP BY embedding), " +
+      "emem AS (SELECT b.vec_id AS vec_id, egrp.rep AS rep " +
+      "FROM base b JOIN egrp ON b.embedding = egrp.embedding), " +
+      "n AS (SELECT rep AS vec_id, embedding::DOUBLE[] AS e, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+      "FROM egrp), " +
+      assign +
+      s"p AS (SELECT vec_id, e, nrm, c_id FROM (SELECT *, row_number() " +
+      "OVER (PARTITION BY c_id ORDER BY vec_id) AS rk FROM asg) " +
+      s"WHERE rk <= ${SimOps.DefaultMaxCell}), " +
+      "rp AS (SELECT * FROM (SELECT a.vec_id AS ra, b.vec_id AS rb, " +
+      s"${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} AS cos_bp " +
+      "FROM p a JOIN p b ON a.c_id = b.c_id AND a.vec_id < b.vec_id) " +
+      "WHERE cos_bp >= 4000), " +
+      "crossp AS (SELECT least(ma.vec_id, mb.vec_id) AS id_a, " +
+      "greatest(ma.vec_id, mb.vec_id) AS id_b, cos_bp FROM rp " +
+      "JOIN emem ma ON rp.ra = ma.rep JOIN emem mb ON rp.rb = mb.rep), " +
+      "intra AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, " +
+      "CAST(10000 AS BIGINT) AS cos_bp FROM emem x JOIN emem y " +
+      "ON x.rep = y.rep AND x.vec_id < y.vec_id) " +
+      "SELECT id_a, id_b, cos_bp FROM " +
+      "(SELECT * FROM crossp UNION ALL SELECT * FROM intra) " +
+      "ORDER BY id_a, id_b"
+  }
 
   /** DuckDB mirror of SimOps.knnGraphHier at `superProbes`: √nlist-strided
     * supercenters, centroid→supercell argmax, each vector's top-`superProbes`
@@ -4257,43 +4335,11 @@ object SparkEntry {
     // hash-sampled centroids over the FULL planted corpus, rep argmax
     // cell assignment, id-rank 256-cap per cell, within-cell threshold
     // pairing, member re-attach (cross at rep cosine, intra at 10000)
-    "q_embed_neardup_cells" ->
-      ("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
-        s"UNION ALL SELECT vec_id + ${DedupOps.plantStepSql("embeddings", "vec_id")} " +
-        "AS vec_id, embedding " +
-        "FROM embeddings WHERE vec_id % 100 = 0), " +
-        "nall AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
-        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
-        "FROM base), " +
-        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM nall " +
-        s"WHERE ${SimOps.hashCentroidPredSql(64)}), " +
-        "egrp AS (SELECT embedding, min(vec_id) AS rep FROM base GROUP BY embedding), " +
-        "emem AS (SELECT b.vec_id AS vec_id, egrp.rep AS rep " +
-        "FROM base b JOIN egrp ON b.embedding = egrp.embedding), " +
-        "n AS (SELECT rep AS vec_id, embedding::DOUBLE[] AS e, " +
-        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
-        "FROM egrp), " +
-        "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
-        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n, c), " +
-        "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
-        "asg AS (SELECT vec_id, e, nrm, c_id FROM r WHERE crn = 1), " +
-        s"p AS (SELECT vec_id, e, nrm, c_id FROM (SELECT *, row_number() " +
-        "OVER (PARTITION BY c_id ORDER BY vec_id) AS rk FROM asg) " +
-        s"WHERE rk <= ${SimOps.DefaultMaxCell}), " +
-        "rp AS (SELECT * FROM (SELECT a.vec_id AS ra, b.vec_id AS rb, " +
-        s"${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} AS cos_bp " +
-        "FROM p a JOIN p b ON a.c_id = b.c_id AND a.vec_id < b.vec_id) " +
-        "WHERE cos_bp >= 4000), " +
-        "crossp AS (SELECT least(ma.vec_id, mb.vec_id) AS id_a, " +
-        "greatest(ma.vec_id, mb.vec_id) AS id_b, cos_bp FROM rp " +
-        "JOIN emem ma ON rp.ra = ma.rep JOIN emem mb ON rp.rb = mb.rep), " +
-        "intra AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, " +
-        "CAST(10000 AS BIGINT) AS cos_bp FROM emem x JOIN emem y " +
-        "ON x.rep = y.rep AND x.vec_id < y.vec_id) " +
-        "SELECT id_a, id_b, cos_bp FROM " +
-        "(SELECT * FROM crossp UNION ALL SELECT * FROM intra) " +
-        "ORDER BY id_a, id_b"),
+    "q_embed_neardup_cells" -> duckCellsSql(hier = false),
+    // same chain with the two-level quantizer's assignment middle
+    // (supercenter stride, centroid→supercell argmax, block-restricted
+    // best cell — the duckKnnHierSql construction over the cells corpus)
+    "q_embed_neardup_cells_hier" -> duckCellsSql(hier = true),
     // mirrors SimOps.semDedup: exact-dedup-first (identical embeddings
     // collapse to a min-id rep; members never survive), √N-sized
     // hash-sampled centroids over the FULL planted corpus, rep-only cell

@@ -1078,6 +1078,7 @@ object SimOps {
       thresholdBp: Int = 4000,
       maxCell: Int = DefaultMaxCell,
       hier: Boolean = false,
+      superProbes: Int = 1,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val groups = emb.groupBy(col(embCol)).agg(min(col(idCol)).as("rep_id"))
@@ -1086,7 +1087,7 @@ object SimOps {
     val cents = normalized(emb, idCol, embCol).filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
     val nR = normalized(reps, idCol, embCol)
-    val assigned = (if (hier) cellArgmaxHier(nR, cents, idCol)
+    val assigned = (if (hier) cellArgmaxHier(nR, cents, idCol, superProbes)
       else cellArgmax(nR, cents, idCol))
       .select(col(idCol), col("e"), col("nrm"), col("c_id"))
       .repartition(col("c_id"))

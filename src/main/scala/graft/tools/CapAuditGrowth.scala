@@ -105,19 +105,23 @@ object CapAuditGrowth {
         s"found=${multiFound(bits, dtables)} (same truth)")
       // r14: the cell-geometry handoff leg (q_embed_neardup_cells) scored
       // against the SAME anchor truth — nearest-centroid co-location at
-      // occupancy-preserving nlist = reps/64; hier assignment (the
-      // production path: ~2·√nlist sims/row where flat is nlist/row)
-      def cellFound(hier: Boolean): Long =
+      // occupancy-preserving nlist = reps/64. Three assignment variants:
+      // flat (exact argmax, O(nlist) sims/row), hier sp=1 (the ~2·√nlist
+      // scale path, with its supercell-boundary approximation), hier sp=2
+      // (the declared recall knob on that approximation)
+      def cellFound(hier: Boolean, sp: Int = 1): Long =
         SimOps.cellNearDupPairs(reps,
-          centroidPred = SimOps.hashCentroidPred(64), hier = hier)
+          centroidPred = SimOps.hashCentroidPred(64), hier = hier,
+          superProbes = sp)
           .join(broadcast(anch),
             col("id_a") === col("a_id") || col("id_b") === col("a_id"))
           .select(col("id_a"), col("id_b")).distinct().count()
+      println(s"[recallaudit] $label neardup-cells-flat: " +
+        s"found=${cellFound(false)} (same truth)")
       println(s"[recallaudit] $label neardup-cells-hier: " +
         s"found=${cellFound(true)} (same truth)")
-      if (label == "sf0.1")
-        println(s"[recallaudit] $label neardup-cells-flat: " +
-          s"found=${cellFound(false)} (same truth)")
+      println(s"[recallaudit] $label neardup-cells-hier-sp2: " +
+        s"found=${cellFound(true, 2)} (same truth)")
       // the text leg: MinHash banding recall at Jaccard >= 0.8 (b=4, r=2:
       // collision prob >= 98% at the threshold — expect ~flat high recall)
       val mr = DedupOps.minhashRecallAudit(DedupOps.plantedCorpus(docs(dir))).head()

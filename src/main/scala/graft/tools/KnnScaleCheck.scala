@@ -74,10 +74,12 @@ object KnnScaleCheck {
     // r13: ASSIGNMENT-ONLY walls, flat fold vs two-level quantizer — the
     // cellArgmaxHier FLOP claim (~2·√nlist vs nlist sims per row) as a
     // measured row; pairing is excluded so the delta is pure assignment
-    def assignOnce(dir: String, hier: Boolean): Double = {
+    def assignOnce(
+        dir: String, hier: Boolean,
+        pred: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column = declared): Double = {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = SimOps.normalized(emb, "vec_id", "embedding")
-      val cents = n.filter(SimOps.sqrtCentroidPred(emb))
+      val cents = n.filter(pred(emb))
         .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
       val t0 = System.nanoTime()
       (if (hier) SimOps.cellArgmaxHier(n, cents, "vec_id")
@@ -89,6 +91,17 @@ object KnnScaleCheck {
       val t = math.min(assignOnce(x100, hier), assignOnce(x100, hier))
       val label = if (hier) "two-level cellArgmaxHier" else "flat cellArgmax        "
       println(f"[knnscale] x100  assignment-only, $label: $t%.1f s (min of 2)")
+    }
+    // r14: the √nlist law AT A NLIST THAT MATTERS (≥ 10k): the constant-
+    // occupancy rule on the x100 corpus gives nlist = N/64 ≈ 31k cells.
+    // Flat assignment is O(N·nlist) sims; hier is O(N·~2√nlist) — FLOP
+    // ratio ≈ √nlist/2 ≈ 88 asymptotically, bounded in practice by the
+    // shuffle/scan overheads both paths share.
+    for (hier <- Seq(false, true)) {
+      val t = math.min(
+        assignOnce(x100, hier, const64), assignOnce(x100, hier, const64))
+      val label = if (hier) "two-level cellArgmaxHier" else "flat cellArgmax        "
+      println(f"[knnscale] x100  assignment-only @ nlist=N/64 (~31k), $label: $t%.1f s (min of 2)")
     }
     spark.stop()
   }

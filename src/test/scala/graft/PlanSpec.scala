@@ -537,6 +537,20 @@ class PlanSpec extends SparkSpec {
       s"expected exchange reuse in the hier knn-graph self-join:\n${executed.take(600)}")
   }
 
+  test("q_embed_neardup_cells: assignment exchange reused by the self-join; no cartesian") {
+    // the within-cell threshold pairing self-joins the SAME capped
+    // assignment frame repartitioned on c_id — both sides must end in one
+    // reused exchange (the nearDupPairs diamond discipline), member
+    // re-attachment must stay equi-join on rep_id, and the centroid side
+    // must ride a broadcast, never a shuffled corpus x centroid join
+    val df = SparkEntry.queries("q_embed_neardup_cells")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("TableCacheQueryStage"),
+      s"expected exchange reuse in the cell-pairing self-join:\n${executed.take(600)}")
+    assert(!executed.contains("CartesianProduct"))
+  }
+
   test("q_media_phash: rep-first plan reuses the decode/hash exchange; no cartesian") {
     // exact-dedup-first references the decoded hash table from several
     // branches (groups, member map, reps); the bands-keyed exchange must
