@@ -1538,6 +1538,15 @@ object SparkEntry {
       SimOps.cellNearDupPairs(planted,
         centroidPred = SimOps.hashCentroidPred(64), hier = true)
     }),
+    // The flat cell pairing's BOUNDARY-RECALL knob: each source rep also
+    // probes its 2nd-nearest cell (cellArgTopP — the knnGraph nProbe idea
+    // at a threshold), candidates stay home, fan-out linear, unordered
+    // pairs collapse. Recovers threshold pairs straddling a cell border.
+    "q_embed_neardup_cells_p2" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      SimOps.cellNearDupPairs(planted,
+        centroidPred = SimOps.hashCentroidPred(64), probes = 2)
+    }),
     "q_embed_pipeline" -> ((s, dir) => {
       val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
       val dropIds = SimOps.nearDupPairs(planted, bits = SimOps.autoSignBits(planted))
@@ -2210,14 +2219,17 @@ object SparkEntry {
     * quantizer when `hier` — the duckKnnHierSql construction), id-rank
     * 256-cap per cell, within-cell threshold pairing, member re-attach.
     */
-  private def duckCellsSql(hier: Boolean): String = {
+  private def duckCellsSql(hier: Boolean, probes: Int = 1): String = {
     val assign =
       if (!hier)
         "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
           "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n, c), " +
           "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
           "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
-          "asg AS (SELECT vec_id, e, nrm, c_id FROM r WHERE crn = 1), "
+          "asg AS (SELECT vec_id, e, nrm, c_id FROM r WHERE crn = 1), " +
+          (if (probes > 1)
+            s"asg2 AS (SELECT vec_id, e, nrm, c_id FROM r WHERE crn <= $probes), "
+          else "")
       else
         "per AS (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS p FROM c), " +
           "sup AS (SELECT c_id AS sc_id, ce AS sce, cn AS scn FROM " +
@@ -2255,10 +2267,20 @@ object SparkEntry {
       s"p AS (SELECT vec_id, e, nrm, c_id FROM (SELECT *, row_number() " +
       "OVER (PARTITION BY c_id ORDER BY vec_id) AS rk FROM asg) " +
       s"WHERE rk <= ${SimOps.DefaultMaxCell}), " +
-      "rp AS (SELECT * FROM (SELECT a.vec_id AS ra, b.vec_id AS rb, " +
-      s"${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} AS cos_bp " +
-      "FROM p a JOIN p b ON a.c_id = b.c_id AND a.vec_id < b.vec_id) " +
-      "WHERE cos_bp >= 4000), " +
+      (if (probes == 1)
+        "rp AS (SELECT * FROM (SELECT a.vec_id AS ra, b.vec_id AS rb, " +
+          s"${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} AS cos_bp " +
+          "FROM p a JOIN p b ON a.c_id = b.c_id AND a.vec_id < b.vec_id) " +
+          "WHERE cos_bp >= 4000), "
+      else
+        // a-side: probe rows of home-cap survivors; unordered pairs collapse
+        "pa AS (SELECT a2.vec_id, a2.e, a2.nrm, a2.c_id FROM asg2 a2 " +
+          "JOIN (SELECT DISTINCT vec_id FROM p) ok ON a2.vec_id = ok.vec_id), " +
+          "rp AS (SELECT DISTINCT * FROM (SELECT least(a.vec_id, b.vec_id) AS ra, " +
+          "greatest(a.vec_id, b.vec_id) AS rb, " +
+          s"${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} AS cos_bp " +
+          "FROM pa a JOIN p b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id) " +
+          "WHERE cos_bp >= 4000), ") +
       "crossp AS (SELECT least(ma.vec_id, mb.vec_id) AS id_a, " +
       "greatest(ma.vec_id, mb.vec_id) AS id_b, cos_bp FROM rp " +
       "JOIN emem ma ON rp.ra = ma.rep JOIN emem mb ON rp.rb = mb.rep), " +
@@ -4340,6 +4362,9 @@ object SparkEntry {
     // (supercenter stride, centroid→supercell argmax, block-restricted
     // best cell — the duckKnnHierSql construction over the cells corpus)
     "q_embed_neardup_cells_hier" -> duckCellsSql(hier = true),
+    // flat chain at probes=2: a-side = top-2 cells of home-cap survivors,
+    // b-side = capped home membership, DISTINCT on the unordered pair
+    "q_embed_neardup_cells_p2" -> duckCellsSql(hier = false, probes = 2),
     // mirrors SimOps.semDedup: exact-dedup-first (identical embeddings
     // collapse to a min-id rep; members never survive), √N-sized
     // hash-sampled centroids over the FULL planted corpus, rep-only cell

@@ -1066,9 +1066,16 @@ object SimOps {
     * threshold instead of top-k, O(Σ cell²) never corpus²) → member
     * re-attach (cross pairs at the rep cosine, intra-group pairs at
     * cos_bp = 10000). Cross-CELL pairs at the threshold boundary are
-    * missed by design (the IVF trade; probes would recover them
-    * linearly); [[nearDupRecallAudit]]'s anchor-sample construction
-    * scores the price the same way it scores sign-LSH's.
+    * missed at `probes` = 1 by design (the IVF trade); `probes` > 1
+    * unions each SOURCE rep into its `probes` nearest cells via
+    * [[cellArgTopP]] (the [[knnGraph]] probe construction at a threshold
+    * instead of top-k — candidates stay in their home cell, fan-out
+    * linear in `probes`, duplicates collapsed on the unordered pair),
+    * recovering boundary pairs whose second-nearest cell is the
+    * partner's home. [[nearDupRecallAudit]]'s anchor-sample construction
+    * scores the price the same way it scores sign-LSH's; probes > 1
+    * rides the flat fold only (the hier path's block restriction already
+    * defines its own recall knob, `superProbes`).
     *
     * Output: (id_a, id_b, cos_bp), id_a < id_b, ordered.
     */
@@ -1079,29 +1086,53 @@ object SimOps {
       maxCell: Int = DefaultMaxCell,
       hier: Boolean = false,
       superProbes: Int = 1,
+      probes: Int = 1,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    require(probes == 1 || !hier, "probes > 1 rides the flat fold; hier's knob is superProbes")
     val groups = emb.groupBy(col(embCol)).agg(min(col(idCol)).as("rep_id"))
     val mem = emb.join(groups, Seq(embCol)).select(col(idCol), col("rep_id"))
     val reps = groups.select(col("rep_id").as(idCol), col(embCol))
     val cents = normalized(emb, idCol, embCol).filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
     val nR = normalized(reps, idCol, embCol)
-    val assigned = (if (hier) cellArgmaxHier(nR, cents, idCol, superProbes)
-      else cellArgmax(nR, cents, idCol))
-      .select(col(idCol), col("e"), col("nrm"), col("c_id"))
+    val ranked = (if (hier)
+        cellArgmaxHier(nR, cents, idCol, superProbes).withColumn("crn", lit(1))
+      else if (probes == 1) cellArgmax(nR, cents, idCol).withColumn("crn", lit(1))
+      else cellArgTopP(nR, cents, idCol, probes))
+      .select(col(idCol), col("e"), col("nrm"), col("c_id"), col("crn"))
       .repartition(col("c_id"))
+    val home = ranked.filter(col("crn") === 1)
+      .select(col(idCol), col("e"), col("nrm"), col("c_id"))
     val wCell = Window.partitionBy(col("c_id")).orderBy(col(idCol))
-    val pairable = (if (maxCell <= 0) assigned
-      else assigned.withColumn("rk", row_number().over(wCell))
+    // participation cap on HOME-cell membership by id rank; a rep beyond
+    // its home cap drops from BOTH sides (probe rows included), so the
+    // pair universe stays the capped reps' regardless of the probe count
+    val pairable = (if (maxCell <= 0) home
+      else home.withColumn("rk", row_number().over(wCell))
         .filter(col("rk") <= maxCell))
       .select(col(idCol), col("e"), col("nrm"), col("c_id"))
-    val repPairs = pairable.alias("a")
-      .join(pairable.alias("b"),
-        col("a.c_id") === col("b.c_id") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("ra"), col(s"b.$idCol").as("rb"),
-        TextOps.roundBp(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
-          .as("cos_bp"))
+    val repPairs = (if (probes == 1)
+      pairable.alias("a")
+        .join(pairable.alias("b"),
+          col("a.c_id") === col("b.c_id") && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("ra"), col(s"b.$idCol").as("rb"),
+          TextOps.roundBp(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+            .as("cos_bp"))
+    else {
+      val okIds = pairable.select(col(idCol).as("__ok"))
+      val aSide = ranked.join(okIds, col(idCol) === col("__ok"))
+        .select(col(idCol), col("e"), col("nrm"), col("c_id"))
+      aSide.alias("a")
+        .join(pairable.alias("b"),
+          col("a.c_id") === col("b.c_id") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+        .select(
+          least(col(s"a.$idCol"), col(s"b.$idCol")).as("ra"),
+          greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("rb"),
+          TextOps.roundBp(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+            .as("cos_bp"))
+        .distinct()
+    })
       .filter(col("cos_bp") >= thresholdBp)
     val cross = repPairs
       .join(mem.as("ma"), col("ra") === col("ma.rep_id"))

@@ -109,15 +109,17 @@ object CapAuditGrowth {
       // flat (exact argmax, O(nlist) sims/row), hier sp=1 (the ~2·√nlist
       // scale path, with its supercell-boundary approximation), hier sp=2
       // (the declared recall knob on that approximation)
-      def cellFound(hier: Boolean, sp: Int = 1): Long =
+      def cellFound(hier: Boolean, sp: Int = 1, pr: Int = 1): Long =
         SimOps.cellNearDupPairs(reps,
           centroidPred = SimOps.hashCentroidPred(64), hier = hier,
-          superProbes = sp)
+          superProbes = sp, probes = pr)
           .join(broadcast(anch),
             col("id_a") === col("a_id") || col("id_b") === col("a_id"))
           .select(col("id_a"), col("id_b")).distinct().count()
       println(s"[recallaudit] $label neardup-cells-flat: " +
         s"found=${cellFound(false)} (same truth)")
+      println(s"[recallaudit] $label neardup-cells-flat-p2: " +
+        s"found=${cellFound(false, pr = 2)} (same truth)")
       println(s"[recallaudit] $label neardup-cells-hier: " +
         s"found=${cellFound(true)} (same truth)")
       println(s"[recallaudit] $label neardup-cells-hier-sp2: " +

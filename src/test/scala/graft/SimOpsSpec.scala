@@ -512,6 +512,32 @@ class SimOpsSpec extends SparkSpec {
     }
   }
 
+  test("cellNearDupPairs probes=2: superset of probes=1, recovers a boundary pair") {
+    // centroids on two axes; v3 sits between them (home = cell 1, second
+    // cell 2) and is cos-close to v4 whose home is cell 2: probes=1
+    // misses (v3, v4) across the border, probes=2 recovers it
+    val df = emb(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),      // centroid/cell A
+      (2L, Seq(0f, 1f, 0f, 0f), 0),      // centroid/cell B
+      (3L, Seq(1f, 0.9f, 0f, 0f), 0),    // home A (cos_A ~ .743 > cos_B ~ .669)
+      (4L, Seq(0.7f, 1f, 0f, 0f), 0))    // home B; cos(3,4) ~ .97
+    def pairs(p: Int) = SimOps.cellNearDupPairs(df,
+      centroidPred = col("vec_id").isin(1L, 2L), thresholdBp = 9000, probes = p)
+      .as[(Long, Long, Long)].collect().map(x => (x._1, x._2)).toSet
+    val p1 = pairs(1)
+    val p2 = pairs(2)
+    assert(!p1.contains((3L, 4L)), s"fixture must straddle the border: $p1")
+    assert(p2.contains((3L, 4L)), s"probes=2 must recover the boundary pair: $p2")
+    assert(p1.subsetOf(p2), "probes=2 must never lose a probes=1 pair")
+    // the planted fixture too: strict superset on the sf corpus
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    def sfPairs(p: Int) = SimOps.cellNearDupPairs(planted,
+      centroidPred = SimOps.hashCentroidPred(64), probes = p)
+      .as[(Long, Long, Long)].collect().toSet
+    val s1 = sfPairs(1); val s2 = sfPairs(2)
+    assert(s1.subsetOf(s2) && s2.size > s1.size, s"${s2.size} vs ${s1.size}")
+  }
+
   test("cellNearDupPairs: maxCell caps pairing by id rank within a cell") {
     // one cell (single centroid direction), 5 near-identical vectors;
     // cap=3 -> only reps ranked 1..3 pair: C(3,2)=3 pairs, none involve 4/5
