@@ -1514,6 +1514,19 @@ object SparkEntry {
           .select(col("id_a"), col("id_b")))
         .withColumnRenamed("doc_id", "vec_id")
     }),
+    // SemDeDup-style canonical selection inside those clusters: keep the
+    // member most similar to the cluster's bp-mean vector (typicality
+    // argmax — the selection rule when no text-quality signal exists).
+    // Completes pairs → clusters → KEEP for the embedding modality, the
+    // symmetry q_dedup_keep_best already gives text clusters.
+    "q_embed_keep_best" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      val clusters = DedupOps.dedupClusters(
+        SimOps.nearDupPairs(planted, bits = SimOps.autoSignBits(planted))
+          .select(col("id_a"), col("id_b")))
+        .withColumnRenamed("doc_id", "vec_id")
+      SimOps.clusterKeepBest(planted, clusters)
+    }),
     // Loose-threshold near-dup pairs through IVF CELL GEOMETRY — the
     // declared handoff the recall audits price: sign-LSH structurally
     // cannot serve cos >= 0.40 at scale (r13: 1.8% of anchor truth found
@@ -4353,6 +4366,39 @@ object SparkEntry {
         "UNION SELECT eg.src AS id, reach.lab FROM eg JOIN reach ON eg.dst = reach.id) " +
         "SELECT id AS vec_id, min(lab) AS cluster_id FROM reach " +
         "GROUP BY id ORDER BY vec_id"),
+    // mirrors q_embed_keep_best / SimOps.clusterKeepBest: the cluster CTE
+    // closed as above, then the bp-quantize-then-average mean per cluster
+    // (integer bp sums, one double division per dimension — the
+    // refineCentroids rule), cosine of every member against its cluster
+    // mean, and the per-cluster argmax (cos DESC, vec_id)
+    "q_embed_keep_best" ->
+      (s"WITH RECURSIVE $duckNearDupCtes, " +
+        "eg AS (SELECT id_a AS src, id_b AS dst FROM vp2 " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM vp2), " +
+        "ndz AS (SELECT DISTINCT src AS id FROM eg), " +
+        "reach AS (SELECT id, id AS lab FROM ndz " +
+        "UNION SELECT eg.src AS id, reach.lab FROM eg JOIN reach ON eg.dst = reach.id), " +
+        "cl AS (SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id), " +
+        "mv AS (SELECT cl.cluster_id, cl.vec_id, b.embedding::DOUBLE[] AS e " +
+        "FROM cl JOIN base b USING (vec_id)), " +
+        "ex AS (SELECT cluster_id, e, unnest(range(1, len(e) + 1)) AS dim FROM mv), " +
+        s"qd AS (SELECT cluster_id, CAST(dim AS BIGINT) AS dim, " +
+        s"${TextOps.roundBpSql("e[dim]")} AS x_bp FROM ex), " +
+        "ms AS (SELECT cluster_id, dim, sum(x_bp) AS s, count(*) AS cnt " +
+        "FROM qd GROUP BY cluster_id, dim), " +
+        "cm AS (SELECT cluster_id, list(s::DOUBLE / (cnt * 10000.0) ORDER BY dim) AS ce " +
+        "FROM ms GROUP BY cluster_id), " +
+        "sc AS (SELECT mv.cluster_id, mv.vec_id, " +
+        "list_dot_product(mv.e, cm.ce) / " +
+        "(sqrt(list_dot_product(mv.e, mv.e)) * sqrt(list_dot_product(cm.ce, cm.ce))) AS cos " +
+        "FROM mv JOIN cm USING (cluster_id)), " +
+        "rk AS (SELECT cluster_id, vec_id, cos, " +
+        "count(*) OVER (PARTITION BY cluster_id) AS n_vecs, " +
+        "row_number() OVER (PARTITION BY cluster_id ORDER BY cos DESC, vec_id) AS rn " +
+        "FROM sc) " +
+        s"SELECT cluster_id, n_vecs, vec_id AS keep_id, " +
+        s"${TextOps.roundBpSql("cos")} AS keep_cos_bp " +
+        "FROM rk WHERE rn = 1 ORDER BY cluster_id"),
     // mirrors SimOps.cellNearDupPairs: exact-dedup-first, occupancy-64
     // hash-sampled centroids over the FULL planted corpus, rep argmax
     // cell assignment, id-rank 256-cap per cell, within-cell threshold

@@ -774,6 +774,65 @@ object SimOps {
         floor(sum(col("x_bp")).cast("double") / count(lit(1))).cast("long").as("mean_bp"))
       .orderBy(col("label"), col("dim"))
 
+  /** SemDeDup-style canonical selection inside near-dup CLUSTERS — the
+    * step that turns cluster evidence into a rewritten corpus: each
+    * cluster keeps the member MOST SIMILAR to the cluster's mean vector
+    * (cosine argmax, ties to the smallest id). This is the embedding
+    * analog of [[DedupOps.keepBest]], which ranks text clusters by an
+    * extrinsic quality score; embeddings carry no such signal, so
+    * TYPICALITY — closeness to the cluster centroid — is the selection
+    * rule (Abbas et al. 2023 prescribe exactly this reduction for
+    * semantic-duplicate clusters).
+    *
+    * Determinism: the mean is the bp-quantize-then-average rule
+    * ([[refineCentroids]]'s construction — integer bp sums, one double
+    * division per dimension), so both engines build bit-identical mean
+    * vectors; member cosines are [[graft.functions.VecDot]] /
+    * `list_dot_product` left-to-right double folds over those identical
+    * values, so the argmax order is portable.
+    *
+    * Scale shape: one posexplode to (cluster, dim) — a |clusters|·d
+    * hash aggregate with map-side combine (the [[classPrototypes]]
+    * shape); means hash-join back to members on the cluster key; the
+    * per-cluster argmax is `row_number() = 1`, which
+    * [[graft.plans.GroupTopKRewrite]] lowers to bounded single-row
+    * heaps. Nothing quadratic, no driver state — `clusters` itself
+    * arrives checkpointed from [[DedupOps.dedupClusters]], so its two
+    * consumers here re-read the checkpoint, not the CC loop.
+    *
+    * Output: (cluster_id, n_vecs, keep_id, keep_cos_bp) by cluster_id.
+    */
+  def clusterKeepBest(
+      emb: DataFrame,
+      clusters: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val memb = clusters.select(col(idCol), col("cluster_id"))
+      .join(emb.select(col(idCol), col(embCol).as("e")), Seq(idCol))
+    val means = memb
+      .select(col("cluster_id"),
+        posexplode(transform(col("e"), x => TextOps.roundBp(x))))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy(col("cluster_id"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("s").cast("double") / (col("cnt") * lit(10000.0))).as("v")))).as("pv"))
+      .select(col("cluster_id"), transform(col("pv"), p => p.getField("v")).as("ce"))
+      .select(col("cluster_id"), col("ce"), sqrt(dot(col("ce"), col("ce"))).as("cn"))
+    val scored = memb.join(means, Seq("cluster_id"))
+      .select(col("cluster_id"), col(idCol),
+        (dot(col("e"), col("ce")) / (l2Norm(col("e")) * col("cn"))).as("cos"))
+    val wc = Window.partitionBy(col("cluster_id"))
+    val wr = Window.partitionBy(col("cluster_id")).orderBy(col("cos").desc, col(idCol))
+    scored
+      .withColumn("n_vecs", count(lit(1)).over(wc))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("n_vecs"), col(idCol).as("keep_id"),
+        TextOps.roundBp(col("cos")).as("keep_cos_bp"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** `embeddings` plus planted exact-duplicate vectors (every 100th vec_id,
     * id + [[DedupOps.plantStep]] = max(vec_id)+1, so planted ids stay above
     * every real id at any corpus scale) — the embedding analog of

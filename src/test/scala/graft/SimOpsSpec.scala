@@ -690,4 +690,19 @@ class SimOpsSpec extends SparkSpec {
     assert(got(100L) == ((4L, 0L, 10000L, 0L, -10000L)))
     assert(got(101L) == ((0L, 4L, 0L, 10000L, 10000L)))
   }
+
+  test("clusterKeepBest: typicality argmax per cluster, ties to smallest id") {
+    val vecs = emb(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 1f), 0), (3L, Seq(0f, 1f), 0),
+      (10L, Seq(5f, 5f), 0), (11L, Seq(5f, 5f), 0))
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("vec_id", "cluster_id")
+    val got = SimOps.clusterKeepBest(vecs, clusters)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster 1: the bp-mean of {(1,0),(1,1),(0,1)} is parallel to (1,1),
+    // so member 2 is kept at cos_bp 10000 while the boundary members sit
+    // at ~7071; cluster 10: identical vectors tie at cos 1.0 and the
+    // smaller id wins
+    assert(got == Seq((1L, 3L, 2L, 10000L), (10L, 2L, 10L, 10000L)))
+  }
 }
