@@ -333,12 +333,26 @@ object StatsOps {
       .groupBy(col("e.a").as("a"), col("e.b").as("b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
-    // confidence is asymmetric: each surviving pair yields both directions
-    val dir = pc.select(col("a").as("ante"), col("b").as("cons"), col("n_ab"))
-      .unionByName(pc.select(col("b").as("ante"), col("a").as("cons"), col("n_ab")))
+    // confidence is asymmetric: each surviving pair yields both directions.
+    // In-row array explode, NOT `pc union pc.swapped`: a union's two
+    // branches are two separate physical pipelines, so the whole
+    // scan→baskets→pair-count chain (the query's heavy part) would
+    // execute twice (plan-audited r14: 5 lineitem scans before, 3 after).
+    val dir = pc.select(explode(array(
+        struct(col("a").as("ante"), col("b").as("cons")),
+        struct(col("b").as("ante"), col("a").as("cons")))).as("r"), col("n_ab"))
+      .select(col("r.ante").as("ante"), col("r.cons").as("cons"), col("n_ab"))
+    // both broadcasts ship the SAME (p, n_p) frame un-renamed: identical
+    // canonicalized exchanges, so ReuseExchange builds the per-item count
+    // table once and the second join reads the first broadcast (renaming
+    // before the broadcast — the old shape — defeats the reuse and
+    // re-runs the scan+distinct+agg pipeline per direction)
     val rules = dir
-      .join(broadcast(itemN.select(col("p").as("ante"), col("n_p").as("n_ante"))), "ante")
-      .join(broadcast(itemN.select(col("p").as("cons"), col("n_p").as("n_cons"))), "cons")
+      .join(broadcast(itemN), col("ante") === itemN("p"))
+      .select(col("ante"), col("cons"), col("n_ab"), col("n_p").as("n_ante"))
+      .join(broadcast(itemN), col("cons") === itemN("p"))
+      .select(col("ante"), col("cons"), col("n_ab"), col("n_ante"),
+        col("n_p").as("n_cons"))
       .crossJoin(broadcast(nOrders))
       .select(col("ante"), col("cons"), col("n_ab"),
         // decimal(38,0) numerators/denominators (HUGEINT in the oracle):
