@@ -680,11 +680,17 @@ object DedupOps {
     *
     * Shape: spans are doc-bounded (the [[DefaultMaxBucket]]-capped
     * pairing), the strike positions explode from spans (span-volume, not
-    * corpus-volume), the kept set is one LEFT ANTI join of the token
-    * stream against them, and reassembly is a sort_array over per-doc
-    * collected (pos, tok) structs — per-doc-sized arrays, never a window
-    * over the corpus. Docs with every token struck emit the empty-string
-    * md5, never a missing row.
+    * corpus-volume), struck tokens are marked by one LEFT join of the
+    * token stream against them, and ONE per-doc aggregate produces the
+    * token count, the struck count, and the reassembled text together
+    * (`collect_list` skips the nulled-out struck entries; sort_array over
+    * per-doc (pos, tok) structs — per-doc-sized arrays, never a window
+    * over the corpus). The tokenize→posexplode pipeline — the pass that
+    * re-reads every byte of text — runs ONCE (plan-audited r14: the old
+    * anti-join + re-tokenized final join scanned the corpus text twice);
+    * the closing left join that keeps token-free docs in the output reads
+    * only the id column. Docs with every token struck (or none to begin
+    * with) emit the empty-string md5, never a missing row.
     *
     * Output: (idCol, n_tokens, n_struck, clean_md5) ordered by doc id.
     */
@@ -699,22 +705,25 @@ object DedupOps {
       .select(col("id_b").as(idCol),
         explode(sequence(col("pos_b"), col("pos_b") + col("span_len") - 1)).as("pos"))
       .distinct()
-    val toks = corpus.select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
-    val pos = toks
+      .withColumn("struck", lit(1))
+    val pos = corpus
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
       .select(col(idCol), posexplode(col("t")).as(Seq("p0", "tok")))
       .select(col(idCol), (col("p0") + 1).cast("long").as("pos"), col("tok"))
     val kept = pos
-      .join(struckPos, Seq(idCol, "pos"), "left_anti")
+      .join(struckPos, Seq(idCol, "pos"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(count(lit(1)).as("n_toks"),
+        count(col("struck")).as("n_strk"),
         array_join(transform(
-          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          sort_array(collect_list(
+            when(col("struck").isNull, struct(col("pos"), col("tok"))))),
           s => s("tok")), " ").as("clean"))
-    toks
+    corpus.select(col(idCol))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol),
-        size(col("t")).cast("long").as("n_tokens"),
-        (size(col("t")) - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_struck"),
+        coalesce(col("n_toks"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_strk"), lit(0L)).as("n_struck"),
         md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
       .orderBy(col(idCol))
   }
