@@ -958,10 +958,12 @@ object DedupOps {
     * the exact shingle Jaccard ≥ `thresholdBp` over pairs touching ~64
     * hash-chosen ANCHOR docs, computed through the inverted shingle index
     * restricted to anchor postings — O(Σ docfreq(anchor shingles)), never
-    * corpus² — with the same set arithmetic as [[verifiedNearDups]]'s
-    * verify stage; found is the verified pipeline's anchor-touching
-    * pairs. One count() + the deterministic id-hash anchor rule, so the
-    * oracle reproduces the sample.
+    * corpus² — by postings arithmetic (each posting carries its doc's
+    * distinct-shingle count; the hit count per pair IS the intersection,
+    * union by inclusion–exclusion — the [[jaccardPairs]] core's rule), so
+    * the shingle pipeline runs once; found is the verified pipeline's
+    * anchor-touching pairs. One count() + the deterministic id-hash
+    * anchor rule, so the oracle reproduces the sample.
     *
     * Output (one row): (n_anchors, n_truth, n_found, recall_bp).
     */
@@ -981,20 +983,27 @@ object DedupOps {
     val anch = s.filter(
       StableHash.hash60(col(idCol).cast("string")) % every === 0)
       .select(col(idCol).as("a_id"), col("shs").as("a_shs"))
-    val ainv = anch.select(col("a_id"), explode(col("a_shs")).as("sh"))
-    val inv = s.select(col(idCol), explode(col("shs")).as("sh"))
-    val candIds = inv.join(broadcast(ainv), Seq("sh"))
+    val ainv = anch.select(col("a_id"), size(col("a_shs")).as("n_a"),
+      explode(col("a_shs")).as("sh"))
+    // postings arithmetic, not a join back to the shingled corpus: each
+    // posting carries its doc's distinct-shingle count, so the exact
+    // Jaccard is inter/(n_a + n_d − inter) with inter counted from the
+    // anchor-postings hits directly (shingle arrays are array_distinct,
+    // so the hit count IS the intersection size). The old shape re-ran
+    // the whole tokenize+shingle pipeline a second time to fetch
+    // candidate arrays, plus a candidate-distinct shuffle (plan-audited
+    // r14: 24 corpus scans → 18).
+    val inv = s.select(col(idCol), size(col("shs")).as("n_d"),
+      explode(col("shs")).as("sh"))
+    val truth = inv.join(broadcast(ainv), Seq("sh"))
       .filter(col(idCol) =!= col("a_id"))
-      .select(col("a_id"), col(idCol)).distinct()
-    val truth = candIds
-      .join(broadcast(anch), Seq("a_id"))
-      .join(s, Seq(idCol))
+      .groupBy(col("a_id"), col("n_a"), col(idCol), col("n_d"))
+      .agg(count(lit(1)).as("inter"))
       .select(
         least(col("a_id"), col(idCol)).as("pa"),
         greatest(col("a_id"), col(idCol)).as("pb"),
-        TextOps.roundBp(
-          size(array_intersect(col("a_shs"), col("shs"))).cast("double") /
-            size(array_union(col("a_shs"), col("shs"))).cast("double")).as("jac_bp"))
+        TextOps.roundBp(col("inter").cast("double") /
+          (col("n_a") + col("n_d") - col("inter")).cast("double")).as("jac_bp"))
       .filter(col("jac_bp") >= thresholdBp)
       .select(col("pa"), col("pb")).distinct()
     val vp = verifiedNearDups(corpus, idCol, textCol, numHashes, bands,
