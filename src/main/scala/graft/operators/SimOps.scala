@@ -586,17 +586,21 @@ object SimOps {
 
   /** [[cellArgmax]] generalized to the top-`p` cells — the fold that
     * finishes what the r12 probe-2 commit started: ONE pass over the
-    * broadcast c_id-sorted centroid array keeps a ≤ p array of (csim,
-    * c_id) via sorted insert (`filter`/`concat`/`slice` on the
-    * accumulator: incumbents with sim ≥ the newcomer stay ahead, so an
-    * equal-sim later cell never displaces an earlier one but may take a
-    * lower slot — exactly the window's (csim desc, c_id asc) tie-break),
-    * then posexplodes to ≤ p (crn, c_id) rows per vector. Replaces both
+    * broadcast c_id-sorted centroid array keeps the best p (csim, c_id)
+    * in a p-SLOT struct accumulator (a generated when-chain: insertion at
+    * the first slot the score strictly exceeds, equal-sim newcomers fall
+    * through so an earlier cell never loses its slot — exactly the
+    * window's (csim desc, c_id asc) tie-break), then explodes the ≤ p
+    * non-empty slots to (crn, c_id) rows per vector. Replaces both
     * r12's fixed two-slot fold AND the probes ≥ 3 fallback through
     * [[cellRank]]'s O(N·nlist) window shuffle: every probe setting now
-    * rides the same zero-row-explosion shape, O(nlist·p) array work per
+    * rides the same zero-row-explosion shape, O(nlist·p) compares per
     * row, no shuffle beyond the one-row broadcast. Each centroid's dot is
-    * computed once (`transform` first, fold over the scored array).
+    * computed once (`transform` first, fold over the scored array), and
+    * the fold step allocates only when a slot improves (the r13
+    * array-surgery insert paid several array allocations per centroid
+    * per row — the measured 6.3×-over-flat assignment wall at ×10
+    * occupancy-preserving nlist that motivated this shape).
     *
     * Degenerate rows: a NULL similarity (NULL embedding or element) is
     * dropped BEFORE the fold, so a vector ranks only among its non-NULL
@@ -609,24 +613,52 @@ object SimOps {
       n: DataFrame, cents: DataFrame, idCol: String, p: Int): DataFrame = {
     val carr = cents.agg(
       sort_array(collect_list(struct(col("c_id"), col("ce"), col("cn")))).as("cs"))
+    // p-SLOT STRUCT accumulator, not array surgery. `p` is a Scala-side
+    // constant, so the insert is a generated when-chain over p fixed
+    // slots (slot i = i-th best (s, c) so far, s = −inf / c = −1 empty):
+    // insertion lands at the FIRST slot the score strictly exceeds —
+    // equal scores fall through, and iteration order is c_id ascending,
+    // so the final order is exactly (s desc, c_id asc), the window's.
+    // The r13 shape rebuilt the accumulator ARRAY every step (two
+    // `filter` traversals + `concat` + `slice` → several GenericArrayData
+    // allocations per CENTROID per row — measured 6.3× the flat argmax
+    // wall at ×10 occupancy-preserving nlist, and the ×100 leg was still
+    // folding at 25 min where flat finishes in 40 s); the struct chain
+    // does p field compares and allocates ONLY on the rare improving
+    // step, putting the probes knob back at ~pair-volume cost.
+    def slots(vals: Seq[(Column, Column)]): Column =
+      struct(vals.zipWithIndex.flatMap { case ((s, c), i) =>
+        Seq(s.as(s"s${i + 1}"), c.as(s"c${i + 1}")) }: _*)
+    val init = slots(Seq.fill(p)((lit(Double.NegativeInfinity), lit(-1L))))
     n.crossJoin(broadcast(carr))
       .select(col(idCol), col("e"), col("nrm"),
         aggregate(
-          filter(
-            transform(col("cs"), c => struct(
-              (dot(col("e"), c("ce")) / (col("nrm") * c("cn"))).as("s"),
-              c("c_id").as("c"))),
-            x => x("s").isNotNull),
-          array().cast("array<struct<s:double,c:bigint>>"),
-          (acc, x) => slice(
-            concat(
-              filter(acc, a => a("s") >= x("s")),
-              array(x),
-              filter(acc, a => a("s") < x("s"))),
-            1, p)).as("top"))
-      .select(col(idCol), col("e"), col("nrm"), posexplode(col("top")))
+          // score each centroid ONCE (transform before the fold — an
+          // inline `s` in the when-chain would re-evaluate the dot per
+          // slot test); NULL sims never pass a `>` test, so they fall
+          // through every slot — the same dropped-before-ranking
+          // contract as the filter the array shape used
+          transform(col("cs"), c => struct(
+            (dot(col("e"), c("ce")) / (col("nrm") * c("cn"))).as("s"),
+            c("c_id").as("c"))),
+          init,
+          (acc, x) => {
+            val inserted = (1 to p).map { i =>
+              slots((1 until i).map(j => (acc(s"s$j"), acc(s"c$j"))) ++
+                Seq((x("s"), x("c"))) ++
+                (i until p).map(j => (acc(s"s$j"), acc(s"c$j"))))
+            }
+            (1 to p).foldRight(acc) { (i, els) =>
+              when(x("s") > acc(s"s$i"), inserted(i - 1)).otherwise(els)
+            }
+          },
+          acc => filter(
+            array((1 to p).map(i =>
+              struct(acc(s"c$i").as("c"), lit(i).as("crn"))): _*),
+            t => t("c") >= 0)).as("top"))
+      .select(col(idCol), col("e"), col("nrm"), explode(col("top")).as("t"))
       .select(col(idCol), col("e"), col("nrm"),
-        col("col.c").as("c_id"), (col("pos") + 1).cast("int").as("crn"))
+        col("t.c").as("c_id"), col("t.crn").cast("int").as("crn"))
   }
 
   private def rankTopK(pairs: DataFrame, k: Int, idCol: String): DataFrame = {
@@ -1155,12 +1187,23 @@ object SimOps {
     val cents = normalized(emb, idCol, embCol).filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
     val nR = normalized(reps, idCol, embCol)
-    val ranked = (if (hier)
+    val rankedLazy = (if (hier)
         cellArgmaxHier(nR, cents, idCol, superProbes).withColumn("crn", lit(1))
       else if (probes == 1) cellArgmax(nR, cents, idCol).withColumn("crn", lit(1))
       else cellArgTopP(nR, cents, idCol, probes))
       .select(col(idCol), col("e"), col("nrm"), col("c_id"), col("crn"))
       .repartition(col("c_id"))
+    // probes > 1 gives the assignment THREE consumers (the home-cap
+    // window, the ok-id restriction, and the probe-side join), and the
+    // filter/prune pushdown each applies below the repartition
+    // de-canonicalizes the three subplans, so ReuseExchange never
+    // collapses them — the fold pipeline re-executes per consumer (and
+    // InferFiltersFromGenerate duplicates it once more into the explode's
+    // inferred non-empty filter). Eager localCheckpoint materializes the
+    // assignment ONCE; blocks stay alive for the caller's lazy result
+    // (the [[DedupOps.dedupClustersDetailed]] discipline). probes = 1 and
+    // hier are single-pipeline consumers — kept lazy.
+    val ranked = if (probes > 1) rankedLazy.localCheckpoint(true) else rankedLazy
     val home = ranked.filter(col("crn") === 1)
       .select(col(idCol), col("e"), col("nrm"), col("c_id"))
     val wCell = Window.partitionBy(col("c_id")).orderBy(col(idCol))

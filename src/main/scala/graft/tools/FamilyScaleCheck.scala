@@ -2,8 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.DataFrame
 
+import org.apache.spark.sql.functions.col
+
 import graft.GraftSession
-import graft.operators.{DedupOps, MultimodalOps, TextOps}
+import graft.operators.{DedupOps, MultimodalOps, SimOps, TextOps}
 
 /** Measured-decade (1×/10×/100×) rehearsal for the heaviest round-11
   * families — exact-substring spans, the strike edit pass, and CDC storage
@@ -37,6 +39,7 @@ object FamilyScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+    def embs(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
 
     val ops: Seq[(String, String => DataFrame)] = Seq(
       "q_dedup_substring" ->
@@ -56,7 +59,30 @@ object FamilyScaleCheck {
       "q_unigram_lm" ->
         ((dir: String) => TextOps.unigramLm(docs(dir))),
       "q_pack_curriculum" ->
-        ((dir: String) => TextOps.packCurriculum(docs(dir), budget = 512)))
+        ((dir: String) => TextOps.packCurriculum(docs(dir), budget = 512)),
+      // r14: the round's new declared shapes. keep_best rides the full
+      // pairs→clusters→selection chain (CC state is the pair graph —
+      // density growth multiplies cluster sizes, extent growth cluster
+      // count; the means aggregate is |clusters|·d either way), and the
+      // cells flat-vs-p2 pair prices the probes knob's "exactly 2× pair
+      // volume, zero extra assignment" claim as walls
+      "q_embed_keep_best" ->
+        ((dir: String) => {
+          val planted = SimOps.plantedVectors(embs(dir))
+          SimOps.clusterKeepBest(planted,
+            DedupOps.dedupClusters(
+              SimOps.nearDupPairs(planted, bits = SimOps.autoSignBits(planted))
+                .select(col("id_a"), col("id_b")))
+              .withColumnRenamed("doc_id", "vec_id"))
+        }),
+      "q_embed_cells_flat" ->
+        ((dir: String) => SimOps.cellNearDupPairs(
+          SimOps.plantedVectors(embs(dir)),
+          centroidPred = SimOps.hashCentroidPred(64))),
+      "q_embed_cells_p2" ->
+        ((dir: String) => SimOps.cellNearDupPairs(
+          SimOps.plantedVectors(embs(dir)),
+          centroidPred = SimOps.hashCentroidPred(64), probes = 2)))
 
     // noop-write timing, NOT count(): under count() Catalyst prunes the
     // unobserved columns (strike's md5 reassembly, spans' positions) and
@@ -67,9 +93,15 @@ object FamilyScaleCheck {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // optional 4th arg: comma-separated op-name subset (re-measure one
+    // family without paying the whole sweep — the Verify-subset pattern)
+    val keep = if (args.length > 3)
+      Option(args(3).split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    else None
+    val run = ops.filter { case (n, _) => keep.forall(_.contains(n)) }
     // JIT/codegen warm-up at the smallest SF
-    ops.foreach { case (_, f) => once(f, "/root/testdata/sf0.001") }
-    for ((name, f) <- ops; (label, dir) <- Seq("sf0.1" -> sf01, "x10" -> x10, "x100" -> x100)) {
+    run.foreach { case (_, f) => once(f, "/root/testdata/sf0.001") }
+    for ((name, f) <- run; (label, dir) <- Seq("sf0.1" -> sf01, "x10" -> x10, "x100" -> x100)) {
       val t = math.min(once(f, dir), once(f, dir))
       val n = f(dir).count() // rows for the growth law, untimed
       println(f"[famscale] $name%-18s $label%-5s: $t%6.1f s (min of 2), rows=$n")
