@@ -1273,6 +1273,16 @@ object SparkEntry {
       val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
       SimOps.nearDupRecallAudit(planted, bits = SimOps.autoSignBits(planted))
     }),
+    // The cells leg of the recall-audit family: q_embed_neardup_cells_p2's
+    // exact pairing scored against the SAME anchor-sample truth as the
+    // sign-LSH audit — the oracle-verified form of the SKEW recall grid's
+    // cells rows, making the sign-LSH -> cell-geometry handoff a declared
+    // number on the same corpus.
+    "q_recall_audit_cells" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      SimOps.cellRecallAudit(planted,
+        centroidPred = SimOps.hashCentroidPred(64), probes = 2)
+    }),
     // Cross-SOURCE contamination matrix: exact 3-shingle Jaccard between
     // every source pair via source-bounded postings — the rollup a mixture
     // designer reads before setting sampling weights.
@@ -2232,7 +2242,18 @@ object SparkEntry {
     * quantizer when `hier` — the duckKnnHierSql construction), id-rank
     * 256-cap per cell, within-cell threshold pairing, member re-attach.
     */
-  private def duckCellsSql(hier: Boolean, probes: Int = 1): String = {
+  private def duckCellsSql(hier: Boolean, probes: Int = 1): String =
+    s"${duckCellsCtes(hier, probes)} " +
+      "SELECT id_a, id_b, cos_bp FROM " +
+      "(SELECT * FROM crossp UNION ALL SELECT * FROM intra) " +
+      "ORDER BY id_a, id_b"
+
+  /** The [[duckCellsSql]] CTE chain without the final member-pair SELECT —
+    * shared with the cells recall-audit oracle, which scores the `rp`
+    * rep-pair CTE (the rep-rep restriction of the declared output)
+    * against the anchor truth instead of emitting the re-attached pairs.
+    */
+  private def duckCellsCtes(hier: Boolean, probes: Int = 1): String = {
     val assign =
       if (!hier)
         "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
@@ -2299,10 +2320,7 @@ object SparkEntry {
       "JOIN emem ma ON rp.ra = ma.rep JOIN emem mb ON rp.rb = mb.rep), " +
       "intra AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, " +
       "CAST(10000 AS BIGINT) AS cos_bp FROM emem x JOIN emem y " +
-      "ON x.rep = y.rep AND x.vec_id < y.vec_id) " +
-      "SELECT id_a, id_b, cos_bp FROM " +
-      "(SELECT * FROM crossp UNION ALL SELECT * FROM intra) " +
-      "ORDER BY id_a, id_b"
+      "ON x.rep = y.rep AND x.vec_id < y.vec_id)"
   }
 
   /** DuckDB mirror of SimOps.knnGraphHier at `superProbes`: √nlist-strided
@@ -4411,6 +4429,29 @@ object SparkEntry {
     // flat chain at probes=2: a-side = top-2 cells of home-cap survivors,
     // b-side = capped home membership, DISTINCT on the unordered pair
     "q_embed_neardup_cells_p2" -> duckCellsSql(hier = false, probes = 2),
+    // mirrors SimOps.cellRecallAudit at probes = 2: the cells CTE chain's
+    // rep-pair set `rp` (the rep-rep restriction of the declared member
+    // output) anchor-restricted and divided into the same anchor truth
+    // as the q_recall_audit_neardup oracle, built over the cells chain's
+    // rep frame `n`
+    "q_recall_audit_cells" ->
+      (s"${duckCellsCtes(hier = false, probes = 2)}, " +
+        "anch AS (SELECT vec_id AS a_id, e AS ae, nrm AS an FROM n " +
+        s"WHERE ${StableHash.hash60Sql("CAST(vec_id AS VARCHAR)")} % " +
+        "greatest(1, CAST(ceil((SELECT count(*) FROM n) / 64.0) AS BIGINT)) = 0), " +
+        "tp AS (SELECT DISTINCT least(n.vec_id, a.a_id) AS pa, " +
+        "greatest(n.vec_id, a.a_id) AS pb FROM n CROSS JOIN anch a " +
+        "WHERE n.vec_id <> a.a_id AND " +
+        s"${TextOps.roundBpSql("list_dot_product(n.e, a.ae) / (n.nrm * a.an)")} >= 4000), " +
+        "fa AS (SELECT DISTINCT ra AS pa, rb AS pb FROM rp JOIN anch " +
+        "ON rp.ra = anch.a_id OR rp.rb = anch.a_id) " +
+        "SELECT (SELECT count(*) FROM anch) AS n_anchors, " +
+        "(SELECT count(*) FROM tp) AS n_truth, " +
+        "(SELECT count(*) FROM fa) AS n_found, " +
+        "CASE WHEN (SELECT count(*) FROM tp) > 0 THEN " +
+        TextOps.floorDivSql("(SELECT count(*) FROM fa) * 10000",
+          "(SELECT count(*) FROM tp)") +
+        " ELSE 10000 END AS recall_bp"),
     // mirrors SimOps.semDedup: exact-dedup-first (identical embeddings
     // collapse to a min-id rep; members never survive), √N-sized
     // hash-sampled centroids over the FULL planted corpus, rep-only cell

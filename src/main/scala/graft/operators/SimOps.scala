@@ -1087,6 +1087,35 @@ object SimOps {
       maxBucket: Int = DedupOps.DefaultMaxBucket,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    val (n, anchors, truthPairs) = anchorTruth(emb, thresholdBp, idCol, embCol)
+    val bucketed = n.withColumn("bucket", signBucket(col("e"), bits))
+      .repartition(col("bucket"))
+    val wB = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    val capped = (if (maxBucket <= 0) bucketed
+      else bucketed.withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= maxBucket))
+      .select(col(idCol), col("e"), col("nrm"), col("bucket"))
+    val foundPairs = capped.alias("a")
+      .join(capped.alias("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("pa"), col(s"b.$idCol").as("pb"),
+        TextOps.roundBp(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_bp"))
+      .filter(col("cos_bp") >= thresholdBp)
+      .select(col("pa"), col("pb"))
+    recallStats(anchors, truthPairs, foundPairs)
+  }
+
+  /** The anchor-sample exact-truth construction every recall audit
+    * shares: dedup-first reps, ~64 hash-chosen anchors (one count() +
+    * the deterministic id-hash rule, the [[sqrtCentroidPred]]
+    * discipline, so the oracle reproduces the sample), and the exact
+    * truth pairs from scoring every rep against the broadcast anchors —
+    * O(anchors·reps), never reps². Returns (normalized reps, anchors
+    * (a_id, ae, an), truth pairs (pa, pb)). */
+  private def anchorTruth(
+      emb: DataFrame, thresholdBp: Int, idCol: String, embCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val groups = emb.groupBy(col(embCol)).agg(min(col(idCol)).as("rep_id"))
     val reps = groups.select(col("rep_id").as(idCol), col(embCol))
     val nReps = reps.count()
@@ -1105,21 +1134,14 @@ object SimOps {
           .as("cos_bp"))
       .filter(col("cos_bp") >= thresholdBp)
       .select(col("pa"), col("pb")).distinct()
-    val bucketed = n.withColumn("bucket", signBucket(col("e"), bits))
-      .repartition(col("bucket"))
-    val wB = Window.partitionBy(col("bucket")).orderBy(col(idCol))
-    val capped = (if (maxBucket <= 0) bucketed
-      else bucketed.withColumn("rk", row_number().over(wB))
-        .filter(col("rk") <= maxBucket))
-      .select(col(idCol), col("e"), col("nrm"), col("bucket"))
-    val foundPairs = capped.alias("a")
-      .join(capped.alias("b"),
-        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("pa"), col(s"b.$idCol").as("pb"),
-        TextOps.roundBp(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
-          .as("cos_bp"))
-      .filter(col("cos_bp") >= thresholdBp)
-      .select(col("pa"), col("pb"))
+    (n, anchors, truthPairs)
+  }
+
+  /** Anchor-restrict `foundPairs` (pa, pb) and fold the three counts into
+    * the one-row recall report shared by every recall audit. */
+  private def recallStats(
+      anchors: DataFrame, truthPairs: DataFrame, foundPairs: DataFrame)
+      : DataFrame = {
     val anchorIds = anchors.select(col("a_id"))
     val foundAnchor = foundPairs
       .join(broadcast(anchorIds),
@@ -1132,6 +1154,40 @@ object SimOps {
       expr(s"CASE WHEN n_truth > 0 THEN " +
         TextOps.floorDivSql("n_found * 10000", "n_truth") +
         " ELSE 10000 END").as("recall_bp"))
+  }
+
+  /** RECALL audit for [[cellNearDupPairs]] — the cell-geometry leg of the
+    * recall-audit family, scoring the DECLARED loose-threshold cell
+    * pairing against the same anchor-sample exact truth
+    * [[nearDupRecallAudit]] uses for sign-LSH (identical anchor rule and
+    * truth construction, so the two audits' numbers are directly
+    * comparable on the same corpus). `found` is the declared pairing's
+    * output itself — [[cellNearDupPairs]] at the given probes — restricted
+    * to rep-rep pairs (truth lives on the rep universe; a member pair
+    * exists iff its rep pair does, exact-dup groups sharing one
+    * embedding, so the restriction is lossless) and to anchor-touching
+    * pairs. The boundary loss this measures is the IVF trade the probes
+    * knob buys back ([[cellArgTopP]]).
+    *
+    * Output (one row): (n_anchors, n_truth, n_found, recall_bp).
+    */
+  def cellRecallAudit(
+      emb: DataFrame,
+      centroidPred: Column,
+      thresholdBp: Int = 4000,
+      maxCell: Int = DefaultMaxCell,
+      probes: Int = 1,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val (n, anchors, truthPairs) = anchorTruth(emb, thresholdBp, idCol, embCol)
+    val repIds = n.select(col(idCol).as("rid"))
+    val cellPairs = cellNearDupPairs(emb, centroidPred, thresholdBp, maxCell,
+        hier = false, superProbes = 1, probes = probes,
+        idCol = idCol, embCol = embCol)
+      .join(repIds.as("rx"), col("id_a") === col("rx.rid"))
+      .join(repIds.as("ry"), col("id_b") === col("ry.rid"))
+      .select(col("id_a").as("pa"), col("id_b").as("pb"))
+    recallStats(anchors, truthPairs, cellPairs)
   }
 
   /** Loose-threshold near-duplicate pairs through IVF CELL GEOMETRY — the

@@ -538,6 +538,36 @@ class SimOpsSpec extends SparkSpec {
     assert(s1.subsetOf(s2) && s2.size > s1.size, s"${s2.size} vs ${s1.size}")
   }
 
+  test("cellRecallAudit: hand-counted truth on the boundary fixture; monotone in probes") {
+    // same fixture as above: 4 reps -> every = ceil(4/64) = 1 -> ALL reps
+    // are anchors, and the only cos >= .9 rep pair is the border pair
+    // (3,4) — so the audit's numbers are hand-countable: probes=1 finds
+    // nothing (recall 0), probes=2 recovers exactly it (recall 10000)
+    val df = emb(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 0),
+      (3L, Seq(1f, 0.9f, 0f, 0f), 0),
+      (4L, Seq(0.7f, 1f, 0f, 0f), 0))
+    def audit(p: Int) = SimOps.cellRecallAudit(df,
+      centroidPred = col("vec_id").isin(1L, 2L), thresholdBp = 9000, probes = p)
+      .as[(Long, Long, Long, Long)].head()
+    assert(audit(1) == ((4L, 1L, 0L, 0L)), "probes=1 must miss the border pair")
+    assert(audit(2) == ((4L, 1L, 1L, 10000L)), "probes=2 must recover it")
+    // the planted sf corpus: anchors/truth are pairing-independent, found
+    // is monotone in probes and bounded by truth (found pairs all satisfy
+    // the threshold and touch an anchor, so they are a truth subset), and
+    // recall_bp is exactly the floor division
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    def sfa(p: Int) = SimOps.cellRecallAudit(planted,
+      centroidPred = SimOps.hashCentroidPred(64), probes = p)
+      .as[(Long, Long, Long, Long)].head()
+    val (a1, t1, f1, _) = sfa(1)
+    val (a2, t2, f2, r2) = sfa(2)
+    assert(a1 == a2 && t1 == t2, "anchor sample and truth must not depend on probes")
+    assert(f1 <= f2 && f2 <= t2, s"found monotone and truth-bounded: $f1 <= $f2 <= $t2")
+    assert(r2 == (if (t2 > 0) f2 * 10000 / t2 else 10000L))
+  }
+
   test("cellNearDupPairs: maxCell caps pairing by id rank within a cell") {
     // one cell (single centroid direction), 5 near-identical vectors;
     // cap=3 -> only reps ranked 1..3 pair: C(3,2)=3 pairs, none involve 4/5
