@@ -212,8 +212,11 @@ object Bench {
     val passes = names.map(n =>
       s""""$n":[${allPasses.map(p => secOrNull(p(n))).mkString(",")}]""")
       .mkString("{", ",", "}")
+    // getSystemLoadAverage returns -1.0 where unsupported — emit null so
+    // the artifact distinguishes "unmeasurable" from a real reading
+    def laJson(x: Double): String = if (x < 0) "null" else x.toString
     val loadJson = passLoads
-      .map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+      .map { case (a, b) => s"[${laJson(a)},${laJson(b)}]" }.mkString("[", ",", "]")
     val fullJson = json.dropRight(1) +
       s""","mode":"$mode","order":"$order","restart_every":$restartEvery,""" +
       s""""loadavg":$loadJson,"passes":$passes}"""

@@ -1570,6 +1570,18 @@ object SparkEntry {
       SimOps.cellNearDupPairs(planted,
         centroidPred = SimOps.hashCentroidPred(64), probes = 2)
     }),
+    // The probes lever ON the two-level quantizer (cellArgTopPHier):
+    // the boundary-recall knob carried past the flat fold's ~1M-centroid
+    // broadcast limit — each rep keeps its 2 best cells across its home
+    // supercell's block (block-restricted top-P fold, same linear
+    // fan-out). The r14 gap this closes: hier's only knob was
+    // superProbes, which recovered ~a sixth of what p2 buys (flat-p2 358
+    // vs hier-sp2 94 on extent x100).
+    "q_embed_neardup_cells_hier_p2" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      SimOps.cellNearDupPairs(planted,
+        centroidPred = SimOps.hashCentroidPred(64), hier = true, probes = 2)
+    }),
     "q_embed_pipeline" -> ((s, dir) => {
       val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
       val dropIds = SimOps.nearDupPairs(planted, bits = SimOps.autoSignBits(planted))
@@ -2242,8 +2254,8 @@ object SparkEntry {
     * quantizer when `hier` — the duckKnnHierSql construction), id-rank
     * 256-cap per cell, within-cell threshold pairing, member re-attach.
     */
-  private def duckCellsSql(hier: Boolean, probes: Int = 1): String =
-    s"${duckCellsCtes(hier, probes)} " +
+  private def duckCellsSql(hier: Boolean, probes: Int = 1, superProbes: Int = 1): String =
+    s"${duckCellsCtes(hier, probes, superProbes)} " +
       "SELECT id_a, id_b, cos_bp FROM " +
       "(SELECT * FROM crossp UNION ALL SELECT * FROM intra) " +
       "ORDER BY id_a, id_b"
@@ -2253,7 +2265,7 @@ object SparkEntry {
     * rep-pair CTE (the rep-rep restriction of the declared output)
     * against the anchor truth instead of emitting the re-attached pairs.
     */
-  private def duckCellsCtes(hier: Boolean, probes: Int = 1): String = {
+  private def duckCellsCtes(hier: Boolean, probes: Int = 1, superProbes: Int = 1): String = {
     val assign =
       if (!hier)
         "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
@@ -2265,6 +2277,12 @@ object SparkEntry {
             s"asg2 AS (SELECT vec_id, e, nrm, c_id FROM r WHERE crn <= $probes), "
           else "")
       else
+        // the two-level quantizer (duckKnnHierSql's construction), with
+        // the probes knob riding the block-restricted ranking: bsr ranks
+        // each vector's candidate cells across the union of its scanned
+        // supercells' blocks (blocks partition the centroids, so no cell
+        // duplicates) — crn <= probes is cellArgTopPHier, crn = 1 is
+        // cellArgmaxHier
         "per AS (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS p FROM c), " +
           "sup AS (SELECT c_id AS sc_id, ce AS sce, cn AS scn FROM " +
           "(SELECT *, row_number() OVER (ORDER BY c_id) AS rk FROM c) " +
@@ -2276,12 +2294,16 @@ object SparkEntry {
           "vs0 AS (SELECT n.vec_id, n.e, n.nrm, sup.sc_id, " +
           "list_dot_product(n.e, sup.sce) / (n.nrm * sup.scn) AS s FROM n CROSS JOIN sup), " +
           "vs AS (SELECT vec_id, e, nrm, sc_id FROM (SELECT *, row_number() OVER " +
-          "(PARTITION BY vec_id ORDER BY s DESC, sc_id) AS rn FROM vs0) WHERE rn = 1), " +
+          s"(PARTITION BY vec_id ORDER BY s DESC, sc_id) AS rn FROM vs0) WHERE rn <= $superProbes), " +
           "bs AS (SELECT v.vec_id, v.e, v.nrm, c.c_id, " +
           "list_dot_product(v.e, c.ce) / (v.nrm * c.cn) AS s " +
           "FROM vs v JOIN c2s ON v.sc_id = c2s.sc_id JOIN c ON c.c_id = c2s.cid0), " +
-          "asg AS (SELECT vec_id, e, nrm, c_id FROM (SELECT *, row_number() OVER " +
-          "(PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn FROM bs) WHERE rn = 1), "
+          "bsr AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+          "ORDER BY s DESC, c_id) AS rn FROM bs), " +
+          "asg AS (SELECT vec_id, e, nrm, c_id FROM bsr WHERE rn = 1), " +
+          (if (probes > 1)
+            s"asg2 AS (SELECT vec_id, e, nrm, c_id FROM bsr WHERE rn <= $probes), "
+          else "")
     "WITH base AS (SELECT vec_id, embedding FROM embeddings " +
       s"UNION ALL SELECT vec_id + ${DedupOps.plantStepSql("embeddings", "vec_id")} " +
       "AS vec_id, embedding " +
@@ -4429,6 +4451,9 @@ object SparkEntry {
     // flat chain at probes=2: a-side = top-2 cells of home-cap survivors,
     // b-side = capped home membership, DISTINCT on the unordered pair
     "q_embed_neardup_cells_p2" -> duckCellsSql(hier = false, probes = 2),
+    // the probes knob on the two-level quantizer: crn <= 2 over the
+    // block-restricted ranking (bsr), same cap/pair/re-attach chain
+    "q_embed_neardup_cells_hier_p2" -> duckCellsSql(hier = true, probes = 2),
     // mirrors SimOps.cellRecallAudit at probes = 2: the cells CTE chain's
     // rep-pair set `rp` (the rep-rep restriction of the declared member
     // output) anchor-restricted and divided into the same anchor truth

@@ -68,7 +68,9 @@ object DedupOps {
     * derived).
     */
   def plantStep(docs: DataFrame, idCol: String): Long =
-    docs.agg(max(col(idCol)).cast("long")).head.getLong(0) + 1
+    // coalesce: max() is NULL on an empty corpus — step 0 (plant nothing)
+    // beats the opaque NPE getLong would throw
+    docs.agg(coalesce(max(col(idCol)).cast("long"), lit(-1L))).head.getLong(0) + 1
 
   /** DuckDB scalar-subquery mirror of [[plantStep]]. */
   def plantStepSql(table: String, idCol: String): String =

@@ -187,8 +187,11 @@ object SimOps {
     * (`tables = ⌊dim / bits⌋`: every dimension hashes exactly once) and
     * its `tables·bits ≤ dim` guard, so no caller bakes in a literal 64.
     */
-  def embDim(emb: DataFrame, embCol: String = "embedding"): Int =
-    emb.select(size(col(embCol)).as("d")).head.getInt(0)
+  def embDim(emb: DataFrame, embCol: String = "embedding"): Int = {
+    val h = emb.select(size(col(embCol)).as("d")).limit(1).collect()
+    require(h.nonEmpty, s"embDim: embedding frame is empty — cannot derive dim from '$embCol'")
+    h(0).getInt(0)
+  }
 
   /** DuckDB scalar-subquery mirror of [[embDim]] (max() for determinism —
     * all rows agree on a fixed-width corpus).
@@ -613,52 +616,125 @@ object SimOps {
       n: DataFrame, cents: DataFrame, idCol: String, p: Int): DataFrame = {
     val carr = cents.agg(
       sort_array(collect_list(struct(col("c_id"), col("ce"), col("cn")))).as("cs"))
-    // p-SLOT STRUCT accumulator, not array surgery. `p` is a Scala-side
-    // constant, so the insert is a generated when-chain over p fixed
-    // slots (slot i = i-th best (s, c) so far, s = −inf / c = −1 empty):
-    // insertion lands at the FIRST slot the score strictly exceeds —
-    // equal scores fall through, and iteration order is c_id ascending,
-    // so the final order is exactly (s desc, c_id asc), the window's.
-    // The r13 shape rebuilt the accumulator ARRAY every step (two
-    // `filter` traversals + `concat` + `slice` → several GenericArrayData
-    // allocations per CENTROID per row — measured 6.3× the flat argmax
-    // wall at ×10 occupancy-preserving nlist, and the ×100 leg was still
-    // folding at 25 min where flat finishes in 40 s); the struct chain
-    // does p field compares and allocates ONLY on the rare improving
-    // step, putting the probes knob back at ~pair-volume cost.
+    n.crossJoin(broadcast(carr))
+      .select(col(idCol), col("e"), col("nrm"),
+        explode(topPFold(col("e"), col("nrm"), col("cs"), p)).as("t"))
+      .select(col(idCol), col("e"), col("nrm"),
+        col("t.c").as("c_id"), col("t.crn").cast("int").as("crn"))
+  }
+
+  /** The p-slot top-P fold shared by [[cellArgTopP]] (over the broadcast
+    * full-centroid array) and [[cellArgTopPHier]] (over a supercell's
+    * block array): folds a c_id-sorted array of (c_id, ce, cn) structs
+    * into the row's p best (similarity, cell) candidates, returned as an
+    * array of (s, c, crn) structs in exactly the window's
+    * (s desc, c_id asc) order — `s` retained so a caller ranking ACROSS
+    * several folds (the superProbes > 1 block union) can re-rank without
+    * re-scoring.
+    *
+    * p-SLOT STRUCT accumulator, not array surgery. `p` is a Scala-side
+    * constant, so the insert is a generated when-chain over p fixed
+    * slots (slot i = i-th best (s, c) so far, s = −inf / c = −1 empty):
+    * insertion lands at the FIRST slot the score strictly exceeds —
+    * equal scores fall through, and iteration order is c_id ascending,
+    * so the final order is exactly (s desc, c_id asc), the window's.
+    * The r13 shape rebuilt the accumulator ARRAY every step (two
+    * `filter` traversals + `concat` + `slice` → several GenericArrayData
+    * allocations per CENTROID per row — measured 6.3× the flat argmax
+    * wall at ×10 occupancy-preserving nlist, and the ×100 leg was still
+    * folding at 25 min where flat finishes in 40 s); the struct chain
+    * does p field compares and allocates ONLY on the rare improving
+    * step, putting the probes knob back at ~pair-volume cost.
+    *
+    * Each centroid is scored ONCE (`transform` before the fold — an
+    * inline `s` in the when-chain would re-evaluate the dot per slot
+    * test); NULL sims never pass a `>` test, so they fall through every
+    * slot — the same dropped-before-ranking contract as [[cellArgmax]]'s
+    * `c_id >= 0` filter.
+    */
+  private def topPFold(e: Column, nrm: Column, cs: Column, p: Int): Column = {
     def slots(vals: Seq[(Column, Column)]): Column =
       struct(vals.zipWithIndex.flatMap { case ((s, c), i) =>
         Seq(s.as(s"s${i + 1}"), c.as(s"c${i + 1}")) }: _*)
     val init = slots(Seq.fill(p)((lit(Double.NegativeInfinity), lit(-1L))))
-    n.crossJoin(broadcast(carr))
+    aggregate(
+      transform(cs, c => struct(
+        (dot(e, c("ce")) / (nrm * c("cn"))).as("s"),
+        c("c_id").as("c"))),
+      init,
+      (acc, x) => {
+        val inserted = (1 to p).map { i =>
+          slots((1 until i).map(j => (acc(s"s$j"), acc(s"c$j"))) ++
+            Seq((x("s"), x("c"))) ++
+            (i until p).map(j => (acc(s"s$j"), acc(s"c$j"))))
+        }
+        (1 to p).foldRight(acc) { (i, els) =>
+          when(x("s") > acc(s"s$i"), inserted(i - 1)).otherwise(els)
+        }
+      },
+      acc => filter(
+        array((1 to p).map(i =>
+          struct(acc(s"s$i").as("s"), acc(s"c$i").as("c"), lit(i).as("crn"))): _*),
+        t => t("c") >= 0))
+  }
+
+  /** [[cellArgTopP]] under the TWO-LEVEL coarse quantizer — the probes
+    * recall lever carried past the flat fold's ~1M-centroid broadcast
+    * limit (the r14 grid showed flat-p2 recovering 2.2× the boundary
+    * pairs of hier-superProbes=2 at ×100: the family's cheapest lever
+    * lived only where the flat broadcast still exists). Construction is
+    * [[cellArgmaxHier]]'s — √nlist-strided supercenters, centroid→home
+    * supercell, per-supercell blocks — with the per-block argmax fold
+    * replaced by the block-restricted [[topPFold]]: each vector scans its
+    * `superProbes` nearest supercells' blocks and keeps the p best cells
+    * ACROSS the scanned union ((s desc, c_id asc) — blocks partition the
+    * centroid set, so candidates never duplicate). With superProbes = 1
+    * the fold's own ranking IS the final one (one block, no re-rank);
+    * superProbes > 1 re-ranks the ≤ superProbes·p retained candidates
+    * through a window over that many rows per vector, never nlist.
+    * probes = 1 reduces exactly to [[cellArgmaxHier]] (spec-pinned), and
+    * superProbes covering every supercell recovers [[cellArgTopP]]
+    * exactly. Cost stays the hier contract: ~2·√nlist similarity
+    * evaluations per row, no broadcast array past √nlist entries.
+    */
+  private[graft] def cellArgTopPHier(
+      n: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      superProbes: Int,
+      probes: Int): DataFrame = {
+    val nlist = cents.count()
+    val per = math.max(2L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
+    val wc = Window.orderBy(col("c_id"))
+    val supIds = cents.select(col("c_id"))
+      .withColumn("rk", row_number().over(wc))
+      .filter((col("rk") - 1) % per === 0)
+      .select(col("c_id"))
+    val sup = cents.join(broadcast(supIds), Seq("c_id"))
+      .select(col("c_id"), col("ce"), col("cn"))
+    val c2s = cellArgmax(
+      cents.select(col("c_id").as("cid0"), col("ce").as("e"), col("cn").as("nrm")),
+      sup, "cid0")
+      .select(col("cid0"), col("c_id").as("sc_id"))
+    val blocks = cents.join(c2s, col("c_id") === col("cid0"))
+      .groupBy(col("sc_id"))
+      .agg(sort_array(collect_list(struct(col("c_id"), col("ce"), col("cn")))).as("cs"))
+    val vsup = (if (superProbes == 1) cellArgmax(n, sup, idCol)
+      else cellArgTopP(n, sup, idCol, superProbes))
+      .select(col(idCol), col("e"), col("nrm"), col("c_id").as("sc_id"))
+    val cand = vsup.join(broadcast(blocks), "sc_id")
       .select(col(idCol), col("e"), col("nrm"),
-        aggregate(
-          // score each centroid ONCE (transform before the fold — an
-          // inline `s` in the when-chain would re-evaluate the dot per
-          // slot test); NULL sims never pass a `>` test, so they fall
-          // through every slot — the same dropped-before-ranking
-          // contract as the filter the array shape used
-          transform(col("cs"), c => struct(
-            (dot(col("e"), c("ce")) / (col("nrm") * c("cn"))).as("s"),
-            c("c_id").as("c"))),
-          init,
-          (acc, x) => {
-            val inserted = (1 to p).map { i =>
-              slots((1 until i).map(j => (acc(s"s$j"), acc(s"c$j"))) ++
-                Seq((x("s"), x("c"))) ++
-                (i until p).map(j => (acc(s"s$j"), acc(s"c$j"))))
-            }
-            (1 to p).foldRight(acc) { (i, els) =>
-              when(x("s") > acc(s"s$i"), inserted(i - 1)).otherwise(els)
-            }
-          },
-          acc => filter(
-            array((1 to p).map(i =>
-              struct(acc(s"c$i").as("c"), lit(i).as("crn"))): _*),
-            t => t("c") >= 0)).as("top"))
-      .select(col(idCol), col("e"), col("nrm"), explode(col("top")).as("t"))
+        explode(topPFold(col("e"), col("nrm"), col("cs"), probes)).as("t"))
       .select(col(idCol), col("e"), col("nrm"),
-        col("t.c").as("c_id"), col("t.crn").cast("int").as("crn"))
+        col("t.s").as("s"), col("t.c").as("c_id"), col("t.crn").cast("int").as("crn"))
+    if (superProbes == 1)
+      cand.select(col(idCol), col("e"), col("nrm"), col("c_id"), col("crn"))
+    else {
+      val wv = Window.partitionBy(col(idCol)).orderBy(col("s").desc, col("c_id"))
+      cand.withColumn("crn2", row_number().over(wv)).filter(col("crn2") <= probes)
+        .select(col(idCol), col("e"), col("nrm"), col("c_id"),
+          col("crn2").cast("int").as("crn"))
+    }
   }
 
   private def rankTopK(pairs: DataFrame, k: Int, idCol: String): DataFrame = {
@@ -1177,12 +1253,14 @@ object SimOps {
       thresholdBp: Int = 4000,
       maxCell: Int = DefaultMaxCell,
       probes: Int = 1,
+      hier: Boolean = false,
+      superProbes: Int = 1,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val (n, anchors, truthPairs) = anchorTruth(emb, thresholdBp, idCol, embCol)
     val repIds = n.select(col(idCol).as("rid"))
     val cellPairs = cellNearDupPairs(emb, centroidPred, thresholdBp, maxCell,
-        hier = false, superProbes = 1, probes = probes,
+        hier = hier, superProbes = superProbes, probes = probes,
         idCol = idCol, embCol = embCol)
       .join(repIds.as("rx"), col("id_a") === col("rx.rid"))
       .join(repIds.as("ry"), col("id_b") === col("ry.rid"))
@@ -1220,9 +1298,11 @@ object SimOps {
     * linear in `probes`, duplicates collapsed on the unordered pair),
     * recovering boundary pairs whose second-nearest cell is the
     * partner's home. [[nearDupRecallAudit]]'s anchor-sample construction
-    * scores the price the same way it scores sign-LSH's; probes > 1
-    * rides the flat fold only (the hier path's block restriction already
-    * defines its own recall knob, `superProbes`).
+    * scores the price the same way it scores sign-LSH's. Under `hier`,
+    * probes > 1 rides [[cellArgTopPHier]]'s block-restricted fold — the
+    * same lever at the same linear fan-out, available past the flat
+    * fold's ~1M-centroid broadcast limit (the r14 gap: hier's only knob
+    * was `superProbes`, which recovered a sixth of what p2 buys).
     *
     * Output: (id_a, id_b, cos_bp), id_a < id_b, ordered.
     */
@@ -1236,14 +1316,15 @@ object SimOps {
       probes: Int = 1,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    require(probes == 1 || !hier, "probes > 1 rides the flat fold; hier's knob is superProbes")
     val groups = emb.groupBy(col(embCol)).agg(min(col(idCol)).as("rep_id"))
     val mem = emb.join(groups, Seq(embCol)).select(col(idCol), col("rep_id"))
     val reps = groups.select(col("rep_id").as(idCol), col(embCol))
     val cents = normalized(emb, idCol, embCol).filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
     val nR = normalized(reps, idCol, embCol)
-    val rankedLazy = (if (hier)
+    val rankedLazy = (if (hier && probes > 1)
+        cellArgTopPHier(nR, cents, idCol, superProbes, probes)
+      else if (hier)
         cellArgmaxHier(nR, cents, idCol, superProbes).withColumn("crn", lit(1))
       else if (probes == 1) cellArgmax(nR, cents, idCol).withColumn("crn", lit(1))
       else cellArgTopP(nR, cents, idCol, probes))

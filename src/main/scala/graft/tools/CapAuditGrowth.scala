@@ -99,8 +99,15 @@ object CapAuditGrowth {
       // fixed 8x4 (the declared small-corpus shape) and the scale-safe
       // derivation: bits from the corpus, tables = floor(dim / bits)
       // with dim read from the corpus (no literal 64)
-      val dtables = math.max(1, SimOps.embDim(planted) / bits)
-      println(s"[recallaudit] $label neardup-multi8x4: found=${multiFound(4, 8)} (same truth)")
+      val dim = SimOps.embDim(planted)
+      val dtables = math.max(1, dim / bits)
+      // fixed 8x4 needs tables*bits = 32 <= dim (nearDupPairsMulti's
+      // guard); skip with a note on narrow corpora instead of aborting
+      // the remaining derived rows
+      if (dim >= 32)
+        println(s"[recallaudit] $label neardup-multi8x4: found=${multiFound(4, 8)} (same truth)")
+      else
+        println(s"[recallaudit] $label neardup-multi8x4: skipped (dim=$dim < 32)")
       println(s"[recallaudit] $label neardup-multi${dtables}x$bits: " +
         s"found=${multiFound(bits, dtables)} (same truth)")
       // r14: the cell-geometry handoff leg (q_embed_neardup_cells) scored

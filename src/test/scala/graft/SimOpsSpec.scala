@@ -243,6 +243,41 @@ class SimOpsSpec extends SparkSpec {
     assert(a2 >= 0.6, s"two-probe agreement should clear 0.6: $a2")
   }
 
+  test("cellArgTopPHier: p=1 equals cellArgmaxHier; full supercell coverage recovers cellArgTopP") {
+    val n = SimOps.normalized(sf("embeddings"), "vec_id", "embedding")
+    val cents = n.filter(SimOps.sqrtCentroidPred(sf("embeddings")))
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    // probes = 1 reduces to the two-level argmax exactly, at any superProbes
+    for (sp <- Seq(1, 2)) {
+      val hp = SimOps.cellArgTopPHier(n, cents, "vec_id", sp, 1)
+        .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+      val h = SimOps.cellArgmaxHier(n, cents, "vec_id", sp)
+        .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+      assert(hp == h, s"cellArgTopPHier(sp=$sp, p=1) diverged from cellArgmaxHier")
+    }
+    // superProbes covering every supercell scans every block -> the
+    // block-restricted top-P must equal the flat fold for p = 1..3
+    for (p <- 1 to 3) {
+      val hp = SimOps.cellArgTopPHier(n, cents, "vec_id", 64, p)
+        .select("vec_id", "c_id", "crn").as[(Long, Long, Int)].collect().toSet
+      val flat = SimOps.cellArgTopP(n, cents, "vec_id", p)
+        .select("vec_id", "c_id", "crn").as[(Long, Long, Int)].collect().toSet
+      assert(hp == flat, s"full-coverage hier top-P diverged from flat at p=$p")
+    }
+  }
+
+  test("cellNearDupPairs hier probes=2: superset of hier probes=1") {
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    def pairs(p: Int) = SimOps.cellNearDupPairs(planted,
+        centroidPred = SimOps.hashCentroidPred(64), hier = true, probes = p)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val p1 = pairs(1)
+    val p2 = pairs(2)
+    assert(p1.subsetOf(p2),
+      s"hier probes=2 lost pairs present at probes=1: ${(p1 -- p2).take(5)}")
+    info(s"hier pairs: probes=1 ${p1.size}, probes=2 ${p2.size}")
+  }
+
   test("cellArgTopP: equal-sim ties rank the lower c_id first") {
     // centroids 1 and 2 are the SAME direction -> every vector ties on
     // them; the window tie-break (csim desc, c_id asc) must hold in the
