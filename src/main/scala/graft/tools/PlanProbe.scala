@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
 
 /** Executed-plan inspector for declared queries — the round-audit loop's
   * "is there a duplicate scan / missed exchange reuse here?" question,
@@ -14,8 +14,66 @@ import org.apache.spark.sql.SparkSession
   * subqueries, broadcast exchanges, sort-merge joins, and
   * whole-stage-codegen spans, plus the scan file names. `full` dumps the
   * whole executed plan after each summary.
+  *
+  * The counting logic lives in [[PlanProbe.budget]] so PlanBudgetSpec can
+  * PIN the counts for the expensive declared queries — the r14 sweep
+  * found three redundant-pipeline shapes (5→3 lineitem scans, a duplicate
+  * tokenize pass, 24→18 corpus scans) and the ×100 ReuseExchange failure
+  * by running this tool BY HAND; a budget a spec asserts fails in CI the
+  * day a renamed column before an exchange or a new pushdown-
+  * de-canonicalized consumer regresses the plan, not a round later.
   */
 object PlanProbe {
+
+  /** Budget-relevant node counts of ONE executed plan. `scanFiles` maps
+    * each scanned parquet file name (e.g. "lineitem.parquet") to how many
+    * separate scan nodes read it — the duplicate-pipeline smell.
+    */
+  final case class Budget(
+      scans: Int,
+      shuffles: Int,
+      reusedExch: Int,
+      reusedSubq: Int,
+      bcast: Int,
+      smj: Int,
+      codegenSpans: Int,
+      scanFiles: Map[String, Int]) {
+    override def toString: String = {
+      val files = scanFiles.toSeq.sorted.map { case (k, v) => s"$k×$v" }.mkString(" ")
+      s"scans=$scans shuffles=$shuffles reusedExch=$reusedExch " +
+        s"reusedSubq=$reusedSubq bcast=$bcast smj=$smj codegenSpans=$codegenSpans :: $files"
+    }
+  }
+
+  /** Executes `df` (collect — a write spawns its OWN QueryExecution,
+    * leaving this one un-executed with isFinalPlan=false; adaptive plans
+    * only finalize — and reuse only materializes — on execution, the
+    * PlanSpec pattern) and counts nodes in the FINAL adaptive plan. An
+    * executed AdaptiveSparkPlan prints BOTH the final plan and an
+    * "== Initial Plan ==" section — nodes are counted only in the final
+    * part, or every pre-reuse subtree double-counts.
+    */
+  def budget(df: DataFrame): Budget = {
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val lines = p.linesIterator.toSeq
+    def c(s: String) = lines.count(_.contains(s))
+    val files = lines.filter(_.contains("Scan parquet"))
+      .map(_.replaceAll(".*Scan parquet ", "").takeWhile(_ != '['))
+      .map(f => f.split('/').lastOption.getOrElse(f))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    Budget(
+      scans = c("Scan parquet"),
+      shuffles = c("Exchange hashpartitioning") + c("Exchange rangepartitioning"),
+      reusedExch = c("ReusedExchange"),
+      reusedSubq = c("ReusedSubquery"),
+      bcast = c("BroadcastExchange"),
+      smj = c("SortMergeJoin"),
+      codegenSpans = c("WholeStageCodegen"),
+      scanFiles = files)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val names = args(1).split(',').map(_.trim).filter(_.nonEmpty)
@@ -27,27 +85,9 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, dir)
-      // collect() on the SAME frame, not a write (a write spawns its own
-      // QueryExecution, leaving this one un-executed with
-      // isFinalPlan=false): adaptive plans only finalize — and reuse
-      // only materializes — on execution (the PlanSpec pattern)
-      df.collect()
-      // an executed AdaptiveSparkPlan prints BOTH the final plan and an
-      // "== Initial Plan ==" section — count nodes only in the final part,
-      // or every pre-reuse subtree double-counts
-      val p = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
-      val lines = p.linesIterator.toSeq
-      def c(s: String) = lines.count(_.contains(s))
-      val scans = lines.filter(_.contains("Scan parquet"))
-        .map(_.replaceAll(".*Scan parquet ", "").takeWhile(_ != '[')).groupBy(identity)
-        .map { case (k, v) => s"$k×${v.size}" }.toSeq.sorted.mkString(" ")
-      println(s"[planprobe] $n scans=${c("Scan parquet")} " +
-        s"shuffles=${c("Exchange hashpartitioning") + c("Exchange rangepartitioning")} " +
-        s"reusedExch=${c("ReusedExchange")} reusedSubq=${c("ReusedSubquery")} " +
-        s"bcast=${c("BroadcastExchange")} smj=${c("SortMergeJoin")} " +
-        s"codegenSpans=${c("WholeStageCodegen")} :: $scans")
-      if (full) println(p)
+      println(s"[planprobe] $n ${budget(df)}")
+      if (full) println(df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head)
     }
     spark.stop()
   }
