@@ -30,6 +30,13 @@ import org.apache.spark.sql.SparkSession
   * heaviest queries (default 12, by suite time; "all" for a full sweep,
   * "none"/"0" to skip) re-run solo — bounding the added wall-clock while
   * covering exactly the queries whose regressions matter.
+  *
+  * LOAD GATE: each pass estimates the box's EXTERNAL load (mean sampled
+  * loadavg minus this JVM's own measured core usage); a pass above
+  * `SPARK_GRAFT_BENCH_LOAD_BOUND` (default 4) is contended, and if every
+  * pass is, up to `SPARK_GRAFT_BENCH_LOAD_RETRIES` (default 2) extra
+  * passes chase a clean one. Per-query mins come from clean passes when
+  * any exist; otherwise the artifact carries `"contended": true`.
   */
 object Bench {
 
@@ -122,23 +129,94 @@ object Bench {
     // r12/r13 whole-run contention signature (uniform suite inflation with
     // no code change) becomes mechanically separable from a plan
     // regression (which moves one query, not the box)
-    def loadAvg(): Double = math.rint(
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage * 100) / 100
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg(): Double = math.rint(osBean.getSystemLoadAverage * 100) / 100
+    // Our own suite drives loadavg toward the cpu count (r14 committed
+    // closing passes read 17/14 at pass end on an otherwise-IDLE box), so
+    // raw loadavg cannot gate a pass. EXTERNAL load can: sample loadavg
+    // every 2 s DURING the pass and subtract the cores this JVM actually
+    // consumed (Δ getProcessCpuTime / wall) — on an idle box the two
+    // track and the difference sits near 0; a competing driver run shows
+    // up as the gap (r14: passes at load ~30 with 32 of our threads =
+    // external ≈ the other run's appetite).
+    def processCpuNs(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    val allPasses = (1 to nPasses).map { _ =>
+    val passExternal = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runPass(): Map[String, Either[String, Double]] = {
+      val samples = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) {
+          val l = osBean.getSystemLoadAverage
+          if (l >= 0) samples.add(l)
+          Thread.sleep(2000)
+        }
+      }, "bench-load-sampler")
+      sampler.setDaemon(true)
       val la0 = loadAvg()
+      val cpu0 = processCpuNs()
+      val w0 = System.nanoTime()
+      sampler.start()
       val p = names.map { n =>
         val r = n -> execute(spark, n, sfDir)
         maybeRestart()
         r
       }.toMap
-      settle()
+      sampling = false
+      sampler.join(3000)
+      val wall = (System.nanoTime() - w0) / 1e9
+      val ownCores =
+        if (cpu0 >= 0) (processCpuNs() - cpu0) / 1e9 / wall else -1.0
+      val meanLoad = {
+        val it = samples.iterator()
+        var s = 0.0; var k = 0
+        while (it.hasNext) { s += it.next(); k += 1 }
+        if (k > 0) s / k else -1.0
+      }
+      val ext =
+        if (meanLoad >= 0 && ownCores >= 0)
+          math.rint(math.max(0.0, meanLoad - ownCores) * 100) / 100
+        else -1.0
       passLoads += ((la0, loadAvg()))
+      passExternal += ext
+      settle()
       p
     }
+    // LOAD GATE (the r14 protocol gap: the loadavg field existed but
+    // nothing acted on it — both r14 artifacts carried passes at load
+    // 14-30 and the headline was ~10-15% noise). A pass whose external
+    // load exceeds the bound is CONTENDED; if every pass is, re-run up
+    // to SPARK_GRAFT_BENCH_LOAD_RETRIES extra passes chasing one clean
+    // pass. Per-query mins are then taken over CLEAN passes when any
+    // exist (a contended pass can only inflate, but "min comes from an
+    // under-bound pass" is the auditable invariant); when none exist the
+    // artifact says so mechanically ("contended": true) instead of
+    // depending on box luck being noticed by a reader.
+    val loadBound = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_BOUND", "4.0").toDouble
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_RETRIES", "2").toInt
+    val allPassesBuf =
+      scala.collection.mutable.ArrayBuffer.empty[Map[String, Either[String, Double]]]
+    (1 to nPasses).foreach(_ => allPassesBuf += runPass())
+    // an unmeasurable external load (no com.sun.management bean) cannot
+    // gate — treat as clean so the run terminates, the artifact's -1
+    // marks it unmeasured
+    def contended(i: Int): Boolean = passExternal(i) > loadBound
+    var extras = 0
+    while (allPassesBuf.indices.forall(contended) && extras < maxExtra) {
+      System.err.println(s"[bench] all ${allPassesBuf.size} passes contended " +
+        s"(external load > $loadBound) — re-running")
+      extras += 1
+      allPassesBuf += runPass()
+    }
+    val allPasses = allPassesBuf.toSeq
+    val cleanIdx = allPasses.indices.filterNot(contended)
+    val allContended = cleanIdx.isEmpty
+    val minIdx = if (allContended) allPasses.indices else cleanIdx
     val results = names.map(n =>
-      n -> allPasses.map(_(n)).reduce(minOf))
+      n -> minIdx.map(i => allPasses(i)(n)).reduce(minOf))
 
     // Solo re-runs: fresh SparkContext per query, its own warm-up + two
     // timed passes. Defaults to the 12 heaviest by suite time (subset runs
@@ -172,7 +250,9 @@ object Bench {
     val errJson =
       if (failed.isEmpty) "" else s""","errors":${failed.distinct.mkString("{", ",", "}")}"""
     val soloJson = if (solo.isEmpty) "" else s""","solo":${fmt(solo)}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min-of-$nPasses","queries":$qs$soloJson$errJson,"sf":"$sfDir"}"""
+    val protocol =
+      s"min-of-${minIdx.size}-clean-of-${allPasses.size}"
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","queries":$qs$soloJson$errJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     // STDOUT CONTRACT: the driver keeps only the last ~2000 chars of stdout
     // and json-parses them — but 180 query NAMES alone exceed 2000 chars, so
@@ -185,8 +265,9 @@ object Bench {
     val budget = 1900
     val compactHead =
       s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},""" +
-        s""""unit":"sec","protocol":"min-of-$nPasses","n_queries":${names.size},""" +
-        s""""n_failed":${failed.distinct.size},"artifact":"$outFile","sf":"$sfDir","queries":{"""
+        s""""unit":"sec","protocol":"$protocol","n_queries":${names.size},""" +
+        s""""n_failed":${failed.distinct.size},"contended":$allContended,""" +
+        s""""artifact":"$outFile","sf":"$sfDir","queries":{"""
     val ranked =
       results.collect { case (k, Left(_)) => s"\"$k\":-1" } ++
         results.collect { case (k, Right(v)) => (k, v) }
@@ -217,9 +298,13 @@ object Bench {
     def laJson(x: Double): String = if (x < 0) "null" else x.toString
     val loadJson = passLoads
       .map { case (a, b) => s"[${laJson(a)},${laJson(b)}]" }.mkString("[", ",", "]")
+    val extJson = passExternal.map(laJson).mkString("[", ",", "]")
+    val contJson = allPasses.indices.map(contended).mkString("[", ",", "]")
     val fullJson = json.dropRight(1) +
       s""","mode":"$mode","order":"$order","restart_every":$restartEvery,""" +
-      s""""loadavg":$loadJson,"passes":$passes}"""
+      s""""loadavg":$loadJson,"pass_external_load":$extJson,""" +
+      s""""pass_contended":$contJson,"load_bound":$loadBound,""" +
+      s""""contended":$allContended,"passes":$passes}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile), fullJson.getBytes("UTF-8"))
     spark.stop()
