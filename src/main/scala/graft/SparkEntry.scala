@@ -1643,6 +1643,16 @@ object SparkEntry {
       val m = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents")))
       MultimodalOps.phashPairs(m, grid = MultimodalOps.autoPhashGrid(m))
     }),
+    // The same pairing over the DENSE plant (ids x8 before the group
+    // derivation): the grid-8 probe universe crosses 8*2^8, so
+    // autoPhashGrid derives 16 and the 16x16 aHash + 16-band LSH path —
+    // previously calibrated but never oracle-run — executes end to end,
+    // with DuckDB deriving the same grid from the same probe count.
+    "q_media_phash_dense" -> ((s, dir) => {
+      val m = MultimodalOps.plantPhashCorpusDense(
+        MultimodalOps.asMedia(t(s, dir, "documents")))
+      MultimodalOps.phashPairs(m, grid = MultimodalOps.autoPhashGrid(m))
+    }),
     // Content-defined chunking storage dedup (rsync/FastCDC shape): cut
     // payloads at rolling-hash boundaries in a real per-byte executor
     // loop, then report chunk hashes held by >= 2 media items — the
@@ -2233,13 +2243,14 @@ object SparkEntry {
     * subquery in the cell/bit expressions would be re-evaluated per row,
     * recomputing the whole probe pipeline each time.
     */
-  private def duckPhashHashCtes(sfx: String, g: String, extraFrom: String = ""): String =
+  private def duckPhashHashCtes(
+      sfx: String, g: String, extraFrom: String = "", stride: String = "7"): String =
     s"cells$sfx AS (SELECT media_id, grp, shift, w, h, ($g) AS gg, " +
       s"unnest(range(0, ($g)*($g))) AS j FROM d$extraFrom), " +
       s"gray$sfx AS (SELECT media_id, j, gg, " +
-      "(grp*31 + ((((j//gg)*h//gg)*w + (j%gg)*w//gg)*3 + 0)*7 + shift) % 256 " +
-      "+ (grp*31 + ((((j//gg)*h//gg)*w + (j%gg)*w//gg)*3 + 1)*7 + shift) % 256 " +
-      "+ (grp*31 + ((((j//gg)*h//gg)*w + (j%gg)*w//gg)*3 + 2)*7 + shift) % 256 AS g " +
+      s"(grp*31 + ((((j//gg)*h//gg)*w + (j%gg)*w//gg)*3 + 0)*($stride) + shift) % 256 " +
+      s"+ (grp*31 + ((((j//gg)*h//gg)*w + (j%gg)*w//gg)*3 + 1)*($stride) + shift) % 256 " +
+      s"+ (grp*31 + ((((j//gg)*h//gg)*w + (j%gg)*w//gg)*3 + 2)*($stride) + shift) % 256 AS g " +
       s"FROM cells$sfx), " +
       s"tot$sfx AS (SELECT media_id, sum(g) AS total FROM gray$sfx GROUP BY media_id), " +
       s"bands$sfx AS (SELECT gray$sfx.media_id, j // gg AS k, " +
@@ -2395,14 +2406,29 @@ object SparkEntry {
     * verified pair set (id_a < id_b, hamming ≤ 6) — shared by
     * q_media_phash and the q_media_clusters closure.
     */
-  private val duckPhashCtes =
+  private val duckPhashCtes = duckPhashCtesFor(
     "m AS (SELECT doc_id AS media_id, doc_id // 4 AS grp, " +
-      "(doc_id % 4) * 9 AS shift FROM documents), " +
+      "(doc_id % 4) * 9 AS shift FROM documents)")
+
+  /** [[duckPhashCtes]] over the DENSE plant
+    * (MultimodalOps.plantPhashCorpusDense: ids × 8 before the group/shift
+    * derivation) — the corpus whose grid-8 probe universe crosses 8·2^8,
+    * so `pgrid` derives 16 and the WHOLE chain (16×16 aHash parse,
+    * 16-band LSH, the CASE's 16 arm) executes under the oracle.
+    */
+  private val duckPhashDenseCtes = duckPhashCtesFor(
+    "m AS (SELECT doc_id * 8 + r AS media_id, (doc_id * 8 + r) // 4 AS grp, " +
+      "((doc_id * 8 + r) % 4) * 9 AS shift FROM documents " +
+      "CROSS JOIN (SELECT unnest(range(0, 8)) AS r))",
+    stride = "7 + grp % 23")
+
+  private def duckPhashCtesFor(mCte: String, stride: String = "7"): String =
+    mCte + ", " +
       "d AS (SELECT media_id, grp, shift, (grp*3+2)%9+2 AS w, " +
       "(grp*5+1)%7+2 AS h FROM m), " +
-      duckPhashHashCtes("8", "8") + ", " +
+      duckPhashHashCtes("8", "8", stride = stride) + ", " +
       s"pgrid AS ${MultimodalOps.autoPhashGridSql("hv8")}, " +
-      duckPhashHashCtes("", "pgrid.g", " CROSS JOIN pgrid") + ", " +
+      duckPhashHashCtes("", "pgrid.g", " CROSS JOIN pgrid", stride = stride) + ", " +
       "grpv AS (SELECT hsh, min(media_id) AS rep FROM hv GROUP BY hsh), " +
       "mem AS (SELECT hv.media_id AS media_id, grpv.rep AS rep " +
       "FROM hv JOIN grpv ON hv.hsh = grpv.hsh), " +
@@ -4621,6 +4647,14 @@ object SparkEntry {
     // side only ever reads the planted binary.
     "q_media_phash" ->
       (s"WITH $duckPhashCtes " +
+        "SELECT id_a, id_b, hamming, " +
+        "CAST(id_a // 4 = id_b // 4 AS BIGINT) AS same_src " +
+        "FROM pp ORDER BY id_a, id_b"),
+    // the dense plant's chain: identical machinery, but pgrid derives 16
+    // (probe universe > 2048) so the 16-arm of the CASE and the 16x16
+    // hash replay are what actually run
+    "q_media_phash_dense" ->
+      (s"WITH $duckPhashDenseCtes " +
         "SELECT id_a, id_b, hamming, " +
         "CAST(id_a // 4 = id_b // 4 AS BIGINT) AS same_src " +
         "FROM pp ORDER BY id_a, id_b"),

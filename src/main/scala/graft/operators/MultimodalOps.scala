@@ -392,15 +392,25 @@ object MultimodalOps {
     * except at wrapped pixels, which is precisely the robustness a
     * perceptual hash exists to provide.
     */
-  def plantPhashCorpus(media: DataFrame, groupSize: Int = 4, shiftStep: Int = 9): DataFrame = {
+  def plantPhashCorpus(
+      media: DataFrame,
+      groupSize: Int = 4,
+      shiftStep: Int = 9,
+      strideMod: Int = 0): DataFrame = {
     val grp = expr(s"media_id div $groupSize")
     val shift = pmod(col("media_id"), lit(groupSize)) * shiftStep
     val w = pmod(grp * 3 + 2, lit(9)) + 2
     val h = pmod(grp * 5 + 1, lit(7)) + 2
     val nBytes = w * h * 3
+    // strideMod > 0 varies the pixel-ramp stride per group (7 + grp mod
+    // strideMod) — the content-entropy knob: the constant-stride formula
+    // saturates at ~1.1k distinct aHashes (its dim/ramp periods' lcm)
+    // no matter how large the corpus, which is why the grid-16 flip was
+    // unreachable on the base plant at ANY scale
+    val stride = if (strideMod > 0) pmod(grp, lit(strideMod)) + 7 else lit(7)
     val pixHex = array_join(
       transform(sequence(lit(0L), nBytes - 1),
-        i => lpad(lower(hex(pmod(grp * 31 + i * 7 + shift, lit(256)))), 2, "0")),
+        i => lpad(lower(hex(pmod(grp * 31 + i * stride + shift, lit(256)))), 2, "0")),
       "")
     media.select(
       col("media_id"), col("kind"),
@@ -409,6 +419,34 @@ object MultimodalOps {
         lpad(lower(hex(w)), 8, "0"),
         lpad(lower(hex(h)), 8, "0"),
         pixHex), lit("hex")).as("payload"))
+  }
+
+  /** [[plantPhashCorpus]] at a density that crosses [[phashGridFor]]'s
+    * grid-8 capacity at CORRECTNESS scale — the fixture that finally
+    * EXECUTES the 16-flip under the oracle (r14 gap: the derived grid was
+    * 8 at every fixture decade, so the grid-16 branch of both the
+    * operator and the DuckDB CASE mirror was calibrated by measured rows
+    * but never oracle-verified end to end). Every input id expands into
+    * `repl` consecutive media ids (`id·repl + r`) BEFORE the group/shift
+    * derivation — and, because the base formula's content SATURATES at
+    * ~1.1k distinct hashes (the measured 1,099-at-every-decade wall: its
+    * dim and ramp periods cap distinct images no matter the corpus), the
+    * pixel-ramp stride varies per group (`strideMod` = 23). Measured at
+    * 500 docs × 8 = 4,000 media rows: 3,055 distinct grid-8 hashes
+    * > 8·2^8, so [[autoPhashGrid]] derives 16 and the pairing runs the
+    * 16×16 aHash + 16-band LSH path.
+    */
+  def plantPhashCorpusDense(
+      media: DataFrame,
+      repl: Int = 8,
+      groupSize: Int = 4,
+      shiftStep: Int = 9,
+      strideMod: Int = 23): DataFrame = {
+    val expanded = media
+      .select(col("media_id"), col("kind"))
+      .withColumn("r", explode(sequence(lit(0L), lit(repl - 1L))))
+      .select((col("media_id") * repl + col("r")).as("media_id"), col("kind"))
+    plantPhashCorpus(expanded, groupSize, shiftStep, strideMod)
   }
 
   /** REAL perceptual average-hash (aHash) decode: parse the [[plantPixels]]

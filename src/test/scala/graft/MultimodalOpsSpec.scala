@@ -328,4 +328,19 @@ class MultimodalOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(auto == fixed)
   }
+
+  test("plantPhashCorpusDense: probe universe crosses 8*2^8 and the 16-flip executes") {
+    // the base plant's content saturates at ~1.1k distinct hashes at ANY
+    // corpus size (its dim/ramp periods), so the grid-16 branch never ran
+    // under a real corpus; the dense plant (ids x8, per-group ramp
+    // stride) crosses the bound at the 500-doc fixture
+    val media = MultimodalOps.plantPhashCorpusDense(MultimodalOps.asMedia(sf("documents")))
+    val g = MultimodalOps.autoPhashGrid(media)
+    assert(g == 16, s"dense universe must cross 8*2^8 and derive grid 16, got $g")
+    // the 16x16 pairing still recovers brightness-shifted in-group
+    // variants: every group of 4 consecutive ids shares a base image
+    val pairs = MultimodalOps.phashPairs(media, grid = g)
+      .filter(col("same_src") === 1L)
+    assert(pairs.count() > 0, "grid-16 pairing lost every planted in-group variant")
+  }
 }
