@@ -1340,6 +1340,54 @@ object SparkEntry {
           sum(length(col("text")).cast("long")).as("n_chars"))
         .orderBy(col("lang"))
     }),
+    // The MULTIMODAL curation capstone — what a real 100 TB curation run
+    // executes: the three dedup modalities composed into ONE joint keep
+    // set with per-modality drop attribution over the same id universe
+    // (doc_id = media_id = vec_id, 1:1 by fixture construction).
+    //  - text: exact dedup over an IN-UNIVERSE quote plant (docs = 7 mod
+    //    10 carry the text of doc_id - 7 — planted WITHIN the id range so
+    //    all three modality keys stay aligned);
+    //  - media: the q_media_phash chain closed into clusters (groups of 4
+    //    consecutive ids share a planted base image);
+    //  - embeddings: cell-geometry near-dup pairs over the RAW embedding
+    //    table closed into clusters (natural cos >= 0.40 neighbors).
+    // A doc survives iff NO modality drops it; each modality drops
+    // non-representative cluster members (rep = min id, every leg's rule).
+    "q_curate_multimodal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"), col("text"))
+      val tq = base.as("d")
+        .join(base.as("b"), col("d.doc_id") - 7 === col("b.doc_id"), "left")
+        .select(col("d.doc_id").as("doc_id"),
+          when(col("d.doc_id") % 10 === 7 && col("b.doc_id").isNotNull, col("b.text"))
+            .otherwise(col("d.text")).as("text"))
+      val tKeep = DedupOps.exactDedup(tq)
+        .select(col("keep_id").as("doc_id"), lit(1L).as("tk"))
+      val m = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(docs))
+      val mc = DedupOps.dedupClusters(
+        MultimodalOps.phashPairs(m, grid = MultimodalOps.autoPhashGrid(m))
+          .select(col("id_a"), col("id_b")))
+        .select(col("doc_id"), col("cluster_id").as("m_cl"))
+      val ec = DedupOps.dedupClusters(
+        SimOps.cellNearDupPairs(t(s, dir, "embeddings"),
+          centroidPred = SimOps.hashCentroidPred(64))
+          .select(col("id_a"), col("id_b")))
+        .select(col("doc_id"), col("cluster_id").as("e_cl"))
+      docs.select(col("doc_id"))
+        .join(tKeep, Seq("doc_id"), "left")
+        .join(mc, Seq("doc_id"), "left")
+        .join(ec, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("tk").isNull, 1L).otherwise(0L).as("drop_text"),
+          when(col("m_cl").isNotNull && col("m_cl") =!= col("doc_id"), 1L)
+            .otherwise(0L).as("drop_media"),
+          when(col("e_cl").isNotNull && col("e_cl") =!= col("doc_id"), 1L)
+            .otherwise(0L).as("drop_embed"))
+        .withColumn("kept",
+          when(col("drop_text") + col("drop_media") + col("drop_embed") === 0, 1L)
+            .otherwise(0L))
+        .orderBy(col("doc_id"))
+    }),
     // Benchmark decontamination: training docs sharing any word 3-gram
     // with the simulated eval set (every 97th doc), by gram-hash semi-join.
     "q_decontaminate" -> ((s, dir) => {
@@ -2276,7 +2324,9 @@ object SparkEntry {
     * rep-pair CTE (the rep-rep restriction of the declared output)
     * against the anchor truth instead of emitting the re-attached pairs.
     */
-  private def duckCellsCtes(hier: Boolean, probes: Int = 1, superProbes: Int = 1): String = {
+  private def duckCellsCtes(
+      hier: Boolean, probes: Int = 1, superProbes: Int = 1,
+      rawBase: Boolean = false): String = {
     val assign =
       if (!hier)
         "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
@@ -2315,10 +2365,12 @@ object SparkEntry {
           (if (probes > 1)
             s"asg2 AS (SELECT vec_id, e, nrm, c_id FROM bsr WHERE rn <= $probes), "
           else "")
-    "WITH base AS (SELECT vec_id, embedding FROM embeddings " +
-      s"UNION ALL SELECT vec_id + ${DedupOps.plantStepSql("embeddings", "vec_id")} " +
-      "AS vec_id, embedding " +
-      "FROM embeddings WHERE vec_id % 100 = 0), " +
+    "WITH base AS (SELECT vec_id, embedding FROM embeddings" +
+      (if (rawBase) "), "
+      else
+        " UNION ALL SELECT vec_id + " +
+          s"${DedupOps.plantStepSql("embeddings", "vec_id")} AS vec_id, embedding " +
+          "FROM embeddings WHERE vec_id % 100 = 0), ") +
       "nall AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
       "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
       "FROM base), " +
@@ -2421,6 +2473,17 @@ object SparkEntry {
       "((doc_id * 8 + r) % 4) * 9 AS shift FROM documents " +
       "CROSS JOIN (SELECT unnest(range(0, 8)) AS r))",
     stride = "7 + grp % 23")
+
+  /** Suffix the phash chain's tail CTE names (rp/crossp/intra/pp) so the
+    * chain composes with the cells chain — whose own rp/crossp/intra —
+    * inside ONE WITH (the q_curate_multimodal oracle). Word-boundary
+    * replace: `grp`/`pgrid` etc. are untouched.
+    */
+  private def suffixPhash(ctes: String, ns: String): String =
+    ctes.replaceAll("\\brp\\b", s"rp$ns")
+      .replaceAll("\\bcrossp\\b", s"crossp$ns")
+      .replaceAll("\\bintra\\b", s"intra$ns")
+      .replaceAll("\\bpp\\b", s"pp$ns")
 
   private def duckPhashCtesFor(mCte: String, stride: String = "7"): String =
     mCte + ", " +
@@ -3274,6 +3337,50 @@ object SparkEntry {
         "FROM s ORDER BY doc_id, chunk_id"),
     // mirrors the composed pipeline: q_quality's gate -> md5 dedup
     // representatives -> per-lang rollup
+    // mirrors q_curate_multimodal: the three modality CTE families
+    // composed in ONE WITH RECURSIVE — the phash chain (CTE names
+    // suffixed _m where they collide with the cells chain's rp/crossp/
+    // intra), the raw-base cells chain, the in-universe quote plant +
+    // exact-dedup text leg, and two recursive min-label closures
+    "q_curate_multimodal" -> {
+      val phash = suffixPhash(duckPhashCtes, "_m")
+      val cells = duckCellsCtes(hier = false, rawBase = true).stripPrefix("WITH ")
+      s"WITH RECURSIVE $phash, " +
+        // media components over pp_m (the q_media_clusters closure)
+        "me AS (SELECT id_a AS src, id_b AS dst FROM pp_m " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM pp_m), " +
+        "mnodes AS (SELECT DISTINCT src AS id FROM me), " +
+        "mreach AS (SELECT id, id AS lab FROM mnodes " +
+        "UNION SELECT me.src AS id, mreach.lab FROM me JOIN mreach ON me.dst = mreach.id), " +
+        "mclust AS (SELECT id, min(lab) AS cl FROM mreach GROUP BY id), " +
+        s"$cells, " +
+        // embedding components over the cells pairs (crossp + intra)
+        "ep AS (SELECT id_a, id_b FROM crossp UNION ALL SELECT id_a, id_b FROM intra), " +
+        "ee AS (SELECT id_a AS src, id_b AS dst FROM ep " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM ep), " +
+        "enodes AS (SELECT DISTINCT src AS id FROM ee), " +
+        "ereach AS (SELECT id, id AS lab FROM enodes " +
+        "UNION SELECT ee.src AS id, ereach.lab FROM ee JOIN ereach ON ee.dst = ereach.id), " +
+        "eclust AS (SELECT id, min(lab) AS cl FROM ereach GROUP BY id), " +
+        // text leg: the in-universe quote plant + exact-dedup keep set
+        "tq AS (SELECT d0.doc_id, CASE WHEN d0.doc_id % 10 = 7 AND b0.doc_id IS NOT NULL " +
+        "THEN b0.text ELSE d0.text END AS text FROM documents d0 " +
+        "LEFT JOIN documents b0 ON b0.doc_id = d0.doc_id - 7), " +
+        s"tfp AS (SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp_md5 FROM tq), " +
+        "tkeep AS (SELECT min(doc_id) AS keep_id FROM tfp GROUP BY fp_md5) " +
+        "SELECT u.doc_id, " +
+        "CAST(CASE WHEN tkeep.keep_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS drop_text, " +
+        "CAST(CASE WHEN mclust.cl IS NOT NULL AND mclust.cl <> u.doc_id THEN 1 ELSE 0 END AS BIGINT) AS drop_media, " +
+        "CAST(CASE WHEN eclust.cl IS NOT NULL AND eclust.cl <> u.doc_id THEN 1 ELSE 0 END AS BIGINT) AS drop_embed, " +
+        "CAST(CASE WHEN tkeep.keep_id IS NOT NULL " +
+        "AND (mclust.cl IS NULL OR mclust.cl = u.doc_id) " +
+        "AND (eclust.cl IS NULL OR eclust.cl = u.doc_id) THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+        "FROM documents u " +
+        "LEFT JOIN tkeep ON tkeep.keep_id = u.doc_id " +
+        "LEFT JOIN mclust ON mclust.id = u.doc_id " +
+        "LEFT JOIN eclust ON eclust.id = u.doc_id " +
+        "ORDER BY u.doc_id"
+    },
     "q_curate_pipeline" -> {
       val allStops = TextOps.langMarkers.flatMap(_._2).distinct.sorted
       s"WITH d AS (SELECT doc_id, $duckToks AS t FROM documents), " +

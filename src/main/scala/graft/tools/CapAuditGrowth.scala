@@ -131,6 +131,14 @@ object CapAuditGrowth {
         s"found=${cellFound(true)} (same truth)")
       println(s"[recallaudit] $label neardup-cells-hier-sp2: " +
         s"found=${cellFound(true, 2)} (same truth)")
+      // r15: the probes lever ON the hier path (cellArgTopPHier) — the
+      // boundary-recall knob now available past the flat broadcast limit;
+      // the row to read: hier-p2 closing toward flat-p2 where hier-sp2
+      // recovered only a sixth of it
+      println(s"[recallaudit] $label neardup-cells-hier-p2: " +
+        s"found=${cellFound(true, 1, 2)} (same truth)")
+      println(s"[recallaudit] $label neardup-cells-hier-sp2-p2: " +
+        s"found=${cellFound(true, 2, 2)} (same truth)")
       // the text leg: MinHash banding recall at Jaccard >= 0.8 (b=4, r=2:
       // collision prob >= 98% at the threshold — expect ~flat high recall)
       val mr = DedupOps.minhashRecallAudit(DedupOps.plantedCorpus(docs(dir))).head()

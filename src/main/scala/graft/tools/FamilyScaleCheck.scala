@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.DataFrame
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, max, sum}
 
 import graft.GraftSession
 import graft.operators.{DedupOps, MultimodalOps, SimOps, TextOps}
@@ -105,6 +105,43 @@ object FamilyScaleCheck {
       val t = math.min(once(f, dir), once(f, dir))
       val n = f(dir).count() // rows for the growth law, untimed
       println(f"[famscale] $name%-18s $label%-5s: $t%6.1f s (min of 2), rows=$n")
+    }
+
+    // r15: the streaming registry re-shard (StreamingOps.rebucketRegistry)
+    // — the one piece of streaming state that GROWS with population is the
+    // per-bucket collect_list (EmbedBucket.groups); this row bounds when
+    // re-sharding itself becomes the cost driver and how large the
+    // largest bucket's state row gets per decade. bits re-derives per
+    // corpus (autoSignBits — exactly the production re-shard trigger).
+    if (keep.forall(_.contains("rebucket"))) {
+      import spark.implicits._
+      def rebuild(dir: String) = {
+        val emb = embs(dir)
+        val bits = SimOps.autoSignBits(emb)
+        val items = emb.select(col("vec_id"), col("embedding"))
+          .as[graft.streaming.EmbedItem]
+        (bits, graft.streaming.StreamingOps.rebucketRegistry(items, bits))
+      }
+      def onceR(dir: String): Double = {
+        val t0 = System.nanoTime()
+        rebuild(dir)._2.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      onceR("/root/testdata/sf0.001") // warm-up
+      for ((label, dir) <- Seq("sf0.1" -> sf01, "x10" -> x10, "x100" -> x100)) {
+        val t = math.min(onceR(dir), onceR(dir))
+        val (bits, df) = rebuild(dir)
+        val s = df
+          .map { case (b, bucket) =>
+            (b, bucket.groups.size.toLong,
+              bucket.groups.map(_._4.size.toLong).sum) }
+          .toDF("bucket", "groups", "members")
+          .agg(count(col("bucket")), max(col("groups")), max(col("members")),
+            sum(col("members"))).head
+        println(f"[famscale] rebucket           $label%-5s: $t%6.1f s (min of 2), " +
+          s"bits=$bits, buckets=${s.getLong(0)}, maxGroupsPerBucket=${s.getLong(1)}, " +
+          s"maxMembersPerBucket=${s.getLong(2)}, registryRows=${s.getLong(3)}")
+      }
     }
     spark.stop()
   }
