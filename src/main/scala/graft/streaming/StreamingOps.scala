@@ -759,6 +759,194 @@ object StreamingOps {
       .flatMap(_.map { case (a, b, c) => EmbedPairRow(a, b, c) })
   }
 
+  /** Streaming CELL-GEOMETRY near-dup detection — the loose-threshold
+    * twin of [[embedNearDupStream]], completing the sign-LSH →
+    * cell-geometry handoff in the streaming column: the batch family's
+    * measured law (SKEW r14) is that random-hyperplane buckets collapse
+    * at moderate cosine as corpus-derived bits grow, while
+    * nearest-centroid co-location holds recall at constant cell
+    * granularity — so an incremental dedup targeting cos ≥ ~0.40 keys its
+    * state by CELL, not by sign bucket. Each arrival is assigned
+    * executor-side to its nearest centroid from a PINNED snapshot
+    * (`centroids`, c_id-ascending argmax with strict `>` — exactly
+    * `SimOps.cellArgmax`'s tie-break; a vector with no finite similarity
+    * is dropped, the batch `c_id >= 0` contract), and the per-cell state
+    * is the same exact-dedup group registry as [[embedNearDupStream]] —
+    * identical update discipline (intra pairs at 10000 bp, cross pairs at
+    * the rep-level double-exact cosine, id-ascending within a
+    * micro-batch, `maxCell` frozen-group capping; arrival-order cap vs
+    * the batch id-rank cap, parity pinned uncapped).
+    *
+    * The snapshot is pinned for the stream's lifetime for the same
+    * reason [[embedNearDupStream]] pins `bits`: a stream cannot re-shard
+    * its key space mid-flight. Production re-centroids OFFLINE:
+    * [[recellRegistry]] rebuilds the per-cell state from the ingested
+    * registry at a NEW snapshot and the stream resumes via
+    * `initialState` — the [[rebucketRegistry]] path, cell-keyed.
+    *
+    * Parity (spec-pinned): uncapped, over any arrival order and
+    * micro-batch slicing, the emitted pair set equals the uncapped batch
+    * `SimOps.cellNearDupPairs` (flat, probes = 1) at the same centroid
+    * set — each unordered co-cell pair ≥ `thresholdBp` lands exactly once
+    * when its later member arrives.
+    */
+  def cellNearDupStream(
+      items: Dataset[EmbedItem],
+      centroids: Seq[(Long, Seq[Float])],
+      thresholdBp: Int = 4000,
+      maxCell: Int = 0,
+      initialState: Option[Dataset[(Long, EmbedBucket)]] = None): Dataset[EmbedPairRow] = {
+    import items.sparkSession.implicits._
+    val cents = centSnapshot(centroids)
+    val keyed = items
+      .map(it => (nearestCell(cents, it.embedding), it))
+      .filter(_._1 >= 0L)
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    val update =
+        (cell: Long, batch: Iterator[EmbedItem], state: GroupState[EmbedBucket]) => {
+          // identical state discipline to embedNearDupStream's update —
+          // transient O(1) indexes, id-ascending in-batch order, frozen
+          // groups past the cap
+          val groups = scala.collection.mutable.ArrayBuffer.empty[
+            (Long, Seq[Float], Double, List[Long], Boolean)]
+          state.getOption.foreach(_.groups.foreach(groups += _))
+          val memberIds = scala.collection.mutable.HashSet.empty[Long]
+          val embIdx = scala.collection.mutable.HashMap.empty[Seq[Float], Int]
+          groups.zipWithIndex.foreach { case (g, i) =>
+            g._4.foreach(memberIds += _)
+            if (!embIdx.contains(g._2)) embIdx(g._2) = i
+          }
+          var nActive = groups.count(!_._5)
+          val out = List.newBuilder[(Long, Long, Long)]
+          batch.toList.sortBy(_.vec_id).foreach { it =>
+            if (!memberIds.contains(it.vec_id)) embIdx.get(it.embedding) match {
+              case Some(gi) =>
+                val (rep, e, nr, members, frozen) = groups(gi)
+                members.foreach { id =>
+                  out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), 10000L))
+                }
+                if (!frozen) groups.foreach { case (r, oe, onr, om, ofz) =>
+                  if (r != rep && !ofz) {
+                    val c = bpOf(dotF(e, oe) / (nr * onr))
+                    if (c >= thresholdBp) om.foreach { id =>
+                      out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), c))
+                    }
+                  }
+                }
+                groups(gi) = (rep, e, nr, members :+ it.vec_id, frozen)
+                memberIds += it.vec_id
+              case None =>
+                val nr = math.sqrt(dotF(it.embedding, it.embedding))
+                val capped = maxCell > 0 && nActive >= maxCell
+                if (!capped) {
+                  groups.foreach { case (_, oe, onr, om, ofz) =>
+                    if (!ofz) {
+                      val c = bpOf(dotF(it.embedding, oe) / (nr * onr))
+                      if (c >= thresholdBp) om.foreach { id =>
+                        out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), c))
+                      }
+                    }
+                  }
+                  embIdx(it.embedding) = groups.length
+                  groups += ((it.vec_id, it.embedding, nr, List(it.vec_id), false))
+                  nActive += 1
+                } else {
+                  embIdx(it.embedding) = groups.length
+                  groups += ((it.vec_id, it.embedding, nr, List(it.vec_id), true))
+                }
+                memberIds += it.vec_id
+            }
+          }
+          state.update(EmbedBucket(groups.toList))
+          out.result()
+        }
+    (initialState match {
+      case Some(init) => keyed.mapGroupsWithState(
+        GroupStateTimeout.NoTimeout,
+        init.groupByKey(_._1).mapValues(_._2))(update)
+      case None => keyed.mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+    })
+      .flatMap(_.map { case (a, b, c) => EmbedPairRow(a, b, c) })
+  }
+
+  /** OFFLINE re-centroid of [[cellNearDupStream]]'s registry — the
+    * [[rebucketRegistry]] path with the key space being a CENTROID
+    * SNAPSHOT instead of a sign-bit width: rebuild the exact-dedup groups
+    * from the ingested corpus (rep = min id, members id-ascending), assign
+    * each group's embedding to its nearest NEW centroid executor-side
+    * (the same strict-`>` c_id-ascending argmax the stream keys by), and
+    * pack per-cell [[EmbedBucket]]s rep-ascending. A stream resumed from
+    * this state emits exactly the pairs a fresh batch run at the new
+    * snapshot emits for pairs involving subsequent arrivals. Distributed
+    * end to end — the registry never visits the driver.
+    */
+  def recellRegistry(
+      items: Dataset[EmbedItem],
+      centroids: Seq[(Long, Seq[Float])]): Dataset[(Long, EmbedBucket)] = {
+    import items.sparkSession.implicits._
+    val cents = centSnapshot(centroids)
+    items.toDF()
+      .groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep"),
+        sort_array(collect_list(col("vec_id"))).as("members"))
+      .select(col("rep"), col("embedding"), col("members"))
+      .as[(Long, Seq[Float], Seq[Long])]
+      .map { case (rep, e, members) =>
+        var s = 0.0; var i = 0
+        while (i < e.length) { s += e(i).toDouble * e(i).toDouble; i += 1 }
+        (nearestCell(cents, e), (rep, e, math.sqrt(s), members.toList, false))
+      }
+      .filter(_._1 >= 0L)
+      .groupByKey(_._1)
+      .mapGroups { (cell, gs) =>
+        (cell, EmbedBucket(gs.map(_._2).toList.sortBy(_._1)))
+      }
+  }
+
+  /** c_id-ascending centroid snapshot with precomputed norms — the pinned
+    * key space [[cellNearDupStream]] and [[recellRegistry]] share.
+    */
+  private def centSnapshot(
+      centroids: Seq[(Long, Seq[Float])]): IndexedSeq[(Long, Seq[Float], Double)] =
+    centroids.sortBy(_._1).map { case (c, e) =>
+      (c, e, math.sqrt(dotF(e, e)))
+    }.toIndexedSeq
+
+  /** Nearest centroid by cosine over the snapshot — strict `>` with
+    * c_id-ascending iteration reproduces `SimOps.cellArgmax`'s
+    * (csim desc, c_id asc) selection; a NaN similarity never passes the
+    * `>` test, so a vector with no finite similarity returns −1 (the
+    * batch fold's dropped-row contract).
+    */
+  private def nearestCell(
+      cents: IndexedSeq[(Long, Seq[Float], Double)], e: Seq[Float]): Long = {
+    val en = math.sqrt(dotF(e, e))
+    var best = -1L
+    var bs = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val (c, ce, cn) = cents(i)
+      val s = dotF(e, ce) / (en * cn)
+      if (s > bs) { bs = s; best = c }
+      i += 1
+    }
+    best
+  }
+
+  /** Left-to-right float-element dot — bit-identical to the batch
+    * `vec_dot` accumulation ([[embedNearDupStream]]'s parity rule).
+    */
+  private def dotF(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** `floor(c·10⁴ + 0.5)` — the batch `roundBp` rule. */
+  private def bpOf(c: Double): Long = math.floor(c * 10000.0 + 0.5).toLong
+
   /** OFFLINE re-shard of [[embedNearDupStream]]'s registry — the
     * production answer to "a stream cannot re-shard its key space
     * mid-flight": export the ingested corpus (the exact-dedup registry an

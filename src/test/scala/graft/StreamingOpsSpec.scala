@@ -956,6 +956,91 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cellNearDupStream: matches uncapped batch cellNearDupPairs under shuffled arrival") {
+    // the loose-threshold twin: same corpus, centroid snapshot pinned to
+    // the batch operator's own centroid set (hashCentroidPred over the
+    // full corpus), batch boundaries cutting through exact-dup groups
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    val snap = planted.filter(SimOps.hashCentroidPred(64))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val rows = planted.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .sortBy { case (id, _) => (id * 2654435761L) % 1000003L }
+      .map { case (id, e) => EmbedItem(id, e) }
+    val input = MemoryStream[EmbedItem]
+    val q = StreamingOps.cellNearDupStream(input.toDS(), snap)
+      .writeStream.format("memory").queryName("cellndp").outputMode("update").start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("cellndp").as[EmbedPairRow].collect()
+        .map(p => (p.id_a, p.id_b, p.cos_bp)).toSet
+      val batch = SimOps.cellNearDupPairs(planted,
+        centroidPred = SimOps.hashCentroidPred(64), maxCell = 0)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("cellNearDupStream: cap freezes new groups to intra-only emission") {
+    // one centroid -> one cell; cap=1: e1 founds the only unfrozen group,
+    // e2 arrives over cap (cos ~ 0.997 would pair) and is frozen; exact
+    // dups of both groups still emit intra pairs, no cross pair ever
+    val e1 = Seq(1f, 1f, 1f, 1f)
+    val e2 = Seq(0.9f, 1f, 1f, 1f)
+    val input = MemoryStream[EmbedItem]
+    val q = StreamingOps.cellNearDupStream(input.toDS(), Seq((0L, e1)), maxCell = 1)
+      .writeStream.format("memory").queryName("cellndpcap").outputMode("update").start()
+    try {
+      input.addData(EmbedItem(1L, e1), EmbedItem(2L, e2))
+      q.processAllAvailable()
+      input.addData(EmbedItem(3L, e2), EmbedItem(4L, e1))
+      q.processAllAvailable()
+      val got = spark.table("cellndpcap").as[EmbedPairRow].collect()
+        .map(p => (p.id_a, p.id_b, p.cos_bp)).toSet
+      assert(got == Set((2L, 3L, 10000L), (1L, 4L, 10000L)), s"got: $got")
+    } finally q.stop()
+  }
+
+  test("recellRegistry: resumed stream at a new snapshot equals fresh-snapshot batch for new arrivals") {
+    // the offline re-centroid contract, cell-keyed rebucketRegistry: half
+    // the corpus is the registry, the NEW snapshot is drawn from the
+    // registry (production re-centroids from what it has ingested), state
+    // rebuilt per cell, stream resumed; emitted = uncapped batch pairs of
+    // the full corpus minus the registry's, BOTH at the pinned snapshot
+    // (explicit centroid-id predicate so the two batch runs share it)
+    val all = SimOps.plantedVectors(sf("embeddings"))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .sortBy { case (id, _) => (id * 2654435761L) % 1000003L }
+      .map { case (id, e) => EmbedItem(id, e) }
+    val (oldItems, newItems) = all.splitAt(all.length / 2)
+    val registry = spark.createDataset(oldItems.toIndexedSeq)
+    val snap = registry.toDF().filter(SimOps.hashCentroidPred(64))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    assert(snap.nonEmpty, "fixture must yield registry centroids")
+    val snapIds = snap.map(_._1)
+    val init = StreamingOps.recellRegistry(registry, snap)
+    val input = MemoryStream[EmbedItem]
+    val q = StreamingOps.cellNearDupStream(input.toDS(), snap,
+      initialState = Some(init))
+      .writeStream.format("memory").queryName("recell").outputMode("update").start()
+    try {
+      val (b1, b2) = newItems.splitAt(newItems.length / 2)
+      Seq(b1, b2).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("recell").as[EmbedPairRow].collect()
+        .map(p => (p.id_a, p.id_b, p.cos_bp)).toSet
+      def batch(items: Seq[EmbedItem]) =
+        SimOps.cellNearDupPairs(spark.createDataset(items.toIndexedSeq).toDF(),
+          centroidPred = col("vec_id").isin(snapIds: _*), maxCell = 0)
+          .as[(Long, Long, Long)].collect().toSet
+      val expected = batch(all.toSeq) -- batch(oldItems.toSeq)
+      assert(streamed == expected,
+        s"stream ${streamed.size} vs full-minus-old ${expected.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("embedNearDupStream capped-mode delta: arrival-order cap vs the batch id-rank cap") {
     // the family's documented delta pinned to exact pairs: one bucket
     // (all components non-negative -> bucket 15 at bits=4), three distinct
