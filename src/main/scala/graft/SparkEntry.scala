@@ -1630,6 +1630,17 @@ object SparkEntry {
       SimOps.cellNearDupPairs(planted,
         centroidPred = SimOps.hashCentroidPred(64), hier = true, probes = 2)
     }),
+    // Both hier knobs composed (superProbes=2 x probes=2): sp2 fixes
+    // SUPERCELL-assignment error, p2 fixes CELL-boundary loss — the r15
+    // grid shows they are complementary and regime-split (extent x100:
+    // 80 -> sp2 94 / p2 140 / both 205), so the composition is what a
+    // structure-free corpus runs past the broadcast limit.
+    "q_embed_neardup_cells_hier2_p2" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      SimOps.cellNearDupPairs(planted,
+        centroidPred = SimOps.hashCentroidPred(64), hier = true,
+        superProbes = 2, probes = 2)
+    }),
     "q_embed_pipeline" -> ((s, dir) => {
       val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
       val dropIds = SimOps.nearDupPairs(planted, bits = SimOps.autoSignBits(planted))
@@ -4587,6 +4598,9 @@ object SparkEntry {
     // the probes knob on the two-level quantizer: crn <= 2 over the
     // block-restricted ranking (bsr), same cap/pair/re-attach chain
     "q_embed_neardup_cells_hier_p2" -> duckCellsSql(hier = true, probes = 2),
+    // both knobs composed: vs rn <= 2 over TWO scanned blocks' union
+    "q_embed_neardup_cells_hier2_p2" ->
+      duckCellsSql(hier = true, probes = 2, superProbes = 2),
     // mirrors SimOps.cellRecallAudit at probes = 2: the cells CTE chain's
     // rep-pair set `rp` (the rep-rep restriction of the declared member
     // output) anchor-restricted and divided into the same anchor truth

@@ -82,7 +82,14 @@ object FamilyScaleCheck {
       "q_embed_cells_p2" ->
         ((dir: String) => SimOps.cellNearDupPairs(
           SimOps.plantedVectors(embs(dir)),
-          centroidPred = SimOps.hashCentroidPred(64), probes = 2)))
+          centroidPred = SimOps.hashCentroidPred(64), probes = 2)),
+      // r15: the probes lever on the hier quantizer (cellArgTopPHier) —
+      // the wall to read against q_embed_cells_p2: same 2x-pair-volume
+      // contract, ~2·√nlist assignment instead of nlist
+      "q_embed_cells_hier_p2" ->
+        ((dir: String) => SimOps.cellNearDupPairs(
+          SimOps.plantedVectors(embs(dir)),
+          centroidPred = SimOps.hashCentroidPred(64), hier = true, probes = 2)))
 
     // noop-write timing, NOT count(): under count() Catalyst prunes the
     // unobserved columns (strike's md5 reassembly, spans' positions) and

@@ -43,13 +43,22 @@ class PlanBudgetSpec extends SparkSpec {
     "q_recall_audit_minhash" -> Pin(scans = 18, maxShuffles = 7, minReusedExch = 1),
     "q_dedup_strike" -> Pin(scans = 6, maxShuffles = 6, minReusedExch = 0),
     "q_media_phash" -> Pin(scans = 5, maxShuffles = 5, minReusedExch = 3),
+    "q_media_phash_dense" -> Pin(scans = 5, maxShuffles = 5, minReusedExch = 3),
+    // the capstone's final plan: 3 documents scans (text quote-plant self
+    // join + universe) — the two cluster legs end in localCheckpoints
+    "q_curate_multimodal" -> Pin(scans = 3, maxShuffles = 7, minReusedExch = 0),
     "q_semdedup" -> Pin(scans = 4, maxShuffles = 4, minReusedExch = 0),
     "q_embed_neardup" -> Pin(scans = 8, maxShuffles = 10, minReusedExch = 4),
     "q_embed_neardup_multi" -> Pin(scans = 8, maxShuffles = 9, minReusedExch = 4),
     "q_embed_neardup_cells" -> Pin(scans = 10, maxShuffles = 8, minReusedExch = 4),
-    "q_embed_neardup_cells_p2" -> Pin(scans = 6, maxShuffles = 8, minReusedExch = 3),
-    "q_embed_neardup_cells_hier_p2" -> Pin(scans = 6, maxShuffles = 10, minReusedExch = 3),
-    "q_recall_audit_cells" -> Pin(scans = 10, maxShuffles = 15, minReusedExch = 7),
+    // the probes>1 queries localCheckpoint their assignment; the
+    // checkpoint's consumers plan separately, and whether two of their
+    // exchanges unify into a ReusedExchange races run-to-run (+/-1
+    // observed with identical scans/reuse floors) — ceilings carry one
+    // slack unit there, the exact scan pin is the regression-catcher
+    "q_embed_neardup_cells_p2" -> Pin(scans = 6, maxShuffles = 9, minReusedExch = 3),
+    "q_embed_neardup_cells_hier_p2" -> Pin(scans = 6, maxShuffles = 11, minReusedExch = 3),
+    "q_recall_audit_cells" -> Pin(scans = 10, maxShuffles = 16, minReusedExch = 7),
     "q_embed_keep_best" -> Pin(scans = 2, maxShuffles = 6, minReusedExch = 2),
     "q_knn_graph_hier2" -> Pin(scans = 5, maxShuffles = 6, minReusedExch = 2),
     "q_curate_pipeline" -> Pin(scans = 3, maxShuffles = 3, minReusedExch = 1),
