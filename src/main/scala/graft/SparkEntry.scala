@@ -1283,6 +1283,14 @@ object SparkEntry {
       SimOps.cellRecallAudit(planted,
         centroidPred = SimOps.hashCentroidPred(64), probes = 2)
     }),
+    // The hier leg of the same audit: q_embed_neardup_cells_hier_p2's
+    // pairing scored on the IDENTICAL anchor truth — flat-p2 vs hier-p2
+    // recall becomes a declared, oracle-verified comparison on one corpus.
+    "q_recall_audit_cells_hier" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      SimOps.cellRecallAudit(planted,
+        centroidPred = SimOps.hashCentroidPred(64), probes = 2, hier = true)
+    }),
     // Cross-SOURCE contamination matrix: exact 3-shingle Jaccard between
     // every source pair via source-bounded postings — the rollup a mixture
     // designer reads before setting sampling weights.
@@ -1518,6 +1526,14 @@ object SparkEntry {
       SimOps.knnGraphHier(t(s, dir, "embeddings"),
         centroidPred = SimOps.sqrtCentroidPred(t(s, dir, "embeddings")),
         superProbes = 2)),
+    // The CELL-boundary recall knob under the two-level quantizer
+    // (cellArgTopPHier, the r15 lever): each source vector probes its 2
+    // best in-block cells, candidates stay home — knnGraph's probes=2
+    // carried past the flat broadcast limit.
+    "q_knn_graph_hier_p2" -> ((s, dir) =>
+      SimOps.knnGraphHier(t(s, dir, "embeddings"),
+        centroidPred = SimOps.sqrtCentroidPred(t(s, dir, "embeddings")),
+        probes = 2)),
     // The recall knob as a declared shape: each SOURCE vector probes its 2
     // nearest cells (candidates stay in their home cell, so pairs cannot
     // duplicate) — boundary neighbors probes=1 misses are recovered at
@@ -2426,7 +2442,7 @@ object SparkEntry {
     * the within-cell top-3 ranking. superProbes = 1 is the declared
     * q_knn_graph_hier; 2 is the recall knob declared as q_knn_graph_hier2.
     */
-  private def duckKnnHierSql(superProbes: Int): String =
+  private def duckKnnHierSql(superProbes: Int, probes: Int = 1): String =
     "WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
       "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
       "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n " +
@@ -2446,11 +2462,15 @@ object SparkEntry {
       "bs AS (SELECT v.vec_id, v.e, v.nrm, c.c_id, " +
       "list_dot_product(v.e, c.ce) / (v.nrm * c.cn) AS s " +
       "FROM vs v JOIN c2s ON v.sc_id = c2s.sc_id JOIN c ON c.c_id = c2s.cid0), " +
-      "asg AS (SELECT vec_id, e, nrm, c_id FROM (SELECT *, row_number() OVER " +
-      "(PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn FROM bs) WHERE rn = 1), " +
+      "bsr AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY s DESC, c_id) AS rn FROM bs), " +
+      "asg AS (SELECT vec_id, e, nrm, c_id FROM bsr WHERE rn = 1), " +
+      // probes > 1: the a-side unions each vector's top-`probes` in-block
+      // cells (cellArgTopPHier); candidates (b-side) stay home-only
+      s"asg2 AS (SELECT vec_id, e, nrm, c_id FROM bsr WHERE rn <= $probes), " +
       "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
       "list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos " +
-      "FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id), " +
+      "FROM asg2 a JOIN asg b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id), " +
       "r AS (SELECT id_a, id_b, cos, row_number() OVER (PARTITION BY id_a " +
       "ORDER BY cos DESC, id_b) AS rank FROM p) " +
       s"SELECT id_a, rank, id_b, ${TextOps.roundBpSql("cos")} AS cos_bp " +
@@ -2484,6 +2504,32 @@ object SparkEntry {
       "((doc_id * 8 + r) % 4) * 9 AS shift FROM documents " +
       "CROSS JOIN (SELECT unnest(range(0, 8)) AS r))",
     stride = "7 + grp % 23")
+
+  /** Mirror of SimOps.cellRecallAudit at the given quantizer/knobs: the
+    * cells CTE chain's rep-pair set `rp` (the rep-rep restriction of the
+    * declared member output) anchor-restricted and divided into the same
+    * anchor truth as the q_recall_audit_neardup oracle, built over the
+    * cells chain's rep frame `n`.
+    */
+  private def duckCellRecallAuditSql(
+      hier: Boolean, probes: Int, superProbes: Int = 1): String =
+    s"${duckCellsCtes(hier, probes, superProbes)}, " +
+      "anch AS (SELECT vec_id AS a_id, e AS ae, nrm AS an FROM n " +
+      s"WHERE ${StableHash.hash60Sql("CAST(vec_id AS VARCHAR)")} % " +
+      "greatest(1, CAST(ceil((SELECT count(*) FROM n) / 64.0) AS BIGINT)) = 0), " +
+      "tp AS (SELECT DISTINCT least(n.vec_id, a.a_id) AS pa, " +
+      "greatest(n.vec_id, a.a_id) AS pb FROM n CROSS JOIN anch a " +
+      "WHERE n.vec_id <> a.a_id AND " +
+      s"${TextOps.roundBpSql("list_dot_product(n.e, a.ae) / (n.nrm * a.an)")} >= 4000), " +
+      "fa AS (SELECT DISTINCT ra AS pa, rb AS pb FROM rp JOIN anch " +
+      "ON rp.ra = anch.a_id OR rp.rb = anch.a_id) " +
+      "SELECT (SELECT count(*) FROM anch) AS n_anchors, " +
+      "(SELECT count(*) FROM tp) AS n_truth, " +
+      "(SELECT count(*) FROM fa) AS n_found, " +
+      "CASE WHEN (SELECT count(*) FROM tp) > 0 THEN " +
+      TextOps.floorDivSql("(SELECT count(*) FROM fa) * 10000",
+        "(SELECT count(*) FROM tp)") +
+      " ELSE 10000 END AS recall_bp"
 
   /** Suffix the phash chain's tail CTE names (rp/crossp/intra/pp) so the
     * chain composes with the cells chain — whose own rp/crossp/intra —
@@ -3961,6 +4007,9 @@ object SparkEntry {
     // declared recall knob on the two-stage quantizer (fixture agreement
     // vs flat argmax 0.49 at superProbes=1, 0.656 at 2; SKEW r13)
     "q_knn_graph_hier2" -> duckKnnHierSql(2),
+    // the probes knob under the hier quantizer: a-side = rn <= 2 over the
+    // block-restricted ranking, b-side home-only
+    "q_knn_graph_hier_p2" -> duckKnnHierSql(1, probes = 2),
     // mirrors TextOps.bpePairCounts (k=20): DuckDB range(1, n) == Spark
     // sequence(1, n-1); both substring(tok, i, 2) 1-based
     "q_bpe_pairs" ->
@@ -4606,24 +4655,11 @@ object SparkEntry {
     // output) anchor-restricted and divided into the same anchor truth
     // as the q_recall_audit_neardup oracle, built over the cells chain's
     // rep frame `n`
-    "q_recall_audit_cells" ->
-      (s"${duckCellsCtes(hier = false, probes = 2)}, " +
-        "anch AS (SELECT vec_id AS a_id, e AS ae, nrm AS an FROM n " +
-        s"WHERE ${StableHash.hash60Sql("CAST(vec_id AS VARCHAR)")} % " +
-        "greatest(1, CAST(ceil((SELECT count(*) FROM n) / 64.0) AS BIGINT)) = 0), " +
-        "tp AS (SELECT DISTINCT least(n.vec_id, a.a_id) AS pa, " +
-        "greatest(n.vec_id, a.a_id) AS pb FROM n CROSS JOIN anch a " +
-        "WHERE n.vec_id <> a.a_id AND " +
-        s"${TextOps.roundBpSql("list_dot_product(n.e, a.ae) / (n.nrm * a.an)")} >= 4000), " +
-        "fa AS (SELECT DISTINCT ra AS pa, rb AS pb FROM rp JOIN anch " +
-        "ON rp.ra = anch.a_id OR rp.rb = anch.a_id) " +
-        "SELECT (SELECT count(*) FROM anch) AS n_anchors, " +
-        "(SELECT count(*) FROM tp) AS n_truth, " +
-        "(SELECT count(*) FROM fa) AS n_found, " +
-        "CASE WHEN (SELECT count(*) FROM tp) > 0 THEN " +
-        TextOps.floorDivSql("(SELECT count(*) FROM fa) * 10000",
-          "(SELECT count(*) FROM tp)") +
-        " ELSE 10000 END AS recall_bp"),
+    "q_recall_audit_cells" -> duckCellRecallAuditSql(hier = false, probes = 2),
+    // the hier leg of the same audit: the q_embed_neardup_cells_hier_p2
+    // pairing scored on the identical anchor truth — the declared form of
+    // the SKEW grid's hier-p2 rows
+    "q_recall_audit_cells_hier" -> duckCellRecallAuditSql(hier = true, probes = 2),
     // mirrors SimOps.semDedup: exact-dedup-first (identical embeddings
     // collapse to a min-id rep; members never survive), √N-sized
     // hash-sampled centroids over the FULL planted corpus, rep-only cell

@@ -415,27 +415,38 @@ object SimOps {
   }
 
   /** [[knnGraph]] with the hierarchical coarse quantizer
-    * ([[cellArgmaxHier]]) doing cell assignment — the variant that
-    * carries the IVF family past the flat fold's ~1M-centroid broadcast
-    * limit. Pairing, ranking, and output shape are identical to
-    * [[knnGraph]] at probes = 1; only the assignment stage differs (and
-    * with it the documented supercell-boundary approximation).
+    * ([[cellArgmaxHier]]; [[cellArgTopPHier]] when `probes` > 1) doing
+    * cell assignment — the variant that carries the IVF family past the
+    * flat fold's ~1M-centroid broadcast limit. Pairing, ranking, and
+    * output shape are identical to [[knnGraph]]; only the assignment
+    * stage differs (and with it the documented supercell-boundary
+    * approximation, priced by `superProbes`; `probes` is the
+    * cell-boundary recall knob, same contract as [[knnGraph]]'s).
     */
   def knnGraphHier(
       emb: DataFrame,
       centroidPred: Column,
       k: Int = 3,
       superProbes: Int = 1,
+      probes: Int = 1,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val n = normalized(emb, idCol, embCol)
     val cents = n.filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    val ranked = cellArgmaxHier(n, cents, idCol, superProbes)
+    // probes > 1 rides cellArgTopPHier (the r15 lever): each SOURCE
+    // vector unions into its `probes` best in-block cells — the knnGraph
+    // probe construction under the two-level quantizer; candidates stay
+    // in their home cell, so pairs cannot duplicate
+    val ranked = (if (probes == 1)
+        cellArgmaxHier(n, cents, idCol, superProbes).withColumn("crn", lit(1))
+      else cellArgTopPHier(n, cents, idCol, superProbes, probes))
+      .select(col(idCol), col("e"), col("nrm"), col("c_id"), col("crn"))
       .repartition(col("c_id"))
     val a = ranked.select(col("c_id"), col(idCol).as("id_a"),
       col("e").as("ea"), col("nrm").as("na"))
-    val b = ranked.select(col("c_id"), col(idCol).as("id_b"),
+    val b = ranked.filter(col("crn") === 1)
+      .select(col("c_id"), col(idCol).as("id_b"),
       col("e").as("eb"), col("nrm").as("nb"))
     val pairs = a.join(b, "c_id")
       .filter(col("id_a") =!= col("id_b"))

@@ -243,6 +243,22 @@ class SimOpsSpec extends SparkSpec {
     assert(a2 >= 0.6, s"two-probe agreement should clear 0.6: $a2")
   }
 
+  test("knnGraphHier: probing more in-block cells never loses recall vs exact top-3") {
+    val df = sf("embeddings")
+    val brute = SimOps.bruteTopK(df, lit(true), k = 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(p: Int) = {
+      val g = SimOps.knnGraphHier(df, SimOps.sqrtCentroidPred(df), probes = p)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      g.intersect(brute).size.toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    info(s"hier graph recall: probes=1 $r1, probes=2 $r2")
+    assert(r2 >= r1, s"hier probe recall regressed: $r2 < $r1")
+    assert(r1 > 0.1, s"suspiciously low hier 1-cell graph recall: $r1")
+  }
+
   test("cellArgTopPHier: p=1 equals cellArgmaxHier; full supercell coverage recovers cellArgTopP") {
     val n = SimOps.normalized(sf("embeddings"), "vec_id", "embedding")
     val cents = n.filter(SimOps.sqrtCentroidPred(sf("embeddings")))
