@@ -1561,6 +1561,15 @@ object SparkEntry {
       SimOps.semDedup(SimOps.plantedVectors(t(s, dir, "embeddings")),
         centroidPred = SimOps.sqrtCentroidPred(
           SimOps.plantedVectors(t(s, dir, "embeddings"))))),
+    // SemDeDup through the two-level quantizer — the flagship semantic
+    // dedup's assignment carried past the flat fold's ~1M-centroid
+    // broadcast limit (the same swap the cells pairing family made);
+    // drop rule, cap, and survivor set construction unchanged.
+    "q_semdedup_hier" -> ((s, dir) =>
+      SimOps.semDedup(SimOps.plantedVectors(t(s, dir, "embeddings")),
+        centroidPred = SimOps.sqrtCentroidPred(
+          SimOps.plantedVectors(t(s, dir, "embeddings"))),
+        hier = true)),
     // Composed embedding-curation pipeline: planted corpus → near-dup
     // pairs → drop the larger id of each pair → per-label scorecard.
     // The embedding twin of q_curate_pipeline's text chain.
@@ -2351,10 +2360,18 @@ object SparkEntry {
     * rep-pair CTE (the rep-rep restriction of the declared output)
     * against the anchor truth instead of emitting the re-attached pairs.
     */
-  private def duckCellsCtes(
-      hier: Boolean, probes: Int = 1, superProbes: Int = 1,
-      rawBase: Boolean = false): String = {
-    val assign =
+  /** Cell-assignment CTE fragment over rep frame `n` and centroid frame
+    * `c` (both must already be defined in the enclosing WITH): emits
+    * `asg` (each vector's best cell) and, when `probes` > 1, `asg2`
+    * (its `probes` best). Flat = one ranked cross join; hier = the
+    * two-level quantizer (duckKnnHierSql's construction) with the probes
+    * knob riding the block-restricted ranking `bsr` (blocks partition
+    * the centroids, so no cell duplicates) — crn <= probes is
+    * cellArgTopPHier, crn = 1 is cellArgmaxHier. Shared by the cells
+    * pairing chain and the semdedup oracle.
+    */
+  private def duckCellAssignCtes(
+      hier: Boolean, probes: Int = 1, superProbes: Int = 1): String =
       if (!hier)
         "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
           "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n, c), " +
@@ -2392,6 +2409,41 @@ object SparkEntry {
           (if (probes > 1)
             s"asg2 AS (SELECT vec_id, e, nrm, c_id FROM bsr WHERE rn <= $probes), "
           else "")
+
+  /** Mirror of SimOps.semDedup: exact-dedup-first (identical embeddings
+    * collapse to a min-id rep; members never survive), √N-sized
+    * hash-sampled centroids over the FULL planted corpus, rep-only cell
+    * assignment (flat, or the shared two-level fragment when `hier`),
+    * id-rank maxCell cap, within-cell cosine ≥ 0.99 drops the higher rep.
+    */
+  private def duckSemDedupSql(hier: Boolean): String =
+    "WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+      s"UNION ALL SELECT vec_id + ${DedupOps.plantStepSql("embeddings", "vec_id")} " +
+      "AS vec_id, embedding " +
+      "FROM embeddings WHERE vec_id % 100 = 0), " +
+      "nall AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+      "FROM base), " +
+      "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM nall " +
+      s"WHERE ${SimOps.sqrtCentroidPredSql("base")}), " +
+      "egrp AS (SELECT embedding, min(vec_id) AS rep FROM base GROUP BY embedding), " +
+      "n AS (SELECT rep AS vec_id, embedding::DOUBLE[] AS e, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+      "FROM egrp), " +
+      duckCellAssignCtes(hier) +
+      // maxCell participation cap (SimOps.DefaultMaxCell), rank by id
+      "p AS (SELECT vec_id, e, nrm, c_id FROM (SELECT *, row_number() " +
+      "OVER (PARTITION BY c_id ORDER BY vec_id) AS rk FROM asg) WHERE rk <= 256), " +
+      "d AS (SELECT DISTINCT b.vec_id FROM p a JOIN p b " +
+      "ON a.c_id = b.c_id AND a.vec_id < b.vec_id " +
+      s"WHERE ${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} >= 9900) " +
+      "SELECT vec_id, c_id FROM asg " +
+      "WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id"
+
+  private def duckCellsCtes(
+      hier: Boolean, probes: Int = 1, superProbes: Int = 1,
+      rawBase: Boolean = false): String = {
+    val assign = duckCellAssignCtes(hier, probes, superProbes)
     "WITH base AS (SELECT vec_id, embedding FROM embeddings" +
       (if (rawBase) "), "
       else
@@ -4664,33 +4716,10 @@ object SparkEntry {
     // collapse to a min-id rep; members never survive), √N-sized
     // hash-sampled centroids over the FULL planted corpus, rep-only cell
     // assignment, within-cell cosine >= 0.99 drops the higher rep id
-    "q_semdedup" ->
-      ("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
-        s"UNION ALL SELECT vec_id + ${DedupOps.plantStepSql("embeddings", "vec_id")} " +
-        "AS vec_id, embedding " +
-        "FROM embeddings WHERE vec_id % 100 = 0), " +
-        "nall AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
-        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
-        "FROM base), " +
-        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM nall " +
-        s"WHERE ${SimOps.sqrtCentroidPredSql("base")}), " +
-        "egrp AS (SELECT embedding, min(vec_id) AS rep FROM base GROUP BY embedding), " +
-        "n AS (SELECT rep AS vec_id, embedding::DOUBLE[] AS e, " +
-        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
-        "FROM egrp), " +
-        "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
-        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n, c), " +
-        "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
-        "asg AS (SELECT vec_id, e, nrm, c_id FROM r WHERE crn = 1), " +
-        // maxCell participation cap (SimOps.DefaultMaxCell), rank by id
-        "p AS (SELECT vec_id, e, nrm, c_id FROM (SELECT *, row_number() " +
-        "OVER (PARTITION BY c_id ORDER BY vec_id) AS rk FROM asg) WHERE rk <= 256), " +
-        "d AS (SELECT DISTINCT b.vec_id FROM p a JOIN p b " +
-        "ON a.c_id = b.c_id AND a.vec_id < b.vec_id " +
-        s"WHERE ${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} >= 9900) " +
-        "SELECT vec_id, c_id FROM asg " +
-        "WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id"),
+    "q_semdedup" -> duckSemDedupSql(hier = false),
+    // the hier quantizer under SemDeDup: same cap/pair/survivor chain,
+    // assignment through the shared two-level fragment
+    "q_semdedup_hier" -> duckSemDedupSql(hier = true),
     // mirrors the q_embed_pipeline composition: the q_embed_neardup pair
     // chain feeding a drop-set left join and per-label rollup
     "q_embed_pipeline" ->

@@ -1445,12 +1445,20 @@ object SimOps {
       thresholdBp: Long = 9900L,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      maxCell: Int = DefaultMaxCell): DataFrame = {
+      maxCell: Int = DefaultMaxCell,
+      hier: Boolean = false,
+      superProbes: Int = 1): DataFrame = {
     val groups = emb.groupBy(col(embCol)).agg(min(col(idCol)).as("rep_id"))
     val reps = groups.select(col("rep_id").as(idCol), col(embCol))
     val cents = normalized(emb, idCol, embCol).filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    val assigned = cellArgmax(normalized(reps, idCol, embCol), cents, idCol)
+    val nR = normalized(reps, idCol, embCol)
+    // `hier`: the two-level quantizer past the flat fold's ~1M-centroid
+    // broadcast limit — the same swap cellNearDupPairs makes; SemDeDup's
+    // cross-cell-miss trade is unchanged, only which cell a boundary
+    // vector lands in (the supercell approximation, priced by superProbes)
+    val assigned = (if (hier) cellArgmaxHier(nR, cents, idCol, superProbes)
+      else cellArgmax(nR, cents, idCol))
       .select(col(idCol), col("e"), col("nrm"), col("c_id"))
       .repartition(col("c_id"))
     val wCell = org.apache.spark.sql.expressions.Window
