@@ -1429,6 +1429,14 @@ object SparkEntry {
       SimOps.ivfTopK(t(s, dir, "embeddings"),
         queryPred = col("vec_id") < 5,
         centroidPred = col("vec_id").between(100, 115))),
+    // IVF search with the CORPUS assignment through the two-level
+    // quantizer — the side that hits the flat broadcast limit; query
+    // probe ranking stays exact over the 5 filtered queries.
+    "q_sim_ivf_hier" -> ((s, dir) =>
+      SimOps.ivfTopK(t(s, dir, "embeddings"),
+        queryPred = col("vec_id") < 5,
+        centroidPred = col("vec_id").between(100, 115),
+        hier = true)),
     // Per-class embedding prototypes: (label, dim) integer-exact mean
     // components via the bp-quantize-then-average rule — the
     // class-centroid audit of embedding quality.
@@ -2409,6 +2417,41 @@ object SparkEntry {
           (if (probes > 1)
             s"asg2 AS (SELECT vec_id, e, nrm, c_id FROM bsr WHERE rn <= $probes), "
           else "")
+
+  /** Mirror of SimOps.ivfTopK on the 16 fixed fixture cells: corpus
+    * assignment flat (ranked cross join) or through the shared two-level
+    * fragment; each of the 5 queries probes its 4 nearest cells (an
+    * exact ranking over all cells — the query side never rides the
+    * approximation), brute force within probed cells, top-10.
+    */
+  private def duckSimIvfSql(hier: Boolean): String =
+    "WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+      "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 100 AND 115), " +
+      (if (!hier)
+        "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
+          "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n CROSS JOIN c), " +
+          "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+          "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
+          "asg AS (SELECT vec_id, e, nrm, c_id FROM rk WHERE crn = 1), " +
+          "pr AS (SELECT vec_id AS q_id, c_id FROM rk WHERE vec_id < 5 AND crn <= 4), "
+      else
+        duckCellAssignCtes(hier = true) +
+          "qcs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
+          "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim " +
+          "FROM n CROSS JOIN c WHERE n.vec_id < 5), " +
+          "qrk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+          "ORDER BY csim DESC, c_id) AS crn FROM qcs), " +
+          "pr AS (SELECT vec_id AS q_id, c_id FROM qrk WHERE crn <= 4), ") +
+      "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5), " +
+      "p AS (SELECT pr.q_id, a.vec_id, " +
+      "list_dot_product(q.qe, a.e) / (q.qn * a.nrm) AS cos " +
+      "FROM pr JOIN asg a ON pr.c_id = a.c_id JOIN q ON q.q_id = pr.q_id " +
+      "WHERE a.vec_id <> pr.q_id), " +
+      "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id " +
+      "ORDER BY cos DESC, vec_id) AS rank FROM p) " +
+      s"SELECT q_id, rank, vec_id, ${TextOps.roundBpSql("cos")} AS cos_bp " +
+      "FROM r WHERE rank <= 10 ORDER BY q_id, rank"
 
   /** Mirror of SimOps.semDedup: exact-dedup-first (identical embeddings
     * collapse to a min-id rep; members never survive), √N-sized
@@ -3765,25 +3808,10 @@ object SparkEntry {
         "CAST(n_new * 10000 // t_new AS BIGINT) AS share_new_bp, " +
         "CAST(n_new * 10000 // t_new - n_old * 10000 // t_old AS BIGINT) AS delta_bp " +
         "FROM g CROSS JOIN t ORDER BY cell_id"),
-    "q_sim_ivf" ->
-      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
-        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
-        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 100 AND 115), " +
-        "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
-        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n CROSS JOIN c), " +
-        "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
-        "asg AS (SELECT vec_id, e, nrm, c_id FROM rk WHERE crn = 1), " +
-        "pr AS (SELECT vec_id AS q_id, c_id FROM rk WHERE vec_id < 5 AND crn <= 4), " +
-        "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5), " +
-        "p AS (SELECT pr.q_id, a.vec_id, " +
-        "list_dot_product(q.qe, a.e) / (q.qn * a.nrm) AS cos " +
-        "FROM pr JOIN asg a ON pr.c_id = a.c_id JOIN q ON q.q_id = pr.q_id " +
-        "WHERE a.vec_id <> pr.q_id), " +
-        "r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id " +
-        "ORDER BY cos DESC, vec_id) AS rank FROM p) " +
-        s"SELECT q_id, rank, vec_id, ${TextOps.roundBpSql("cos")} AS cos_bp " +
-        "FROM r WHERE rank <= 10 ORDER BY q_id, rank"),
+    "q_sim_ivf" -> duckSimIvfSql(hier = false),
+    // the corpus assignment through the shared two-level fragment; query
+    // probes (crn <= 4 over all cells) unchanged
+    "q_sim_ivf_hier" -> duckSimIvfSql(hier = true),
     // mirrors SimOps.ivfRecallSweep: the q_sim_ivf probe chain evaluated
     // at nProbe 1/2/4 against the exact brute-force top-10
     "q_sim_recall" ->

@@ -275,11 +275,13 @@ object SimOps {
       k: Int = 10,
       nProbe: Int = 4,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      hier: Boolean = false,
+      superProbes: Int = 1): DataFrame = {
     val n = normalized(emb, idCol, embCol)
     val cents = n.filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
-    ivfProbe(n, cents, queryPred, k, nProbe, idCol)
+    ivfProbe(n, cents, queryPred, k, nProbe, idCol, hier, superProbes)
   }
 
   /** Every vector scored against every centroid (centroids broadcast),
@@ -470,9 +472,15 @@ object SimOps {
       queryPred: Column,
       k: Int,
       nProbe: Int,
-      idCol: String): DataFrame = {
-    // every vector lives in exactly its nearest cell (argmax, no window)...
-    val assigned = cellArgmax(n, cents, idCol)
+      idCol: String,
+      hier: Boolean = false,
+      superProbes: Int = 1): DataFrame = {
+    // every vector lives in exactly its nearest cell (argmax, no window;
+    // the two-level quantizer when `hier` — corpus assignment is the
+    // side that hits the flat broadcast limit, the query probe ranking
+    // below stays exact over the FILTERED query side)...
+    val assigned = (if (hier) cellArgmaxHier(n, cents, idCol, superProbes)
+      else cellArgmax(n, cents, idCol))
     // ...and each query ranks its nProbe nearest cells — a window over the
     // FILTERED query side only, never the corpus
     val probes = cellRank(n.filter(queryPred), cents, idCol)
