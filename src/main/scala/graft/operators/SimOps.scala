@@ -1465,10 +1465,19 @@ object SimOps {
     // broadcast limit — the same swap cellNearDupPairs makes; SemDeDup's
     // cross-cell-miss trade is unchanged, only which cell a boundary
     // vector lands in (the supercell approximation, priced by superProbes)
-    val assigned = (if (hier) cellArgmaxHier(nR, cents, idCol, superProbes)
+    val assignedLazy = (if (hier) cellArgmaxHier(nR, cents, idCol, superProbes)
       else cellArgmax(nR, cents, idCol))
       .select(col(idCol), col("e"), col("nrm"), col("c_id"))
       .repartition(col("c_id"))
+    // `assigned` has THREE consumers (the cap window, both pair sides,
+    // the survivor anti-join); the flat fold's identical repartitions
+    // collapse under ReuseExchange, but the hier pipeline's multi-leg
+    // subplans de-canonicalize under pushdown (the r14 cells-p2 trap —
+    // PlanProbe showed the hier assignment re-executing: 10 corpus scans
+    // vs flat's 4). Eager localCheckpoint runs it ONCE; blocks stay
+    // alive for the caller's lazy result (the dedupClustersDetailed
+    // discipline).
+    val assigned = if (hier) assignedLazy.localCheckpoint(true) else assignedLazy
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c_id")).orderBy(col(idCol))
     val pairable = assigned
