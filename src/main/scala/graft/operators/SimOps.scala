@@ -1355,11 +1355,17 @@ object SimOps {
     // de-canonicalizes the three subplans, so ReuseExchange never
     // collapses them — the fold pipeline re-executes per consumer (and
     // InferFiltersFromGenerate duplicates it once more into the explode's
-    // inferred non-empty filter). Eager localCheckpoint materializes the
-    // assignment ONCE; blocks stay alive for the caller's lazy result
-    // (the [[DedupOps.dedupClustersDetailed]] discipline). probes = 1 and
-    // hier are single-pipeline consumers — kept lazy.
-    val ranked = if (probes > 1) rankedLazy.localCheckpoint(true) else rankedLazy
+    // inferred non-empty filter). The hier assignment hits the same wall
+    // even at probes = 1: its multi-leg subplans (supercenters, c2s,
+    // blocks, the block join) de-canonicalize under each consumer's
+    // pushdown (r15 PlanProbe: 16 corpus scans vs the flat fold's 10).
+    // Eager localCheckpoint materializes the assignment ONCE; blocks stay
+    // alive for the caller's lazy result (the
+    // [[DedupOps.dedupClustersDetailed]] discipline). Flat probes = 1 is
+    // the one single-pipeline case ReuseExchange already handles — kept
+    // lazy.
+    val ranked =
+      if (probes > 1 || hier) rankedLazy.localCheckpoint(true) else rankedLazy
     val home = ranked.filter(col("crn") === 1)
       .select(col(idCol), col("e"), col("nrm"), col("c_id"))
     val wCell = Window.partitionBy(col("c_id")).orderBy(col(idCol))

@@ -76,7 +76,10 @@ object PlanProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val names = args(1).split(',').map(_.trim).filter(_.nonEmpty)
+    // "all" sweeps every declared query — the per-round snapshot artifact
+    val names =
+      if (args(1) == "all") graft.SparkEntry.queries.keys.toSeq.sorted.toArray
+      else args(1).split(',').map(_.trim).filter(_.nonEmpty)
     val full = args.length > 2 && args(2) == "full"
     val spark = graft.GraftSession
       .builder(master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]",
