@@ -89,7 +89,15 @@ object FamilyScaleCheck {
       "q_embed_cells_hier_p2" ->
         ((dir: String) => SimOps.cellNearDupPairs(
           SimOps.plantedVectors(embs(dir)),
-          centroidPred = SimOps.hashCentroidPred(64), hier = true, probes = 2)))
+          centroidPred = SimOps.hashCentroidPred(64), hier = true, probes = 2)),
+      // both hier knobs composed (the structure-free-corpus shape): cost
+      // to read against hier_p2 — sp2 doubles the supercell scan and the
+      // cross-block re-rank rides a window over <= 4 rows per vector
+      "q_embed_cells_hier2_p2" ->
+        ((dir: String) => SimOps.cellNearDupPairs(
+          SimOps.plantedVectors(embs(dir)),
+          centroidPred = SimOps.hashCentroidPred(64), hier = true,
+          superProbes = 2, probes = 2)))
 
     // noop-write timing, NOT count(): under count() Catalyst prunes the
     // unobserved columns (strike's md5 reassembly, spans' positions) and
