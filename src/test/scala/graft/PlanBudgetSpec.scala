@@ -50,7 +50,9 @@ class PlanBudgetSpec extends SparkSpec {
     "q_semdedup" -> Pin(scans = 4, maxShuffles = 4, minReusedExch = 0),
     "q_embed_neardup" -> Pin(scans = 8, maxShuffles = 10, minReusedExch = 4),
     "q_embed_neardup_multi" -> Pin(scans = 8, maxShuffles = 9, minReusedExch = 4),
-    "q_embed_neardup_cells" -> Pin(scans = 10, maxShuffles = 8, minReusedExch = 4),
+    // the flat lazy diamond shows the same +/-1 exchange-unification
+    // race as the checkpointed variants (8 or 9 observed, scans fixed)
+    "q_embed_neardup_cells" -> Pin(scans = 10, maxShuffles = 9, minReusedExch = 4),
     // the probes>1 queries localCheckpoint their assignment; the
     // checkpoint's consumers plan separately, and whether two of their
     // exchanges unify into a ReusedExchange races run-to-run (+/-1
@@ -63,7 +65,22 @@ class PlanBudgetSpec extends SparkSpec {
     "q_knn_graph_hier2" -> Pin(scans = 5, maxShuffles = 6, minReusedExch = 2),
     "q_curate_pipeline" -> Pin(scans = 3, maxShuffles = 3, minReusedExch = 1),
     "q_pack_bpe" -> Pin(scans = 2, maxShuffles = 4, minReusedExch = 0),
-    "q_bpe_encode" -> Pin(scans = 1, maxShuffles = 2, minReusedExch = 0))
+    "q_bpe_encode" -> Pin(scans = 1, maxShuffles = 2, minReusedExch = 0),
+    // r15 closing-bench heavy tail (every remaining pinnable query from
+    // the clean suite's top walls — the graph family ends in
+    // localCheckpoints and stays with PlanSpec)
+    "q_dedup_jaccard" -> Pin(scans = 3, maxShuffles = 3, minReusedExch = 0),
+    "q_dedup_contain" -> Pin(scans = 4, maxShuffles = 3, minReusedExch = 0),
+    "q_dedup_substring" -> Pin(scans = 2, maxShuffles = 3, minReusedExch = 0),
+    "q_dedup_spans" -> Pin(scans = 3, maxShuffles = 5, minReusedExch = 0),
+    "q_dedup_verified" -> Pin(scans = 6, maxShuffles = 6, minReusedExch = 1),
+    "q_cap_audit_substring" -> Pin(scans = 2, maxShuffles = 1, minReusedExch = 0),
+    "q_cap_audit_minhash" -> Pin(scans = 3, maxShuffles = 2, minReusedExch = 0),
+    "q_cap_audit_neardup" -> Pin(scans = 2, maxShuffles = 2, minReusedExch = 0),
+    "q_cap_audit_phash" -> Pin(scans = 1, maxShuffles = 2, minReusedExch = 0),
+    "q_text_tfidf" -> Pin(scans = 3, maxShuffles = 6, minReusedExch = 0),
+    "q_bigram_lm" -> Pin(scans = 1, maxShuffles = 3, minReusedExch = 1),
+    "q_sim_ivfpq_kmeans" -> Pin(scans = 14, maxShuffles = 12, minReusedExch = 3))
 
   for ((name, pin) <- pins) {
     test(s"plan budget: $name") {
