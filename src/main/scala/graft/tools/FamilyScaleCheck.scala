@@ -97,7 +97,20 @@ object FamilyScaleCheck {
         ((dir: String) => SimOps.cellNearDupPairs(
           SimOps.plantedVectors(embs(dir)),
           centroidPred = SimOps.hashCentroidPred(64), hier = true,
-          superProbes = 2, probes = 2)))
+          superProbes = 2, probes = 2)),
+      // r15: the dense phash plant (grid-16 regime) — content derives
+      // from ids only, so growth mode is irrelevant; the law to observe:
+      // the derived grid stays 16 once crossed (universe grows with the
+      // id range under the per-group stride) and wall tracks the decode
+      // + 16-band pairing ~linearly
+      "q_media_phash_dense" ->
+        ((dir: String) => {
+          val m = MultimodalOps.plantPhashCorpusDense(
+            MultimodalOps.asMedia(docs(dir)))
+          val g = MultimodalOps.autoPhashGrid(m)
+          println(s"[famscale] q_media_phash_dense derived grid($dir) = $g")
+          MultimodalOps.phashPairs(m, grid = g)
+        }))
 
     // noop-write timing, NOT count(): under count() Catalyst prunes the
     // unobserved columns (strike's md5 reassembly, spans' positions) and
