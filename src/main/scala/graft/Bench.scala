@@ -36,7 +36,10 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_BENCH_LOAD_BOUND` (default 4) is contended, and if every
   * pass is, up to `SPARK_GRAFT_BENCH_LOAD_RETRIES` (default 2) extra
   * passes chase a clean one. Per-query mins come from clean passes when
-  * any exist; otherwise the artifact carries `"contended": true`.
+  * any exist; otherwise the artifact carries `"contended": true`. Solo
+  * re-runs are gated the same way (500 ms sampling — their sections are
+  * seconds, not minutes), each row carrying its own estimate + flag; an
+  * estimate needs ≥ 2 samples or it reports unmeasurable (-1, warned).
   */
 object Bench {
 
@@ -143,45 +146,56 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L
     }
-    val passLoads = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    val passExternal = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def runPass(): Map[String, Either[String, Double]] = {
-      val samples = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
-      @volatile var sampling = true
-      val sampler = new Thread(() => {
+    // Reusable external-load estimator: samples loadavg every `periodMs`
+    // for the lifetime of one measured section, then reports mean sampled
+    // load minus this JVM's own consumed cores. FEWER THAN 2 SAMPLES is
+    // unmeasurable (one sample of a 1-minute EWMA says nothing about the
+    // section) — reported as -1 with a stderr warning, so a "clean"
+    // verdict from an under-sampled section is at least visible instead
+    // of silent. Solo sections (seconds, not minutes) sample at 500 ms.
+    final class LoadSampler(periodMs: Long) {
+      private val samples = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      @volatile private var sampling = true
+      private val cpu0 = processCpuNs()
+      private val w0 = System.nanoTime()
+      private val th = new Thread(() => {
         while (sampling) {
           val l = osBean.getSystemLoadAverage
           if (l >= 0) samples.add(l)
-          Thread.sleep(2000)
+          Thread.sleep(periodMs)
         }
       }, "bench-load-sampler")
-      sampler.setDaemon(true)
+      th.setDaemon(true)
+      th.start()
+      /** external-load estimate, -1 when unmeasurable (warned). */
+      def stop(tag: String): Double = {
+        sampling = false
+        th.join(3000)
+        val wall = (System.nanoTime() - w0) / 1e9
+        val ownCores =
+          if (cpu0 >= 0) (processCpuNs() - cpu0) / 1e9 / wall else -1.0
+        var s = 0.0; var k = 0
+        val it = samples.iterator()
+        while (it.hasNext) { s += it.next(); k += 1 }
+        if (k < 2 || ownCores < 0) {
+          System.err.println(s"[bench] $tag external load UNMEASURABLE " +
+            s"($k samples, ownCores=$ownCores) — treated as clean")
+          -1.0
+        } else math.rint(math.max(0.0, s / k - ownCores) * 100) / 100
+      }
+    }
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val passExternal = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runPass(): Map[String, Either[String, Double]] = {
       val la0 = loadAvg()
-      val cpu0 = processCpuNs()
-      val w0 = System.nanoTime()
-      sampler.start()
+      val sampler = new LoadSampler(2000)
       val p = names.map { n =>
         val r = n -> execute(spark, n, sfDir)
         maybeRestart()
         r
       }.toMap
-      sampling = false
-      sampler.join(3000)
-      val wall = (System.nanoTime() - w0) / 1e9
-      val ownCores =
-        if (cpu0 >= 0) (processCpuNs() - cpu0) / 1e9 / wall else -1.0
-      val meanLoad = {
-        val it = samples.iterator()
-        var s = 0.0; var k = 0
-        while (it.hasNext) { s += it.next(); k += 1 }
-        if (k > 0) s / k else -1.0
-      }
-      val ext =
-        if (meanLoad >= 0 && ownCores >= 0)
-          math.rint(math.max(0.0, meanLoad - ownCores) * 100) / 100
-        else -1.0
+      passExternal += sampler.stop(s"suite pass ${passExternal.size + 1}")
       passLoads += ((la0, loadAvg()))
-      passExternal += ext
       settle()
       p
     }
@@ -230,12 +244,37 @@ object Bench {
       case n => results.collect { case (k, Right(v)) => (k, v) }
         .sortBy { case (k, v) => (-v, k) }.take(n.toInt).map(_._1)
     }
+    // Solo sections are load-gated like suite passes (the r13 q_label_prop
+    // 65.5 s ghost came from an ungated solo): each two-pass timed section
+    // carries its own external-load estimate; a contended section is
+    // re-run up to the same retry budget chasing a clean one, and the
+    // artifact records the estimate + flag per solo row.
+    val soloExternal = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val soloContended = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
     val solo = soloNames.map { n =>
       spark.stop()
       spark = newSession()
       execute(spark, n, "/root/testdata/sf0.001")
       settle()
-      val r = minOf(execute(spark, n, sfDir), execute(spark, n, sfDir))
+      def timedSection(): (Either[String, Double], Double) = {
+        val sampler = new LoadSampler(500)
+        val r = minOf(execute(spark, n, sfDir), execute(spark, n, sfDir))
+        (r, sampler.stop(s"solo $n"))
+      }
+      var (r, ext) = timedSection()
+      var tries = 0
+      while (ext > loadBound && tries < maxExtra) {
+        System.err.println(s"[bench] solo $n contended (external $ext) — re-running")
+        tries += 1
+        settle()
+        val (r2, ext2) = timedSection()
+        // a clean re-run replaces the contended min outright (contended
+        // walls only inflate); two contended sections keep the min of both
+        if (ext2 <= loadBound) { r = r2; ext = ext2 }
+        else { r = minOf(r, r2); ext = math.min(ext, ext2) }
+      }
+      soloExternal(n) = ext
+      soloContended(n) = ext > loadBound
       n -> r
     }
 
@@ -300,11 +339,17 @@ object Bench {
       .map { case (a, b) => s"[${laJson(a)},${laJson(b)}]" }.mkString("[", ",", "]")
     val extJson = passExternal.map(laJson).mkString("[", ",", "]")
     val contJson = allPasses.indices.map(contended).mkString("[", ",", "]")
+    val soloExtJson =
+      if (solo.isEmpty) ""
+      else soloExternal.map { case (k, v) => s""""$k":${laJson(v)}""" }
+        .mkString(""","solo_external_load":{""", ",", "}") +
+        soloContended.map { case (k, v) => s""""$k":$v""" }
+          .mkString(""","solo_contended":{""", ",", "}")
     val fullJson = json.dropRight(1) +
       s""","mode":"$mode","order":"$order","restart_every":$restartEvery,""" +
       s""""loadavg":$loadJson,"pass_external_load":$extJson,""" +
       s""""pass_contended":$contJson,"load_bound":$loadBound,""" +
-      s""""contended":$allContended,"passes":$passes}"""
+      s""""contended":$allContended$soloExtJson,"passes":$passes}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile), fullJson.getBytes("UTF-8"))
     spark.stop()

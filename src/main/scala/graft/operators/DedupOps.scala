@@ -72,9 +72,12 @@ object DedupOps {
     // beats the opaque NPE getLong would throw
     docs.agg(coalesce(max(col(idCol)).cast("long"), lit(-1L))).head.getLong(0) + 1
 
-  /** DuckDB scalar-subquery mirror of [[plantStep]]. */
+  /** DuckDB scalar-subquery mirror of [[plantStep]] — coalesce included,
+    * so both engines plant at step 0 on an empty corpus (max() is NULL
+    * there and NULL + 1 would make every planted id NULL).
+    */
   def plantStepSql(table: String, idCol: String): String =
-    s"(SELECT max($idCol) + 1 FROM $table)"
+    s"(SELECT coalesce(max($idCol) + 1, 0) FROM $table)"
 
   /** `documents` plus planted duplicates: an exact copy of every 10th doc
     * (id + step) and a near copy (one appended token, id + 2·step) of

@@ -350,12 +350,16 @@ object SimOps {
     * centroid folds over the small supercenter array to find its home
     * supercell ([[cellArgmax]], exact); the centroids regroup into
     * per-supercell BLOCKS (≈ √nlist-sized sorted arrays); and each
-    * corpus vector folds over the supercenter array, broadcast-joins its
-    * supercell's block, and folds over THAT — ~2·√nlist similarity
-    * evaluations per row instead of nlist, and no single broadcast array
-    * ever exceeds √nlist entries (1M centroids → ~1k supercenters + ~1k
-    * 1k-entry blocks: both sides stay far inside executor memory where
-    * the flat array would be ~GBs). `superProbes` > 1 scans that many
+    * corpus vector folds over the supercenter array, SHUFFLE-joins its
+    * supercell's block on sc_id, and folds over THAT — ~2·√nlist
+    * similarity evaluations per row instead of nlist, the only broadcast
+    * anywhere the √nlist-entry supercenter array, and per-task memory
+    * O(√nlist·d): each task hash-builds only the blocks landing in its
+    * sc_id partition (1M centroids → a ~1k-entry supercenter broadcast +
+    * ~1k 1k-entry blocks SPREAD across tasks, where the flat array would
+    * be ~GBs ON EVERY executor — measured: KnnScaleCheck's nlist=1M row,
+    * where the flat fold's single collected array fails the driver and
+    * hier completes). `superProbes` > 1 scans that many
     * nearest supercells' blocks and keeps the best cell across them
     * ((csim desc, c_id) over ≤ superProbes candidates — a window over
     * superProbes rows per vector, not nlist).
@@ -397,7 +401,18 @@ object SimOps {
     val vsup = (if (superProbes == 1) cellArgmax(n, sup, idCol)
       else cellArgTopP(n, sup, idCol, superProbes))
       .select(col(idCol), col("e"), col("nrm"), col("c_id").as("sc_id"))
-    val scored = vsup.join(broadcast(blocks), "sc_id")
+    // SHUFFLE join, never broadcast: blocks carries the ENTIRE nlist·d
+    // centroid payload (√nlist rows of √nlist-entry arrays) — broadcasting
+    // it would ship the same bytes the flat fold's array does, re-creating
+    // the exact memory wall this path exists to outgrow. Hash-exchanging
+    // both sides on sc_id instead means each task materializes only its
+    // supercells' blocks: per-task memory is O(√nlist·d), matching the
+    // compute bound. The hint pins ShuffledHashJoin so AQE cannot demote
+    // to broadcast at test scale (PlanBudgetSpec pins bcast on the blocks
+    // side at 0); blocks is √nlist rows, so the exchange itself is cheap,
+    // and the vsup side's exchange is the one corpus shuffle the two-level
+    // design pays for unbounded nlist.
+    val scored = vsup.join(blocks.hint("shuffle_hash"), "sc_id")
       .select(col(idCol), col("e"), col("nrm"),
         aggregate(col("cs"),
           struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("c")),
@@ -714,7 +729,8 @@ object SimOps {
     * probes = 1 reduces exactly to [[cellArgmaxHier]] (spec-pinned), and
     * superProbes covering every supercell recovers [[cellArgTopP]]
     * exactly. Cost stays the hier contract: ~2·√nlist similarity
-    * evaluations per row, no broadcast array past √nlist entries.
+    * evaluations per row, no broadcast past the √nlist-entry supercenter
+    * array, per-task block memory O(√nlist·d) via the sc_id shuffle join.
     */
   private[graft] def cellArgTopPHier(
       n: DataFrame,
@@ -741,7 +757,10 @@ object SimOps {
     val vsup = (if (superProbes == 1) cellArgmax(n, sup, idCol)
       else cellArgTopP(n, sup, idCol, superProbes))
       .select(col(idCol), col("e"), col("nrm"), col("c_id").as("sc_id"))
-    val cand = vsup.join(broadcast(blocks), "sc_id")
+    // shuffle join on sc_id, never broadcast — see [[cellArgmaxHier]]:
+    // blocks is the whole nlist·d payload; per-task memory stays
+    // O(√nlist·d) only if each task reads just its supercells' blocks
+    val cand = vsup.join(blocks.hint("shuffle_hash"), "sc_id")
       .select(col(idCol), col("e"), col("nrm"),
         explode(topPFold(col("e"), col("nrm"), col("cs"), probes)).as("t"))
       .select(col(idCol), col("e"), col("nrm"),
@@ -1363,7 +1382,12 @@ object SimOps {
     // alive for the caller's lazy result (the
     // [[DedupOps.dedupClustersDetailed]] discipline). Flat probes = 1 is
     // the one single-pipeline case ReuseExchange already handles — kept
-    // lazy.
+    // lazy. Retention is SESSION-BOUNDED, not session-lifetime: persist()
+    // inside localCheckpoint registers the RDD with ContextCleaner, which
+    // unpersists its blocks once the caller's result frame is GC'd — a
+    // long shared session (the 205-query sweeps) reclaims each query's
+    // checkpoint at the next collection (Bench's settle() forces one
+    // between passes), so checkpoints never accumulate past live results.
     val ranked =
       if (probes > 1 || hier) rankedLazy.localCheckpoint(true) else rankedLazy
     val home = ranked.filter(col("crn") === 1)

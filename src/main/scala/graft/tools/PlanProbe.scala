@@ -59,16 +59,22 @@ object PlanProbe {
       .split("== Initial Plan ==").head
     val lines = p.linesIterator.toSeq
     def c(s: String) = lines.count(_.contains(s))
+    // a ReusedExchange line EMBEDS the reused exchange's description
+    // ("ReusedExchange [...], Exchange hashpartitioning(...)"), so counting
+    // Exchange/BroadcastExchange substrings over all lines would tally each
+    // reuse reference as a real exchange — exclude those lines first
+    val real = lines.filterNot(_.contains("ReusedExchange"))
+    def cx(s: String) = real.count(_.contains(s))
     val files = lines.filter(_.contains("Scan parquet"))
       .map(_.replaceAll(".*Scan parquet ", "").takeWhile(_ != '['))
       .map(f => f.split('/').lastOption.getOrElse(f))
       .groupBy(identity).map { case (k, v) => k -> v.size }
     Budget(
       scans = c("Scan parquet"),
-      shuffles = c("Exchange hashpartitioning") + c("Exchange rangepartitioning"),
+      shuffles = cx("Exchange hashpartitioning") + cx("Exchange rangepartitioning"),
       reusedExch = c("ReusedExchange"),
       reusedSubq = c("ReusedSubquery"),
-      bcast = c("BroadcastExchange"),
+      bcast = cx("BroadcastExchange"),
       smj = c("SortMergeJoin"),
       codegenSpans = c("WholeStageCodegen"),
       scanFiles = files)

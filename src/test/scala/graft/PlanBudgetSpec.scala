@@ -34,53 +34,62 @@ class PlanBudgetSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private case class Pin(scans: Int, maxShuffles: Int, minReusedExch: Int)
+  private case class Pin(
+      scans: Int, maxShuffles: Int, minReusedExch: Int, maxBcast: Int)
 
-  // Baselines measured at HEAD (round 15) with PlanProbe at sf0.001,
-  // shufflePartitions = 8 — the spec session's configuration.
+  // Baselines measured at HEAD (round 16) with PlanProbe at sf0.001,
+  // shufflePartitions = 8 — the spec session's configuration. Round 16
+  // re-measured everything: PlanProbe stopped counting the exchange
+  // description a ReusedExchange line embeds as a real exchange (the r15
+  // ADVICE overcount), so shuffle/broadcast ceilings dropped to TRUE
+  // exchange counts; and the hier assignment swapped its blocks broadcast
+  // for a shuffle join. `maxBcast` pins the broadcast-exchange ceiling —
+  // on the hier queries it is the tripwire that the full-centroid blocks
+  // broadcast (the r15 weak scale claim) never returns: re-adding
+  // `broadcast(blocks)` raises the count past the pin.
   private val pins: Seq[(String, Pin)] = Seq(
-    "q_basket_rules" -> Pin(scans = 3, maxShuffles = 5, minReusedExch = 1),
-    "q_recall_audit_minhash" -> Pin(scans = 18, maxShuffles = 7, minReusedExch = 1),
-    "q_dedup_strike" -> Pin(scans = 6, maxShuffles = 6, minReusedExch = 0),
-    "q_media_phash" -> Pin(scans = 5, maxShuffles = 5, minReusedExch = 3),
-    "q_media_phash_dense" -> Pin(scans = 5, maxShuffles = 5, minReusedExch = 3),
+    "q_basket_rules" -> Pin(3, 5, 1, 2),
+    "q_recall_audit_minhash" -> Pin(18, 6, 1, 6),
+    "q_dedup_strike" -> Pin(6, 6, 0, 2),
+    "q_media_phash" -> Pin(5, 5, 3, 3),
+    "q_media_phash_dense" -> Pin(5, 5, 3, 3),
     // the capstone's final plan: 3 documents scans (text quote-plant self
     // join + universe) — the two cluster legs end in localCheckpoints
-    "q_curate_multimodal" -> Pin(scans = 3, maxShuffles = 7, minReusedExch = 0),
-    "q_semdedup" -> Pin(scans = 4, maxShuffles = 4, minReusedExch = 0),
-    "q_embed_neardup" -> Pin(scans = 8, maxShuffles = 10, minReusedExch = 4),
-    "q_embed_neardup_multi" -> Pin(scans = 8, maxShuffles = 9, minReusedExch = 4),
-    // the flat lazy diamond shows the same +/-1 exchange-unification
-    // race as the checkpointed variants (8 or 9 observed, scans fixed)
-    "q_embed_neardup_cells" -> Pin(scans = 10, maxShuffles = 9, minReusedExch = 4),
+    "q_curate_multimodal" -> Pin(3, 7, 0, 5),
+    "q_semdedup" -> Pin(4, 4, 0, 1),
+    "q_embed_neardup" -> Pin(8, 7, 4, 4),
+    "q_embed_neardup_multi" -> Pin(8, 7, 4, 4),
+    // the flat lazy diamond shows a +/-1 exchange-unification race
+    // (scans fixed) — its ceilings carry one slack unit
+    "q_embed_neardup_cells" -> Pin(10, 7, 4, 6),
     // the probes>1 queries localCheckpoint their assignment; the
     // checkpoint's consumers plan separately, and whether two of their
     // exchanges unify into a ReusedExchange races run-to-run (+/-1
     // observed with identical scans/reuse floors) — ceilings carry one
     // slack unit there, the exact scan pin is the regression-catcher
-    "q_embed_neardup_cells_p2" -> Pin(scans = 6, maxShuffles = 9, minReusedExch = 3),
-    "q_embed_neardup_cells_hier_p2" -> Pin(scans = 6, maxShuffles = 11, minReusedExch = 3),
-    "q_recall_audit_cells" -> Pin(scans = 10, maxShuffles = 16, minReusedExch = 7),
-    "q_embed_keep_best" -> Pin(scans = 2, maxShuffles = 6, minReusedExch = 2),
-    "q_knn_graph_hier2" -> Pin(scans = 5, maxShuffles = 6, minReusedExch = 2),
-    "q_curate_pipeline" -> Pin(scans = 3, maxShuffles = 3, minReusedExch = 1),
-    "q_pack_bpe" -> Pin(scans = 2, maxShuffles = 4, minReusedExch = 0),
-    "q_bpe_encode" -> Pin(scans = 1, maxShuffles = 2, minReusedExch = 0),
+    "q_embed_neardup_cells_p2" -> Pin(6, 8, 3, 7),
+    "q_embed_neardup_cells_hier_p2" -> Pin(6, 9, 3, 7),
+    "q_recall_audit_cells" -> Pin(10, 11, 7, 11),
+    "q_embed_keep_best" -> Pin(2, 5, 2, 2),
+    "q_knn_graph_hier2" -> Pin(5, 7, 2, 5),
+    "q_curate_pipeline" -> Pin(3, 3, 1, 2),
+    "q_pack_bpe" -> Pin(2, 4, 0, 1),
+    "q_bpe_encode" -> Pin(1, 2, 0, 1),
     // r15 closing-bench heavy tail (every remaining pinnable query from
     // the clean suite's top walls — the graph family ends in
     // localCheckpoints and stays with PlanSpec)
-    "q_dedup_jaccard" -> Pin(scans = 3, maxShuffles = 3, minReusedExch = 0),
-    "q_dedup_contain" -> Pin(scans = 4, maxShuffles = 3, minReusedExch = 0),
-    "q_dedup_substring" -> Pin(scans = 2, maxShuffles = 3, minReusedExch = 0),
-    "q_dedup_spans" -> Pin(scans = 3, maxShuffles = 5, minReusedExch = 0),
-    "q_dedup_verified" -> Pin(scans = 6, maxShuffles = 6, minReusedExch = 1),
-    "q_cap_audit_substring" -> Pin(scans = 2, maxShuffles = 1, minReusedExch = 0),
-    "q_cap_audit_minhash" -> Pin(scans = 3, maxShuffles = 2, minReusedExch = 0),
-    "q_cap_audit_neardup" -> Pin(scans = 2, maxShuffles = 2, minReusedExch = 0),
-    "q_cap_audit_phash" -> Pin(scans = 1, maxShuffles = 2, minReusedExch = 0),
-    "q_text_tfidf" -> Pin(scans = 3, maxShuffles = 6, minReusedExch = 0),
-    "q_bigram_lm" -> Pin(scans = 1, maxShuffles = 3, minReusedExch = 1),
-    "q_sim_ivfpq_kmeans" -> Pin(scans = 14, maxShuffles = 12, minReusedExch = 3))
+    "q_dedup_jaccard" -> Pin(3, 3, 0, 0),
+    "q_dedup_contain" -> Pin(4, 3, 0, 0),
+    "q_dedup_substring" -> Pin(2, 3, 0, 0),
+    "q_dedup_spans" -> Pin(3, 5, 0, 0),
+    "q_dedup_verified" -> Pin(6, 5, 1, 2),
+    "q_cap_audit_substring" -> Pin(2, 1, 0, 0),
+    "q_cap_audit_minhash" -> Pin(3, 2, 0, 0),
+    "q_cap_audit_neardup" -> Pin(2, 2, 0, 0),
+    "q_cap_audit_phash" -> Pin(1, 2, 0, 0),
+    "q_text_tfidf" -> Pin(3, 6, 0, 2),
+    "q_bigram_lm" -> Pin(1, 2, 1, 1),
+    "q_sim_ivfpq_kmeans" -> Pin(14, 12, 3, 15))
 
   for ((name, pin) <- pins) {
     test(s"plan budget: $name") {
@@ -96,6 +105,9 @@ class PlanBudgetSpec extends SparkSpec {
         s"$name shuffle count grew: got ${b.shuffles}, ceiling ${pin.maxShuffles}")
       assert(b.reusedExch >= pin.minReusedExch,
         s"$name exchange reuse regressed: got ${b.reusedExch}, floor ${pin.minReusedExch}")
+      assert(b.bcast <= pin.maxBcast,
+        s"$name broadcast-exchange count grew: got ${b.bcast}, ceiling ${pin.maxBcast} — " +
+          "on hier queries this is the blocks-broadcast tripwire")
     }
   }
 }
