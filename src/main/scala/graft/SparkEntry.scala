@@ -1461,6 +1461,13 @@ object SparkEntry {
       SimOps.ivfRecallSweep(t(s, dir, "embeddings"),
         queryPred = col("vec_id") < 5,
         centroidPred = col("vec_id").between(100, 115))),
+    // Recall@10 of hier IVF SEARCH vs brute force swept over superProbes
+    // 1/2 at nProbe 4 — the two-level quantizer's own quality/cost curve
+    // (the supercell-boundary price a serving deployment tunes).
+    "q_recall_audit_ivf_hier" -> ((s, dir) =>
+      SimOps.ivfRecallSweepHier(t(s, dir, "embeddings"),
+        queryPred = col("vec_id") < 5,
+        centroidPred = col("vec_id").between(100, 115))),
     // Per-vector dimension + L2 norm — the corpus shape check.
     "q_embed_norms" -> ((s, dir) =>
       SimOps.norms(t(s, dir, "embeddings"))),
@@ -1735,11 +1742,13 @@ object SparkEntry {
       val m = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents")))
       MultimodalOps.phashPairs(m, grid = MultimodalOps.autoPhashGrid(m))
     }),
-    // The same pairing over the DENSE plant (ids x8 before the group
-    // derivation): the grid-8 probe universe crosses 8*2^8, so
-    // autoPhashGrid derives 16 and the 16x16 aHash + 16-band LSH path —
-    // previously calibrated but never oracle-run — executes end to end,
-    // with DuckDB deriving the same grid from the same probe count.
+    // The same pairing over the DENSE plant (the lowest 500 ids x8 before
+    // the group derivation — baseCap pins the fixture at 4,000 media at
+    // every SF, the r16 re-pricing: the uncapped expansion spent 8.5% of
+    // the r15 bench re-decoding bitmaps for the same CASE arm): the
+    // grid-8 probe universe crosses 8*2^8, so autoPhashGrid derives 16
+    // and the 16x16 aHash + 16-band LSH path executes end to end, with
+    // DuckDB deriving the same grid from the same probe count.
     "q_media_phash_dense" -> ((s, dir) => {
       val m = MultimodalOps.plantPhashCorpusDense(
         MultimodalOps.asMedia(t(s, dir, "documents")))
@@ -2589,15 +2598,16 @@ object SparkEntry {
       "(doc_id % 4) * 9 AS shift FROM documents)")
 
   /** [[duckPhashCtes]] over the DENSE plant
-    * (MultimodalOps.plantPhashCorpusDense: ids × 8 before the group/shift
-    * derivation) — the corpus whose grid-8 probe universe crosses 8·2^8,
-    * so `pgrid` derives 16 and the WHOLE chain (16×16 aHash parse,
-    * 16-band LSH, the CASE's 16 arm) executes under the oracle.
+    * (MultimodalOps.plantPhashCorpusDense: the lowest 500 ids × 8 before
+    * the group/shift derivation — the baseCap bound) — the corpus whose
+    * grid-8 probe universe crosses 8·2^8, so `pgrid` derives 16 and the
+    * WHOLE chain (16×16 aHash parse, 16-band LSH, the CASE's 16 arm)
+    * executes under the oracle.
     */
   private val duckPhashDenseCtes = duckPhashCtesFor(
     "m AS (SELECT doc_id * 8 + r AS media_id, (doc_id * 8 + r) // 4 AS grp, " +
       "((doc_id * 8 + r) % 4) * 9 AS shift FROM documents " +
-      "CROSS JOIN (SELECT unnest(range(0, 8)) AS r))",
+      "CROSS JOIN (SELECT unnest(range(0, 8)) AS r) WHERE doc_id < 500)",
     stride = "7 + grp % 23")
 
   /** Mirror of SimOps.cellRecallAudit at the given quantizer/knobs: the
@@ -3843,6 +3853,59 @@ object SparkEntry {
         "JOIN bt ON it.q_id = bt.q_id AND it.vec_id = bt.vec_id GROUP BY it.n_probe) " +
         "SELECT n_probe, n_hits, CAST((n_hits * 10000) // 50 AS BIGINT) AS recall_bp " +
         "FROM h ORDER BY n_probe"),
+    // mirrors SimOps.ivfRecallSweepHier: the q_sim_ivf_hier chain with the
+    // superProbes knob as a cross-joined sweep dimension (sp rides every
+    // CTE after the supercenter ranking, so each sp value gets its own
+    // block-union assignment), scored against the same brute-force top-10
+    "q_recall_audit_ivf_hier" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 100 AND 115), " +
+        "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5), " +
+        "bp AS (SELECT q.q_id, m.vec_id, " +
+        "list_dot_product(q.qe, m.e) / (q.qn * m.nrm) AS cos " +
+        "FROM q JOIN n m ON m.vec_id <> q.q_id), " +
+        "bt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY cos DESC, vec_id) AS rnk FROM bp) WHERE rnk <= 10), " +
+        "per AS (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS p FROM c), " +
+        "sup AS (SELECT c_id AS sc_id, ce AS sce, cn AS scn FROM " +
+        "(SELECT *, row_number() OVER (ORDER BY c_id) AS rk FROM c) " +
+        "WHERE (rk - 1) % (SELECT p FROM per) = 0), " +
+        "css AS (SELECT c.c_id AS cid0, sup.sc_id, " +
+        "list_dot_product(c.ce, sup.sce) / (c.cn * sup.scn) AS s FROM c CROSS JOIN sup), " +
+        "c2s AS (SELECT cid0, sc_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY cid0 ORDER BY s DESC, sc_id) AS rn FROM css) WHERE rn = 1), " +
+        "vs0 AS (SELECT n.vec_id, n.e, n.nrm, sup.sc_id, " +
+        "list_dot_product(n.e, sup.sce) / (n.nrm * sup.scn) AS s FROM n CROSS JOIN sup), " +
+        "vsr AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY s DESC, sc_id) AS rn FROM vs0), " +
+        "spv AS (SELECT unnest([1, 2]) AS sp), " +
+        "vs AS (SELECT spv.sp, vsr.vec_id, vsr.e, vsr.nrm, vsr.sc_id " +
+        "FROM vsr CROSS JOIN spv WHERE vsr.rn <= spv.sp), " +
+        "bs AS (SELECT v.sp, v.vec_id, v.e, v.nrm, c.c_id, " +
+        "list_dot_product(v.e, c.ce) / (v.nrm * c.cn) AS s " +
+        "FROM vs v JOIN c2s ON v.sc_id = c2s.sc_id JOIN c ON c.c_id = c2s.cid0), " +
+        "bsr AS (SELECT *, row_number() OVER (PARTITION BY sp, vec_id " +
+        "ORDER BY s DESC, c_id) AS rn FROM bs), " +
+        "asg AS (SELECT sp, vec_id, e, nrm, c_id FROM bsr WHERE rn = 1), " +
+        "qcs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
+        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim " +
+        "FROM n CROSS JOIN c WHERE n.vec_id < 5), " +
+        "qrk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY csim DESC, c_id) AS crn FROM qcs), " +
+        "pr AS (SELECT vec_id AS q_id, c_id FROM qrk WHERE crn <= 4), " +
+        "p AS (SELECT a.sp, pr.q_id, a.vec_id, " +
+        "list_dot_product(q.qe, a.e) / (q.qn * a.nrm) AS cos " +
+        "FROM pr JOIN asg a ON pr.c_id = a.c_id JOIN q ON q.q_id = pr.q_id " +
+        "WHERE a.vec_id <> pr.q_id), " +
+        "it AS (SELECT sp, q_id, vec_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY sp, q_id ORDER BY cos DESC, vec_id) AS rnk FROM p) " +
+        "WHERE rnk <= 10), " +
+        "h AS (SELECT it.sp, CAST(count(*) AS BIGINT) AS n_hits FROM it " +
+        "JOIN bt ON it.q_id = bt.q_id AND it.vec_id = bt.vec_id GROUP BY it.sp) " +
+        "SELECT sp AS super_probes, n_hits, " +
+        "CAST((n_hits * 10000) // 50 AS BIGINT) AS recall_bp " +
+        "FROM h ORDER BY super_probes"),
     // mirrors SimOps.ivfKmeansTopK (iters=1): one Lloyd round with
     // bp-quantized integer sums (exact in both engines), then the same
     // probe chain as q_sim_ivf over the refined centroid table

@@ -791,36 +791,6 @@ object DedupOps {
       .filter(col("u") =!= col("v"))
       .distinct())
 
-    // large-star over node x with neighbor set vs (both directions):
-    // m = min(x, min(vs)); emit (v, m) for each v in vs with v > x.
-    // x's edges change iff it HAS a larger neighbor to re-point and a
-    // smaller neighbor to point it at — both facts local to the group.
-    def largeStar(e: DataFrame): DataFrame =
-      e.select(col("u").as("x"), col("v").as("y"))
-        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
-        .groupBy(col("x"))
-        .agg(collect_set(col("y")).as("vs"))
-        .select(col("x"), least(col("x"), array_min(col("vs"))).as("m"),
-          filter(col("vs"), _ > col("x")).as("bigger"),
-          (array_max(col("vs")) > col("x") && array_min(col("vs")) < col("x"))
-            .as("changed"))
-        .select(explode(col("bigger")).as("u"), col("m").as("v"), col("changed"))
-        .groupBy(col("u"), col("v")).agg(max(col("changed")).as("changed"))
-
-    // small-star over node u with its smaller neighbors vs:
-    // m = min(vs); emit (w, m) for w in vs∪{u}, w ≠ m. u's edges change
-    // iff it had more than one smaller neighbor.
-    def smallStar(e: DataFrame): DataFrame =
-      e.groupBy(col("u"))
-        .agg(collect_set(col("v")).as("vs"))
-        .select(
-          explode(array_union(col("vs"), array(col("u")))).as("w"),
-          array_min(col("vs")).as("m"),
-          (size(col("vs")) > 1).as("changed"))
-        .filter(col("w") =!= col("m"))
-        .select(col("w").as("u"), col("m").as("v"), col("changed"))
-        .groupBy(col("u"), col("v")).agg(max(col("changed")).as("changed"))
-
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -843,6 +813,43 @@ object DedupOps {
       .orderBy(col("doc_id"))
     (labels, rounds)
   }
+
+  /** Large-star half-round of the [[dedupClusters]] CC loop, over node x
+    * with neighbor set vs (both directions): m = min(x, min(vs)); emit
+    * (v, m) for each v in vs with v > x. x's edges change iff it HAS a
+    * larger neighbor to re-point and a smaller neighbor to point it at —
+    * both facts local to the group. Object-level (r16) so PlanBudgetSpec
+    * can pin the half-round's plan: scans = 0 over a checkpointed edge
+    * set — a half-round that scans parquet means the checkpoint broke.
+    */
+  private[graft] def largeStar(e: DataFrame): DataFrame =
+    e.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      .groupBy(col("x"))
+      .agg(collect_set(col("y")).as("vs"))
+      .select(col("x"), least(col("x"), array_min(col("vs"))).as("m"),
+        filter(col("vs"), _ > col("x")).as("bigger"),
+        (array_max(col("vs")) > col("x") && array_min(col("vs")) < col("x"))
+          .as("changed"))
+      .select(explode(col("bigger")).as("u"), col("m").as("v"), col("changed"))
+      .groupBy(col("u"), col("v")).agg(max(col("changed")).as("changed"))
+
+  /** Small-star half-round of the [[dedupClusters]] CC loop, over node u
+    * with its smaller neighbors vs: m = min(vs); emit (w, m) for
+    * w in vs∪{u}, w ≠ m. u's edges change iff it had more than one
+    * smaller neighbor. Object-level for the same budget pin as
+    * [[largeStar]].
+    */
+  private[graft] def smallStar(e: DataFrame): DataFrame =
+    e.groupBy(col("u"))
+      .agg(collect_set(col("v")).as("vs"))
+      .select(
+        explode(array_union(col("vs"), array(col("u")))).as("w"),
+        array_min(col("vs")).as("m"),
+        (size(col("vs")) > 1).as("changed"))
+      .filter(col("w") =!= col("m"))
+      .select(col("w").as("u"), col("m").as("v"), col("changed"))
+      .groupBy(col("u"), col("v")).agg(max(col("changed")).as("changed"))
 
   /** Incremental dedup — the ingestion-pipeline shape: which documents of a
     * NEW batch are not already in the existing corpus? Exact content

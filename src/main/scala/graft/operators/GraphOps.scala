@@ -158,6 +158,22 @@ object GraphOps {
     * Output: 1 row (n_nodes, n_edges, n_wedges, n_triangles).
     */
   def triangleStats(edges: DataFrame): DataFrame = {
+    val (census, caches) = triangleCensus(edges)
+    // the census is ONE row — collect it so e/oriented/adj (populated
+    // once, during this action, and shared by all counting branches) can
+    // be released instead of leaking for the session ([[graft.Local]])
+    val out = graft.Local.localized(census)
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** [[triangleStats]]'s counting pipeline BEFORE the one-row localize —
+    * the pre-checkpoint plan PlanBudgetSpec pins (scans = 0: every branch
+    * must read the shared caches, never re-derive parquet — the loop-body
+    * re-execution trap class). Returns the census frame plus the persist
+    * handles the caller releases once the census is materialized.
+    */
+  private[graft] def triangleCensus(edges: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val e = edges.persist()
     val deg = e.select(col("a").as("x")).unionByName(e.select(col("b").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -196,16 +212,11 @@ object GraphOps {
       .select(size(array_intersect(col("nu"), coalesce(col("nv"),
         slice(col("nu"), 1, 0)))).cast("long").as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
-    // the census is ONE row — collect it so e/oriented/adj (populated
-    // once, during this action, and shared by all counting branches) can
-    // be released instead of leaking for the session ([[graft.Local]])
-    val out = graft.Local.localized(
-      deg.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .crossJoin(nWedges)
-        .crossJoin(nTriangles))
-    Seq(e, oriented, adj).foreach(_.unpersist(blocking = false))
-    out
+    val census = deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(nWedges)
+      .crossJoin(nTriangles)
+    (census, Seq(e, oriented, adj))
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007), `iters` fixed
@@ -243,16 +254,7 @@ object GraphOps {
     val e = edges.repartition(col("u")).persist()
     var labels = e.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    for (_ <- 1 to iters) {
-      val counted = e
-        .join(labels.withColumnRenamed("node", "u"), "u")
-        .groupBy(col("v"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("v")).orderBy(col("cnt").desc, col("label"))
-      labels = counted.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("v").as("node"), col("label"))
-    }
+    for (_ <- 1 to iters) labels = lpRound(e, labels)
     // eager local checkpoint: materializes the 3-round chain (through the
     // cached edges) and truncates lineage, so the edge cache releases
     // without stranding the returned frame
@@ -262,6 +264,22 @@ object GraphOps {
     cp.join(sizes, "label")
       .select(col("node"), col("label"), col("comm_size"))
       .orderBy(col("node"))
+  }
+
+  /** One [[labelPropagation]] round — the per-round plan PlanBudgetSpec
+    * pins (scans = 0: a round reads the cached pre-partitioned edges and
+    * the previous round's labels, never parquet). Pure: the loop's
+    * persist/checkpoint lifecycle stays in the operator.
+    */
+  private[graft] def lpRound(e: DataFrame, labels: DataFrame): DataFrame = {
+    val counted = e
+      .join(labels.withColumnRenamed("node", "u"), "u")
+      .groupBy(col("v"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("v")).orderBy(col("cnt").desc, col("label"))
+    counted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("v").as("node"), col("label"))
   }
 
   /** k-core peeling, `rounds` fixed synchronous rounds: repeatedly delete
@@ -316,16 +334,8 @@ object GraphOps {
     var executed = 0
     var converged = false
     while (executed < rounds && !converged) {
-      // keep has TWO consumers (the u- and v-side restriction joins):
-      // persisted so the degree aggregation runs once per round, not
-      // twice — released as soon as the round's edge set materializes
-      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("u"))
-        .persist()
-      val next = e.join(keep, Seq("u"))
-        .join(keep.withColumnRenamed("u", "v"), Seq("v"))
-        .select(col("u"), col("v"))
-        .persist()
+      val (nextRaw, keep) = kcoreRound(e, k)
+      val next = nextRaw.persist()
       cached += next
       val cnt = next.count()
       keep.unpersist(blocking = false)
@@ -339,6 +349,23 @@ object GraphOps {
     val cp = core.localCheckpoint()
     cached.foreach(_.unpersist(blocking = false))
     (cp.orderBy(col("node")), executed)
+  }
+
+  /** One synchronous [[kcore]] peel — the per-round plan PlanBudgetSpec
+    * pins (scans = 0: a peel reads the cached previous edge set, never
+    * parquet). `keep` is persisted here (it has TWO consumers, the u- and
+    * v-side restriction joins — without the persist the degree
+    * aggregation runs twice per round) and returned so the caller can
+    * release it as soon as the round's edge set materializes.
+    */
+  private[graft] def kcoreRound(e: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k).select(col("u"))
+      .persist()
+    val next = e.join(keep, Seq("u"))
+      .join(keep.withColumnRenamed("u", "v"), Seq("v"))
+      .select(col("u"), col("v"))
+    (next, keep)
   }
 
   /** DuckDB SQL matching [[kcore]] over [[copurchaseEdges]] of `lineitem`

@@ -435,15 +435,31 @@ object MultimodalOps {
     * 500 docs × 8 = 4,000 media rows: 3,055 distinct grid-8 hashes
     * > 8·2^8, so [[autoPhashGrid]] derives 16 and the pairing runs the
     * 16×16 aHash + 16-band LSH path.
+    *
+    * `baseCap` BOUNDS the expansion base to the lowest ids (r16): the
+    * fixture is a GRID CALIBRATION — 500 base ids × 8 = 4,000 media
+    * already cross the 8·2^8 threshold, and every id past the cap only
+    * re-decodes more planted bitmaps for the same CASE arm (the r15
+    * bench spent 23.4 s — 8.5% of the suite — decoding the uncapped
+    * sf0.1 expansion each pass, and the uncapped ×100 leg was
+    * unfinishable: the saturating content period turns corpus growth
+    * into quadratic exact-dup re-attach volume). The cap pins the
+    * fixture's content — and its cost — independent of SF; the dense
+    * plant's GROWTH law is measured in PhashScaleCheck on the uncapped
+    * variant with `strideMod` scaled ∝ corpus (content period growing
+    * with the corpus, the SKEW r15 lesson), where exact-dup group sizes
+    * stay bounded and the decades finish.
     */
   def plantPhashCorpusDense(
       media: DataFrame,
       repl: Int = 8,
       groupSize: Int = 4,
       shiftStep: Int = 9,
-      strideMod: Int = 23): DataFrame = {
+      strideMod: Int = 23,
+      baseCap: Long = 500L): DataFrame = {
     val expanded = media
       .select(col("media_id"), col("kind"))
+      .filter(if (baseCap > 0) col("media_id") < baseCap else lit(true))
       .withColumn("r", explode(sequence(lit(0L), lit(repl - 1L))))
       .select((col("media_id") * repl + col("r")).as("media_id"), col("kind"))
     plantPhashCorpus(expanded, groupSize, shiftStep, strideMod)

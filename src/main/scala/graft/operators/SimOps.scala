@@ -46,6 +46,18 @@ object SimOps {
     */
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
+  /** NULL-safe cosine for the assignment folds: NULL — the documented
+    * dropped-row contract — instead of an ANSI divide-by-zero CRASH when
+    * either norm is 0. A 100 TB corpus WILL contain zero-norm embeddings
+    * (all-zero rows from a failed encoder are a standard data defect);
+    * under `spark.sql.ansi.enabled` a plain `/` kills the whole job on
+    * the first one. NULL never passes a `>` test, so zero-norm vectors
+    * fall through every fold slot and the trailing `c_id >= 0` /
+    * `isNotNull` filters drop them — exactly the NULL-embedding path.
+    */
+  private def cosSim(ea: Column, eb: Column, na: Column, nb: Column): Column =
+    when(na * nb =!= 0.0, dot(ea, eb) / (na * nb))
+
   /** The built-ins-only formulation (`zip_with` + left fold) — kept as the
     * reference implementation [[dot]] is equivalence-tested against, and as
     * the fallback for sessions without GraftExtensions.
@@ -124,6 +136,42 @@ object SimOps {
       .agg(count(lit(1)).as("n_hits"))
       .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nq * k}"))
       .orderBy(col("n_probe"))
+  }
+
+  /** Recall@k of hier IVF SEARCH against exact brute force, swept over
+    * `superProbes` — the [[ivfRecallSweep]] analog for the two-level
+    * quantizer's own knob: nProbe prices the cell-boundary miss (the
+    * query side, exact either way), superProbes prices the SUPERCELL
+    * boundary miss on the corpus-assignment side, and this curve is the
+    * number a user tuning the hier index for SERVING (not dedup) reads.
+    * Ground truth is one [[bruteTopK]] pass; each swept value runs
+    * [[ivfTopK]] with `hier = true` at that superProbes.
+    *
+    * Output: (super_probes, n_hits, recall_bp) ordered by super_probes.
+    */
+  def ivfRecallSweepHier(
+      emb: DataFrame,
+      queryPred: Column,
+      centroidPred: Column,
+      superProbesSeq: Seq[Int] = Seq(1, 2),
+      nProbe: Int = 4,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val nq = emb.filter(queryPred).count()
+    val truth = bruteTopK(emb, queryPred, k, idCol, embCol)
+      .select(col("q_id"), col(idCol))
+    val approx = superProbesSeq.map { sp =>
+      ivfTopK(emb, queryPred, centroidPred, k, nProbe, idCol, embCol,
+        hier = true, superProbes = sp)
+        .select(lit(sp).as("super_probes"), col("q_id"), col(idCol))
+    }.reduce(_ union _)
+    approx
+      .join(truth, Seq("q_id", idCol))
+      .groupBy(col("super_probes"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nq * k}"))
+      .orderBy(col("super_probes"))
   }
 
   /** Bucket id from the sign bits of `bits` dimensions starting at
@@ -297,7 +345,7 @@ object SimOps {
     val byCell = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("c_id"))
     n.crossJoin(broadcast(cents))
       .select(col(idCol), col("e"), col("nrm"),
-        col("c_id"), (dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("csim"))
+        col("c_id"), cosSim(col("e"), col("ce"), col("nrm"), col("cn")).as("csim"))
       .filter(col("csim").isNotNull)
       .withColumn("crn", row_number().over(byCell))
   }
@@ -335,7 +383,7 @@ object SimOps {
         aggregate(col("cs"),
           struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("c")),
           (acc, c) => {
-            val s = dot(col("e"), c("ce")) / (col("nrm") * c("cn"))
+            val s = cosSim(col("e"), c("ce"), col("nrm"), c("cn"))
             when(s > acc("s"), struct(s.as("s"), c("c_id").as("c"))).otherwise(acc)
           },
           acc => acc("c")).as("c_id"))
@@ -417,7 +465,7 @@ object SimOps {
         aggregate(col("cs"),
           struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("c")),
           (acc, c) => {
-            val s = dot(col("e"), c("ce")) / (col("nrm") * c("cn"))
+            val s = cosSim(col("e"), c("ce"), col("nrm"), c("cn"))
             when(s > acc("s"), struct(s.as("s"), c("c_id").as("c"))).otherwise(acc)
           }).as("best"))
       .filter(col("best.c") >= 0)
@@ -693,7 +741,7 @@ object SimOps {
     val init = slots(Seq.fill(p)((lit(Double.NegativeInfinity), lit(-1L))))
     aggregate(
       transform(cs, c => struct(
-        (dot(e, c("ce")) / (nrm * c("cn"))).as("s"),
+        cosSim(e, c("ce"), nrm, c("cn")).as("s"),
         c("c_id").as("c"))),
       init,
       (acc, x) => {

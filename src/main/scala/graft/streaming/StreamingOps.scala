@@ -788,26 +788,44 @@ object StreamingOps {
     * micro-batch slicing, the emitted pair set equals the uncapped batch
     * `SimOps.cellNearDupPairs` (flat, probes = 1) at the same centroid
     * set — each unordered co-cell pair ≥ `thresholdBp` lands exactly once
-    * when its later member arrives.
+    * when its later member arrives. NON-ASSIGNABLE vectors (no finite
+    * centroid similarity — e.g. zero-norm) key to the RESERVED −1 cell,
+    * whose state emits exact-duplicate intra pairs only (its cross loop
+    * never runs): the batch operator emits intra pairs from the
+    * exact-dedup registry unconditionally but drops non-assignable
+    * vectors before cell pairing, and the reserved key reproduces both
+    * halves — parity holds for every vector, assignable or not.
+    *
+    * `hier` = true swaps the flat per-arrival scan for the TWO-LEVEL one
+    * ([[centSnapshotHier]]/[[nearestCellHier]] — `SimOps.cellArgmaxHier`'s
+    * construction at superProbes = 1): O(√nlist) similarity evaluations
+    * per arrival instead of O(nlist), the batch family's hier assignment
+    * ported to the streaming snapshot. Keying then matches batch
+    * `cellNearDupPairs(hier = true)` exactly (same stride rule, same
+    * strict-`>`/c_id-asc tie-breaks at both levels), with the same
+    * supercell-boundary approximation priced against flat keying.
     */
   def cellNearDupStream(
       items: Dataset[EmbedItem],
       centroids: Seq[(Long, Seq[Float])],
       thresholdBp: Int = 4000,
       maxCell: Int = 0,
-      initialState: Option[Dataset[(Long, EmbedBucket)]] = None): Dataset[EmbedPairRow] = {
+      initialState: Option[Dataset[(Long, EmbedBucket)]] = None,
+      hier: Boolean = false): Dataset[EmbedPairRow] = {
     import items.sparkSession.implicits._
-    val cents = centSnapshot(centroids)
+    val keyOf = cellKeyFn(centroids, hier)
     val keyed = items
-      .map(it => (nearestCell(cents, it.embedding), it))
-      .filter(_._1 >= 0L)
+      .map(it => (keyOf(it.embedding), it))
       .groupByKey(_._1)
       .mapValues(_._2)
     val update =
         (cell: Long, batch: Iterator[EmbedItem], state: GroupState[EmbedBucket]) => {
           // identical state discipline to embedNearDupStream's update —
           // transient O(1) indexes, id-ascending in-batch order, frozen
-          // groups past the cap
+          // groups past the cap; the reserved -1 cell (non-assignable
+          // vectors) additionally skips BOTH cross loops — its
+          // similarities are non-finite by construction, and batch drops
+          // these vectors before pairing (intra emission still runs)
           val groups = scala.collection.mutable.ArrayBuffer.empty[
             (Long, Seq[Float], Double, List[Long], Boolean)]
           state.getOption.foreach(_.groups.foreach(groups += _))
@@ -826,7 +844,7 @@ object StreamingOps {
                 members.foreach { id =>
                   out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), 10000L))
                 }
-                if (!frozen) groups.foreach { case (r, oe, onr, om, ofz) =>
+                if (cell >= 0 && !frozen) groups.foreach { case (r, oe, onr, om, ofz) =>
                   if (r != rep && !ofz) {
                     val c = bpOf(dotF(e, oe) / (nr * onr))
                     if (c >= thresholdBp) om.foreach { id =>
@@ -840,7 +858,7 @@ object StreamingOps {
                 val nr = math.sqrt(dotF(it.embedding, it.embedding))
                 val capped = maxCell > 0 && nActive >= maxCell
                 if (!capped) {
-                  groups.foreach { case (_, oe, onr, om, ofz) =>
+                  if (cell >= 0) groups.foreach { case (_, oe, onr, om, ofz) =>
                     if (!ofz) {
                       val c = bpOf(dotF(it.embedding, oe) / (nr * onr))
                       if (c >= thresholdBp) om.foreach { id =>
@@ -879,13 +897,18 @@ object StreamingOps {
     * pack per-cell [[EmbedBucket]]s rep-ascending. A stream resumed from
     * this state emits exactly the pairs a fresh batch run at the new
     * snapshot emits for pairs involving subsequent arrivals. Distributed
-    * end to end — the registry never visits the driver.
+    * end to end — the registry never visits the driver. Non-assignable
+    * groups pack under the reserved −1 key (the [[cellNearDupStream]]
+    * contract), so a resumed stream still recognizes their exact
+    * duplicates. `hier` keys by the two-level scan, matching a hier
+    * stream's key space.
     */
   def recellRegistry(
       items: Dataset[EmbedItem],
-      centroids: Seq[(Long, Seq[Float])]): Dataset[(Long, EmbedBucket)] = {
+      centroids: Seq[(Long, Seq[Float])],
+      hier: Boolean = false): Dataset[(Long, EmbedBucket)] = {
     import items.sparkSession.implicits._
-    val cents = centSnapshot(centroids)
+    val keyOf = cellKeyFn(centroids, hier)
     items.toDF()
       .groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("rep"),
@@ -895,14 +918,30 @@ object StreamingOps {
       .map { case (rep, e, members) =>
         var s = 0.0; var i = 0
         while (i < e.length) { s += e(i).toDouble * e(i).toDouble; i += 1 }
-        (nearestCell(cents, e), (rep, e, math.sqrt(s), members.toList, false))
+        (keyOf(e), (rep, e, math.sqrt(s), members.toList, false))
       }
-      .filter(_._1 >= 0L)
       .groupByKey(_._1)
       .mapGroups { (cell, gs) =>
         (cell, EmbedBucket(gs.map(_._2).toList.sortBy(_._1)))
       }
   }
+
+  /** The per-arrival cell-keying function [[cellNearDupStream]] and
+    * [[recellRegistry]] share: flat O(nlist) scan, or the two-level
+    * O(√nlist) scan when `hier`. Built ONCE driver-side; the returned
+    * closure (and with it the snapshot payload) serializes into tasks —
+    * the pinned-snapshot contract ships O(nlist·d) bytes per executor
+    * either way, `hier` cuts the per-arrival COMPUTE to O(√nlist).
+    */
+  private def cellKeyFn(
+      centroids: Seq[(Long, Seq[Float])], hier: Boolean): Seq[Float] => Long =
+    if (hier) {
+      val snap = centSnapshotHier(centroids)
+      e => nearestCellHier(snap, e)
+    } else {
+      val cents = centSnapshot(centroids)
+      e => nearestCell(cents, e)
+    }
 
   /** c_id-ascending centroid snapshot with precomputed norms — the pinned
     * key space [[cellNearDupStream]] and [[recellRegistry]] share.
@@ -932,6 +971,49 @@ object StreamingOps {
       i += 1
     }
     best
+  }
+
+  /** TWO-LEVEL centroid snapshot — `SimOps.cellArgmaxHier`'s construction
+    * mirrored executor-side: every `per ≈ ⌈√nlist⌉`-th centroid by c_id
+    * rank is a supercenter, and each centroid joins the block of its
+    * nearest supercenter (strict `>`, c_id-asc — [[nearestCell]] over the
+    * supercenter array, exactly batch c2s). A centroid with no finite
+    * supercenter similarity (zero-norm) joins NO block — batch drops it
+    * from c2s, and no vector can select it anyway (its similarity is
+    * never finite). Blocks keep c_id-ascending member order, so the
+    * in-block scan's tie-break matches the batch fold's.
+    */
+  private[graft] final case class HierSnapshot(
+      sups: IndexedSeq[(Long, Seq[Float], Double)],
+      blocks: Map[Long, IndexedSeq[(Long, Seq[Float], Double)]])
+
+  private[graft] def centSnapshotHier(
+      centroids: Seq[(Long, Seq[Float])]): HierSnapshot = {
+    val all = centSnapshot(centroids)
+    val per = math.max(2, math.ceil(math.sqrt(all.length.toDouble)).toInt)
+    val sups = all.zipWithIndex.collect { case (c, i) if i % per == 0 => c }
+    val blocks = all
+      .map(c => (nearestCell(sups, c._2), c))
+      .filter(_._1 >= 0L)
+      .groupBy(_._1)
+      .map { case (sc, cs) => sc -> cs.map(_._2).sortBy(_._1) }
+    HierSnapshot(sups, blocks)
+  }
+
+  /** Nearest centroid via the two-level snapshot — O(√nlist) similarity
+    * evaluations per arrival (supercenter scan + one block scan) instead
+    * of [[nearestCell]]'s O(nlist), with identical strict-`>`/c_id-asc
+    * tie-breaks at both levels: equals `SimOps.cellArgmaxHier`
+    * (superProbes = 1) on every vector, and equals the flat scan wherever
+    * the vector's true nearest cell lives in its nearest supercenter's
+    * block (the standard hierarchical-IVF approximation; spec-pinned on
+    * the parity fixtures).
+    */
+  private[graft] def nearestCellHier(
+      snap: HierSnapshot, e: Seq[Float]): Long = {
+    val sc = nearestCell(snap.sups, e)
+    if (sc < 0) -1L
+    else snap.blocks.get(sc).map(nearestCell(_, e)).getOrElse(-1L)
   }
 
   /** Left-to-right float-element dot — bit-identical to the batch

@@ -98,11 +98,10 @@ object FamilyScaleCheck {
           SimOps.plantedVectors(embs(dir)),
           centroidPred = SimOps.hashCentroidPred(64), hier = true,
           superProbes = 2, probes = 2)),
-      // r15: the dense phash plant (grid-16 regime) — content derives
-      // from ids only, so growth mode is irrelevant; the law to observe:
-      // the derived grid stays 16 once crossed (universe grows with the
-      // id range under the per-group stride) and wall tracks the decode
-      // + 16-band pairing ~linearly
+      // r15 (re-priced r16): the DECLARED dense plant is baseCap-bounded —
+      // 500 base ids × 8 = 4,000 media at EVERY decade, a grid-calibration
+      // fixture whose cost is pinned by construction; this row now
+      // verifies the flat wall + the stable 16 derivation
       "q_media_phash_dense" ->
         ((dir: String) => {
           val m = MultimodalOps.plantPhashCorpusDense(
@@ -110,7 +109,31 @@ object FamilyScaleCheck {
           val g = MultimodalOps.autoPhashGrid(m)
           println(s"[famscale] q_media_phash_dense derived grid($dir) = $g")
           MultimodalOps.phashPairs(m, grid = g)
-        }))
+        }),
+      // r16: the dense plant's GROWTH law, measured on the UNCAPPED
+      // variant with the content period scaled ∝ corpus
+      // (strideMod = max(23, media/175): distinct content grows with N,
+      // so exact-dup group sizes stay bounded and the re-attach volume
+      // stays linear — the r15 lesson applied; at 4,000 media the formula
+      // reproduces the calibrated 23, so sf0.1's 1× row anchors to the
+      // declared fixture's content)
+      "q_media_phash_dense_u" ->
+        ((dir: String) => {
+          val d = docs(dir)
+          val sm = math.max(23L, d.count() * 8 / 175).toInt
+          val m = MultimodalOps.plantPhashCorpusDense(
+            MultimodalOps.asMedia(d), strideMod = sm, baseCap = 0L)
+          val g = MultimodalOps.autoPhashGrid(m)
+          println(s"[famscale] q_media_phash_dense_u grid($dir)=$g strideMod=$sm")
+          MultimodalOps.phashPairs(m, grid = g)
+        }),
+      // r16: the curation capstone's decade row (the r14 stretch's "done"
+      // bar, unrecorded in r15) — through the DECLARED entry: three
+      // cluster legs (two ending in localCheckpoints) joined 4-way on
+      // doc_id; the legs are individually measured, this row prices the
+      // COMPOSITION at ×10/×100 under both growth modes
+      "q_curate_multimodal" ->
+        ((dir: String) => graft.SparkEntry.queries("q_curate_multimodal")(spark, dir)))
 
     // noop-write timing, NOT count(): under count() Catalyst prunes the
     // unobserved columns (strike's md5 reassembly, spans' positions) and

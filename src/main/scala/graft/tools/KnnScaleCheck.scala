@@ -40,6 +40,96 @@ object KnnScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // MEGACELLS mode (r16): the ">1M-centroid regime" claim as a measured
+    // row instead of an asserted one. Synthesizes `SPARK_GRAFT_MEGA_NLIST`
+    // (default 1M) deterministic 64-dim centroids (the corpus tables top
+    // out at ~61k vectors ×100 — no real table reaches 1M distinct
+    // centroid vectors) and runs BOTH assignment paths over the ×100
+    // corpus. Two invocations tell the story:
+    //   - default heap: both complete → the wall ratio is the compute
+    //     claim (~2·√nlist vs nlist sims per row);
+    //   - executor-sized heap (java -Xmx4g, a standard executor memory):
+    //     the flat fold's single collected array (~300 B × nlist ≈ 300 MB
+    //     at 1M, plus agg/broadcast/deserialized copies) dies where hier's
+    //     O(√nlist·d) per-task blocks don't — the memory claim. Hier runs
+    //     FIRST so its row is on record before a flat OOM can take the
+    //     JVM down.
+    if (args.contains("megacells")) {
+      val nlist = sys.env.getOrElse("SPARK_GRAFT_MEGA_NLIST", "1000000").toLong
+      val emb = spark.read.parquet(s"$x100/embeddings.parquet")
+      val n = SimOps.normalized(emb, "vec_id", "embedding")
+      val cents = spark.range(nlist).select(
+        col("id").as("c_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => (pmod(hash(col("id"), j), lit(997)) + lit(1)).cast("float")).as("ce"))
+        .withColumn("cn", sqrt(SimOps.dot(col("ce"), col("ce"))))
+      val heapMib = Runtime.getRuntime.maxMemory() >> 20
+      // a flat run at 1M cells projects to HOURS (the 20k-cell row's
+      // per-sim rate × 50) — the watchdog bounds the demonstration: a
+      // cancelled run is recorded as ">Ns, cancelled", which IS the
+      // result (the operator does not finish in any budget a user has)
+      val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_MEGA_TIMEOUT", "600").toLong
+      def mega(hier: Boolean): Unit = {
+        val label = if (hier) "two-level cellArgmaxHier" else "flat cellArgmax        "
+        val head = s"[knnscale] x100 assignment-only @ nlist=$nlist (synth), heap=${heapMib}m, $label:"
+        try {
+          val t0 = System.nanoTime()
+          val action = new Thread(() =>
+            (if (hier) SimOps.cellArgmaxHier(n, cents, "vec_id")
+             else SimOps.cellArgmax(n, cents, "vec_id"))
+              .write.format("noop").mode("overwrite").save())
+          @volatile var failed: Throwable = null
+          action.setDaemon(true)
+          action.setUncaughtExceptionHandler((_, e) => failed = e)
+          action.start()
+          action.join(timeoutSec * 1000)
+          if (action.isAlive) {
+            spark.sparkContext.cancelAllJobs()
+            action.join(30000)
+            println(s"$head >${timeoutSec} s, cancelled (did not finish)")
+          } else if (failed != null) throw failed
+          else {
+            val t = (System.nanoTime() - t0) / 1e9
+            println(f"$head $t%.1f s (1 run)")
+          }
+        } catch {
+          case e: Throwable =>
+            val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .toSeq.last
+            println(s"$head FAILED ${root.getClass.getSimpleName}: " +
+              String.valueOf(root.getMessage).take(300))
+        }
+      }
+      // SPARK_GRAFT_MEGA_ONLY=hier|flat reruns one leg (e.g. the 8M hier
+      // completion row needs a longer watchdog than flat's fast
+      // structural failure)
+      val legs = sys.env.getOrElse("SPARK_GRAFT_MEGA_ONLY", "both")
+      if (legs != "flat") mega(hier = true)
+      if (legs != "hier") mega(hier = false)
+      spark.stop()
+      return
+    }
+
+    // HIERRECALL mode (r16): the q_recall_audit_ivf_hier curve at the
+    // decades — recall@10 of hier IVF search vs brute force at
+    // superProbes 1/2 (nProbe 4, the declared fixture cells 100..115).
+    // Count-based rows (safe under CPU contention, the CapAuditGrowth
+    // rule); the SKEW record for the serving-tuning claim.
+    if (args.contains("hierrecall")) {
+      val x10 = "/tmp/graft_scale10"
+      for ((label, dir) <- Seq("sf0.1" -> sf01, "x10" -> x10, "x100" -> x100)) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val rows = SimOps.ivfRecallSweepHier(emb,
+          queryPred = col("vec_id") < 5,
+          centroidPred = col("vec_id").between(100, 115)).collect()
+        println(s"[knnscale] hier-recall $label: " + rows.map(r =>
+          s"sp=${r.getInt(0)} hits=${r.getLong(1)} recall_bp=${r.getLong(2)}")
+          .mkString(", "))
+      }
+      spark.stop()
+      return
+    }
+
     def once(
         dir: String,
         pred: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,

@@ -48,36 +48,60 @@ object PlanProbe {
   /** Executes `df` (collect — a write spawns its OWN QueryExecution,
     * leaving this one un-executed with isFinalPlan=false; adaptive plans
     * only finalize — and reuse only materializes — on execution, the
-    * PlanSpec pattern) and counts nodes in the FINAL adaptive plan. An
-    * executed AdaptiveSparkPlan prints BOTH the final plan and an
-    * "== Initial Plan ==" section — nodes are counted only in the final
-    * part, or every pre-reuse subtree double-counts.
+    * PlanSpec pattern) and counts nodes in the FINAL adaptive plan tree.
     */
   def budget(df: DataFrame): Budget = {
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    val lines = p.linesIterator.toSeq
-    def c(s: String) = lines.count(_.contains(s))
-    // a ReusedExchange line EMBEDS the reused exchange's description
-    // ("ReusedExchange [...], Exchange hashpartitioning(...)"), so counting
-    // Exchange/BroadcastExchange substrings over all lines would tally each
-    // reuse reference as a real exchange — exclude those lines first
-    val real = lines.filterNot(_.contains("ReusedExchange"))
-    def cx(s: String) = real.count(_.contains(s))
-    val files = lines.filter(_.contains("Scan parquet"))
-      .map(_.replaceAll(".*Scan parquet ", "").takeWhile(_ != '['))
-      .map(f => f.split('/').lastOption.getOrElse(f))
-      .groupBy(identity).map { case (k, v) => k -> v.size }
+    // Counted on the plan TREE, not its string (r16): the toString form
+    // INLINES every InMemoryRelation's cached plan (with its own
+    // FileScan/Exchange/Initial-Plan sections, at an indentation that
+    // RESETS for nested caches) and embeds the reused exchange's
+    // description in each ReusedExchange line -- both classes of phantom
+    // counts a string sweep can only approximate away. The walk descends
+    // through adaptive plans and materialized query stages (leaves to
+    // TreeNode.collect), into subquery plans, and deliberately NOT into
+    // ReusedExchange targets (the original is counted where it lives) or
+    // InMemoryTableScan relations (cached -- a scan inside one is not a
+    // live scan of this query).
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    def walk(p: SparkPlan): Unit = {
+      nodes += p
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _: ReusedExchangeExec => Nil
+        case _: InMemoryTableScanExec => Nil
+        case o => o.children
+      }
+      kids.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    val scans = nodes.collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.headOption
+        .map(_.getName).getOrElse("?")
+    }.toSeq
     Budget(
-      scans = c("Scan parquet"),
-      shuffles = cx("Exchange hashpartitioning") + cx("Exchange rangepartitioning"),
-      reusedExch = c("ReusedExchange"),
-      reusedSubq = c("ReusedSubquery"),
-      bcast = cx("BroadcastExchange"),
-      smj = c("SortMergeJoin"),
-      codegenSpans = c("WholeStageCodegen"),
-      scanFiles = files)
+      scans = scans.size,
+      shuffles = nodes.count {
+        case e: ShuffleExchangeExec => e.outputPartitioning match {
+          case _: HashPartitioning | _: RangePartitioning => true
+          case _ => false
+        }
+        case _ => false
+      },
+      reusedExch = nodes.count(_.isInstanceOf[ReusedExchangeExec]),
+      reusedSubq = nodes.count(_.isInstanceOf[ReusedSubqueryExec]),
+      bcast = nodes.count(_.isInstanceOf[BroadcastExchangeExec]),
+      smj = nodes.count(_.isInstanceOf[SortMergeJoinExec]),
+      codegenSpans = nodes.count(_.isInstanceOf[WholeStageCodegenExec]),
+      scanFiles = scans.groupBy(identity).map { case (k, v) => k -> v.size })
   }
 
   def main(args: Array[String]): Unit = {

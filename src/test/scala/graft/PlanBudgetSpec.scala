@@ -69,7 +69,7 @@ class PlanBudgetSpec extends SparkSpec {
     // slack unit there, the exact scan pin is the regression-catcher
     "q_embed_neardup_cells_p2" -> Pin(6, 8, 3, 7),
     "q_embed_neardup_cells_hier_p2" -> Pin(6, 9, 3, 7),
-    "q_recall_audit_cells" -> Pin(10, 11, 7, 11),
+    "q_recall_audit_cells" -> Pin(10, 11, 7, 12),
     "q_embed_keep_best" -> Pin(2, 5, 2, 2),
     "q_knn_graph_hier2" -> Pin(5, 7, 2, 5),
     "q_curate_pipeline" -> Pin(3, 3, 1, 2),
@@ -109,5 +109,87 @@ class PlanBudgetSpec extends SparkSpec {
         s"$name broadcast-exchange count grew: got ${b.bcast}, ceiling ${pin.maxBcast} — " +
           "on hier queries this is the blocks-broadcast tripwire")
     }
+  }
+
+  // ---- Per-ROUND budgets for the iterative graph family (r16) ----------
+  //
+  // The declared graph queries end in localCheckpoints, so their final
+  // plans are unpinnable above (scans = 0 by construction) — but their
+  // LOOP BODIES are where the re-execution class lives (the r14/r15
+  // semDedup/ivfTopK traps). Each test below builds round 1 exactly as
+  // the operator does (same cache/checkpoint discipline), executes it,
+  // and pins: scans == 0 (a round that scans parquet means the cache or
+  // checkpoint broke — the regression this spec exists to catch) and a
+  // shuffle ceiling (the round's exchange shape).
+
+  import org.apache.spark.sql.functions.{col, greatest, least}
+  import graft.operators.{DedupOps, GraphOps, MultimodalOps}
+
+  private def lineitem =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+
+  test("round budget: CC large-star/small-star read the checkpointed edge set, never parquet") {
+    spark.catalog.clearCache()
+    // the q_media_clusters chain's pre-loop edge set, checkpointed as
+    // dedupClustersDetailed's first round sees it
+    val m = MultimodalOps.plantPhashCorpus(
+      MultimodalOps.asMedia(spark.read.parquet(s"$dir/documents.parquet")))
+    val pairs = MultimodalOps.phashPairs(m, grid = MultimodalOps.autoPhashGrid(m))
+    val edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val ls = PlanProbe.budget(DedupOps.largeStar(edges))
+    info(s"largeStar: $ls")
+    assert(ls.scans == 0, s"large-star half-round scans parquet: $ls")
+    assert(ls.shuffles <= 2, s"large-star shuffle count grew: $ls")
+    val ss = PlanProbe.budget(
+      DedupOps.smallStar(DedupOps.largeStar(edges).drop("changed").localCheckpoint(true)))
+    info(s"smallStar: $ss")
+    assert(ss.scans == 0, s"small-star half-round scans parquet: $ss")
+    assert(ss.shuffles <= 2, s"small-star shuffle count grew: $ss")
+  }
+
+  test("round budget: label-propagation round reads the edge cache, never parquet") {
+    spark.catalog.clearCache()
+    val e = GraphOps.copurchaseEdges(lineitem).repartition(col("u")).persist()
+    try {
+      e.count()
+      val labels0 = e.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      val b = PlanProbe.budget(GraphOps.lpRound(e, labels0))
+      info(s"lpRound: $b")
+      assert(b.scans == 0, s"lp round scans parquet — the edge cache broke: $b")
+      assert(b.shuffles <= 4, s"lp round shuffle count grew: $b")
+    } finally e.unpersist(blocking = false)
+  }
+
+  test("round budget: k-core peel reads the cached edge set, never parquet") {
+    spark.catalog.clearCache()
+    val e = GraphOps.copurchaseEdges(lineitem).persist()
+    try {
+      e.count()
+      val (next, keep) = GraphOps.kcoreRound(e, 16)
+      try {
+        val b = PlanProbe.budget(next)
+        info(s"kcoreRound: $b")
+        assert(b.scans == 0, s"k-core peel scans parquet — the edge cache broke: $b")
+        assert(b.shuffles <= 4, s"k-core peel shuffle count grew: $b")
+      } finally keep.unpersist(blocking = false)
+    } finally e.unpersist(blocking = false)
+  }
+
+  test("round budget: triangle census reads its shared caches, never parquet") {
+    spark.catalog.clearCache()
+    val (census, caches) = GraphOps.triangleCensus(GraphOps.coOrderEdges(
+      lineitem.select(col("l_orderkey"), col("l_partkey"))))
+    try {
+      val b = PlanProbe.budget(census)
+      info(s"triangleCensus: $b")
+      assert(b.scans == 0,
+        s"a census branch re-derived parquet instead of reading the caches: $b")
+      assert(b.shuffles <= 6, s"census shuffle count grew: $b")
+    } finally caches.foreach(_.unpersist(blocking = false))
   }
 }

@@ -1041,6 +1041,118 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearestCellHier: equals batch cellArgmaxHier on every fixture vector") {
+    // the streaming two-level snapshot (r16) is the batch hier
+    // assignment's executor-side mirror — same stride rule, same
+    // strict->/c_id-asc tie-breaks at both levels: pin per-vector
+    // equality through the DataFrame fold itself
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    val snap = planted.filter(SimOps.hashCentroidPred(4))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    assert(snap.size >= 4, s"fixture must yield several centroids, got ${snap.size}")
+    val hsnap = StreamingOps.centSnapshotHier(snap)
+    val n = SimOps.normalized(planted, "vec_id", "embedding")
+    val cents = n.filter(SimOps.hashCentroidPred(4))
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val batch = SimOps.cellArgmaxHier(n, cents, "vec_id")
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    val rows = planted.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    rows.foreach { case (id, e) =>
+      val k = StreamingOps.nearestCellHier(hsnap, e)
+      assert(batch.getOrElse(id, -1L) == k,
+        s"vec $id: snapshot $k vs batch ${batch.get(id)}")
+    }
+  }
+
+  test("cellNearDupStream hier: matches uncapped batch cellNearDupPairs(hier) under shuffled arrival") {
+    // the two-level keying twin: O(sqrt(nlist)) per arrival, pair parity
+    // against the batch operator at hier=true on the same pinned snapshot
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    val snap = planted.filter(SimOps.hashCentroidPred(4))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val rows = planted.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .sortBy { case (id, _) => (id * 2654435761L) % 1000003L }
+      .map { case (id, e) => EmbedItem(id, e) }
+    val input = MemoryStream[EmbedItem]
+    val q = StreamingOps.cellNearDupStream(input.toDS(), snap, hier = true)
+      .writeStream.format("memory").queryName("cellndph").outputMode("update").start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("cellndph").as[EmbedPairRow].collect()
+        .map(p => (p.id_a, p.id_b, p.cos_bp)).toSet
+      val batch = SimOps.cellNearDupPairs(planted,
+        centroidPred = SimOps.hashCentroidPred(4), maxCell = 0, hier = true)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("cellNearDupStream: non-assignable vectors key to the reserved -1 cell, intra-only parity") {
+    // zero-norm vectors have no finite centroid similarity: batch drops
+    // them before cell pairing but still emits their exact-dup intra
+    // pairs from the registry; the stream's reserved -1 cell reproduces
+    // both halves (the r15 ADVICE parity edge), flat and hier alike
+    val z = Seq(0f, 0f, 0f, 0f)
+    val a = Seq(1f, 0.5f, 0f, 0.25f)
+    val items = Seq(EmbedItem(1L, z), EmbedItem(2L, a), EmbedItem(3L, z), EmbedItem(4L, a))
+    val batch = SimOps.cellNearDupPairs(
+      spark.createDataset(items.toIndexedSeq).toDF(),
+      centroidPred = col("vec_id") === 2L, maxCell = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch == Set((1L, 3L, 10000L), (2L, 4L, 10000L)), s"batch: $batch")
+    for (hier <- Seq(false, true)) {
+      val input = MemoryStream[EmbedItem]
+      val name = s"cellndpz$hier"
+      val q = StreamingOps.cellNearDupStream(input.toDS(), Seq((2L, a)), hier = hier)
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        input.addData(items.take(2)); q.processAllAvailable()
+        input.addData(items.drop(2)); q.processAllAvailable()
+        val got = spark.table(name).as[EmbedPairRow].collect()
+          .map(p => (p.id_a, p.id_b, p.cos_bp)).toSet
+        assert(got == batch, s"hier=$hier got: $got")
+      } finally q.stop()
+    }
+  }
+
+  test("recellRegistry hier: resumed two-level stream equals fresh hier batch for new arrivals") {
+    // the offline re-centroid contract under two-level keying — registry
+    // state rebuilt at the hier key space, stream resumed hier: emitted =
+    // uncapped hier batch pairs of the full corpus minus the registry's
+    val all = SimOps.plantedVectors(sf("embeddings"))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .sortBy { case (id, _) => (id * 2654435761L) % 1000003L }
+      .map { case (id, e) => EmbedItem(id, e) }
+    val (oldItems, newItems) = all.splitAt(all.length / 2)
+    val registry = spark.createDataset(oldItems.toIndexedSeq)
+    val snap = registry.toDF().filter(SimOps.hashCentroidPred(16))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    assert(snap.nonEmpty, "fixture must yield registry centroids")
+    val snapIds = snap.map(_._1)
+    val init = StreamingOps.recellRegistry(registry, snap, hier = true)
+    val input = MemoryStream[EmbedItem]
+    val q = StreamingOps.cellNearDupStream(input.toDS(), snap,
+      initialState = Some(init), hier = true)
+      .writeStream.format("memory").queryName("recellh").outputMode("update").start()
+    try {
+      val (b1, b2) = newItems.splitAt(newItems.length / 2)
+      Seq(b1, b2).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("recellh").as[EmbedPairRow].collect()
+        .map(p => (p.id_a, p.id_b, p.cos_bp)).toSet
+      def batch(items: Seq[EmbedItem]) =
+        SimOps.cellNearDupPairs(spark.createDataset(items.toIndexedSeq).toDF(),
+          centroidPred = col("vec_id").isin(snapIds: _*), maxCell = 0, hier = true)
+          .as[(Long, Long, Long)].collect().toSet
+      val expected = batch(all.toSeq) -- batch(oldItems.toSeq)
+      assert(streamed == expected,
+        s"stream ${streamed.size} vs full-minus-old ${expected.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("embedNearDupStream capped-mode delta: arrival-order cap vs the batch id-rank cap") {
     // the family's documented delta pinned to exact pairs: one bucket
     // (all components non-negative -> bucket 15 at bits=4), three distinct
