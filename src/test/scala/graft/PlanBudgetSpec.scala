@@ -57,8 +57,8 @@ class PlanBudgetSpec extends SparkSpec {
     // join + universe) — the two cluster legs end in localCheckpoints
     "q_curate_multimodal" -> Pin(3, 7, 0, 5),
     "q_semdedup" -> Pin(4, 4, 0, 1),
-    "q_embed_neardup" -> Pin(8, 7, 4, 4),
-    "q_embed_neardup_multi" -> Pin(8, 7, 4, 4),
+    "q_embed_neardup" -> Pin(8, 7, 4, 5),
+    "q_embed_neardup_multi" -> Pin(8, 7, 4, 5),
     // the flat lazy diamond shows a +/-1 exchange-unification race
     // (scans fixed) — its ceilings carry one slack unit
     "q_embed_neardup_cells" -> Pin(10, 7, 4, 6),
