@@ -186,14 +186,45 @@ object Bench {
     }
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val passExternal = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // IN-JVM stall eyes (r16 verdict: the load gate measures EXTERNAL load
+    // only and was blind to the r9-class GC ghost — q_label_prop's 139.7 s
+    // pass-1 on an externally-CLEAN pass). Per measured section record the
+    // JVM's own GC time (GarbageCollectorMXBean collection-time delta) and
+    // the peak heap reached (MemoryPoolMXBean peak usage, reset at section
+    // start) so a pass inflated from INSIDE the JVM is attributable
+    // mechanically: high gc_sec with flat external load = GC ghost, not a
+    // plan regression and not a neighbor.
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcTimeMs(): Long =
+      gcBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def resetHeapPeaks(): Unit =
+      heapPools.foreach(p => if (p.isValid) p.resetPeakUsage())
+    def peakHeapMb(): Long =
+      heapPools.map(p => if (p.isValid) p.getPeakUsage.getUsed else 0L).sum >> 20
+    final class GcMeter {
+      private val gc0 = gcTimeMs()
+      resetHeapPeaks()
+      /** (gc seconds in section, peak heap MiB in section) */
+      def stop(): (Double, Long) =
+        (math.rint((gcTimeMs() - gc0) / 10.0) / 100.0, peakHeapMb())
+    }
+    val passGcSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passPeakHeapMb = scala.collection.mutable.ArrayBuffer.empty[Long]
     def runPass(): Map[String, Either[String, Double]] = {
       val la0 = loadAvg()
       val sampler = new LoadSampler(2000)
+      val gc = new GcMeter
       val p = names.map { n =>
         val r = n -> execute(spark, n, sfDir)
         maybeRestart()
         r
       }.toMap
+      val (gcs, peak) = gc.stop()
+      passGcSec += gcs
+      passPeakHeapMb += peak
       passExternal += sampler.stop(s"suite pass ${passExternal.size + 1}")
       passLoads += ((la0, loadAvg()))
       settle()
@@ -251,30 +282,44 @@ object Bench {
     // artifact records the estimate + flag per solo row.
     val soloExternal = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val soloContended = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    val soloGcSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val solo = soloNames.map { n =>
       spark.stop()
       spark = newSession()
       execute(spark, n, "/root/testdata/sf0.001")
       settle()
-      def timedSection(): (Either[String, Double], Double) = {
+      def timedSection(): (Either[String, Double], Double, Double) = {
         val sampler = new LoadSampler(500)
+        val gc = new GcMeter
         val r = minOf(execute(spark, n, sfDir), execute(spark, n, sfDir))
-        (r, sampler.stop(s"solo $n"))
+        (r, sampler.stop(s"solo $n"), gc.stop()._1)
       }
-      var (r, ext) = timedSection()
+      var (r, ext, gcs) = timedSection()
       var tries = 0
       while (ext > loadBound && tries < maxExtra) {
         System.err.println(s"[bench] solo $n contended (external $ext) — re-running")
         tries += 1
         settle()
-        val (r2, ext2) = timedSection()
+        val (r2, ext2, gcs2) = timedSection()
         // a clean re-run replaces the contended min outright (contended
-        // walls only inflate); two contended sections keep the min of both
-        if (ext2 <= loadBound) { r = r2; ext = ext2 }
-        else { r = minOf(r, r2); ext = math.min(ext, ext2) }
+        // walls only inflate); two contended sections keep whichever
+        // section's WALL won, with THAT section's load/gc estimates — the
+        // recorded estimate always describes the section the number came
+        // from (r16 ADVICE: the old elementwise min could pair one
+        // section's wall with the other's load)
+        if (ext2 <= loadBound) { r = r2; ext = ext2; gcs = gcs2 }
+        else {
+          val secondWins = (r, r2) match {
+            case (Right(x), Right(y)) => y < x
+            case (Right(_), Left(_)) => true // failure still propagates (minOf rule)
+            case _ => false
+          }
+          if (secondWins) { r = r2; ext = ext2; gcs = gcs2 }
+        }
       }
       soloExternal(n) = ext
       soloContended(n) = ext > loadBound
+      soloGcSec(n) = gcs
       n -> r
     }
 
@@ -344,10 +389,15 @@ object Bench {
       else soloExternal.map { case (k, v) => s""""$k":${laJson(v)}""" }
         .mkString(""","solo_external_load":{""", ",", "}") +
         soloContended.map { case (k, v) => s""""$k":$v""" }
-          .mkString(""","solo_contended":{""", ",", "}")
+          .mkString(""","solo_contended":{""", ",", "}") +
+        soloGcSec.map { case (k, v) => s""""$k":$v""" }
+          .mkString(""","solo_gc_sec":{""", ",", "}")
+    val gcJson = passGcSec.mkString("[", ",", "]")
+    val peakJson = passPeakHeapMb.mkString("[", ",", "]")
     val fullJson = json.dropRight(1) +
       s""","mode":"$mode","order":"$order","restart_every":$restartEvery,""" +
       s""""loadavg":$loadJson,"pass_external_load":$extJson,""" +
+      s""""pass_gc_sec":$gcJson,"pass_peak_heap_mb":$peakJson,""" +
       s""""pass_contended":$contJson,"load_bound":$loadBound,""" +
       s""""contended":$allContended$soloExtJson,"passes":$passes}"""
     java.nio.file.Files.write(

@@ -2345,13 +2345,18 @@ object SparkEntry {
     * recomputing the whole probe pipeline each time.
     */
   private def duckPhashHashCtes(
-      sfx: String, g: String, extraFrom: String = "", stride: String = "7"): String =
-    s"cells$sfx AS (SELECT media_id, grp, shift, w, h, ($g) AS gg, " +
+      sfx: String, g: String, extraFrom: String = "", stride: String = "7"): String = {
+    // one sampled channel byte of the quadratic-ring ramp (the
+    // MultimodalOps.plantPhashCorpus r17 formula): byte index `idx` =
+    // channel ch of grid cell j's nearest-neighbor source pixel
+    def px(ch: Int): String = {
+      val idx = s"((((j//gg)*h//gg)*w + (j%gg)*w//gg)*3 + $ch)"
+      s"(grp*31 + $idx*($stride) + $idx*$idx*s2 + shift) % 256"
+    }
+    s"cells$sfx AS (SELECT media_id, grp, shift, s2, w, h, ($g) AS gg, " +
       s"unnest(range(0, ($g)*($g))) AS j FROM d$extraFrom), " +
       s"gray$sfx AS (SELECT media_id, j, gg, " +
-      s"(grp*31 + ((((j//gg)*h//gg)*w + (j%gg)*w//gg)*3 + 0)*($stride) + shift) % 256 " +
-      s"+ (grp*31 + ((((j//gg)*h//gg)*w + (j%gg)*w//gg)*3 + 1)*($stride) + shift) % 256 " +
-      s"+ (grp*31 + ((((j//gg)*h//gg)*w + (j%gg)*w//gg)*3 + 2)*($stride) + shift) % 256 AS g " +
+      s"${px(0)} + ${px(1)} + ${px(2)} AS g " +
       s"FROM cells$sfx), " +
       s"tot$sfx AS (SELECT media_id, sum(g) AS total FROM gray$sfx GROUP BY media_id), " +
       s"bands$sfx AS (SELECT gray$sfx.media_id, j // gg AS k, " +
@@ -2359,6 +2364,7 @@ object SparkEntry {
       s"FROM gray$sfx JOIN tot$sfx ON gray$sfx.media_id = tot$sfx.media_id GROUP BY 1, 2), " +
       s"hv$sfx AS (SELECT media_id, list(bval ORDER BY k) AS hsh FROM bands$sfx " +
       "GROUP BY media_id)"
+  }
 
   /** DuckDB mirror of SimOps.cellNearDupPairs over the planted embedding
     * corpus: exact-dedup-first reps, occupancy-64 hash-sampled centroids
@@ -2650,7 +2656,8 @@ object SparkEntry {
   private def duckPhashCtesFor(mCte: String, stride: String = "7"): String =
     mCte + ", " +
       "d AS (SELECT media_id, grp, shift, (grp*3+2)%9+2 AS w, " +
-      "(grp*5+1)%7+2 AS h FROM m), " +
+      "(grp*5+1)%7+2 AS h, " +
+      s"${StableHash.hash60Sql("CAST(grp AS VARCHAR)")} % 256 AS s2 FROM m), " +
       duckPhashHashCtes("8", "8", stride = stride) + ", " +
       s"pgrid AS ${MultimodalOps.autoPhashGridSql("hv8")}, " +
       duckPhashHashCtes("", "pgrid.g", " CROSS JOIN pgrid", stride = stride) + ", " +

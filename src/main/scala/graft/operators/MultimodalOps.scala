@@ -391,6 +391,21 @@ object MultimodalOps {
     * average-hash of [[phashBands]] is invariant to the constant shift
     * except at wrapped pixels, which is precisely the robustness a
     * perceptual hash exists to provide.
+    *
+    * Content ring (r17): a LINEAR byte ramp is determined entirely by its
+    * (w, h, stride, phase-mod-256) tuple, so the plant's distinct-image
+    * universe was the lcm of those tiny periods — ~1.1k images at ANY
+    * corpus size (measured at every decade, SKEW r15/r16), which made the
+    * capstone's ×100 leg a quadratic exact-dup re-attach wall and froze
+    * the dense plant's regime past ×10. The ramp now adds a QUADRATIC
+    * term `i²·s2` whose coefficient `s2 = hash60(grp) mod 256` is
+    * pseudorandom per group (md5-derived — aperiodic in grp, unlike any
+    * mod-arithmetic ring): the image space becomes
+    * (w, h, stride, phase, s2) ≈ 9·7·strideMod·256·256 patterns assigned
+    * hash-uniformly, so distinct content GROWS ≈ 1:1 with the group count
+    * to ~10⁸ instead of saturating at 10³. The in-group invariance is
+    * untouched — `shift` stays a constant offset, and aHash (bits vs
+    * mean) is shift-invariant except at wraps, whatever the ramp shape.
     */
   def plantPhashCorpus(
       media: DataFrame,
@@ -403,14 +418,15 @@ object MultimodalOps {
     val h = pmod(grp * 5 + 1, lit(7)) + 2
     val nBytes = w * h * 3
     // strideMod > 0 varies the pixel-ramp stride per group (7 + grp mod
-    // strideMod) — the content-entropy knob: the constant-stride formula
-    // saturates at ~1.1k distinct aHashes (its dim/ramp periods' lcm)
-    // no matter how large the corpus, which is why the grid-16 flip was
-    // unreachable on the base plant at ANY scale
+    // strideMod) — the LINEAR-term entropy knob (kept for the decade
+    // tools' corpus-scaled sweeps); the quadratic s2 term below is what
+    // breaks the mod-arithmetic content ceiling
     val stride = if (strideMod > 0) pmod(grp, lit(strideMod)) + 7 else lit(7)
+    // i ≤ 240 ⇒ i²·s2 ≤ 240²·255 < 2^24 — exact in longs on both engines
+    val s2 = pmod(graft.functions.StableHash.hash60(grp.cast("string")), lit(256))
     val pixHex = array_join(
       transform(sequence(lit(0L), nBytes - 1),
-        i => lpad(lower(hex(pmod(grp * 31 + i * stride + shift, lit(256)))), 2, "0")),
+        i => lpad(lower(hex(pmod(grp * 31 + i * stride + i * i * s2 + shift, lit(256)))), 2, "0")),
       "")
     media.select(
       col("media_id"), col("kind"),

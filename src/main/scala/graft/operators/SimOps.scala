@@ -124,6 +124,8 @@ object SimOps {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val nq = emb.filter(queryPred).count()
+    require(nq > 0, s"ivfRecallSweep: queryPred selects no rows — " +
+      "recall_bp would divide by zero in the generated SQL")
     val truth = bruteTopK(emb, queryPred, k, idCol, embCol)
       .select(col("q_id"), col(idCol))
     val approx = probes.map { np =>
@@ -159,6 +161,8 @@ object SimOps {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val nq = emb.filter(queryPred).count()
+    require(nq > 0, s"ivfRecallSweepHier: queryPred selects no rows — " +
+      "recall_bp would divide by zero in the generated SQL")
     val truth = bruteTopK(emb, queryPred, k, idCol, embCol)
       .select(col("q_id"), col(idCol))
     val approx = superProbesSeq.map { sp =>

@@ -99,6 +99,10 @@ object KnnScaleCheck {
             println(s"$head FAILED ${root.getClass.getSimpleName}: " +
               String.valueOf(root.getMessage).take(300))
         }
+        // a flat-leg driver OOM can kill the JVM before a buffered stdout
+        // drains (redirected stdout is block-buffered) — flush so the row
+        // just printed survives whatever the NEXT leg does to the process
+        System.out.flush()
       }
       // SPARK_GRAFT_MEGA_ONLY=hier|flat reruns one leg (e.g. the 8M hier
       // completion row needs a longer watchdog than flat's fast

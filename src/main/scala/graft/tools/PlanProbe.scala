@@ -83,9 +83,21 @@ object PlanProbe {
       p.subqueries.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
+    // Both reader generations count as scans: FileSourceScanExec (DSv1 —
+    // today's parquet path) AND BatchScanExec (DSv2 — the custom V2
+    // sources now, and every parquet scan the day
+    // spark.sql.sources.useV1SourceList changes). Without the v2 arm a
+    // reader switch would turn every scans==0 round-budget pin vacuously
+    // green instead of failing loudly.
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
     val scans = nodes.collect {
       case f: FileSourceScanExec => f.relation.location.rootPaths.headOption
         .map(_.getName).getOrElse("?")
+      case b: BatchScanExec => b.scan match {
+        case fs: FileScan => fs.fileIndex.rootPaths.headOption
+          .map(_.getName).getOrElse("?")
+        case s => s.getClass.getSimpleName
+      }
     }.toSeq
     Budget(
       scans = scans.size,

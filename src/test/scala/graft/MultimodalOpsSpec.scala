@@ -137,13 +137,19 @@ class MultimodalOpsSpec extends SparkSpec {
 
   // --- perceptual hash ------------------------------------------------
 
-  /** Replay of plantPhashCorpus's generative pixel formula. */
+  /** Replay of plantPhashCorpus's generative pixel formula (r17 ring:
+    * linear stride + the quadratic i²·s2 term, s2 = hash60(grp) mod 256).
+    */
   private def phashPixels(id: Long, groupSize: Int = 4, shiftStep: Int = 9): (Int, Int, Array[Int]) = {
     val grp = id / groupSize
     val shift = (id % groupSize) * shiftStep
     val w = ((grp * 3 + 2) % 9 + 2).toInt
     val h = ((grp * 5 + 1) % 7 + 2).toInt
-    (w, h, Array.tabulate(w * h * 3)(i => ((grp * 31 + i * 7 + shift) % 256).toInt))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(grp.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val s2 = java.lang.Long.parseLong(md5.take(15), 16) % 256
+    (w, h, Array.tabulate(w * h * 3)(i =>
+      ((grp * 31 + i * 7 + i.toLong * i * s2 + shift) % 256).toInt))
   }
 
   /** Replay of phashBands' aHash rule on a raw pixel array. */
