@@ -4,6 +4,9 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.functions.StableHash
+import graft.operators.TextOps
+
 /** One event on the stream (mirrors the `events` table's queryable core). */
 case class StreamEvent(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
 
@@ -91,6 +94,31 @@ case class PhashBucket(groups: List[(Long, Seq[Long], List[Long], Boolean)])
 /** One emitted perceptual near-dup pair (id_a < id_b). */
 case class PhashPairRow(id_a: Long, id_b: Long, hamming: Long)
 
+/** One (doc, minhash signature) row for
+  * [[StreamingOps.minhashPairsStream]] — the row-local mirror of
+  * `DedupOps.minhashSigs`' per-document signature.
+  */
+case class MinhashDocSig(doc_id: Long, sig: Seq[Long])
+
+/** One (band-bucket, doc) pair for [[StreamingOps.minhashPairsStream]]. */
+case class MinhashBucketItem(bkey: String, band: Int, doc_id: Long, sig: Seq[Long])
+
+/** Per-band-bucket seen-set for [[StreamingOps.minhashPairsStream]]: the
+  * exact-SIGNATURE groups that have landed in this bucket (rep id, the
+  * signature, member ids id-ascending, frozen flag) — the
+  * [[PhashBucket]] state shape with the full minhash signature as the
+  * group identity (identical signatures share every band, so one entry
+  * per distinct signature bounds the state exactly like the phash
+  * distinct-hash registry).
+  */
+case class MinhashBucket(groups: List[(Long, Seq[Long], List[Long], Boolean)])
+
+/** One emitted MinHash-LSH candidate-pair event (id_a < id_b, the band
+  * that collided): `groupBy(id_a, id_b).count()` downstream reproduces
+  * the batch operator's `n_shared_bands`.
+  */
+case class MinhashPairRow(id_a: Long, id_b: Long, band: Int)
+
 /** One embedding arrival for [[StreamingOps.embedNearDupStream]]. */
 case class EmbedItem(vec_id: Long, embedding: Seq[Float])
 
@@ -103,6 +131,21 @@ case class EmbedBucket(groups: List[(Long, Seq[Float], Double, List[Long], Boole
 
 /** One emitted embedding near-dup pair (id_a < id_b, cosine in bp). */
 case class EmbedPairRow(id_a: Long, id_b: Long, cos_bp: Long)
+
+/** Per-SUPERCELL state for [[StreamingOps.cellNearDupStreamHier]]: this
+  * supercell's centroid BLOCK ((c_id, centroid, norm), c_id-ascending —
+  * the ≈√nlist-entry slice of the snapshot that `SimOps.cellArgmaxHier`
+  * shuffle-joins on sc_id) plus one [[EmbedBucket]] registry per cell of
+  * the block that has ingested anything, cell-ascending. Keying state by
+  * SUPERCELL is what makes the streaming twin scale-true: the snapshot
+  * payload rides the distributed initial state, PARTITIONED across the
+  * state store by sc — each task holds only its sc keys' blocks,
+  * O(√nlist·d) per key, never the full O(nlist·d) array the r16 closure
+  * shipped to every task.
+  */
+case class HierCellState(
+    block: List[(Long, Seq[Float], Double)],
+    cells: List[(Long, EmbedBucket)])
 
 /** Tail of a user's timeline — [[StreamingOps.typeTransitionsStream]]
   * state: the (event-time µs, event id, type) of the last event seen.
@@ -633,6 +676,127 @@ object StreamingOps {
       .flatMap(_.map { case (a, b, d) => PhashPairRow(a, b, d) })
   }
 
+  /** Streaming MinHash-LSH TEXT near-dup detection — the
+    * `mapGroupsWithState` twin of
+    * [[graft.operators.DedupOps.minhashBandPairs]], the production
+    * ingestion-time dedup: the one modality/regime cell the
+    * incremental-dedup matrix still lacked (exact text had
+    * [[dedupIngest]], perceptual media [[phashPairsStream]], embeddings
+    * [[embedNearDupStream]]/[[cellNearDupStream]] — text NEAR-dup only
+    * had the batch form).
+    *
+    * Signature stage (stateless, so it can run on an unbounded stream —
+    * the batch `minhashSigs` explode + groupBy-min is a stream-side
+    * aggregation and cannot precede stateful pairing): each document's
+    * `numHashes` min-hashes compute ROW-LOCALLY with array expressions —
+    * distinct word 3-shingles, one md5 ([[graft.functions.StableHash.hash60]])
+    * per shingle, the family members derived affinely
+    * ([[StableHash.familyOf]]), `array_min` per family member. Same
+    * shingle set, same hash family, same mins as the batch signature —
+    * only the fold shape differs (per-row Catalyst `transform`/`array_min`
+    * vs explode + groupBy), so a doc's signature is bit-identical either
+    * way. Docs with no 3-shingle (< 3 tokens) drop, matching their
+    * absence from the batch explode.
+    *
+    * Pairing stage — [[phashPairsStream]]'s per-band-bucket discipline
+    * with the full signature as the exact-group identity: an arrival
+    * either joins its signature's group (emitting a pair event against
+    * each member — identical signatures share EVERY band in the batch
+    * operator, so intra emission runs in every bucket, giving the pair
+    * its full `n_shared_bands` multiplicity) or founds a new group after
+    * pairing against every other unfrozen group's members in the bucket.
+    * Emitted events are (id_a, id_b, band); uncapped, over any arrival
+    * order and micro-batch slicing, `groupBy(id_a, id_b).count()` over
+    * the emitted events equals the batch operator's
+    * (id_a, id_b, n_shared_bands) exactly (spec-pinned) — each unordered
+    * pair emits exactly once per shared band, when its later member
+    * arrives in that band's bucket.
+    *
+    * `maxBucket` > 0 is the hot-bucket guard in the family's
+    * arrival-order form, counted in DISTINCT SIGNATURES (the group
+    * unit): from a bucket's (maxBucket+1)-th distinct signature onward,
+    * new groups are recorded FROZEN — they never cross-pair (per-bucket
+    * pairing cost stays ≤ cap²) but their later exact-signature
+    * duplicates still emit intra events in every band, so
+    * identical-content recall is unconditional. The batch cap
+    * retro-drops the whole over-cap bucket (`wholesale_drop`); a stream
+    * cannot un-emit — the documented capped-mode delta of every twin in
+    * the family (parity is pinned uncapped).
+    *
+    * State is O(buckets · min(distinct-sigs, cap)) signatures plus
+    * member id lists — `numHashes` longs per distinct signature per
+    * band, the registry an incremental text dedup keeps anyway.
+    */
+  def minhashPairsStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 0): Dataset[MinhashPairRow] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import docs.sparkSession.implicits._
+    val r = numHashes / bands
+    val hs = transform(
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), 3)),
+      sh => StableHash.hash60(sh))
+    val sigCol = array((0 until numHashes).map(i =>
+      array_min(transform(col("hs"), h => StableHash.familyOf(h, i)))): _*)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), sigCol.as("sig"))
+      .as[MinhashDocSig]
+      .flatMap(d => (0 until bands).map { b =>
+        val key = (b.toLong +: (0 until r).map(j => d.sig(b * r + j))).mkString(":")
+        MinhashBucketItem(key, b, d.doc_id, d.sig)
+      })
+      .groupByKey(_.bkey)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (_: String, batch: Iterator[MinhashBucketItem], state: GroupState[MinhashBucket]) => {
+          var groups = state.getOption.map(_.groups).getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long, Int)]
+          batch.toList.sortBy(_.doc_id).foreach { it =>
+            val seen = groups.exists(_._3.contains(it.doc_id))
+            if (!seen) groups.indexWhere(_._2 == it.sig) match {
+              case gi if gi >= 0 =>
+                // exact-signature arrival: intra events in EVERY band (the
+                // batch pair carries n_shared_bands = bands for identical
+                // signatures), cross events against the bucket's other
+                // unfrozen groups
+                val (rep, sig, members, frozen) = groups(gi)
+                members.foreach { id =>
+                  out += ((math.min(id, it.doc_id), math.max(id, it.doc_id), it.band))
+                }
+                if (!frozen) groups.foreach { case (rp, _, om, ofz) =>
+                  if (rp != rep && !ofz) om.foreach { id =>
+                    out += ((math.min(id, it.doc_id), math.max(id, it.doc_id), it.band))
+                  }
+                }
+                groups = groups.updated(gi, (rep, sig, members :+ it.doc_id, frozen))
+              case _ =>
+                val capped = maxBucket > 0 && groups.count(!_._4) >= maxBucket
+                if (!capped) {
+                  groups.foreach { case (_, _, om, ofz) =>
+                    if (!ofz) om.foreach { id =>
+                      out += ((math.min(id, it.doc_id), math.max(id, it.doc_id), it.band))
+                    }
+                  }
+                  groups = groups :+ ((it.doc_id, it.sig, List(it.doc_id), false))
+                } else {
+                  // over-cap founder: recorded frozen (in every band — the
+                  // intra-recall home is every shared bucket here), so its
+                  // exact-signature duplicates still emit intra events
+                  groups = groups :+ ((it.doc_id, it.sig, List(it.doc_id), true))
+                }
+            }
+          }
+          state.update(MinhashBucket(groups))
+          out.result()
+        })
+      .flatMap(_.map { case (a, b, k) => MinhashPairRow(a, b, k) })
+  }
+
   /** Streaming embedding-cosine near-dup detection — the
     * `mapGroupsWithState` twin of
     * [[graft.operators.SimOps.nearDupPairs]], completing the
@@ -796,24 +960,21 @@ object StreamingOps {
     * vectors before cell pairing, and the reserved key reproduces both
     * halves — parity holds for every vector, assignable or not.
     *
-    * `hier` = true swaps the flat per-arrival scan for the TWO-LEVEL one
-    * ([[centSnapshotHier]]/[[nearestCellHier]] — `SimOps.cellArgmaxHier`'s
-    * construction at superProbes = 1): O(√nlist) similarity evaluations
-    * per arrival instead of O(nlist), the batch family's hier assignment
-    * ported to the streaming snapshot. Keying then matches batch
-    * `cellNearDupPairs(hier = true)` exactly (same stride rule, same
-    * strict-`>`/c_id-asc tie-breaks at both levels), with the same
-    * supercell-boundary approximation priced against flat keying.
+    * [[cellNearDupStreamHier]] is the TWO-LEVEL twin — same pair
+    * semantics under `SimOps.cellArgmaxHier`'s keying, with the snapshot
+    * payload distributed through sc-keyed state instead of this flat
+    * path's full-snapshot closure (which is the flat fold's honest
+    * shape: flat keying IS an O(nlist·d) scan per arrival, so the flat
+    * stream, like the flat batch fold, is for nlist well short of 1M).
     */
   def cellNearDupStream(
       items: Dataset[EmbedItem],
       centroids: Seq[(Long, Seq[Float])],
       thresholdBp: Int = 4000,
       maxCell: Int = 0,
-      initialState: Option[Dataset[(Long, EmbedBucket)]] = None,
-      hier: Boolean = false): Dataset[EmbedPairRow] = {
+      initialState: Option[Dataset[(Long, EmbedBucket)]] = None): Dataset[EmbedPairRow] = {
     import items.sparkSession.implicits._
-    val keyOf = cellKeyFn(centroids, hier)
+    val keyOf = cellKeyFn(centroids)
     val keyed = items
       .map(it => (keyOf(it.embedding), it))
       .groupByKey(_._1)
@@ -888,6 +1049,190 @@ object StreamingOps {
       .flatMap(_.map { case (a, b, c) => EmbedPairRow(a, b, c) })
   }
 
+  /** TWO-LEVEL streaming cell near-dup — [[cellNearDupStream]]'s pair
+    * semantics under the HIERARCHICAL quantizer's keying
+    * (`SimOps.cellArgmaxHier` at superProbes = 1: same stride rule, same
+    * strict-`>`/c_id-asc tie-breaks at both levels), restructured so that
+    * NO task ever holds the full centroid snapshot — the batch family's
+    * r16 memory bound (per-task O(√nlist·d)) carried to the stream:
+    *
+    *  - arrivals key by SUPERCELL: the per-arrival closure captures only
+    *    the ≈√nlist-entry supercenter array ([[centSnapshotHier]]'s
+    *    `sups` — exactly the one broadcast the batch path keeps);
+    *  - each supercell's ≈√nlist-entry centroid BLOCK rides the
+    *    DISTRIBUTED initial state ([[HierCellState]]), partitioned across
+    *    the state store by sc_id — the streaming mirror of the batch
+    *    sc_id shuffle join, paid once at stream start instead of per
+    *    micro-batch;
+    *  - the stateful update assigns each arrival to its in-block cell
+    *    (strict `>`, c_id-asc — [[nearestCellHier]]'s second level) and
+    *    runs [[cellNearDupStream]]'s per-cell registry discipline inside
+    *    the supercell's state (pairs only ever form within a cell, so
+    *    co-locating a supercell's cells changes no pair).
+    *
+    * State checkpoint cost per TOUCHED key per micro-batch is the key's
+    * block + registries (O(√nlist·d + ingested)); untouched keys are not
+    * rewritten. Parity (spec-pinned): uncapped, over any arrival order
+    * and micro-batch slicing, the emitted pair set equals uncapped batch
+    * `SimOps.cellNearDupPairs(hier = true)` at the same snapshot; the
+    * reserved −1 key (non-assignable arrivals — no finite supercenter
+    * similarity) emits exact-dup intra pairs only, the flat stream's
+    * contract. Resume after an offline re-centroid via
+    * [[recellRegistryHier]] + `initialState`; a fresh stream builds the
+    * block-only initial state from the snapshot itself.
+    */
+  def cellNearDupStreamHier(
+      items: Dataset[EmbedItem],
+      centroids: Seq[(Long, Seq[Float])],
+      thresholdBp: Int = 4000,
+      maxCell: Int = 0,
+      initialState: Option[Dataset[(Long, HierCellState)]] = None): Dataset[EmbedPairRow] = {
+    import items.sparkSession.implicits._
+    val sups = centSnapshotHier(centroids).sups
+    val init = initialState.getOrElse(hierBlockState(items.sparkSession, centroids))
+    val keyed = items
+      .map(it => (nearestCell(sups, it.embedding), it))
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    val update =
+        (sc: Long, batch: Iterator[EmbedItem], state: GroupState[HierCellState]) => {
+          val st = state.getOption.getOrElse(HierCellState(Nil, Nil))
+          val block = st.block.toIndexedSeq
+          // one flat-discipline registry per cell of this supercell —
+          // transient O(1) indexes over (cell, embedding) and member ids,
+          // id-ascending in-batch order, per-cell frozen-group capping
+          val cells = scala.collection.mutable.LinkedHashMap.empty[Long,
+            scala.collection.mutable.ArrayBuffer[(Long, Seq[Float], Double, List[Long], Boolean)]]
+          st.cells.foreach { case (c, b) =>
+            val buf = scala.collection.mutable.ArrayBuffer.empty[
+              (Long, Seq[Float], Double, List[Long], Boolean)]
+            b.groups.foreach(buf += _)
+            cells(c) = buf
+          }
+          val memberIds = scala.collection.mutable.HashSet.empty[Long]
+          val embIdx = scala.collection.mutable.HashMap.empty[(Long, Seq[Float]), Int]
+          val nActive = scala.collection.mutable.HashMap.empty[Long, Int]
+          cells.foreach { case (c, buf) =>
+            buf.zipWithIndex.foreach { case (g, i) =>
+              g._4.foreach(memberIds += _)
+              if (!embIdx.contains((c, g._2))) embIdx((c, g._2)) = i
+            }
+            nActive(c) = buf.count(!_._5)
+          }
+          val out = List.newBuilder[(Long, Long, Long)]
+          batch.toList.sortBy(_.vec_id).foreach { it =>
+            if (!memberIds.contains(it.vec_id)) {
+              val cell = if (sc < 0) -1L else nearestCell(block, it.embedding)
+              val buf = cells.getOrElseUpdate(cell,
+                scala.collection.mutable.ArrayBuffer.empty)
+              embIdx.get((cell, it.embedding)) match {
+                case Some(gi) =>
+                  val (rep, e, nr, members, frozen) = buf(gi)
+                  members.foreach { id =>
+                    out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), 10000L))
+                  }
+                  if (cell >= 0 && !frozen) buf.foreach { case (r, oe, onr, om, ofz) =>
+                    if (r != rep && !ofz) {
+                      val c = bpOf(dotF(e, oe) / (nr * onr))
+                      if (c >= thresholdBp) om.foreach { id =>
+                        out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), c))
+                      }
+                    }
+                  }
+                  buf(gi) = (rep, e, nr, members :+ it.vec_id, frozen)
+                  memberIds += it.vec_id
+                case None =>
+                  val nr = math.sqrt(dotF(it.embedding, it.embedding))
+                  val capped = maxCell > 0 && nActive.getOrElse(cell, 0) >= maxCell
+                  if (!capped) {
+                    if (cell >= 0) buf.foreach { case (_, oe, onr, om, ofz) =>
+                      if (!ofz) {
+                        val c = bpOf(dotF(it.embedding, oe) / (nr * onr))
+                        if (c >= thresholdBp) om.foreach { id =>
+                          out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), c))
+                        }
+                      }
+                    }
+                    embIdx((cell, it.embedding)) = buf.length
+                    buf += ((it.vec_id, it.embedding, nr, List(it.vec_id), false))
+                    nActive(cell) = nActive.getOrElse(cell, 0) + 1
+                  } else {
+                    embIdx((cell, it.embedding)) = buf.length
+                    buf += ((it.vec_id, it.embedding, nr, List(it.vec_id), true))
+                  }
+                  memberIds += it.vec_id
+              }
+            }
+          }
+          state.update(HierCellState(st.block,
+            cells.toList.map { case (c, buf) => (c, EmbedBucket(buf.toList)) }
+              .sortBy(_._1)))
+          out.result()
+        }
+    keyed.mapGroupsWithState(
+        GroupStateTimeout.NoTimeout,
+        init.groupByKey(_._1).mapValues(_._2))(update)
+      .flatMap(_.map { case (a, b, c) => EmbedPairRow(a, b, c) })
+  }
+
+  /** Block-only [[HierCellState]] rows for a fresh
+    * [[cellNearDupStreamHier]] — one row per supercell, serialized from
+    * the driver ONCE into a distributed dataset (the snapshot Seq already
+    * lives on the driver as the call's argument; what the sc keying buys
+    * is that no EXECUTOR ever materializes more than its partitions'
+    * blocks).
+    */
+  private def hierBlockState(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Long, Seq[Float])]): Dataset[(Long, HierCellState)] = {
+    import spark.implicits._
+    val snap = centSnapshotHier(centroids)
+    spark.createDataset(snap.blocks.toSeq.map { case (sc, ms) =>
+      (sc, HierCellState(ms.toList, Nil))
+    })
+  }
+
+  /** OFFLINE re-centroid of [[cellNearDupStreamHier]]'s registry — the
+    * [[recellRegistry]] contract under two-level keying: rebuild the
+    * exact-dedup groups from the ingested corpus, key each group by its
+    * SUPERCELL (the ≈√nlist-entry `sups` array is the only closure
+    * payload), then COGROUP with the block-only state so each group's
+    * in-block cell is computed against a block that arrived through the
+    * dataset side — per-task memory O(√nlist·d), the same bound as the
+    * stream it feeds. Supercells with no ingested groups still emit their
+    * block-only row (a resumed stream needs every block); non-assignable
+    * groups pack under the reserved −1 key with an empty block.
+    */
+  def recellRegistryHier(
+      items: Dataset[EmbedItem],
+      centroids: Seq[(Long, Seq[Float])]): Dataset[(Long, HierCellState)] = {
+    import items.sparkSession.implicits._
+    val sups = centSnapshotHier(centroids).sups
+    val blockState = hierBlockState(items.sparkSession, centroids)
+    val groupsBySc = items.toDF()
+      .groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep"),
+        sort_array(collect_list(col("vec_id"))).as("members"))
+      .select(col("rep"), col("embedding"), col("members"))
+      .as[(Long, Seq[Float], Seq[Long])]
+      .map { case (rep, e, members) =>
+        var s = 0.0; var i = 0
+        while (i < e.length) { s += e(i).toDouble * e(i).toDouble; i += 1 }
+        (nearestCell(sups, e), (rep, e, math.sqrt(s), members.toList, false))
+      }
+    groupsBySc.groupByKey(_._1)
+      .cogroup(blockState.groupByKey(_._1)) { (sc, gs, bs) =>
+        val st = bs.toSeq.headOption.map(_._2).getOrElse(HierCellState(Nil, Nil))
+        val block = st.block.toIndexedSeq
+        val cells = gs.map(_._2).toList
+          .map(g => ((if (sc < 0) -1L else nearestCell(block, g._2)), g))
+          .groupBy(_._1)
+          .map { case (c, xs) => (c, EmbedBucket(xs.map(_._2).sortBy(_._1))) }
+          .toList.sortBy(_._1)
+        Iterator.single((sc, HierCellState(st.block, cells)))
+      }
+  }
+
   /** OFFLINE re-centroid of [[cellNearDupStream]]'s registry — the
     * [[rebucketRegistry]] path with the key space being a CENTROID
     * SNAPSHOT instead of a sign-bit width: rebuild the exact-dedup groups
@@ -900,15 +1245,13 @@ object StreamingOps {
     * end to end — the registry never visits the driver. Non-assignable
     * groups pack under the reserved −1 key (the [[cellNearDupStream]]
     * contract), so a resumed stream still recognizes their exact
-    * duplicates. `hier` keys by the two-level scan, matching a hier
-    * stream's key space.
+    * duplicates. [[recellRegistryHier]] is the two-level form.
     */
   def recellRegistry(
       items: Dataset[EmbedItem],
-      centroids: Seq[(Long, Seq[Float])],
-      hier: Boolean = false): Dataset[(Long, EmbedBucket)] = {
+      centroids: Seq[(Long, Seq[Float])]): Dataset[(Long, EmbedBucket)] = {
     import items.sparkSession.implicits._
-    val keyOf = cellKeyFn(centroids, hier)
+    val keyOf = cellKeyFn(centroids)
     items.toDF()
       .groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("rep"),
@@ -926,22 +1269,19 @@ object StreamingOps {
       }
   }
 
-  /** The per-arrival cell-keying function [[cellNearDupStream]] and
-    * [[recellRegistry]] share: flat O(nlist) scan, or the two-level
-    * O(√nlist) scan when `hier`. Built ONCE driver-side; the returned
-    * closure (and with it the snapshot payload) serializes into tasks —
-    * the pinned-snapshot contract ships O(nlist·d) bytes per executor
-    * either way, `hier` cuts the per-arrival COMPUTE to O(√nlist).
+  /** The per-arrival FLAT cell-keying function [[cellNearDupStream]] and
+    * [[recellRegistry]] share: an O(nlist) scan whose closure carries the
+    * full snapshot — the flat fold's honest shape (flat keying reads
+    * every centroid per arrival, so the payload is the work). The
+    * two-level family ([[cellNearDupStreamHier]]) does NOT use this: its
+    * closures carry only the √nlist supercenter array, with blocks
+    * distributed through sc-keyed state.
     */
   private def cellKeyFn(
-      centroids: Seq[(Long, Seq[Float])], hier: Boolean): Seq[Float] => Long =
-    if (hier) {
-      val snap = centSnapshotHier(centroids)
-      e => nearestCellHier(snap, e)
-    } else {
-      val cents = centSnapshot(centroids)
-      e => nearestCell(cents, e)
-    }
+      centroids: Seq[(Long, Seq[Float])]): Seq[Float] => Long = {
+    val cents = centSnapshot(centroids)
+    e => nearestCell(cents, e)
+  }
 
   /** c_id-ascending centroid snapshot with precomputed norms — the pinned
     * key space [[cellNearDupStream]] and [[recellRegistry]] share.

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.{EventOps, SimOps}
-import graft.streaming.{AsofMatch, EmbedItem, EmbedPairRow, ExtremaDelta, ExtremaRow, PhashItem, PhashPairRow, StreamEvent, StreamIdEvent, StreamingOps, TransitionRow}
+import graft.streaming.{AsofMatch, EmbedItem, EmbedPairRow, ExtremaDelta, ExtremaRow, MinhashPairRow, PhashItem, PhashPairRow, StreamEvent, StreamIdEvent, StreamingOps, TransitionRow}
 
 class StreamingOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -783,6 +783,68 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashPairsStream: event counts match batch minhashBandPairs under shuffled cross-batch arrival") {
+    // the text near-dup twin: planted corpus (exact copies + " graftdup"
+    // near-copies), arrival shuffled and split across three micro-batches
+    // so cross-batch pairs exercise the per-bucket registries; grouped
+    // event counts must equal the batch (id_a, id_b, n_shared_bands) rows
+    val corpus = graft.operators.DedupOps.plantedCorpus(sf("documents"))
+    val rows = corpus.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .sortBy { case (id, _) => (id * 2654435761L) % 1000003L }
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.minhashPairsStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("minhashpairs").outputMode("update").start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val events = spark.table("minhashpairs").as[MinhashPairRow].collect()
+      // each unordered pair emits exactly once per shared band
+      assert(events.distinct.length == events.length)
+      val streamed = events.groupBy(p => (p.id_a, p.id_b))
+        .map { case (k, v) => (k._1, k._2, v.length.toLong) }.toSet
+      val batch = graft.operators.DedupOps.minhashBandPairs(corpus, maxBucket = 0)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("minhashPairsStream: cap freezes cross-pairing; exact-text recall unconditional") {
+    // frozen-cap invariants at maxBucket=1: capped events are a subset of
+    // the uncapped event multiset, the cap demonstrably drops cross
+    // events, and every identical-text pair still lands at the full
+    // bands-fold multiplicity (frozen groups keep intra emission)
+    val corpus = graft.operators.DedupOps.plantedCorpus(sf("documents"))
+    val rows = corpus.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .sortBy { case (id, _) => (id * 2654435761L) % 1000003L }
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.minhashPairsStream(input.toDS().toDF("doc_id", "text"),
+      maxBucket = 1)
+      .writeStream.format("memory").queryName("minhashcap").outputMode("update").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      Seq(b1, b2).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val capped = spark.table("minhashcap").as[MinhashPairRow].collect()
+        .groupBy(p => (p.id_a, p.id_b)).map { case (k, v) => (k, v.length.toLong) }
+      val uncapped = graft.operators.DedupOps.minhashBandPairs(corpus, maxBucket = 0)
+        .as[(Long, Long, Long)].collect()
+        .map { case (a, b, n) => ((a, b), n) }.toMap
+      capped.foreach { case (k, n) =>
+        assert(uncapped.getOrElse(k, 0L) >= n, s"pair $k over batch multiplicity") }
+      assert(capped.values.sum < uncapped.values.sum, "cap never bit")
+      val exactPairs = corpus.select(col("text"), col("doc_id"))
+        .as[(String, Long)].collect().groupBy(_._1).values.filter(_.length > 1)
+        .flatMap { g =>
+          val ids = g.map(_._2).sorted
+          for { i <- ids.indices; j <- (i + 1) until ids.length } yield (ids(i), ids(j))
+        }
+      assert(exactPairs.nonEmpty, "fixture must contain exact-text dups")
+      exactPairs.foreach { p =>
+        assert(capped.getOrElse(p, 0L) == 4L, s"exact pair $p lost under cap") }
+    } finally q.stop()
+  }
+
   test("typeTransitionsStream: matrix recomputed from emitted pairs equals batch") {
     // three users' interleaved timelines, split mid-user so the stored
     // tail carries a lag pair across the batch boundary
@@ -1003,6 +1065,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cellNearDupStreamHier: cap freezes per CELL inside the supercell state") {
+    // sc-keyed state holds several cells' registries; the cap must count
+    // unfrozen groups PER CELL, not per supercell. Four near-orthogonal
+    // centroids in one supercell (nlist=4 -> per=2 -> sups {c0,c2}, both
+    // blocks 2-wide); cap=1: each cell's first founder is unfrozen, a
+    // second distinct vector in the SAME cell freezes (intra-only), but a
+    // founder in a DIFFERENT cell of the same supercell is NOT blocked
+    val c0 = Seq(1f, 0f, 0f, 0f)
+    val c1 = Seq(0f, 1f, 0f, 0f)
+    val e0b = Seq(1f, 0.05f, 0f, 0f)   // cell c0, cos ~ 0.999 vs c0 founder
+    val input = MemoryStream[EmbedItem]
+    val q = StreamingOps.cellNearDupStreamHier(input.toDS(),
+      Seq((0L, c0), (1L, c1), (2L, Seq(0f, 0f, 1f, 0f)), (3L, Seq(0f, 0f, 0f, 1f))),
+      maxCell = 1)
+      .writeStream.format("memory").queryName("cellndphcap").outputMode("update").start()
+    try {
+      input.addData(EmbedItem(10L, c0), EmbedItem(11L, e0b), EmbedItem(12L, c1))
+      q.processAllAvailable()
+      // 11 froze over cap in cell 0 (no cross pair vs 10); 12 founded
+      // cell 1 unfrozen despite sharing 10's supercell; exact dups of
+      // the frozen group still emit intra
+      input.addData(EmbedItem(13L, e0b), EmbedItem(14L, c1))
+      q.processAllAvailable()
+      val got = spark.table("cellndphcap").as[EmbedPairRow].collect()
+        .map(p => (p.id_a, p.id_b, p.cos_bp)).toSet
+      assert(got == Set((11L, 13L, 10000L), (12L, 14L, 10000L)), s"got: $got")
+    } finally q.stop()
+  }
+
   test("recellRegistry: resumed stream at a new snapshot equals fresh-snapshot batch for new arrivals") {
     // the offline re-centroid contract, cell-keyed rebucketRegistry: half
     // the corpus is the registry, the NEW snapshot is drawn from the
@@ -1064,8 +1155,9 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
-  test("cellNearDupStream hier: matches uncapped batch cellNearDupPairs(hier) under shuffled arrival") {
-    // the two-level keying twin: O(sqrt(nlist)) per arrival, pair parity
+  test("cellNearDupStreamHier: matches uncapped batch cellNearDupPairs(hier) under shuffled arrival") {
+    // the two-level keying twin — sc-keyed state, blocks distributed via
+    // the initial state, only the sup array in closures (r17): pair parity
     // against the batch operator at hier=true on the same pinned snapshot
     val planted = SimOps.plantedVectors(sf("embeddings"))
     val snap = planted.filter(SimOps.hashCentroidPred(4))
@@ -1074,7 +1166,7 @@ class StreamingOpsSpec extends SparkSpec {
       .sortBy { case (id, _) => (id * 2654435761L) % 1000003L }
       .map { case (id, e) => EmbedItem(id, e) }
     val input = MemoryStream[EmbedItem]
-    val q = StreamingOps.cellNearDupStream(input.toDS(), snap, hier = true)
+    val q = StreamingOps.cellNearDupStreamHier(input.toDS(), snap)
       .writeStream.format("memory").queryName("cellndph").outputMode("update").start()
     try {
       val (b1, rest) = rows.splitAt(rows.length / 3)
@@ -1106,7 +1198,8 @@ class StreamingOpsSpec extends SparkSpec {
     for (hier <- Seq(false, true)) {
       val input = MemoryStream[EmbedItem]
       val name = s"cellndpz$hier"
-      val q = StreamingOps.cellNearDupStream(input.toDS(), Seq((2L, a)), hier = hier)
+      val q = (if (hier) StreamingOps.cellNearDupStreamHier(input.toDS(), Seq((2L, a)))
+        else StreamingOps.cellNearDupStream(input.toDS(), Seq((2L, a))))
         .writeStream.format("memory").queryName(name).outputMode("update").start()
       try {
         input.addData(items.take(2)); q.processAllAvailable()
@@ -1118,10 +1211,10 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
-  test("recellRegistry hier: resumed two-level stream equals fresh hier batch for new arrivals") {
-    // the offline re-centroid contract under two-level keying — registry
-    // state rebuilt at the hier key space, stream resumed hier: emitted =
-    // uncapped hier batch pairs of the full corpus minus the registry's
+  test("recellRegistryHier: resumed two-level stream equals fresh hier batch for new arrivals") {
+    // the offline re-centroid contract under sc-keyed two-level state —
+    // registry cogrouped with the distributed blocks, stream resumed:
+    // emitted = uncapped hier batch pairs of full corpus minus registry's
     val all = SimOps.plantedVectors(sf("embeddings"))
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
       .sortBy { case (id, _) => (id * 2654435761L) % 1000003L }
@@ -1132,10 +1225,10 @@ class StreamingOpsSpec extends SparkSpec {
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
     assert(snap.nonEmpty, "fixture must yield registry centroids")
     val snapIds = snap.map(_._1)
-    val init = StreamingOps.recellRegistry(registry, snap, hier = true)
+    val init = StreamingOps.recellRegistryHier(registry, snap)
     val input = MemoryStream[EmbedItem]
-    val q = StreamingOps.cellNearDupStream(input.toDS(), snap,
-      initialState = Some(init), hier = true)
+    val q = StreamingOps.cellNearDupStreamHier(input.toDS(), snap,
+      initialState = Some(init))
       .writeStream.format("memory").queryName("recellh").outputMode("update").start()
     try {
       val (b1, b2) = newItems.splitAt(newItems.length / 2)
