@@ -1291,6 +1291,23 @@ object SparkEntry {
       SimOps.cellRecallAudit(planted,
         centroidPred = SimOps.hashCentroidPred(64), probes = 2, hier = true)
     }),
+    // The semantic-dedup leg of the recall-audit family — the last
+    // declared approximation without a recall row: q_semdedup's
+    // cell-bounded ≥0.99 pairing scored against anchor-sample exact truth
+    // at the same threshold, flat and hier quantizers side by side in one
+    // oracle-verified result (cross-cell misses + cap loss per quantizer).
+    "q_recall_audit_semdedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.lit
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      val pred = SimOps.sqrtCentroidPred(planted)
+      SimOps.semDedupRecallAudit(planted, centroidPred = pred)
+        .withColumn("quantizer", lit("flat"))
+        .unionByName(
+          SimOps.semDedupRecallAudit(planted, centroidPred = pred, hier = true)
+            .withColumn("quantizer", lit("hier")))
+        .select("quantizer", "n_anchors", "n_truth", "n_found", "recall_bp")
+        .orderBy("quantizer")
+    }),
     // Cross-SOURCE contamination matrix: exact 3-shingle Jaccard between
     // every source pair via source-bounded postings — the rollup a mixture
     // designer reads before setting sampling weights.
@@ -2474,7 +2491,7 @@ object SparkEntry {
     * assignment (flat, or the shared two-level fragment when `hier`),
     * id-rank maxCell cap, within-cell cosine ≥ 0.99 drops the higher rep.
     */
-  private def duckSemDedupSql(hier: Boolean): String =
+  private def duckSemDedupCtes(hier: Boolean): String =
     "WITH base AS (SELECT vec_id, embedding FROM embeddings " +
       s"UNION ALL SELECT vec_id + ${DedupOps.plantStepSql("embeddings", "vec_id")} " +
       "AS vec_id, embedding " +
@@ -2491,12 +2508,43 @@ object SparkEntry {
       duckCellAssignCtes(hier) +
       // maxCell participation cap (SimOps.DefaultMaxCell), rank by id
       "p AS (SELECT vec_id, e, nrm, c_id FROM (SELECT *, row_number() " +
-      "OVER (PARTITION BY c_id ORDER BY vec_id) AS rk FROM asg) WHERE rk <= 256), " +
+      "OVER (PARTITION BY c_id ORDER BY vec_id) AS rk FROM asg) WHERE rk <= 256)"
+
+  private def duckSemDedupSql(hier: Boolean): String =
+    duckSemDedupCtes(hier) + ", " +
       "d AS (SELECT DISTINCT b.vec_id FROM p a JOIN p b " +
       "ON a.c_id = b.c_id AND a.vec_id < b.vec_id " +
       s"WHERE ${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} >= 9900) " +
       "SELECT vec_id, c_id FROM asg " +
       "WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id"
+
+  /** Mirror of SimOps.semDedupRecallAudit at the given quantizer: the
+    * semdedup chain's capped within-cell ≥ 0.99 rep pairs (`rp`),
+    * anchor-restricted and divided into the q_recall_audit_neardup
+    * anchor truth built over the semdedup chain's rep frame `n` at the
+    * same 0.99 threshold.
+    */
+  private def duckSemDedupRecallAuditSql(hier: Boolean): String =
+    duckSemDedupCtes(hier) + ", " +
+      "rp AS (SELECT a.vec_id AS ra, b.vec_id AS rb FROM p a JOIN p b " +
+      "ON a.c_id = b.c_id AND a.vec_id < b.vec_id " +
+      s"WHERE ${TextOps.roundBpSql("list_dot_product(a.e, b.e) / (a.nrm * b.nrm)")} >= 9900), " +
+      "anch AS (SELECT vec_id AS a_id, e AS ae, nrm AS an FROM n " +
+      s"WHERE ${StableHash.hash60Sql("CAST(vec_id AS VARCHAR)")} % " +
+      "greatest(1, CAST(ceil((SELECT count(*) FROM n) / 64.0) AS BIGINT)) = 0), " +
+      "tp AS (SELECT DISTINCT least(n.vec_id, a.a_id) AS pa, " +
+      "greatest(n.vec_id, a.a_id) AS pb FROM n CROSS JOIN anch a " +
+      "WHERE n.vec_id <> a.a_id AND " +
+      s"${TextOps.roundBpSql("list_dot_product(n.e, a.ae) / (n.nrm * a.an)")} >= 9900), " +
+      "fa AS (SELECT DISTINCT ra AS pa, rb AS pb FROM rp JOIN anch " +
+      "ON rp.ra = anch.a_id OR rp.rb = anch.a_id) " +
+      "SELECT (SELECT count(*) FROM anch) AS n_anchors, " +
+      "(SELECT count(*) FROM tp) AS n_truth, " +
+      "(SELECT count(*) FROM fa) AS n_found, " +
+      "CASE WHEN (SELECT count(*) FROM tp) > 0 THEN " +
+      TextOps.floorDivSql("(SELECT count(*) FROM fa) * 10000",
+        "(SELECT count(*) FROM tp)") +
+      " ELSE 10000 END AS recall_bp"
 
   private def duckCellsCtes(
       hier: Boolean, probes: Int = 1, superProbes: Int = 1,
@@ -4810,6 +4858,11 @@ object SparkEntry {
     // pairing scored on the identical anchor truth — the declared form of
     // the SKEW grid's hier-p2 rows
     "q_recall_audit_cells_hier" -> duckCellRecallAuditSql(hier = true, probes = 2),
+    "q_recall_audit_semdedup" ->
+      ("SELECT 'flat' AS quantizer, * FROM " +
+        s"(${duckSemDedupRecallAuditSql(hier = false)}) " +
+        "UNION ALL SELECT 'hier' AS quantizer, * FROM " +
+        s"(${duckSemDedupRecallAuditSql(hier = true)}) ORDER BY quantizer"),
     // mirrors SimOps.semDedup: exact-dedup-first (identical embeddings
     // collapse to a min-id rep; members never survive), √N-sized
     // hash-sampled centroids over the FULL planted corpus, rep-only cell

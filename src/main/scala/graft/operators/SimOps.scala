@@ -428,7 +428,8 @@ object SimOps {
       n: DataFrame,
       cents: DataFrame,
       idCol: String,
-      superProbes: Int = 1): DataFrame = {
+      superProbes: Int = 1,
+      c2sHier: Boolean = false): DataFrame = {
     val nlist = cents.count()
     val per = math.max(2L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
     // rank over the PROJECTED id column only — the single-partition sort
@@ -441,11 +442,23 @@ object SimOps {
       .select(col("c_id"))
     val sup = cents.join(broadcast(supIds), Seq("c_id"))
       .select(col("c_id"), col("ce"), col("cn"))
-    // each centroid's home supercell — exact argmax over the small
-    // supercenter set (cents is nlist-sized: this stage is cheap)
-    val c2s = cellArgmax(
-      cents.select(col("c_id").as("cid0"), col("ce").as("e"), col("cn").as("nrm")),
-      sup, "cid0")
+    // each centroid's home supercell — exact argmax over the supercenter
+    // set. "Cheap" stops being true past ~1M cells: the stage is
+    // nlist·√nlist sims (measured DOMINANT at nlist=8M — 1259.9 s,
+    // SKEW r16), so `c2sHier` recurses ONE level — the centroids
+    // themselves assign through a two-level scan over ∜nlist
+    // super-supercenters, nlist·~2∜nlist sims. The price is one more
+    // supercell-boundary approximation layer (a centroid near a
+    // super-supercell boundary can land in a different BLOCK than exact
+    // c2s gives it — vector assignments then differ only where the
+    // vector's best in-block cell changes; fixture agreement spec-pinned).
+    // Declared queries keep the exact stage: c2sHier is the
+    // megacell-training knob (refineCentroids/KnnScaleCheck), not a
+    // default.
+    val c2sN = cents.select(
+      col("c_id").as("cid0"), col("ce").as("e"), col("cn").as("nrm"))
+    val c2s = (if (c2sHier) cellArgmaxHier(c2sN, sup, "cid0")
+      else cellArgmax(c2sN, sup, "cid0"))
       .select(col("cid0"), col("c_id").as("sc_id"))
     val blocks = cents.join(c2s, col("c_id") === col("cid0"))
       .groupBy(col("sc_id"))
@@ -587,10 +600,18 @@ object SimOps {
       n: DataFrame,
       cents: DataFrame,
       iters: Int = 1,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      hier: Boolean = false,
+      c2sHier: Boolean = false): DataFrame = {
     var c = cents
     for (_ <- 0 until iters) {
-      val assigned = cellArgmax(n, c, idCol)
+      // `hier` swaps the in-loop assignment for the two-level quantizer
+      // (with `c2sHier` additionally two-leveling the centroid→supercell
+      // stage) — the megacell-TRAINING path: nothing else about the Lloyd
+      // update changes, so the fixture-scale declared queries (hier=false)
+      // are untouched while KnnScaleCheck can train nlist ≥ 1M
+      val assigned = (if (hier) cellArgmaxHier(n, c, idCol, c2sHier = c2sHier)
+        else cellArgmax(n, c, idCol))
         .select(col("c_id"), col("e"))
       val dims = assigned.select(col("c_id"),
         posexplode(transform(col("e"), x => TextOps.roundBp(x))))
@@ -1575,6 +1596,54 @@ object SimOps {
     assigned.join(dups, Seq(idCol), "left_anti")
       .select(col(idCol), col("c_id"))
       .orderBy(col(idCol))
+  }
+
+  /** RECALL audit for [[semDedup]] — the semantic-dedup leg of the
+    * recall-audit family, closing its last unaudited approximation: the
+    * declared operator drops a rep only when a ≥-threshold partner shares
+    * its CELL, so cross-cell near-identical pairs (and pairs lost to the
+    * `maxCell` cap) are silent misses. This scores the operator's own
+    * capped within-cell pair universe against the
+    * [[nearDupRecallAudit]] anchor-sample exact truth at the SAME
+    * threshold (identical anchor rule and truth construction, so the
+    * number is directly comparable to the sign-LSH/cells audits on the
+    * same corpus — just at the tight 0.99 regime instead of 0.40).
+    * `hier` audits the two-level quantizer's assignment, making
+    * flat-vs-hier recall a declared comparison.
+    *
+    * Output (one row): (n_anchors, n_truth, n_found, recall_bp).
+    */
+  def semDedupRecallAudit(
+      emb: DataFrame,
+      centroidPred: Column,
+      thresholdBp: Int = 9900,
+      maxCell: Int = DefaultMaxCell,
+      hier: Boolean = false,
+      superProbes: Int = 1,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val (n, anchors, truthPairs) = anchorTruth(emb, thresholdBp, idCol, embCol)
+    val cents = normalized(emb, idCol, embCol).filter(centroidPred)
+      .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    // the operator's own assignment + cap + pairing ([[semDedup]]'s `dups`
+    // construction, kept as PAIRS instead of collapsed to drop ids)
+    val assignedLazy = (if (hier) cellArgmaxHier(n, cents, idCol, superProbes)
+      else cellArgmax(n, cents, idCol))
+      .select(col(idCol), col("e"), col("nrm"), col("c_id"))
+      .repartition(col("c_id"))
+    val assigned = if (hier) assignedLazy.localCheckpoint(true) else assignedLazy
+    val wCell = Window.partitionBy(col("c_id")).orderBy(col(idCol))
+    val pairable = assigned
+      .withColumn("rk", row_number().over(wCell))
+      .filter(col("rk") <= maxCell)
+      .select(col(idCol), col("e"), col("nrm"), col("c_id"))
+    val foundPairs = pairable.alias("a")
+      .join(pairable.alias("b"),
+        col("a.c_id") === col("b.c_id") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(TextOps.roundBp(
+        dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))) >= thresholdBp)
+      .select(col(s"a.$idCol").as("pa"), col(s"b.$idCol").as("pb"))
+    recallStats(anchors, truthPairs, foundPairs)
   }
 
   /** Int8 scalar quantization of the embedding corpus — the 4x storage

@@ -69,13 +69,19 @@ object KnnScaleCheck {
       // cancelled run is recorded as ">Ns, cancelled", which IS the
       // result (the operator does not finish in any budget a user has)
       val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_MEGA_TIMEOUT", "600").toLong
+      // SPARK_GRAFT_MEGA_C2SHIER=1: two-level the centroid→supercell
+      // stage too (SimOps.cellArgmaxHier c2sHier) — the fix for the
+      // nlist=8M regime where exact c2s (nlist·√nlist sims) dominated at
+      // 1259.9 s (SKEW r16): nlist·~2∜nlist instead
+      val c2sHier = sys.env.get("SPARK_GRAFT_MEGA_C2SHIER").contains("1")
       def mega(hier: Boolean): Unit = {
-        val label = if (hier) "two-level cellArgmaxHier" else "flat cellArgmax        "
+        val label = if (hier) s"two-level cellArgmaxHier${if (c2sHier) " (c2s hier)" else ""}"
+          else "flat cellArgmax        "
         val head = s"[knnscale] x100 assignment-only @ nlist=$nlist (synth), heap=${heapMib}m, $label:"
         try {
           val t0 = System.nanoTime()
           val action = new Thread(() =>
-            (if (hier) SimOps.cellArgmaxHier(n, cents, "vec_id")
+            (if (hier) SimOps.cellArgmaxHier(n, cents, "vec_id", c2sHier = c2sHier)
              else SimOps.cellArgmax(n, cents, "vec_id"))
               .write.format("noop").mode("overwrite").save())
           @volatile var failed: Throwable = null
@@ -110,6 +116,38 @@ object KnnScaleCheck {
       val legs = sys.env.getOrElse("SPARK_GRAFT_MEGA_ONLY", "both")
       if (legs != "flat") mega(hier = true)
       if (legs != "hier") mega(hier = false)
+      spark.stop()
+      return
+    }
+
+    // MEGATRAIN mode (r17): centroid TRAINING at megacell scale — the
+    // megacells rows assign against SYNTHETIC centroids; this runs one
+    // full Lloyd round (SimOps.refineCentroids: hier assignment + the
+    // integer bp-average update) at SPARK_GRAFT_MEGA_NLIST over the ×100
+    // corpus, the first time the hier assignment runs INSIDE the training
+    // loop it exists to enable. SPARK_GRAFT_MEGA_C2SHIER=1 two-levels the
+    // centroid→supercell stage as well (mandatory past ~4M cells, where
+    // exact c2s dominates — SKEW r16's 8M row).
+    if (args.contains("megatrain")) {
+      val nlist = sys.env.getOrElse("SPARK_GRAFT_MEGA_NLIST", "1000000").toLong
+      val c2sHier = sys.env.get("SPARK_GRAFT_MEGA_C2SHIER").contains("1")
+      val emb = spark.read.parquet(s"$x100/embeddings.parquet")
+      val n = SimOps.normalized(emb, "vec_id", "embedding")
+      val cents = spark.range(nlist).select(
+        col("id").as("c_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => (pmod(hash(col("id"), j), lit(997)) + lit(1)).cast("float")).as("ce"))
+        .withColumn("cn", sqrt(SimOps.dot(col("ce"), col("ce"))))
+      val t0 = System.nanoTime()
+      val refined = SimOps.refineCentroids(n, cents, iters = 1,
+        hier = true, c2sHier = c2sHier)
+      // the round's own aggregate is the action; count moved centroids so
+      // the row carries evidence the update actually rebuilt cells
+      val moved = refined.join(cents.select(col("c_id"), col("ce").as("ce0")), "c_id")
+        .filter(col("ce") =!= col("ce0")).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[knnscale] x100 LLOYD ROUND @ nlist=$nlist (synth init, hier assign" +
+        s"${if (c2sHier) " + c2s hier" else ""}): $t%.1f s, $moved centroids moved")
       spark.stop()
       return
     }

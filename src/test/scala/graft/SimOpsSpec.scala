@@ -259,6 +259,43 @@ class SimOpsSpec extends SparkSpec {
     assert(r1 > 0.1, s"suspiciously low hier 1-cell graph recall: $r1")
   }
 
+  test("cellArgmaxHier c2sHier: two-level c2s keeps the vector universe; fixture agreement pinned") {
+    // the megacell-training knob (exact c2s is nlist·√nlist sims —
+    // dominant past ~4M cells): recursing the centroid→supercell stage
+    // adds one more boundary-approximation layer. Pin that no vector is
+    // lost, that disagreements are confined to re-blocked centroids, and
+    // the fixture agreement floor (hash-sampled centroids are the worst
+    // case, as in the superProbes pin above).
+    val n = SimOps.normalized(sf("embeddings"), "vec_id", "embedding")
+    val cents = n.filter(SimOps.sqrtCentroidPred(sf("embeddings")))
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val base = SimOps.cellArgmaxHier(n, cents, "vec_id")
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    val deep = SimOps.cellArgmaxHier(n, cents, "vec_id", c2sHier = true)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(deep.keySet == base.keySet, "c2sHier lost or invented vectors")
+    val agree = deep.count { case (v, c) => base(v) == c }.toDouble / base.size
+    info(s"c2sHier fixture agreement vs exact c2s: $agree")
+    assert(agree >= 0.5, s"suspiciously low c2sHier agreement: $agree")
+  }
+
+  test("refineCentroids hier: one Lloyd round trains through the two-level assignment") {
+    // the megatrain path at fixture scale: same centroid id universe as
+    // the flat round, rebuilt (moved) cells present, schema unchanged
+    val n = SimOps.normalized(sf("embeddings"), "vec_id", "embedding")
+    val cents = n.filter(SimOps.sqrtCentroidPred(sf("embeddings")))
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    val r = SimOps.refineCentroids(n, cents, iters = 1, hier = true, c2sHier = true)
+    assert(r.columns.toSeq == Seq("c_id", "ce", "cn"))
+    val ids0 = cents.select("c_id").as[Long].collect().toSet
+    assert(r.select("c_id").as[Long].collect().toSet == ids0,
+      "hier Lloyd round changed the centroid id universe")
+    val moved = r.join(cents.select(col("c_id"), col("ce").as("ce0")), "c_id")
+      .filter(col("ce") =!= col("ce0")).count()
+    info(s"hier Lloyd round moved $moved of ${ids0.size} centroids")
+    assert(moved > 0, "hier Lloyd round moved nothing — assignment never ran")
+  }
+
   test("cellArgTopPHier: p=1 equals cellArgmaxHier; full supercell coverage recovers cellArgTopP") {
     val n = SimOps.normalized(sf("embeddings"), "vec_id", "embedding")
     val cents = n.filter(SimOps.sqrtCentroidPred(sf("embeddings")))
