@@ -146,8 +146,8 @@ object KnnScaleCheck {
       val moved = refined.join(cents.select(col("c_id"), col("ce").as("ce0")), "c_id")
         .filter(col("ce") =!= col("ce0")).count()
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"[knnscale] x100 LLOYD ROUND @ nlist=$nlist (synth init, hier assign" +
-        s"${if (c2sHier) " + c2s hier" else ""}): $t%.1f s, $moved centroids moved")
+      val c2sTag = if (c2sHier) " + c2s hier" else ""
+      println(f"[knnscale] x100 LLOYD ROUND @ nlist=$nlist (synth init, hier assign$c2sTag): $t%.1f s, $moved centroids moved")
       spark.stop()
       return
     }
