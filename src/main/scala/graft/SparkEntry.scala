@@ -1218,6 +1218,12 @@ object SparkEntry {
     // misses; full recall within the ball by pigeonhole (maxDist < bands).
     "q_dedup_simhash_ball" -> ((s, dir) =>
       DedupOps.simhashBallPairs(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+    // The SimHash leg of the text recall-audit family: the Hamming-ball
+    // pairing scored against the SAME anchor-sample exact-Jaccard truth
+    // as q_recall_audit_minhash — the two text sketches become directly
+    // comparable declared numbers on one corpus.
+    "q_recall_audit_simhash" -> ((s, dir) =>
+      DedupOps.simhashRecallAudit(DedupOps.plantedCorpus(t(s, dir, "documents")))),
     // Exact 3-shingle Jaccard via inverted index (the verify step), with the
     // stop-shingle cutoff ENABLED (postings in > 64 docs dropped — the
     // boilerplate-shingle skew guard; mirrored in the oracle's zc CTE).
@@ -1437,6 +1443,12 @@ object SparkEntry {
     // the exact baseline every ANN variant is measured against.
     "q_sim_topk" -> ((s, dir) =>
       SimOps.bruteTopK(t(s, dir, "embeddings"), col("vec_id") < 5)),
+    // Matryoshka truncated-dimension retrieval recall: top-10 by cosine
+    // over only the first p dims vs the full-dimension truth, swept over
+    // p — the quality/cost curve for prefix-retrieval serving (p-of-64
+    // prefix = 64/p cheaper first pass before full re-rank).
+    "q_mrl_recall" -> ((s, dir) =>
+      SimOps.mrlRecallSweep(t(s, dir, "embeddings"), col("vec_id") < 5)),
     // Sign-bucket LSH variant: equi-join on the bucket key, the 100 TB path.
     "q_sim_lsh" -> ((s, dir) =>
       SimOps.lshTopK(t(s, dir, "embeddings"), col("vec_id") < 5)),
@@ -3755,6 +3767,50 @@ object SparkEntry {
         "JOIN okb ON okb.bkey = a.bkey GROUP BY 1, 2) " +
         "WHERE hamming <= 3 ORDER BY id_a, id_b"
     },
+    // mirrors DedupOps.simhashRecallAudit: the ball chain's pair set
+    // anchor-restricted and divided into the q_recall_audit_minhash
+    // anchor truth (same anchors, same jac >= 0.8 threshold)
+    "q_recall_audit_simhash" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, simhash, '$b:' || ((simhash >> ${b * 8}) & 255) AS bkey FROM s"
+      }.mkString(" UNION ALL ")
+      s"WITH ${duckSimhashCtes(32)}, " +
+        s"bd AS ($bandSelects), " +
+        "okb AS (SELECT bkey FROM bd GROUP BY bkey " +
+        s"HAVING count(*) > 1 AND count(*) <= ${DedupOps.DefaultMaxBucket}), " +
+        "ballp AS (SELECT id_a, id_b FROM (SELECT a.doc_id AS id_a, " +
+        "b.doc_id AS id_b, min(bit_count(xor(a.simhash, b.simhash))) AS hamming " +
+        "FROM bd a JOIN bd b ON a.bkey = b.bkey AND a.doc_id < b.doc_id " +
+        "JOIN okb ON okb.bkey = a.bkey GROUP BY 1, 2) WHERE hamming <= 3), " +
+        s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
+        s"sl AS (SELECT doc_id, list_distinct($duckShingles3) AS shs FROM t), " +
+        "anchd AS (SELECT doc_id AS a_id, shs AS a_shs FROM sl " +
+        s"WHERE ${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % " +
+        "greatest(1, CAST(ceil((SELECT count(*) FROM corpus) / 64.0) AS BIGINT)) = 0), " +
+        "ashx AS (SELECT a_id, unnest(a_shs) AS sx FROM anchd), " +
+        "shx AS (SELECT doc_id, unnest(shs) AS sx FROM sl), " +
+        "cidx AS (SELECT DISTINCT ashx.a_id, shx.doc_id FROM ashx " +
+        "JOIN shx ON ashx.sx = shx.sx AND shx.doc_id <> ashx.a_id), " +
+        "tp AS (SELECT DISTINCT least(a_id, doc_id) AS pa, " +
+        "greatest(a_id, doc_id) AS pb FROM (SELECT cidx.a_id, cidx.doc_id, " +
+        s"${TextOps.roundBpSql(
+          "CAST(len(list_filter(anchd.a_shs, e -> list_contains(sl.shs, e))) AS DOUBLE) / " +
+            "CAST(len(list_distinct(list_concat(anchd.a_shs, sl.shs))) AS DOUBLE)")} AS jac_bp " +
+        "FROM cidx JOIN anchd ON cidx.a_id = anchd.a_id " +
+        "JOIN sl ON sl.doc_id = cidx.doc_id) WHERE jac_bp >= 8000), " +
+        "fa AS (SELECT DISTINCT id_a AS pa, id_b AS pb FROM ballp JOIN anchd " +
+        "ON ballp.id_a = anchd.a_id OR ballp.id_b = anchd.a_id), " +
+        "hit AS (SELECT fa.pa, fa.pb FROM fa JOIN tp " +
+        "ON fa.pa = tp.pa AND fa.pb = tp.pb) " +
+        "SELECT (SELECT count(*) FROM anchd) AS n_anchors, " +
+        "(SELECT count(*) FROM tp) AS n_truth, " +
+        "(SELECT count(*) FROM fa) AS n_candidates, " +
+        "(SELECT count(*) FROM hit) AS n_found, " +
+        "CASE WHEN (SELECT count(*) FROM tp) > 0 THEN " +
+        TextOps.floorDivSql("(SELECT count(*) FROM hit) * 10000",
+          "(SELECT count(*) FROM tp)") +
+        " ELSE 10000 END AS recall_bp"
+    },
     "q_dedup_jaccard" ->
       (s"WITH corpus AS ($duckCorpus), " +
         s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
@@ -3851,6 +3907,37 @@ object SparkEntry {
         "SELECT a_doc_id, b_doc_id, a_source, b_source, lev_dist " +
         "FROM r WHERE rn = 1 ORDER BY a_doc_id"),
     "q_sim_topk" -> s"WITH $duckSimCtes $duckTopKSelect",
+    // mirrors SimOps.mrlRecallSweep: prefix-sliced cosine top-10 per
+    // prefix_dims (array_slice both sides) vs the full-dim brute truth
+    "q_mrl_recall" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5), " +
+        "bp AS (SELECT q.q_id, n.vec_id, " +
+        "list_dot_product(qe, e) / (qn * nrm) AS cos FROM n JOIN q ON n.vec_id <> q.q_id), " +
+        "bt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM bp) WHERE rnk <= 10), " +
+        "pv AS (SELECT unnest([4, 8, 16, 32]) AS prefix_dims), " +
+        "np AS (SELECT pv.prefix_dims, n.vec_id, " +
+        "array_slice(n.e, 1, pv.prefix_dims) AS pe FROM n CROSS JOIN pv), " +
+        "np2 AS (SELECT prefix_dims, vec_id, pe, " +
+        "sqrt(list_dot_product(pe, pe)) AS pn FROM np), " +
+        "qp AS (SELECT prefix_dims, vec_id AS q_id, pe AS qpe, pn AS qpn " +
+        "FROM np2 WHERE vec_id < 5), " +
+        "pp AS (SELECT np2.prefix_dims, qp.q_id, np2.vec_id, " +
+        "list_dot_product(qp.qpe, np2.pe) / (qp.qpn * np2.pn) AS cos " +
+        "FROM np2 JOIN qp ON np2.prefix_dims = qp.prefix_dims " +
+        "AND np2.vec_id <> qp.q_id), " +
+        "it AS (SELECT prefix_dims, q_id, vec_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY prefix_dims, q_id ORDER BY cos DESC, vec_id) AS rnk FROM pp) " +
+        "WHERE rnk <= 10), " +
+        "h AS (SELECT it.prefix_dims, CAST(count(*) AS BIGINT) AS n_hits FROM it " +
+        "JOIN bt ON it.q_id = bt.q_id AND it.vec_id = bt.vec_id " +
+        "GROUP BY it.prefix_dims) " +
+        "SELECT prefix_dims, n_hits, " +
+        "CAST((n_hits * 10000) // 50 AS BIGINT) AS recall_bp " +
+        "FROM h ORDER BY prefix_dims"),
     "q_sim_lsh" -> s"WITH $duckLshCtes $duckTopKSelect",
     // mirrors SimOps.cellDrift: same nearest-cell assignment as q_sim_ivf,
     // parity split, per-cell shares in bp with a 1-row totals cross join

@@ -987,6 +987,27 @@ object DedupOps {
       bands: Int = 4,
       thresholdBp: Int = 8000,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (anch, truth) = jaccardAnchorTruth(corpus, idCol, textCol, thresholdBp)
+    val vp = verifiedNearDups(corpus, idCol, textCol, numHashes, bands,
+      thresholdBp, maxBucket)
+    recallRollup(anch, truth, vp)
+  }
+
+  /** The anchor-sample exact-Jaccard truth every TEXT recall audit
+    * shares (the lexical mirror of SimOps' embedding anchorTruth): ~64
+    * hash-chosen anchor docs, exact 3-shingle Jaccard of every doc
+    * against the broadcast anchors via postings arithmetic — each
+    * posting carries its doc's distinct-shingle count, so the exact
+    * Jaccard is inter/(n_a + n_d − inter) with inter counted from the
+    * anchor-postings hits directly (shingle arrays are array_distinct,
+    * so the hit count IS the intersection size; the pre-r14 shape
+    * re-ran the tokenize+shingle pipeline a second time — plan-audited
+    * 24 → 18 corpus scans). Returns (anchors (a_id, a_shs),
+    * truth pairs (pa, pb) at ≥ thresholdBp).
+    */
+  private def jaccardAnchorTruth(
+      corpus: DataFrame, idCol: String, textCol: String, thresholdBp: Int)
+      : (DataFrame, DataFrame) = {
     val nDocs = corpus.count()
     val every = math.max(1L, math.ceil(nDocs / 64.0).toLong)
     val s = corpus.select(
@@ -997,14 +1018,6 @@ object DedupOps {
       .select(col(idCol).as("a_id"), col("shs").as("a_shs"))
     val ainv = anch.select(col("a_id"), size(col("a_shs")).as("n_a"),
       explode(col("a_shs")).as("sh"))
-    // postings arithmetic, not a join back to the shingled corpus: each
-    // posting carries its doc's distinct-shingle count, so the exact
-    // Jaccard is inter/(n_a + n_d − inter) with inter counted from the
-    // anchor-postings hits directly (shingle arrays are array_distinct,
-    // so the hit count IS the intersection size). The old shape re-ran
-    // the whole tokenize+shingle pipeline a second time to fetch
-    // candidate arrays, plus a candidate-distinct shuffle (plan-audited
-    // r14: 24 corpus scans → 18).
     val inv = s.select(col(idCol), size(col("shs")).as("n_d"),
       explode(col("shs")).as("sh"))
     val truth = inv.join(broadcast(ainv), Seq("sh"))
@@ -1018,17 +1031,70 @@ object DedupOps {
           (col("n_a") + col("n_d") - col("inter")).cast("double")).as("jac_bp"))
       .filter(col("jac_bp") >= thresholdBp)
       .select(col("pa"), col("pb")).distinct()
-    val vp = verifiedNearDups(corpus, idCol, textCol, numHashes, bands,
-      thresholdBp, maxBucket)
+    (anch, truth)
+  }
+
+  /** Anchor-restrict the found pairs (id_a, id_b) and fold the three
+    * counts into the family's one-row recall report. */
+  private def recallRollup(
+      anch: DataFrame, truth: DataFrame, found: DataFrame): DataFrame = {
     val anchorIds = anch.select(col("a_id"))
-    val found = vp
+    val fa = found
       .join(broadcast(anchorIds),
         col("id_a") === col("a_id") || col("id_b") === col("a_id"))
       .select(col("id_a"), col("id_b")).distinct()
     truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(fa.agg(count(lit(1)).as("n_found")))
       .crossJoin(anch.agg(count(lit(1)).as("n_anchors")))
       .select(col("n_anchors"), col("n_truth"), col("n_found"),
+        expr(s"CASE WHEN n_truth > 0 THEN " +
+          TextOps.floorDivSql("n_found * 10000", "n_truth") +
+          " ELSE 10000 END").as("recall_bp"))
+  }
+
+  /** RECALL audit for [[simhashBallPairs]] — the SimHash leg of the text
+    * recall-audit family, scored against the SAME anchor-sample exact
+    * Jaccard truth as [[minhashRecallAudit]] (identical anchor rule,
+    * identical truth threshold), so the two text sketches' recall
+    * numbers are directly comparable on one corpus: what the Hamming-≤
+    * maxDist ball over a `bits`-bit SimHash sketch finds of the
+    * jac ≥ threshold truth, band-miss and cap loss included. The known
+    * asymmetry this prices: SimHash is a token-SET sketch (one flipped
+    * bit per drifted token vote), so high-Jaccard pairs usually land
+    * within the ball, but the sketch can also hash dissimilar docs close
+    * — recall here is the half production cares about. Unlike the
+    * verified MinHash pipeline, ball pairs are CANDIDATES (no Jaccard
+    * verify), so the report separates them: `n_candidates` is the
+    * anchor-touching ball-pair volume (the precision side — what a
+    * verify stage would have to score), `n_found` is the candidates that
+    * are truth pairs, and recall_bp = n_found/n_truth.
+    *
+    * Output (one row):
+    * (n_anchors, n_truth, n_candidates, n_found, recall_bp).
+    */
+  def simhashRecallAudit(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bits: Int = 32,
+      bands: Int = 4,
+      maxDist: Int = 3,
+      thresholdBp: Int = 8000,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (anch, truth) = jaccardAnchorTruth(corpus, idCol, textCol, thresholdBp)
+    val anchorIds = anch.select(col("a_id"))
+    val fa = simhashBallPairs(corpus, idCol, textCol, bits, bands,
+      maxDist, maxBucket)
+      .join(broadcast(anchorIds),
+        col("id_a") === col("a_id") || col("id_b") === col("a_id"))
+      .select(col("id_a").as("pa"), col("id_b").as("pb")).distinct()
+    val hit = fa.join(truth, Seq("pa", "pb"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(fa.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_found")))
+      .crossJoin(anch.agg(count(lit(1)).as("n_anchors")))
+      .select(col("n_anchors"), col("n_truth"), col("n_candidates"),
+        col("n_found"),
         expr(s"CASE WHEN n_truth > 0 THEN " +
           TextOps.floorDivSql("n_found * 10000", "n_truth") +
           " ELSE 10000 END").as("recall_bp"))

@@ -178,6 +178,45 @@ object SimOps {
       .orderBy(col("super_probes"))
   }
 
+  /** MATRYOSHKA (truncated-dimension) retrieval recall sweep — the
+    * serving-cost lever every MRL-style embedding pipeline tunes: score
+    * top-k by cosine over only the FIRST `p` dimensions against the
+    * full-dimension brute-force truth, for each prefix length in `dims`.
+    * Prefix retrieval cuts both storage and per-candidate FLOPs by
+    * d/p (an 8-of-64 prefix is an 8× cheaper first pass) and is the
+    * standard coarse stage before full-dimension re-ranking; this sweep
+    * is the declared quality/cost curve for choosing `p` — the
+    * [[ivfRecallSweepHier]] shape with the knob being dimensions instead
+    * of probes. Both sides rank (cos desc, id asc), so the number is the
+    * pure truncation price. Output: (prefix_dims, n_hits, recall_bp)
+    * per prefix, ascending.
+    */
+  def mrlRecallSweep(
+      emb: DataFrame,
+      queryPred: Column,
+      dims: Seq[Int] = Seq(4, 8, 16, 32),
+      k: Int = 10,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val nq = emb.filter(queryPred).count()
+    require(nq > 0, s"mrlRecallSweep: queryPred selects no rows — " +
+      "recall_bp would divide by zero in the generated SQL")
+    val truth = bruteTopK(emb, queryPred, k, idCol, embCol)
+      .select(col("q_id"), col(idCol))
+    val approx = dims.map { p =>
+      bruteTopK(
+        emb.select(col(idCol), slice(col(embCol), 1, p).as(embCol)),
+        queryPred, k, idCol, embCol)
+        .select(lit(p).as("prefix_dims"), col("q_id"), col(idCol))
+    }.reduce(_ union _)
+    approx
+      .join(truth, Seq("q_id", idCol))
+      .groupBy(col("prefix_dims"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nq * k}"))
+      .orderBy(col("prefix_dims"))
+  }
+
   /** Bucket id from the sign bits of `bits` dimensions starting at
     * `offset` — axis-aligned hyperplane LSH for cosine similarity.
     */

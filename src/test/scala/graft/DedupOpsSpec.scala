@@ -9,6 +9,21 @@ class DedupOpsSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("simhashRecallAudit: counts are internally consistent and the ball finds planted truth") {
+    // hits are candidates ∩ truth by construction: n_found <= n_truth and
+    // n_found <= n_candidates always; on the planted fixture the ball
+    // must find a nonzero share of the jac >= 0.8 anchor truth
+    val corpus = DedupOps.plantedCorpus(sf("documents"))
+    val r = DedupOps.simhashRecallAudit(corpus).collect().head
+    val (na, nt, nc, nf, bp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(na > 0 && nt > 0, s"fixture must yield anchors/truth: $r")
+    assert(nf <= nt, s"hits exceed truth: $r")
+    assert(nf <= nc, s"hits exceed candidates: $r")
+    assert(bp == nf * 10000 / nt, s"recall arithmetic: $r")
+    assert(nf > 0, s"ball found none of the planted truth: $r")
+  }
+
   test("plantedCorpus: adds an exact copy per id%10==0 and a near copy per id%10==5") {
     // corpus-derived stride: max id 7 -> step 8 (exact at +8, near at +16)
     val base = docs((0L, "a b c"), (5L, "d e f"), (7L, "g h i"))

@@ -259,6 +259,22 @@ class SimOpsSpec extends SparkSpec {
     assert(r1 > 0.1, s"suspiciously low hier 1-cell graph recall: $r1")
   }
 
+  test("mrlRecallSweep: full-width prefix recovers exact truth; recall rises with prefix") {
+    // prefix = d is the full cosine — recall must be exactly 10000; on
+    // the (untrained, random-direction) fixture the curve should still
+    // be non-decreasing in the prefix length
+    val emb = sf("embeddings")
+    val full = SimOps.mrlRecallSweep(emb, col("vec_id") < 5, dims = Seq(64))
+      .select("recall_bp").as[Long].collect()
+    assert(full.toSeq == Seq(10000L), s"full-width prefix diverged: ${full.toSeq}")
+    val curve = SimOps.mrlRecallSweep(emb, col("vec_id") < 5, dims = Seq(8, 16, 32))
+      .select("prefix_dims", "recall_bp").as[(Int, Long)].collect().toSeq
+    info(s"mrl curve: $curve")
+    assert(curve.map(_._1) == Seq(8, 16, 32))
+    assert(curve.map(_._2) == curve.map(_._2).sorted,
+      s"recall not monotone in prefix: $curve")
+  }
+
   test("cellArgmaxHier c2sHier: two-level c2s keeps the vector universe; fixture agreement pinned") {
     // the megacell-training knob (exact c2s is nlist·√nlist sims —
     // dominant past ~4M cells): recursing the centroid→supercell stage
