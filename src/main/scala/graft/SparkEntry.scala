@@ -1449,6 +1449,11 @@ object SparkEntry {
     // prefix = 64/p cheaper first pass before full re-rank).
     "q_mrl_recall" -> ((s, dir) =>
       SimOps.mrlRecallSweep(t(s, dir, "embeddings"), col("vec_id") < 5)),
+    // SQ8 retrieval recall: top-10 over the decoded int8 codes vs
+    // full-precision truth — the quality number behind q_embed_quant's
+    // 4x compression (its err_bp rows are the reconstruction side).
+    "q_sq_recall" -> ((s, dir) =>
+      SimOps.sqRecall(t(s, dir, "embeddings"), col("vec_id") < 5)),
     // Sign-bucket LSH variant: equi-join on the bucket key, the 100 TB path.
     "q_sim_lsh" -> ((s, dir) =>
       SimOps.lshTopK(t(s, dir, "embeddings"), col("vec_id") < 5)),
@@ -3938,6 +3943,34 @@ object SparkEntry {
         "SELECT prefix_dims, n_hits, " +
         "CAST((n_hits * 10000) // 50 AS BIGINT) AS recall_bp " +
         "FROM h ORDER BY prefix_dims"),
+    // mirrors SimOps.sqRecall: q_embed_quant's bounds/code/decode chain
+    // reassembled into decoded vectors (list ordered by pos), cosine
+    // top-10 vs the full-precision brute truth
+    "q_sq_recall" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5), " +
+        "bp AS (SELECT q.q_id, n.vec_id, " +
+        "list_dot_product(qe, e) / (qn * nrm) AS cos FROM n JOIN q ON n.vec_id <> q.q_id), " +
+        "bt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM bp) WHERE rnk <= 10), " +
+        "d AS (SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos FROM n), " +
+        "b AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM d GROUP BY pos), " +
+        "dc AS (SELECT vec_id, pos, CASE WHEN hi - lo = 0 THEN lo " +
+        "ELSE lo + CAST(CAST(floor((x - lo) / (hi - lo) * 255.0 + 0.5) AS BIGINT) AS DOUBLE) " +
+        "/ 255.0 * (hi - lo) END AS dx FROM d JOIN b USING (pos)), " +
+        "dv AS (SELECT vec_id, list(dx ORDER BY pos) AS de FROM dc GROUP BY vec_id), " +
+        "dn AS (SELECT vec_id, de, sqrt(list_dot_product(de, de)) AS dnrm FROM dv), " +
+        "dq AS (SELECT vec_id AS q_id, de AS qde, dnrm AS qdn FROM dn WHERE vec_id < 5), " +
+        "dp AS (SELECT dq.q_id, dn.vec_id, " +
+        "list_dot_product(qde, de) / (qdn * dnrm) AS cos " +
+        "FROM dn JOIN dq ON dn.vec_id <> dq.q_id), " +
+        "dt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM dp) WHERE rnk <= 10) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_hits, " +
+        "CAST((count(*) * 10000) // 50 AS BIGINT) AS recall_bp " +
+        "FROM dt JOIN bt USING (q_id, vec_id)"),
     "q_sim_lsh" -> s"WITH $duckLshCtes $duckTopKSelect",
     // mirrors SimOps.cellDrift: same nearest-cell assignment as q_sim_ivf,
     // parity split, per-cell shares in bp with a 1-row totals cross join

@@ -217,6 +217,49 @@ object SimOps {
       .orderBy(col("prefix_dims"))
   }
 
+  /** Retrieval recall of SQ8 scalar quantization — the quality side of
+    * [[scalarQuantize]]'s 4× compression (its declared query reports
+    * reconstruction error; a vector store cares whether top-k SURVIVES
+    * the codes): top-k by cosine over the DECODED int8 vectors
+    * (lo + code/255·span per dimension, exactly the quantizer's
+    * reconstruction) against the full-precision brute-force truth.
+    * Bounds are corpus min/max (exact), codes integer-exact, decode one
+    * affine map — both engines produce bit-identical doubles, so the
+    * ranking (cos desc, id) hash-matches. Output (one row):
+    * (n_hits, recall_bp).
+    */
+  def sqRecall(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val nq = emb.filter(queryPred).count()
+    require(nq > 0, s"sqRecall: queryPred selects no rows — " +
+      "recall_bp would divide by zero in the generated SQL")
+    val truth = bruteTopK(emb, queryPred, k, idCol, embCol)
+      .select(col("q_id"), col(idCol))
+    val dims = emb.select(col(idCol), posexplode(col(embCol)))
+      .select(col(idCol), col("pos"), col("col").cast("double").as("x"))
+    val bounds = dims.groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val span = col("hi") - col("lo")
+    val code = when(span === lit(0.0), lit(0L))
+      .otherwise(floor((col("x") - col("lo")) / span * lit(255.0) + lit(0.5)).cast("long"))
+    val decoded = dims.join(broadcast(bounds), "pos")
+      .select(col(idCol), col("pos"),
+        (col("lo") + code.cast("double") / lit(255.0) * span).as("dx"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("dx")))).as("pv"))
+      .select(col(idCol), transform(col("pv"), p => p.getField("dx")).as(embCol))
+    val approx = bruteTopK(decoded, queryPred, k, idCol, embCol)
+      .select(col("q_id"), col(idCol))
+    approx
+      .join(truth, Seq("q_id", idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nq * k}"))
+  }
+
   /** Bucket id from the sign bits of `bits` dimensions starting at
     * `offset` — axis-aligned hyperplane LSH for cosine similarity.
     */

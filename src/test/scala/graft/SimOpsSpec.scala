@@ -275,6 +275,17 @@ class SimOpsSpec extends SparkSpec {
       s"recall not monotone in prefix: $curve")
   }
 
+  test("sqRecall: decoded-code retrieval holds high top-10 recall on the fixture") {
+    // int8 reconstruction error is small against the cosine gaps of the
+    // fixture corpus: recall should be near-perfect, and the arithmetic
+    // internally consistent (hits bounded by nq*k)
+    val r = SimOps.sqRecall(sf("embeddings"), col("vec_id") < 5).collect().head
+    val (hits, bp) = (r.getLong(0), r.getLong(1))
+    assert(hits <= 50, s"more hits than candidates: $r")
+    assert(bp == hits * 10000 / 50, s"recall arithmetic: $r")
+    assert(bp >= 9000, s"SQ8 lost top-10 recall on the fixture: $r")
+  }
+
   test("cellArgmaxHier c2sHier: two-level c2s keeps the vector universe; fixture agreement pinned") {
     // the megacell-training knob (exact c2s is nlist·√nlist sims —
     // dominant past ~4M cells): recursing the centroid→supercell stage
