@@ -147,6 +147,16 @@ case class HierCellState(
     block: List[(Long, Seq[Float], Double)],
     cells: List[(Long, EmbedBucket)])
 
+/** The two pieces a two-level stream needs from its centroid snapshot:
+  * the ≈√nlist-entry supercenter array (the ONLY driver/closure
+  * payload) and the sc-keyed block-only initial state (distributed).
+  * Build with [[StreamingOps.hierStreamIndex]] from a centroid DATASET
+  * when nlist is too large for a driver Seq — the megacell entry point.
+  */
+final case class HierStreamIndex(
+    sups: IndexedSeq[(Long, Seq[Float], Double)],
+    state: Dataset[(Long, HierCellState)])
+
 /** Tail of a user's timeline — [[StreamingOps.typeTransitionsStream]]
   * state: the (event-time µs, event id, type) of the last event seen.
   */
@@ -1087,9 +1097,31 @@ object StreamingOps {
       thresholdBp: Int = 4000,
       maxCell: Int = 0,
       initialState: Option[Dataset[(Long, HierCellState)]] = None): Dataset[EmbedPairRow] = {
-    import items.sparkSession.implicits._
     val sups = centSnapshotHier(centroids).sups
     val init = initialState.getOrElse(hierBlockState(items.sparkSession, centroids))
+    cellNearDupStreamHierImpl(items, sups, init, thresholdBp, maxCell)
+  }
+
+  /** [[cellNearDupStreamHier]] from a pre-built [[HierStreamIndex]] —
+    * the megacell entry: the snapshot never exists as a driver Seq
+    * (build the index with [[hierStreamIndex]] from a centroid DATASET;
+    * resume by passing a [[recellRegistryHier]]-rebuilt state inside
+    * the index instead of the block-only one).
+    */
+  def cellNearDupStreamHier(
+      items: Dataset[EmbedItem],
+      index: HierStreamIndex,
+      thresholdBp: Int,
+      maxCell: Int): Dataset[EmbedPairRow] =
+    cellNearDupStreamHierImpl(items, index.sups, index.state, thresholdBp, maxCell)
+
+  private def cellNearDupStreamHierImpl(
+      items: Dataset[EmbedItem],
+      sups: IndexedSeq[(Long, Seq[Float], Double)],
+      init: Dataset[(Long, HierCellState)],
+      thresholdBp: Int,
+      maxCell: Int): Dataset[EmbedPairRow] = {
+    import items.sparkSession.implicits._
     val keyed = items
       .map(it => (nearestCell(sups, it.embedding), it))
       .groupByKey(_._1)
@@ -1192,6 +1224,42 @@ object StreamingOps {
     })
   }
 
+  /** FULLY DISTRIBUTED [[HierStreamIndex]] construction from a centroid
+    * DATASET (c_id, embedding) — the entry for snapshots too large for a
+    * driver Seq (the batch megacell regime: 1M+ centroids): the driver
+    * materializes ONLY the ≈√nlist stride rows (ids ranked without
+    * moving embeddings — the `cellArgmaxHier` supId discipline — then a
+    * broadcast semi-join fetches just those rows), and the block-only
+    * state is one map (sc via the sup-array closure, O(√nlist·d)) plus
+    * one groupByKey shuffle. Spec-pinned identical to the driver-side
+    * [[centSnapshotHier]] construction: same stride, same strict-`>` /
+    * c_id-asc sup assignment, same c_id-asc block order, zero-norm
+    * centroids dropped from blocks.
+    */
+  def hierStreamIndex(
+      centroids: Dataset[(Long, Seq[Float])]): HierStreamIndex = {
+    import centroids.sparkSession.implicits._
+    val nlist = centroids.count()
+    val per = math.max(2L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
+    val cdf = centroids.toDF("c_id", "ce")
+    val supIds = cdf.select(col("c_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("c_id"))))
+      .filter((col("rk") - lit(1)) % lit(per) === lit(0))
+      .select(col("c_id"))
+    val sups = centSnapshot(
+      cdf.join(broadcast(supIds), "c_id")
+        .as[(Long, Seq[Float])].collect().toSeq)
+    val state = centroids
+      .map { case (c, e) => (nearestCell(sups, e), (c, e, math.sqrt(dotF(e, e)))) }
+      .filter(_._1 >= 0L)
+      .groupByKey(_._1)
+      .mapGroups { (sc, ms) =>
+        (sc, HierCellState(ms.map(_._2).toList.sortBy(_._1), Nil))
+      }
+    HierStreamIndex(sups, state)
+  }
+
   /** OFFLINE re-centroid of [[cellNearDupStreamHier]]'s registry — the
     * [[recellRegistry]] contract under two-level keying: rebuild the
     * exact-dedup groups from the ingested corpus, key each group by its
@@ -1205,10 +1273,25 @@ object StreamingOps {
     */
   def recellRegistryHier(
       items: Dataset[EmbedItem],
-      centroids: Seq[(Long, Seq[Float])]): Dataset[(Long, HierCellState)] = {
+      centroids: Seq[(Long, Seq[Float])]): Dataset[(Long, HierCellState)] =
+    recellRegistryHierImpl(items,
+      centSnapshotHier(centroids).sups,
+      hierBlockState(items.sparkSession, centroids))
+
+  /** [[recellRegistryHier]] against a [[hierStreamIndex]]-built snapshot
+    * — the megacell resume path: registry rebuild and block attachment
+    * both distributed, the ≈√nlist sup array the only driver payload.
+    */
+  def recellRegistryHier(
+      items: Dataset[EmbedItem],
+      index: HierStreamIndex): Dataset[(Long, HierCellState)] =
+    recellRegistryHierImpl(items, index.sups, index.state)
+
+  private def recellRegistryHierImpl(
+      items: Dataset[EmbedItem],
+      sups: IndexedSeq[(Long, Seq[Float], Double)],
+      blockState: Dataset[(Long, HierCellState)]): Dataset[(Long, HierCellState)] = {
     import items.sparkSession.implicits._
-    val sups = centSnapshotHier(centroids).sups
-    val blockState = hierBlockState(items.sparkSession, centroids)
     val groupsBySc = items.toDF()
       .groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("rep"),

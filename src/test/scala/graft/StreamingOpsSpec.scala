@@ -1211,6 +1211,43 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("hierStreamIndex: distributed construction equals the driver snapshot; stream runs through it") {
+    // the megacell entry: same stride, same strict->/c_id-asc sup
+    // assignment, same c_id-asc block order as centSnapshotHier — then a
+    // fresh stream keyed through the index must reproduce batch hier
+    // pairs exactly like the Seq-built path
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    val centsDs = planted.filter(SimOps.hashCentroidPred(4))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])]
+    val snapSeq = centsDs.collect().toSeq
+    val idx = StreamingOps.hierStreamIndex(centsDs)
+    val driver = StreamingOps.centSnapshotHier(snapSeq)
+    assert(idx.sups == driver.sups, "sup arrays diverged")
+    val distBlocks = idx.state.collect().toMap
+    assert(distBlocks.keySet == driver.blocks.keySet, "block key sets diverged")
+    driver.blocks.foreach { case (sc, ms) =>
+      assert(distBlocks(sc).block == ms.toList, s"block $sc diverged")
+      assert(distBlocks(sc).cells.isEmpty)
+    }
+    val rows = planted.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .sortBy { case (id, _) => (id * 2654435761L) % 1000003L }
+      .map { case (id, e) => EmbedItem(id, e) }
+    val input = MemoryStream[EmbedItem]
+    val q = StreamingOps.cellNearDupStreamHier(input.toDS(), idx, 4000, 0)
+      .writeStream.format("memory").queryName("cellndphidx").outputMode("update").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      Seq(b1, b2).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("cellndphidx").as[EmbedPairRow].collect()
+        .map(p => (p.id_a, p.id_b, p.cos_bp)).toSet
+      val batch = SimOps.cellNearDupPairs(planted,
+        centroidPred = SimOps.hashCentroidPred(4), maxCell = 0, hier = true)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("recellRegistryHier: resumed two-level stream equals fresh hier batch for new arrivals") {
     // the offline re-centroid contract under sc-keyed two-level state —
     // registry cogrouped with the distributed blocks, stream resumed:
