@@ -1446,9 +1446,14 @@ object SparkEntry {
     // Matryoshka truncated-dimension retrieval recall: top-10 by cosine
     // over only the first p dims vs the full-dimension truth, swept over
     // p — the quality/cost curve for prefix-retrieval serving (p-of-64
-    // prefix = 64/p cheaper first pass before full re-rank).
+    // prefix = 64/p cheaper first pass before full re-rank). The corpus
+    // goes through mrlWeighted (2^-(pos div 8) per-dim scaling, exact in
+    // IEEE double) — the deterministic stand-in for an MRL-TRAINED
+    // encoder, so the sweep reads a real curve strictly above the
+    // random-direction ~p/d floor the flat fixture pins it to.
     "q_mrl_recall" -> ((s, dir) =>
-      SimOps.mrlRecallSweep(t(s, dir, "embeddings"), col("vec_id") < 5)),
+      SimOps.mrlRecallSweep(
+        SimOps.mrlWeighted(t(s, dir, "embeddings")), col("vec_id") < 5)),
     // SQ8 retrieval recall: top-10 over the decoded int8 codes vs
     // full-precision truth — the quality number behind q_embed_quant's
     // 4x compression (its err_bp rows are the reconstruction side).
@@ -3912,12 +3917,20 @@ object SparkEntry {
         "SELECT a_doc_id, b_doc_id, a_source, b_source, lev_dist " +
         "FROM r WHERE rn = 1 ORDER BY a_doc_id"),
     "q_sim_topk" -> s"WITH $duckSimCtes $duckTopKSelect",
-    // mirrors SimOps.mrlRecallSweep: prefix-sliced cosine top-10 per
-    // prefix_dims (array_slice both sides) vs the full-dim brute truth
+    // mirrors SimOps.mrlRecallSweep over SimOps.mrlWeighted: the corpus
+    // is first rescaled by 2^-((pos-1) // 8) per dimension (exact IEEE
+    // power-of-two multiply — bit-identical to Spark's), then
+    // prefix-sliced cosine top-10 per prefix_dims (array_slice both
+    // sides) vs the full-dim brute truth; hit counts LEFT-join the
+    // swept-dims list so a zero-hit prefix still emits its row
     "q_mrl_recall" ->
-      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
-        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
-        "FROM embeddings), " +
+      ("WITH w0 AS (SELECT vec_id, embedding::DOUBLE[] AS e0 FROM embeddings), " +
+        "wd AS (SELECT vec_id, unnest(e0) AS x, " +
+        "unnest(range(1, len(e0) + 1)) AS pos FROM w0), " +
+        "we AS (SELECT vec_id, list(x * (1.0 / CAST(1 << ((pos - 1) // 8) AS DOUBLE)) " +
+        "ORDER BY pos) AS e FROM wd GROUP BY vec_id), " +
+        "n AS (SELECT vec_id, e, " +
+        "sqrt(list_dot_product(e, e)) AS nrm FROM we), " +
         "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5), " +
         "bp AS (SELECT q.q_id, n.vec_id, " +
         "list_dot_product(qe, e) / (qn * nrm) AS cos FROM n JOIN q ON n.vec_id <> q.q_id), " +
@@ -3940,9 +3953,9 @@ object SparkEntry {
         "h AS (SELECT it.prefix_dims, CAST(count(*) AS BIGINT) AS n_hits FROM it " +
         "JOIN bt ON it.q_id = bt.q_id AND it.vec_id = bt.vec_id " +
         "GROUP BY it.prefix_dims) " +
-        "SELECT prefix_dims, n_hits, " +
-        "CAST((n_hits * 10000) // 50 AS BIGINT) AS recall_bp " +
-        "FROM h ORDER BY prefix_dims"),
+        "SELECT pv.prefix_dims, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+        "CAST((coalesce(h.n_hits, 0) * 10000) // 50 AS BIGINT) AS recall_bp " +
+        "FROM pv LEFT JOIN h USING (prefix_dims) ORDER BY prefix_dims"),
     // mirrors SimOps.sqRecall: q_embed_quant's bounds/code/decode chain
     // reassembled into decoded vectors (list ordered by pos), cosine
     // top-10 vs the full-precision brute truth

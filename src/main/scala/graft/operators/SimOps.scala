@@ -188,8 +188,10 @@ object SimOps {
     * is the declared quality/cost curve for choosing `p` — the
     * [[ivfRecallSweepHier]] shape with the knob being dimensions instead
     * of probes. Both sides rank (cos desc, id asc), so the number is the
-    * pure truncation price. Output: (prefix_dims, n_hits, recall_bp)
-    * per prefix, ascending.
+    * pure truncation price. Output: (prefix_dims, n_hits, recall_bp) —
+    * EVERY swept prefix emits a row (hit counts left-joined onto the
+    * dims list, so a prefix with zero surviving top-k hits reports
+    * n_hits = 0 / recall_bp = 0 instead of vanishing), ascending.
     */
   def mrlRecallSweep(
       emb: DataFrame,
@@ -209,12 +211,45 @@ object SimOps {
         queryPred, k, idCol, embCol)
         .select(lit(p).as("prefix_dims"), col("q_id"), col(idCol))
     }.reduce(_ union _)
-    approx
+    val hits = approx
       .join(truth, Seq("q_id", idCol))
       .groupBy(col("prefix_dims"))
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(count(lit(1)).as("h"))
+    val session = emb.sparkSession
+    import session.implicits._
+    dims.toDF("prefix_dims")
+      .join(hits, Seq("prefix_dims"), "left")
+      .select(col("prefix_dims"), coalesce(col("h"), lit(0L)).as("n_hits"))
       .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nq * k}"))
       .orderBy(col("prefix_dims"))
+  }
+
+  /** Matryoshka-STRUCTURED embedding transform — a deterministic stand-in
+    * for an MRL-trained encoder (Kusupati et al. 2022: training packs
+    * coarse-to-fine information so any prefix is itself a usable
+    * embedding). Each dimension is scaled by 2^-(pos div blockDims):
+    * leading dims carry geometrically more energy, so the full-dimension
+    * cosine is dominated by the prefix and [[mrlRecallSweep]] measures a
+    * real curve instead of the random-direction ~p/d floor the flat
+    * fixture pins it to (the OPQ fixture's variance-imbalance trick
+    * applied to prefixes). Every scale factor is a power of two — the
+    * multiply is exact in IEEE double on both engines, so downstream
+    * rankings hash-match DuckDB.
+    */
+  def mrlWeighted(
+      emb: DataFrame,
+      blockDims: Int = 8,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val d = embDim(emb, embCol)
+    val nb = (d + blockDims - 1) / blockDims
+    require(nb <= 62, s"mrlWeighted: $nb blocks exceeds the exact 2^-b range")
+    val w = array((0 until nb).map(b => lit(1.0 / (1L << b).toDouble)): _*)
+    emb.select(col(idCol),
+      transform(col(embCol).cast("array<double>"), (x, i) =>
+        x * element_at(w,
+          floor(i.cast("double") / lit(blockDims.toDouble)).cast("int") + 1))
+        .as(embCol))
   }
 
   /** Retrieval recall of SQ8 scalar quantization — the quality side of
@@ -239,16 +274,9 @@ object SimOps {
       "recall_bp would divide by zero in the generated SQL")
     val truth = bruteTopK(emb, queryPred, k, idCol, embCol)
       .select(col("q_id"), col(idCol))
-    val dims = emb.select(col(idCol), posexplode(col(embCol)))
-      .select(col(idCol), col("pos"), col("col").cast("double").as("x"))
-    val bounds = dims.groupBy(col("pos"))
-      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-    val span = col("hi") - col("lo")
-    val code = when(span === lit(0.0), lit(0L))
-      .otherwise(floor((col("x") - col("lo")) / span * lit(255.0) + lit(0.5)).cast("long"))
-    val decoded = dims.join(broadcast(bounds), "pos")
-      .select(col(idCol), col("pos"),
-        (col("lo") + code.cast("double") / lit(255.0) * span).as("dx"))
+    // the SAME bounds/code/decode chain the quantizer runs ([[sqCodes]] —
+    // shared so the audit cannot drift from what it claims to measure)
+    val decoded = sqCodes(emb, idCol, embCol)
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("dx")))).as("pv"))
       .select(col(idCol), transform(col("pv"), p => p.getField("dx")).as(embCol))
@@ -1748,7 +1776,29 @@ object SimOps {
   def scalarQuantize(
       emb: DataFrame,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding"): DataFrame =
+    sqCodes(emb, idCol, embCol)
+      .select(col(idCol), col("code"),
+        TextOps.roundBp(abs(col("x") - col("dx"))).as("err_bp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum(col("code")).as("code_sum"),
+        sum(col("err_bp")).as("l1_err_bp"))
+      .orderBy(col(idCol))
+
+  /** The ONE SQ8 bounds/code/decode chain, shared by [[scalarQuantize]]
+    * (its declared query reports reconstruction error from `x`−`dx`) and
+    * [[sqRecall]] (ranks over the decoded `dx` vectors) — extracted so
+    * the recall audit measures exactly the quantizer's reconstruction by
+    * construction, not by parallel maintenance of two copies. Per
+    * (vector, dimension): the corpus min/max bounds (dims rows, broadcast
+    * back), the int8 code `floor((x−lo)/span·255+0.5)` (0 on a
+    * degenerate span), and the decoded value `lo + code/255·span`.
+    * Output: (idCol, pos, x, code, dx).
+    */
+  private def sqCodes(
+      emb: DataFrame, idCol: String, embCol: String): DataFrame = {
     val dims = emb.select(col(idCol), posexplode(col(embCol)))
       .select(col(idCol), col("pos"), col("col").cast("double").as("x"))
     val bounds = dims.groupBy(col("pos"))
@@ -1757,15 +1807,8 @@ object SimOps {
     val code = when(span === lit(0.0), lit(0L))
       .otherwise(floor((col("x") - col("lo")) / span * lit(255.0) + lit(0.5)).cast("long"))
     dims.join(broadcast(bounds), "pos")
-      .select(col(idCol), code.as("code"),
-        TextOps.roundBp(abs(col("x") - (col("lo") + code.cast("double") / lit(255.0) * span)))
-          .as("err_bp"))
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_dims"),
-        sum(col("code")).as("code_sum"),
-        sum(col("err_bp")).as("l1_err_bp"))
-      .orderBy(col(idCol))
+      .select(col(idCol), col("pos"), col("x"), code.as("code"),
+        (col("lo") + code.cast("double") / lit(255.0) * span).as("dx"))
   }
 
   /** Product quantization (the FAISS IVF-PQ code path's second half,

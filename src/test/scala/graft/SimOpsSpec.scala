@@ -275,6 +275,41 @@ class SimOpsSpec extends SparkSpec {
       s"recall not monotone in prefix: $curve")
   }
 
+  test("mrlRecallSweep: a zero-hit prefix still emits its row (n_hits = 0)") {
+    // dim 1 is constant across the corpus, so the prefix-1 ranking is an
+    // all-tie resolved by vec_id asc (lowest ids win); the query sits at
+    // the HIGH end of dim 2, so the full-dim truth is the highest ids —
+    // the prefix-1 top-k and the truth are provably disjoint, and the
+    // left-joined sweep must still report the prefix with n_hits = 0
+    // instead of dropping it (the r17 advice gap)
+    val rows = (0 until 10).map(i => (i.toLong, Seq(1.0f, i * 0.1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = SimOps.mrlRecallSweep(df, col("vec_id") === 9, dims = Seq(1, 2), k = 3)
+      .select("prefix_dims", "n_hits", "recall_bp")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(out == Seq((1, 0L, 0L), (2, 3L, 10000L)),
+      s"zero-hit prefix row missing or wrong: $out")
+  }
+
+  test("mrlWeighted: prefix recall on the MRL-structured corpus beats the flat fixture's") {
+    // the 2^-(pos div 8) scaling concentrates energy in leading dims, so
+    // short-prefix recall must rise strictly above the random-direction
+    // floor the unweighted fixture pins (the declared q_mrl_recall now
+    // measures a trained-encoder stand-in against that floor)
+    val emb = sf("embeddings")
+    def at8(df: org.apache.spark.sql.DataFrame) =
+      SimOps.mrlRecallSweep(df, col("vec_id") < 5, dims = Seq(8, 64))
+        .select("prefix_dims", "recall_bp").as[(Int, Long)].collect().toMap
+    val flat = at8(emb)
+    val weighted = at8(SimOps.mrlWeighted(emb))
+    info(s"mrl p=8 recall: flat ${flat(8)}, weighted ${weighted(8)}")
+    assert(weighted(64) == 10000L, s"full-width weighted prefix diverged: $weighted")
+    assert(weighted(8) > flat(8),
+      s"weighted prefix recall not above the flat floor: $weighted vs $flat")
+    assert(weighted(8) >= 5000L,
+      s"MRL structure too weak to measure: ${weighted(8)} bp at p=8")
+  }
+
   test("sqRecall: decoded-code retrieval holds high top-10 recall on the fixture") {
     // int8 reconstruction error is small against the cosine gaps of the
     // fixture corpus: recall should be near-perfect, and the arithmetic
