@@ -1218,6 +1218,11 @@ object SparkEntry {
     // misses; full recall within the ball by pigeonhole (maxDist < bands).
     "q_dedup_simhash_ball" -> ((s, dir) =>
       DedupOps.simhashBallPairs(DedupOps.plantedCorpus(t(s, dir, "documents")))),
+    // The ball's VERIFY stage: candidates rescored with exact 3-shingle
+    // Jaccard, keep >= 0.8 — the r17 audit priced the raw ball at ~7.5x
+    // truth volume; this is the leg production acts on.
+    "q_dedup_simhash_verified" -> ((s, dir) =>
+      DedupOps.simhashVerifiedNearDups(DedupOps.plantedCorpus(t(s, dir, "documents")))),
     // The SimHash leg of the text recall-audit family: the Hamming-ball
     // pairing scored against the SAME anchor-sample exact-Jaccard truth
     // as q_recall_audit_minhash — the two text sketches become directly
@@ -3819,7 +3824,36 @@ object SparkEntry {
         "CASE WHEN (SELECT count(*) FROM tp) > 0 THEN " +
         TextOps.floorDivSql("(SELECT count(*) FROM hit) * 10000",
           "(SELECT count(*) FROM tp)") +
-        " ELSE 10000 END AS recall_bp"
+        " ELSE 10000 END AS recall_bp, " +
+        "CASE WHEN (SELECT count(*) FROM fa) > 0 THEN " +
+        TextOps.floorDivSql("(SELECT count(*) FROM hit) * 10000",
+          "(SELECT count(*) FROM fa)") +
+        " ELSE 10000 END AS precision_bp"
+    },
+    // mirrors DedupOps.simhashVerifiedNearDups: the q_dedup_simhash_ball
+    // candidate chain rescored with exact 3-shingle Jaccard (the
+    // q_dedup_verified construction), keep jac >= 0.8
+    "q_dedup_simhash_verified" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, simhash, '$b:' || ((simhash >> ${b * 8}) & 255) AS bkey FROM s"
+      }.mkString(" UNION ALL ")
+      val jac = TextOps.roundBpSql(
+        "CAST(len(list_filter(x.shs, e -> list_contains(y.shs, e))) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE)")
+      s"WITH ${duckSimhashCtes(32)}, " +
+        s"bd AS ($bandSelects), " +
+        "okb AS (SELECT bkey FROM bd GROUP BY bkey " +
+        s"HAVING count(*) > 1 AND count(*) <= ${DedupOps.DefaultMaxBucket}), " +
+        "ballp AS (SELECT id_a, id_b, hamming FROM (SELECT a.doc_id AS id_a, " +
+        "b.doc_id AS id_b, CAST(min(bit_count(xor(a.simhash, b.simhash))) AS BIGINT) " +
+        "AS hamming FROM bd a JOIN bd b ON a.bkey = b.bkey AND a.doc_id < b.doc_id " +
+        "JOIN okb ON okb.bkey = a.bkey GROUP BY 1, 2) WHERE hamming <= 3), " +
+        s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
+        s"sl AS (SELECT doc_id, list_distinct($duckShingles3) AS shs FROM t) " +
+        s"SELECT id_a, id_b, hamming, jac_bp FROM " +
+        s"(SELECT id_a, id_b, hamming, $jac AS jac_bp FROM ballp " +
+        "JOIN sl x ON x.doc_id = ballp.id_a JOIN sl y ON y.doc_id = ballp.id_b) " +
+        "WHERE jac_bp >= 8000 ORDER BY id_a, id_b"
     },
     "q_dedup_jaccard" ->
       (s"WITH corpus AS ($duckCorpus), " +

@@ -427,6 +427,42 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The SimHash VERIFY leg — [[simhashBallPairs]] candidates rescored
+    * with exact 3-shingle Jaccard (the [[verifiedNearDups]] construction
+    * applied to the Hamming ball): the ball is a candidate generator
+    * whose precision the r17 recall audit measured at ~7.5× truth
+    * (SimHash is a token-SET sketch, so dissimilar docs can hash close),
+    * and no production dedup acts on it unverified. One corpus pass
+    * builds the distinct-shingle sets; candidates join back their two
+    * sets (pair-volume-sized, cap-bounded by the ball's own bucket cap)
+    * and keep exact jac ≥ `thresholdBp`.
+    *
+    * Output: (id_a, id_b, hamming, jac_bp), id_a < id_b, ordered.
+    */
+  def simhashVerifiedNearDups(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bits: Int = 32,
+      bands: Int = 4,
+      maxDist: Int = 3,
+      thresholdBp: Int = 8000,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val cand = simhashBallPairs(corpus, idCol, textCol, bits, bands,
+      maxDist, maxBucket)
+    val sl = corpus.select(col(idCol),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), 3)).as("shs"))
+    cand
+      .join(sl.select(col(idCol).as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(sl.select(col(idCol).as("id_b"), col("shs").as("shs_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        TextOps.roundBp(
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
+            size(array_union(col("shs_a"), col("shs_b"))).cast("double")).as("jac_bp"))
+      .filter(col("jac_bp") >= thresholdBp)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact n-gram (word 3-shingle) Jaccard over an inverted index: explode
     * distinct shingles, self-join on the shingle, count intersections, and
     * emit pairs with similarity ≥ `thresholdBp` basis points. Never
@@ -1065,12 +1101,14 @@ object DedupOps {
     * — recall here is the half production cares about. Unlike the
     * verified MinHash pipeline, ball pairs are CANDIDATES (no Jaccard
     * verify), so the report separates them: `n_candidates` is the
-    * anchor-touching ball-pair volume (the precision side — what a
-    * verify stage would have to score), `n_found` is the candidates that
-    * are truth pairs, and recall_bp = n_found/n_truth.
+    * anchor-touching ball-pair volume (the precision side — what
+    * [[simhashVerifiedNearDups]] scores), `n_found` is the candidates
+    * that are truth pairs, recall_bp = n_found/n_truth, and
+    * precision_bp = n_found/n_candidates — the two sides of the
+    * candidate set in one row.
     *
     * Output (one row):
-    * (n_anchors, n_truth, n_candidates, n_found, recall_bp).
+    * (n_anchors, n_truth, n_candidates, n_found, recall_bp, precision_bp).
     */
   def simhashRecallAudit(
       corpus: DataFrame,
@@ -1097,7 +1135,10 @@ object DedupOps {
         col("n_found"),
         expr(s"CASE WHEN n_truth > 0 THEN " +
           TextOps.floorDivSql("n_found * 10000", "n_truth") +
-          " ELSE 10000 END").as("recall_bp"))
+          " ELSE 10000 END").as("recall_bp"),
+        expr(s"CASE WHEN n_candidates > 0 THEN " +
+          TextOps.floorDivSql("n_found * 10000", "n_candidates") +
+          " ELSE 10000 END").as("precision_bp"))
   }
 
   /** Sketch-error audit of the MinHash estimator — for every LSH candidate

@@ -15,13 +15,44 @@ class DedupOpsSpec extends SparkSpec {
     // must find a nonzero share of the jac >= 0.8 anchor truth
     val corpus = DedupOps.plantedCorpus(sf("documents"))
     val r = DedupOps.simhashRecallAudit(corpus).collect().head
-    val (na, nt, nc, nf, bp) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val (na, nt, nc, nf, bp, pbp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
     assert(na > 0 && nt > 0, s"fixture must yield anchors/truth: $r")
     assert(nf <= nt, s"hits exceed truth: $r")
     assert(nf <= nc, s"hits exceed candidates: $r")
     assert(bp == nf * 10000 / nt, s"recall arithmetic: $r")
+    assert(pbp == nf * 10000 / nc, s"precision arithmetic: $r")
     assert(nf > 0, s"ball found none of the planted truth: $r")
+  }
+
+  test("simhashVerifiedNearDups: ball candidates survive iff exact jac >= threshold") {
+    val corpus = DedupOps.plantedCorpus(sf("documents"))
+    val ball = DedupOps.simhashBallPairs(corpus)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = DedupOps.simhashVerifiedNearDups(corpus)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty, "verify dropped every planted candidate")
+    assert(got.map(r => (r._1, r._2)).toSet.subsetOf(ball),
+      "verified pair not among the ball candidates")
+    assert(got.forall(_._4 >= 8000L), s"sub-threshold pair survived: $got")
+    // the r17 audit measured the raw ball at ~7.5x truth volume — the
+    // verify stage must actually remove candidates on this fixture
+    assert(got.size < ball.size,
+      s"verify filtered nothing (${got.size} of ${ball.size})")
+    // every verified pair's jaccard matches an independent exact
+    // computation over the two docs' distinct 3-shingle sets
+    val texts = corpus.as[(Long, String)].collect().toMap
+    def sh(s: String): Set[Seq[String]] = {
+      val t = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      t.sliding(3).filter(_.size == 3).toSet
+    }
+    got.foreach { case (a, b, _, j) =>
+      val (sa, sb) = (sh(texts(a)), sh(texts(b)))
+      val exact = math.floor(
+        sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble * 10000 + 0.5).toLong
+      assert(j == exact, s"jac mismatch for ($a,$b): got $j, brute $exact")
+    }
   }
 
   test("plantedCorpus: adds an exact copy per id%10==0 and a near copy per id%10==5") {
