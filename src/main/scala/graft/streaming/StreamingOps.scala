@@ -735,7 +735,12 @@ object StreamingOps {
     *
     * State is O(buckets · min(distinct-sigs, cap)) signatures plus
     * member id lists — `numHashes` longs per distinct signature per
-    * band, the registry an incremental text dedup keeps anyway.
+    * band, the registry an incremental text dedup keeps anyway. Ingest
+    * cost contract ([[embedNearDupStream]]'s discipline): bookkeeping
+    * (seen check, exact-group lookup) is O(1) per arrival via transient
+    * hash indexes rebuilt per micro-batch invocation; the cross-pairing
+    * loop is O(active groups) per DISTINCT arrival — inherent to the
+    * semantics, O(cap) capped.
     */
   def minhashPairsStream(
       docs: DataFrame,
@@ -764,12 +769,29 @@ object StreamingOps {
       .groupByKey(_.bkey)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
         (_: String, batch: Iterator[MinhashBucketItem], state: GroupState[MinhashBucket]) => {
-          var groups = state.getOption.map(_.groups).getOrElse(Nil)
+          // transient per-invocation indexes over the persisted List state
+          // (the [[embedNearDupStream]]/phash discipline): member-id set
+          // for the seen check, signature → group index for the
+          // exact-group lookup — per-arrival BOOKKEEPING is O(1) instead
+          // of the r17 `indexWhere`/`exists` scans (quadratic per bucket
+          // on the uncapped path). The cross-pairing loop stays O(active
+          // groups) per DISTINCT arrival — the operator's semantics
+          // (every new signature pairs against each group), O(cap) when
+          // `maxBucket` > 0.
+          val groups = scala.collection.mutable.ArrayBuffer.empty[
+            (Long, Seq[Long], List[Long], Boolean)]
+          state.getOption.foreach(_.groups.foreach(groups += _))
+          val memberIds = scala.collection.mutable.HashSet.empty[Long]
+          val sigIdx = scala.collection.mutable.HashMap.empty[Seq[Long], Int]
+          groups.zipWithIndex.foreach { case (g, i) =>
+            g._3.foreach(memberIds += _)
+            if (!sigIdx.contains(g._2)) sigIdx(g._2) = i
+          }
+          var nActive = groups.count(!_._4)
           val out = List.newBuilder[(Long, Long, Int)]
           batch.toList.sortBy(_.doc_id).foreach { it =>
-            val seen = groups.exists(_._3.contains(it.doc_id))
-            if (!seen) groups.indexWhere(_._2 == it.sig) match {
-              case gi if gi >= 0 =>
+            if (!memberIds.contains(it.doc_id)) sigIdx.get(it.sig) match {
+              case Some(gi) =>
                 // exact-signature arrival: intra events in EVERY band (the
                 // batch pair carries n_shared_bands = bands for identical
                 // signatures), cross events against the bucket's other
@@ -783,25 +805,30 @@ object StreamingOps {
                     out += ((math.min(id, it.doc_id), math.max(id, it.doc_id), it.band))
                   }
                 }
-                groups = groups.updated(gi, (rep, sig, members :+ it.doc_id, frozen))
-              case _ =>
-                val capped = maxBucket > 0 && groups.count(!_._4) >= maxBucket
+                groups(gi) = (rep, sig, members :+ it.doc_id, frozen)
+                memberIds += it.doc_id
+              case None =>
+                val capped = maxBucket > 0 && nActive >= maxBucket
                 if (!capped) {
                   groups.foreach { case (_, _, om, ofz) =>
                     if (!ofz) om.foreach { id =>
                       out += ((math.min(id, it.doc_id), math.max(id, it.doc_id), it.band))
                     }
                   }
-                  groups = groups :+ ((it.doc_id, it.sig, List(it.doc_id), false))
+                  sigIdx(it.sig) = groups.length
+                  groups += ((it.doc_id, it.sig, List(it.doc_id), false))
+                  nActive += 1
                 } else {
                   // over-cap founder: recorded frozen (in every band — the
                   // intra-recall home is every shared bucket here), so its
                   // exact-signature duplicates still emit intra events
-                  groups = groups :+ ((it.doc_id, it.sig, List(it.doc_id), true))
+                  sigIdx(it.sig) = groups.length
+                  groups += ((it.doc_id, it.sig, List(it.doc_id), true))
                 }
+                memberIds += it.doc_id
             }
           }
-          state.update(MinhashBucket(groups))
+          state.update(MinhashBucket(groups.toList))
           out.result()
         })
       .flatMap(_.map { case (a, b, k) => MinhashPairRow(a, b, k) })
