@@ -2455,10 +2455,12 @@ object SparkEntry {
         // supercells' blocks (blocks partition the centroids, so no cell
         // duplicates) — crn <= probes is cellArgTopPHier, crn = 1 is
         // cellArgmaxHier
-        "per AS (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS p FROM c), " +
-          "sup AS (SELECT c_id AS sc_id, ce AS sce, cn AS scn FROM " +
-          "(SELECT *, row_number() OVER (ORDER BY c_id) AS rk FROM c) " +
-          "WHERE (rk - 1) % (SELECT p FROM per) = 0), " +
+        "per AS (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS p, " +
+          "min(c_id) AS mn FROM c), " +
+          // SimOps.superCents: distributed id-hash stride + min-id guard
+          "sup AS (SELECT c_id AS sc_id, ce AS sce, cn AS scn FROM c " +
+          s"WHERE ${StableHash.hash60Sql("CAST(c_id AS VARCHAR)")} % " +
+          "(SELECT p FROM per) = 0 OR c_id = (SELECT mn FROM per)), " +
           "css AS (SELECT c.c_id AS cid0, sup.sc_id, " +
           "list_dot_product(c.ce, sup.sce) / (c.cn * sup.scn) AS s FROM c CROSS JOIN sup), " +
           "c2s AS (SELECT cid0, sc_id FROM (SELECT *, row_number() OVER " +
@@ -2632,10 +2634,12 @@ object SparkEntry {
       "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
       "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n " +
       s"WHERE ${SimOps.sqrtCentroidPredSql("embeddings")}), " +
-      "per AS (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS p FROM c), " +
-      "sup AS (SELECT c_id AS sc_id, ce AS sce, cn AS scn FROM " +
-      "(SELECT *, row_number() OVER (ORDER BY c_id) AS rk FROM c) " +
-      "WHERE (rk - 1) % (SELECT p FROM per) = 0), " +
+      "per AS (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS p, " +
+      "min(c_id) AS mn FROM c), " +
+      // SimOps.superCents: distributed id-hash stride + min-id guard
+      "sup AS (SELECT c_id AS sc_id, ce AS sce, cn AS scn FROM c " +
+      s"WHERE ${StableHash.hash60Sql("CAST(c_id AS VARCHAR)")} % " +
+      "(SELECT p FROM per) = 0 OR c_id = (SELECT mn FROM per)), " +
       "css AS (SELECT c.c_id AS cid0, sup.sc_id, " +
       "list_dot_product(c.ce, sup.sce) / (c.cn * sup.scn) AS s FROM c CROSS JOIN sup), " +
       "c2s AS (SELECT cid0, sc_id FROM (SELECT *, row_number() OVER " +
@@ -4089,10 +4093,12 @@ object SparkEntry {
         "FROM q JOIN n m ON m.vec_id <> q.q_id), " +
         "bt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id " +
         "ORDER BY cos DESC, vec_id) AS rnk FROM bp) WHERE rnk <= 10), " +
-        "per AS (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS p FROM c), " +
-        "sup AS (SELECT c_id AS sc_id, ce AS sce, cn AS scn FROM " +
-        "(SELECT *, row_number() OVER (ORDER BY c_id) AS rk FROM c) " +
-        "WHERE (rk - 1) % (SELECT p FROM per) = 0), " +
+        "per AS (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS p, " +
+        "min(c_id) AS mn FROM c), " +
+        // SimOps.superCents: distributed id-hash stride + min-id guard
+        "sup AS (SELECT c_id AS sc_id, ce AS sce, cn AS scn FROM c " +
+        s"WHERE ${StableHash.hash60Sql("CAST(c_id AS VARCHAR)")} % " +
+        "(SELECT p FROM per) = 0 OR c_id = (SELECT mn FROM per)), " +
         "css AS (SELECT c.c_id AS cid0, sup.sc_id, " +
         "list_dot_product(c.ce, sup.sce) / (c.cn * sup.scn) AS s FROM c CROSS JOIN sup), " +
         "c2s AS (SELECT cid0, sc_id FROM (SELECT *, row_number() OVER " +

@@ -29,6 +29,17 @@ object StableHash {
   def hash60Sql(e: String): String =
     s"('0x'||substr(md5($e),1,15))::BIGINT"
 
+  /** JVM-side evaluation of [[hash60]] — the same md5 / first-15-hex /
+    * base-16 value computed without a Column, for driver- and
+    * executor-side code (the streaming two-level snapshot's supercenter
+    * stride) that must agree bit-for-bit with both SQL sides.
+    */
+  def hash60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Seeded variant — independent hash families for minhash
     * (h_i(x) = hash60(x + "#" + i)). Costs one md5 PER SEED; when a value
     * needs many family members (minhash signatures), prefer one [[hash60]]

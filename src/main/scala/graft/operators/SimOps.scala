@@ -534,6 +534,30 @@ object SimOps {
     * [[cellArgmax]] exactly). Degenerate rows follow the uniform
     * NULL-sim contract: dropped everywhere.
     */
+  /** DISTRIBUTED √nlist supercenter stride — a centroid is a supercenter
+    * iff `hash60(c_id) % per == 0` (per = max(2, ⌈√nlist⌉): the
+    * [[sqrtCentroidPred]] discipline applied to the centroid id space, a
+    * stateless per-row predicate), OR it carries the minimum c_id — the
+    * deterministic non-empty guard (the hash stride selects ≈nlist/per
+    * supercenters in EXPECTATION; at fixture-scale nlist an all-miss has
+    * real probability, and an empty supercenter set would drop every
+    * vector). Replaces the r17 global unpartitioned `row_number()` rank:
+    * that was a single-task sort of all nlist id rows — acceptable at 8M
+    * (~64 MB through one task), not at the 1B cells a true 100 TB corpus
+    * sizes to. Cost here is one min() over 8-byte keys (1-row broadcast
+    * back) and a map-side filter. Mirrored verbatim in the DuckDB
+    * oracles and the streaming snapshot builders
+    * (`StreamingOps.centSnapshotHier` / `hierStreamIndex`).
+    */
+  private[graft] def superCents(cents: DataFrame, per: Long): DataFrame = {
+    val minId = cents.groupBy().agg(min(col("c_id")).as("mn"))
+    cents.crossJoin(broadcast(minId))
+      .filter(
+        graft.functions.StableHash.hash60(col("c_id").cast("string")) % per === 0 ||
+          col("c_id") === col("mn"))
+      .select(col("c_id"), col("ce"), col("cn"))
+  }
+
   private[graft] def cellArgmaxHier(
       n: DataFrame,
       cents: DataFrame,
@@ -542,16 +566,7 @@ object SimOps {
       c2sHier: Boolean = false): DataFrame = {
     val nlist = cents.count()
     val per = math.max(2L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
-    // rank over the PROJECTED id column only — the single-partition sort
-    // the global row_number needs moves 8-byte keys, never the embedding
-    // arrays; the ~√nlist selected ids broadcast back onto cents
-    val wc = Window.orderBy(col("c_id"))
-    val supIds = cents.select(col("c_id"))
-      .withColumn("rk", row_number().over(wc))
-      .filter((col("rk") - 1) % per === 0)
-      .select(col("c_id"))
-    val sup = cents.join(broadcast(supIds), Seq("c_id"))
-      .select(col("c_id"), col("ce"), col("cn"))
+    val sup = superCents(cents, per)
     // each centroid's home supercell — exact argmax over the supercenter
     // set. "Cheap" stops being true past ~1M cells: the stage is
     // nlist·√nlist sims (measured DOMINANT at nlist=8M — 1259.9 s,
@@ -923,13 +938,7 @@ object SimOps {
       probes: Int): DataFrame = {
     val nlist = cents.count()
     val per = math.max(2L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
-    val wc = Window.orderBy(col("c_id"))
-    val supIds = cents.select(col("c_id"))
-      .withColumn("rk", row_number().over(wc))
-      .filter((col("rk") - 1) % per === 0)
-      .select(col("c_id"))
-    val sup = cents.join(broadcast(supIds), Seq("c_id"))
-      .select(col("c_id"), col("ce"), col("cn"))
+    val sup = superCents(cents, per)
     val c2s = cellArgmax(
       cents.select(col("c_id").as("cid0"), col("ce").as("e"), col("cn").as("nrm")),
       sup, "cid0")

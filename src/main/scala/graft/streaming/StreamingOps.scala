@@ -1254,9 +1254,9 @@ object StreamingOps {
   /** FULLY DISTRIBUTED [[HierStreamIndex]] construction from a centroid
     * DATASET (c_id, embedding) — the entry for snapshots too large for a
     * driver Seq (the batch megacell regime: 1M+ centroids): the driver
-    * materializes ONLY the ≈√nlist stride rows (ids ranked without
-    * moving embeddings — the `cellArgmaxHier` supId discipline — then a
-    * broadcast semi-join fetches just those rows), and the block-only
+    * materializes ONLY the ≈√nlist stride rows (the `SimOps.superCents`
+    * id-hash predicate — stateless per row, no global rank — plus a
+    * 1-row min() broadcast as the non-empty guard), and the block-only
     * state is one map (sc via the sup-array closure, O(√nlist·d)) plus
     * one groupByKey shuffle. Spec-pinned identical to the driver-side
     * [[centSnapshotHier]] construction: same stride, same strict-`>` /
@@ -1269,13 +1269,17 @@ object StreamingOps {
     val nlist = centroids.count()
     val per = math.max(2L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
     val cdf = centroids.toDF("c_id", "ce")
-    val supIds = cdf.select(col("c_id"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("c_id"))))
-      .filter((col("rk") - lit(1)) % lit(per) === lit(0))
-      .select(col("c_id"))
+    // the batch stride rule verbatim (SimOps.superCents): a stateless
+    // id-hash predicate plus a 1-row min() broadcast — no global
+    // row_number sort of nlist ids through one task; the driver
+    // materializes only the ≈√nlist selected rows
+    val mn = cdf.groupBy().agg(min(col("c_id")).as("mn"))
     val sups = centSnapshot(
-      cdf.join(broadcast(supIds), "c_id")
+      cdf.crossJoin(broadcast(mn))
+        .filter(
+          graft.functions.StableHash.hash60(col("c_id").cast("string")) % per === 0 ||
+            col("c_id") === col("mn"))
+        .select(col("c_id"), col("ce"))
         .as[(Long, Seq[Float])].collect().toSeq)
     val state = centroids
       .map { case (c, e) => (nearestCell(sups, e), (c, e, math.sqrt(dotF(e, e)))) }
@@ -1440,8 +1444,13 @@ object StreamingOps {
   private[graft] def centSnapshotHier(
       centroids: Seq[(Long, Seq[Float])]): HierSnapshot = {
     val all = centSnapshot(centroids)
-    val per = math.max(2, math.ceil(math.sqrt(all.length.toDouble)).toInt)
-    val sups = all.zipWithIndex.collect { case (c, i) if i % per == 0 => c }
+    val per = math.max(2L, math.ceil(math.sqrt(all.length.toDouble)).toLong)
+    // the batch stride rule verbatim (SimOps.superCents): id-hash lands
+    // on the stride, plus the min c_id as the non-empty guard — all is
+    // c_id-ascending, so head carries the min
+    val minId = all.headOption.map(_._1).getOrElse(Long.MinValue)
+    val sups = all.filter(c =>
+      graft.functions.StableHash.hash60Jvm(c._1.toString) % per == 0 || c._1 == minId)
     val blocks = all
       .map(c => (nearestCell(sups, c._2), c))
       .filter(_._1 >= 0L)
