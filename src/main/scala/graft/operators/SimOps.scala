@@ -671,7 +671,7 @@ object SimOps {
     * assign every vector to its nearest cell, probe each query's `nProbe`
     * nearest cells, brute-force only within the probed cells.
     */
-  private def ivfProbe(
+  private[graft] def ivfProbe(
       n: DataFrame,
       cents: DataFrame,
       queryPred: Column,

@@ -131,6 +131,12 @@ object KnnScaleCheck {
     if (args.contains("megatrain")) {
       val nlist = sys.env.getOrElse("SPARK_GRAFT_MEGA_NLIST", "1000000").toLong
       val c2sHier = sys.env.get("SPARK_GRAFT_MEGA_C2SHIER").contains("1")
+      // SPARK_GRAFT_MEGA_ROUNDS > 1 (r18): run Lloyd rounds back to back,
+      // printing per-round wall + moved-centroid count — the CONVERGENCE
+      // receipt (moved plateaus/decays) the r17 single-round row lacked.
+      // Each round's output is localCheckpointed so round r+1 reassigns
+      // against materialized centroids, not an r-deep lazy lineage.
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_MEGA_ROUNDS", "1").toInt
       val emb = spark.read.parquet(s"$x100/embeddings.parquet")
       val n = SimOps.normalized(emb, "vec_id", "embedding")
       val cents = spark.range(nlist).select(
@@ -138,17 +144,135 @@ object KnnScaleCheck {
         transform(sequence(lit(0), lit(63)),
           j => (pmod(hash(col("id"), j), lit(997)) + lit(1)).cast("float")).as("ce"))
         .withColumn("cn", sqrt(SimOps.dot(col("ce"), col("ce"))))
-      val t0 = System.nanoTime()
-      val refined = SimOps.refineCentroids(n, cents, iters = 1,
-        hier = true, c2sHier = c2sHier)
-      // the round's own aggregate is the action; count moved centroids so
-      // the row carries evidence the update actually rebuilt cells
-      val moved = refined.join(cents.select(col("c_id"), col("ce").as("ce0")), "c_id")
-        .filter(col("ce") =!= col("ce0")).count()
-      val t = (System.nanoTime() - t0) / 1e9
       val c2sTag = if (c2sHier) " + c2s hier" else ""
-      println(f"[knnscale] x100 LLOYD ROUND @ nlist=$nlist (synth init, hier assign$c2sTag): $t%.1f s, $moved centroids moved")
+      var c = cents
+      for (r <- 1 to rounds) {
+        val t0 = System.nanoTime()
+        val refined = SimOps.refineCentroids(n, c, iters = 1,
+          hier = true, c2sHier = c2sHier).localCheckpoint()
+        // the round's own aggregate is the action; count moved centroids
+        // so the row carries evidence the update actually rebuilt cells
+        val moved = refined.join(c.select(col("c_id"), col("ce").as("ce0")), "c_id")
+          .filter(col("ce") =!= col("ce0")).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[knnscale] x100 LLOYD ROUND $r/$rounds @ nlist=$nlist (synth init, hier assign$c2sTag): $t%.1f s, $moved centroids moved")
+        System.out.flush()
+        c = refined
+      }
       spark.stop()
+      return
+    }
+
+    // TRAINEDRECALL mode (r18): the quality receipt for megacell
+    // TRAINING — the megatrain rows prove the hier (and c2s-hier) Lloyd
+    // loop RUNS at nlist ≥ 1M; this measures whether training THROUGH
+    // the two-level assignment degrades the index it trains. Fixture
+    // scale (sf0.1, √N centroid seeds so the hier path has real blocks):
+    // the same seeds are Lloyd-refined three ways — exact assignment,
+    // hier assignment, hier + c2s-hier — and each trained index is
+    // probed IDENTICALLY (flat exact probe, nProbe = 4) against one
+    // brute-force truth, so the recall delta prices the training-side
+    // approximation alone (the SEARCH-side price is q_recall_audit_
+    // ivf_hier's sweep).
+    if (args.contains("trainedrecall")) {
+      val iters = sys.env.getOrElse("SPARK_GRAFT_TRAIN_ITERS", "2").toInt
+      val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+      val n = SimOps.normalized(emb, "vec_id", "embedding")
+      val queryPred = col("vec_id") < 50
+      val k = 10
+      val nq = emb.filter(queryPred).count()
+      val truth = SimOps.bruteTopK(emb, queryPred, k)
+        .select(col("q_id"), col("vec_id"))
+      val cents0 = n.filter(SimOps.sqrtCentroidPred(emb))
+        .select(col("vec_id").as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+      val nlist0 = cents0.count()
+      def recallOf(label: String, hier: Boolean, c2sHier: Boolean): Unit = {
+        val trained = SimOps.refineCentroids(n, cents0, iters = iters,
+          hier = hier, c2sHier = c2sHier)
+        val approx = SimOps.ivfProbe(n, trained, queryPred, k,
+          nProbe = 4, idCol = "vec_id")
+          .select(col("q_id"), col("vec_id"))
+        val hits = approx.join(truth, Seq("q_id", "vec_id")).count()
+        println(f"[knnscale] trained-recall sf0.1 @ nlist=$nlist0 iters=$iters ($label): hits=$hits/${nq * k} recall_bp=${hits * 10000 / (nq * k)}")
+        System.out.flush()
+      }
+      recallOf("exact-assign Lloyd     ", hier = false, c2sHier = false)
+      recallOf("hier-assign Lloyd      ", hier = true, c2sHier = false)
+      recallOf("hier + c2s-hier Lloyd  ", hier = true, c2sHier = true)
+      spark.stop()
+      return
+    }
+
+    // MEGASTREAM mode (r18, the r17 stretch): state-store receipts for
+    // the streaming hier twin at megacell scale — the "untouched keys
+    // are not rewritten" checkpoint-cost claim (StreamingOps
+    // cellNearDupStreamHier doc) as measured numbers. Builds a
+    // hierStreamIndex from SPARK_GRAFT_MEGA_NLIST synthetic centroids as
+    // a DATASET (the snapshot never exists as a driver Seq), drives the
+    // stream with two micro-batches at different corpus deltas
+    // (SPARK_GRAFT_MEGA_B1/B2 arrivals, default 2000/100 rows of the
+    // ×100 embeddings), and prints per batch: wall, the state operator's
+    // numRowsUpdated (touched supercell keys) vs numRowsTotal (all
+    // keys), and the checkpoint directory's byte GROWTH (the HDFS state
+    // store writes per-batch .delta files holding only updated keys, so
+    // growth IS the per-batch checkpoint cost). Expectation: batch 1
+    // pays the full block-state write once (every key), batch 2 writes
+    // only its touched keys — bytes ∝ arrivals, not nlist.
+    if (args.contains("megastream")) {
+      import spark.implicits._
+      import graft.streaming.{EmbedItem, StreamingOps}
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val nlist = sys.env.getOrElse("SPARK_GRAFT_MEGA_NLIST", "1000000").toLong
+      val b1 = sys.env.getOrElse("SPARK_GRAFT_MEGA_B1", "2000").toInt
+      val b2 = sys.env.getOrElse("SPARK_GRAFT_MEGA_B2", "100").toInt
+      val centsDs = spark.range(nlist).select(
+        col("id").as("_1"),
+        transform(sequence(lit(0), lit(63)),
+          j => (pmod(hash(col("id"), j), lit(997)) + lit(1)).cast("float")).as("_2"))
+        .as[(Long, Seq[Float])]
+      val tIdx0 = System.nanoTime()
+      val idx = StreamingOps.hierStreamIndex(centsDs)
+      println(f"[knnscale] megastream @ nlist=$nlist: index built " +
+        f"(${idx.sups.length} supercenters) in ${(System.nanoTime() - tIdx0) / 1e9}%.1f s")
+      System.out.flush()
+      val arrivals = spark.read.parquet(s"$x100/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+        .limit(b1 + b2).as[(Long, Seq[Float])].collect()
+        .map { case (id, e) => EmbedItem(id, e) }
+      val ckpt = java.nio.file.Files.createTempDirectory("megastream_ckpt")
+      def dirBytes(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EmbedItem]
+      val q = StreamingOps.cellNearDupStreamHier(input.toDS(), idx, 4000, 64)
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        var prevBytes = 0L
+        for ((batch, bi) <- Seq(arrivals.take(b1), arrivals.drop(b1)).zipWithIndex) {
+          val t0 = System.nanoTime()
+          input.addData(batch.toSeq)
+          q.processAllAvailable()
+          val t = (System.nanoTime() - t0) / 1e9
+          val bytes = dirBytes(ckpt)
+          val so = q.lastProgress.stateOperators.headOption
+          val (tot, upd) = so.map(s => (s.numRowsTotal, s.numRowsUpdated))
+            .getOrElse((-1L, -1L))
+          println(f"[knnscale] megastream batch ${bi + 1} (${batch.length} arrivals): " +
+            f"$t%.1f s, touched keys $upd of $tot, checkpoint +${(bytes - prevBytes) >> 20} MiB " +
+            f"(total ${bytes >> 20} MiB)")
+          System.out.flush()
+          prevBytes = bytes
+        }
+      } finally {
+        q.stop()
+        spark.stop()
+      }
       return
     }
 
