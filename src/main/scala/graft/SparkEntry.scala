@@ -1481,6 +1481,15 @@ object SparkEntry {
         queryPred = col("vec_id") < 5,
         centroidPred = col("vec_id").between(100, 115),
         hier = true)),
+    // TRAINED-index recall audit: the same fixture seeds Lloyd-refined
+    // through exact vs two-level (hier) assignment, both probed with the
+    // identical exact flat probe — the recall delta prices the megacell
+    // TRAINING approximation alone, oracle-verified (KnnScaleCheck's
+    // trainedrecall mode is this audit at √N-seed scale + c2s-hier).
+    "q_recall_audit_ivf_trained" -> ((s, dir) =>
+      SimOps.ivfTrainedRecallAudit(t(s, dir, "embeddings"),
+        queryPred = col("vec_id") < 5,
+        centroidPred = col("vec_id").between(100, 115))),
     // Per-class embedding prototypes: (label, dim) integer-exact mean
     // components via the bp-quantize-then-average rule — the
     // class-centroid audit of embedding quality.
@@ -4022,6 +4031,90 @@ object SparkEntry {
         "SELECT CAST(count(*) AS BIGINT) AS n_hits, " +
         "CAST((count(*) * 10000) // 50 AS BIGINT) AS recall_bp " +
         "FROM dt JOIN bt USING (q_id, vec_id)"),
+    // mirrors SimOps.ivfTrainedRecallAudit: one bp-integer Lloyd round
+    // from the fixture seeds through EXACT assignment (the
+    // q_sim_ivf_kmeans chain) and through the TWO-LEVEL assignment (the
+    // hier chain at the superCents stride), each trained set probed with
+    // the identical exact flat probe (corpus argmax + query top-4 cells,
+    // the q_sim_ivf shape), hits counted against one brute truth
+    "q_recall_audit_ivf_trained" -> {
+      def lloyd(sfx: String): String =
+        s"z$sfx AS (SELECT a$sfx.c_id, unnest(n.e) AS v, " +
+          "unnest(range(1, len(n.e) + 1)) AS pos " +
+          s"FROM a$sfx JOIN n USING (vec_id)), " +
+          s"s$sfx AS (SELECT c_id, pos, " +
+          "sum(CAST(floor(v * 10000.0 + 0.5) AS BIGINT)) AS s, " +
+          s"count(*) AS cnt FROM z$sfx GROUP BY c_id, pos), " +
+          s"c1$sfx AS (SELECT c_id, list(CAST(s AS DOUBLE) / (cnt * 10000.0) " +
+          s"ORDER BY pos) AS ce FROM s$sfx GROUP BY c_id), " +
+          s"c$sfx AS (SELECT c0.c_id, coalesce(c1$sfx.ce, c0.ce) AS ce, " +
+          s"coalesce(sqrt(list_dot_product(c1$sfx.ce, c1$sfx.ce)), c0.cn) AS cn " +
+          s"FROM c0 LEFT JOIN c1$sfx USING (c_id))"
+      def probe(sfx: String): String =
+        s"asg$sfx AS (SELECT vec_id, c_id FROM (SELECT n.vec_id, c$sfx.c_id, " +
+          "row_number() OVER (PARTITION BY n.vec_id " +
+          s"ORDER BY list_dot_product(n.e, c$sfx.ce) / (n.nrm * c$sfx.cn) DESC, c$sfx.c_id) AS crn " +
+          s"FROM n CROSS JOIN c$sfx) WHERE crn = 1), " +
+          s"pr$sfx AS (SELECT q_id, c_id FROM (SELECT q.q_id, c$sfx.c_id, " +
+          "row_number() OVER (PARTITION BY q.q_id " +
+          s"ORDER BY list_dot_product(q.qe, c$sfx.ce) / (q.qn * c$sfx.cn) DESC, c$sfx.c_id) AS crn " +
+          s"FROM q CROSS JOIN c$sfx) WHERE crn <= 4), " +
+          s"p$sfx AS (SELECT pr$sfx.q_id, n.vec_id, " +
+          "list_dot_product(q.qe, n.e) / (q.qn * n.nrm) AS cos " +
+          s"FROM pr$sfx JOIN asg$sfx ON asg$sfx.c_id = pr$sfx.c_id " +
+          s"JOIN n ON n.vec_id = asg$sfx.vec_id " +
+          s"JOIN q ON q.q_id = pr$sfx.q_id WHERE n.vec_id <> pr$sfx.q_id), " +
+          s"t$sfx AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER " +
+          s"(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM p$sfx) " +
+          "WHERE rnk <= 10), " +
+          s"h$sfx AS (SELECT CAST(count(*) AS BIGINT) AS h FROM t$sfx " +
+          "JOIN bt USING (q_id, vec_id))"
+      "WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5), " +
+        "bp0 AS (SELECT q.q_id, m.vec_id, " +
+        "list_dot_product(q.qe, m.e) / (q.qn * m.nrm) AS cos " +
+        "FROM q JOIN n m ON m.vec_id <> q.q_id), " +
+        "bt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM bp0) WHERE rnk <= 10), " +
+        "c0 AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE vec_id BETWEEN 100 AND 115), " +
+        // exact-assign Lloyd round (the q_sim_ivf_kmeans chain)
+        "aE AS (SELECT vec_id, c_id FROM (SELECT n.vec_id, c0.c_id, " +
+        "row_number() OVER (PARTITION BY n.vec_id " +
+        "ORDER BY list_dot_product(n.e, c0.ce) / (n.nrm * c0.cn) DESC, c0.c_id) AS crn " +
+        "FROM n CROSS JOIN c0) WHERE crn = 1), " +
+        lloyd("E") + ", " +
+        // hier-assign Lloyd round: the two-level chain over the SEEDS
+        // (SimOps.superCents stride + min-id guard), superProbes = 1
+        "per AS (SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS p, " +
+        "min(c_id) AS mn FROM c0), " +
+        "sup AS (SELECT c_id AS sc_id, ce AS sce, cn AS scn FROM c0 " +
+        s"WHERE ${StableHash.hash60Sql("CAST(c_id AS VARCHAR)")} % " +
+        "(SELECT p FROM per) = 0 OR c_id = (SELECT mn FROM per)), " +
+        "css AS (SELECT c0.c_id AS cid0, sup.sc_id, " +
+        "list_dot_product(c0.ce, sup.sce) / (c0.cn * sup.scn) AS s FROM c0 CROSS JOIN sup), " +
+        "c2s AS (SELECT cid0, sc_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY cid0 ORDER BY s DESC, sc_id) AS rn FROM css) WHERE rn = 1), " +
+        "vsup AS (SELECT vec_id, e, nrm, sc_id FROM (SELECT n.vec_id, n.e, n.nrm, " +
+        "sup.sc_id, row_number() OVER (PARTITION BY n.vec_id " +
+        "ORDER BY list_dot_product(n.e, sup.sce) / (n.nrm * sup.scn) DESC, sup.sc_id) AS rn " +
+        "FROM n CROSS JOIN sup) WHERE rn = 1), " +
+        "bsH AS (SELECT v.vec_id, c0.c_id, " +
+        "list_dot_product(v.e, c0.ce) / (v.nrm * c0.cn) AS s " +
+        "FROM vsup v JOIN c2s ON v.sc_id = c2s.sc_id JOIN c0 ON c0.c_id = c2s.cid0), " +
+        "aH AS (SELECT vec_id, c_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn FROM bsH) WHERE rn = 1), " +
+        lloyd("H") + ", " +
+        probe("E") + ", " + probe("H") + ", " +
+        "nqk AS (SELECT count(*) * 10 AS d FROM q) " +
+        "SELECT * FROM (" +
+        "SELECT 'exact' AS variant, (SELECT h FROM hE) AS n_hits, " +
+        "CAST(((SELECT h FROM hE) * 10000) // (SELECT d FROM nqk) AS BIGINT) AS recall_bp " +
+        "UNION ALL " +
+        "SELECT 'hier' AS variant, (SELECT h FROM hH) AS n_hits, " +
+        "CAST(((SELECT h FROM hH) * 10000) // (SELECT d FROM nqk) AS BIGINT) AS recall_bp" +
+        ") ORDER BY variant"
+    },
     "q_sim_lsh" -> s"WITH $duckLshCtes $duckTopKSelect",
     // mirrors SimOps.cellDrift: same nearest-cell assignment as q_sim_ivf,
     // parity split, per-cell shares in bp with a 1-row totals cross join

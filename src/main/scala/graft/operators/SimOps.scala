@@ -288,6 +288,55 @@ object SimOps {
       .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nq * k}"))
   }
 
+  /** TRAINED-index recall audit — the quality receipt for training
+    * THROUGH the two-level assignment ([[cellArgmaxHier]] inside
+    * [[refineCentroids]]`(hier = true)`, the megacell-training path):
+    * the same centroid seeds are Lloyd-refined twice — once with exact
+    * assignment, once with hier — and each trained index is probed
+    * IDENTICALLY (exact flat probe at `nProbe`), so the per-variant
+    * recall against one brute-force truth prices the TRAINING-side
+    * approximation alone (the search-side price is
+    * [[ivfRecallSweepHier]]'s curve; KnnScaleCheck's trainedrecall mode
+    * is this audit at the √N-seed scale plus the c2s-hier variant).
+    * Hit counts left-join the variant list ([[mrlRecallSweep]]'s
+    * zero-row discipline). Output: (variant, n_hits, recall_bp), one
+    * row per variant ('exact', 'hier'), ordered.
+    */
+  def ivfTrainedRecallAudit(
+      emb: DataFrame,
+      queryPred: Column,
+      centroidPred: Column,
+      k: Int = 10,
+      nProbe: Int = 4,
+      iters: Int = 1,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val nq = emb.filter(queryPred).count()
+    require(nq > 0, s"ivfTrainedRecallAudit: queryPred selects no rows — " +
+      "recall_bp would divide by zero in the generated SQL")
+    val n = normalized(emb, idCol, embCol)
+    val truth = bruteTopK(emb, queryPred, k, idCol, embCol)
+      .select(col("q_id"), col(idCol))
+    val cents0 = n.filter(centroidPred)
+      .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
+    def leg(label: String, hier: Boolean): DataFrame =
+      ivfProbe(n, refineCentroids(n, cents0, iters, idCol, hier = hier),
+        queryPred, k, nProbe, idCol)
+        .select(lit(label).as("variant"), col("q_id"), col(idCol))
+    val hits = leg("exact", hier = false)
+      .unionByName(leg("hier", hier = true))
+      .join(truth, Seq("q_id", idCol))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("h"))
+    val session = emb.sparkSession
+    import session.implicits._
+    Seq("exact", "hier").toDF("variant")
+      .join(hits, Seq("variant"), "left")
+      .select(col("variant"), coalesce(col("h"), lit(0L)).as("n_hits"))
+      .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nq * k}"))
+      .orderBy(col("variant"))
+  }
+
   /** Bucket id from the sign bits of `bits` dimensions starting at
     * `offset` — axis-aligned hyperplane LSH for cosine similarity.
     */

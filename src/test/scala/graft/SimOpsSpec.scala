@@ -310,6 +310,25 @@ class SimOpsSpec extends SparkSpec {
       s"MRL structure too weak to measure: ${weighted(8)} bp at p=8")
   }
 
+  test("ivfTrainedRecallAudit: both variants emit, arithmetic consistent, hier within reach of exact") {
+    val out = SimOps.ivfTrainedRecallAudit(sf("embeddings"),
+      queryPred = col("vec_id") < 5,
+      centroidPred = col("vec_id").between(100, 115))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq("exact", "hier"), s"variant rows: $out")
+    val m = out.map(r => r._1 -> (r._2, r._3)).toMap
+    out.foreach { case (v, h, bp) =>
+      assert(h <= 50, s"$v hits exceed candidates: $out")
+      assert(bp == h * 10000 / 50, s"$v recall arithmetic: $out")
+    }
+    assert(m("exact")._1 > 0, s"exact-trained index found none of the truth: $out")
+    // training through the two-level assignment is an approximation of
+    // exact training, not a different operator: its recall may trail but
+    // must stay in the same regime (the measured sf0.1 delta is ~3% rel)
+    assert(m("hier")._2 * 2 >= m("exact")._2,
+      s"hier-trained recall collapsed vs exact-trained: $out")
+  }
+
   test("sqRecall: decoded-code retrieval holds high top-10 recall on the fixture") {
     // int8 reconstruction error is small against the cosine gaps of the
     // fixture corpus: recall should be near-perfect, and the arithmetic
