@@ -1358,6 +1358,17 @@ object SparkEntry {
       val qual = TextOps.qualityScore(corpus).select(col("doc_id"), col("quality_bp"))
       DedupOps.keepBest(clusters, qual)
     }),
+    // Takedown / right-to-be-forgotten propagation: tombstoned docs leave
+    // the pair graph and clusters are RE-DERIVED over surviving pairs
+    // (a removed bridge doc can split its cluster — re-electing min(ids)
+    // per old cluster would be wrong). Surviving members of affected
+    // clusters report old/new labels + rep_changed/now_singleton flags.
+    "q_dedup_forget" -> ((s, dir) => {
+      val corpus = DedupOps.plantedCorpus(t(s, dir, "documents"))
+      DedupOps.dedupForget(
+        DedupOps.verifiedNearDups(corpus).select(col("id_a"), col("id_b")),
+        corpus.filter(col("doc_id") % 13 === 3).select(col("doc_id")))
+    }),
     // Incremental ingestion dedup: new batch (src0 + planted re-ingests of
     // existing docs) anti-joined against the existing corpus fingerprints.
     // The operators composed as a real curation pipeline: quality gate ->
@@ -1464,6 +1475,12 @@ object SparkEntry {
     // 4x compression (its err_bp rows are the reconstruction side).
     "q_sq_recall" -> ((s, dir) =>
       SimOps.sqRecall(t(s, dir, "embeddings"), col("vec_id") < 5)),
+    // Binary (1-bit sign) quantization retrieval recall, both serving
+    // modes: raw Hamming top-10 over the 32x-compressed codes, and the
+    // production two-stage (Hamming top-40 candidates re-ranked by exact
+    // float cosine) — the BQ + rescore pipeline every binary index ships.
+    "q_bq_recall" -> ((s, dir) =>
+      SimOps.bqRecall(t(s, dir, "embeddings"), col("vec_id") < 5)),
     // Sign-bucket LSH variant: equi-join on the bucket key, the 100 TB path.
     "q_sim_lsh" -> ((s, dir) =>
       SimOps.lshTopK(t(s, dir, "embeddings"), col("vec_id") < 5)),
@@ -3775,6 +3792,39 @@ object SparkEntry {
         "SELECT cluster_id, n_docs, doc_id AS keep_id, " +
         "quality_bp AS keep_quality_bp FROM r WHERE rn = 1 ORDER BY cluster_id"
     },
+    // mirrors DedupOps.dedupForget: the q_dedup_clusters recursive
+    // closure run TWICE — over all verified pairs and over the pairs
+    // surviving the tombstone filter (doc_id % 13 = 3 on the planted
+    // corpus) — then surviving members of affected clusters labeled
+    "q_dedup_forget" ->
+      (s"WITH RECURSIVE $duckMinhashCtes, $duckVerifiedPairsCte, " +
+        "tb AS (SELECT DISTINCT doc_id FROM corpus WHERE doc_id % 13 = 3), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM vp " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM vp), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM e), " +
+        "reach AS (SELECT id, id AS lab FROM nodes " +
+        "UNION SELECT e.src AS id, reach.lab FROM e JOIN reach ON e.dst = reach.id), " +
+        "cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id), " +
+        "vp2 AS (SELECT id_a, id_b FROM vp " +
+        "WHERE id_a NOT IN (SELECT doc_id FROM tb) " +
+        "AND id_b NOT IN (SELECT doc_id FROM tb)), " +
+        "e2 AS (SELECT id_a AS src, id_b AS dst FROM vp2 " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM vp2), " +
+        "nodes2 AS (SELECT DISTINCT src AS id FROM e2), " +
+        "reach2 AS (SELECT id, id AS lab FROM nodes2 " +
+        "UNION SELECT e2.src AS id, reach2.lab FROM e2 JOIN reach2 ON e2.dst = reach2.id), " +
+        "cl2 AS (SELECT id AS doc_id, min(lab) AS nc FROM reach2 GROUP BY id), " +
+        "aff AS (SELECT DISTINCT cluster_id FROM cl " +
+        "WHERE doc_id IN (SELECT doc_id FROM tb)) " +
+        "SELECT cl.doc_id, cl.cluster_id AS old_cluster, " +
+        "coalesce(cl2.nc, cl.doc_id) AS new_cluster, " +
+        "CAST(CASE WHEN coalesce(cl2.nc, cl.doc_id) <> cl.cluster_id " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS rep_changed, " +
+        "CAST(CASE WHEN cl2.nc IS NULL THEN 1 ELSE 0 END AS BIGINT) AS now_singleton " +
+        "FROM cl LEFT JOIN cl2 USING (doc_id) " +
+        "WHERE cl.cluster_id IN (SELECT cluster_id FROM aff) " +
+        "AND cl.doc_id NOT IN (SELECT doc_id FROM tb) " +
+        "ORDER BY cl.doc_id"),
     "q_dedup_simhash" ->
       (s"WITH ${duckSimhashCtes(16)} " +
         "SELECT doc_id, simhash, min(doc_id) OVER (PARTITION BY simhash) AS keep_id " +
@@ -4031,6 +4081,45 @@ object SparkEntry {
         "SELECT CAST(count(*) AS BIGINT) AS n_hits, " +
         "CAST((count(*) * 10000) // 50 AS BIGINT) AS recall_bp " +
         "FROM dt JOIN bt USING (q_id, vec_id)"),
+    // mirrors SimOps.bqRecall: sign bits packed 32 per BIGINT word
+    // (DuckDB's range-checked << rejects the 64-bit sign position),
+    // Hamming = sum of bit_count(xor) over words, both serving legs
+    // against the float brute truth
+    "q_bq_recall" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5), " +
+        "bp AS (SELECT q.q_id, n.vec_id, " +
+        "list_dot_product(qe, e) / (qn * nrm) AS cos FROM n JOIN q ON n.vec_id <> q.q_id), " +
+        "bt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM bp) WHERE rnk <= 10), " +
+        "d AS (SELECT vec_id, unnest(e) AS x, unnest(range(0, len(e))) AS pos FROM n), " +
+        "c AS (SELECT vec_id, pos // 32 AS word, " +
+        "bit_or(CASE WHEN x > 0.0 THEN (1::BIGINT << (pos % 32)) " +
+        "ELSE 0::BIGINT END) AS code FROM d GROUP BY vec_id, pos // 32), " +
+        "qc AS (SELECT vec_id AS q_id, word, code AS qcode FROM c WHERE vec_id < 5), " +
+        "hp AS (SELECT qc.q_id, c.vec_id, " +
+        "CAST(sum(bit_count(xor(c.code, qc.qcode))) AS BIGINT) AS ham " +
+        "FROM c JOIN qc ON c.word = qc.word AND c.vec_id <> qc.q_id " +
+        "GROUP BY qc.q_id, c.vec_id), " +
+        "hr AS (SELECT q_id, vec_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY ham, vec_id) AS rnk FROM hp), " +
+        "ht AS (SELECT q_id, vec_id FROM hr WHERE rnk <= 10), " +
+        "cd AS (SELECT hr.q_id, hr.vec_id, " +
+        "list_dot_product(q.qe, n.e) / (q.qn * n.nrm) AS cos " +
+        "FROM hr JOIN n ON n.vec_id = hr.vec_id JOIN q ON q.q_id = hr.q_id " +
+        "WHERE hr.rnk <= 40), " +
+        "rt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk2 FROM cd) WHERE rnk2 <= 10), " +
+        "hh AS (SELECT 'hamming' AS variant, CAST(count(*) AS BIGINT) AS h " +
+        "FROM ht JOIN bt USING (q_id, vec_id) " +
+        "UNION ALL SELECT 'rerank' AS variant, CAST(count(*) AS BIGINT) AS h " +
+        "FROM rt JOIN bt USING (q_id, vec_id)), " +
+        "v AS (SELECT unnest(['hamming', 'rerank']) AS variant) " +
+        "SELECT v.variant, CAST(coalesce(hh.h, 0) AS BIGINT) AS n_hits, " +
+        "CAST((coalesce(hh.h, 0) * 10000) // 50 AS BIGINT) AS recall_bp " +
+        "FROM v LEFT JOIN hh USING (variant) ORDER BY variant"),
     // mirrors SimOps.ivfTrainedRecallAudit: one bp-integer Lloyd round
     // from the fixture seeds through EXACT assignment (the
     // q_sim_ivf_kmeans chain) and through the TWO-LEVEL assignment (the

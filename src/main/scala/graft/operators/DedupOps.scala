@@ -1232,6 +1232,53 @@ object DedupOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** Deletion propagation through near-dup clusters — the takedown /
+    * right-to-be-forgotten maintenance pass every production corpus
+    * eventually runs: tombstoned documents leave the pair graph, and the
+    * clusters they belonged to must be RE-DERIVED, not patched, because a
+    * removed doc can be the only bridge between two halves of its cluster
+    * (re-electing `min(surviving ids)` per OLD cluster would silently keep
+    * two now-disconnected groups under one representative — the naive
+    * patch is WRONG, which is why this is an operator and not a filter).
+    * Connected components re-run over the surviving pair set; surviving
+    * members of every AFFECTED cluster (old cluster ∩ tombstones ≠ ∅)
+    * report their old and new labels.
+    *
+    * Scale shape: two [[dedupClusters]] closures over the pair set (state
+    * O(clustered docs), never the corpus — same bound as the forward
+    * pass; at 100 TB the before-labels are the stored cluster table, not
+    * a recompute, leaving ONE closure over the surviving pairs of
+    * affected clusters only), plus metadata-sized anti/semi joins on the
+    * tombstone list. Docs whose every pair died become singletons:
+    * `new_cluster = doc_id`, `now_singleton = 1`.
+    *
+    * Output: (doc_id, old_cluster, new_cluster, rep_changed,
+    * now_singleton) — one row per surviving member of an affected
+    * cluster, ordered by doc_id.
+    */
+  def dedupForget(pairs: DataFrame, tombstones: DataFrame): DataFrame = {
+    val tomb = tombstones.select(col("doc_id")).distinct()
+    val before = dedupClusters(pairs)
+    val survivingPairs = pairs
+      .join(tomb.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(tomb.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
+    val after = dedupClusters(survivingPairs)
+      .withColumnRenamed("cluster_id", "nc")
+    val affected = before.join(tomb, Seq("doc_id"), "leftsemi")
+      .select(col("cluster_id")).distinct()
+    before
+      .join(affected, Seq("cluster_id"), "leftsemi")
+      .join(tomb, Seq("doc_id"), "left_anti")
+      .withColumnRenamed("cluster_id", "old_cluster")
+      .join(after, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("old_cluster"),
+        coalesce(col("nc"), col("doc_id")).as("new_cluster"),
+        when(coalesce(col("nc"), col("doc_id")) =!= col("old_cluster"), 1L)
+          .otherwise(0L).as("rep_changed"),
+        when(col("nc").isNull, 1L).otherwise(0L).as("now_singleton"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-SOURCE shingle contamination matrix — the corpus-curation view
     * that decides "these two crawls/dumps substantially overlap; drop or
     * down-weight one": exact k-shingle Jaccard between every source pair,

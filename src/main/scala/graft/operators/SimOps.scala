@@ -337,6 +337,97 @@ object SimOps {
       .orderBy(col("variant"))
   }
 
+  /** Binary (1-bit sign) quantization codes — the coarse pre-filter a
+    * production vector store runs before any float math touches a
+    * candidate (Faiss `IndexBinaryFlat` / pgvector `bit` BQ: 32× smaller
+    * than float32, Hamming distance tracks angle on centered data). Each
+    * dimension contributes one bit (strictly `x > 0`, so the all-zero
+    * defect row codes to all-zero words deterministically); bits pack 32
+    * per BIGINT word keyed `(id, word)`. The word layout is load-bearing
+    * twice: a single 64-bit word would put dim 63 in the sign bit, which
+    * DuckDB's range-checked `<<` REJECTS (`1::BIGINT << 63` raises
+    * Out of Range — measured), and per-word rows generalize past 64 dims
+    * with no schema change. Output: (idCol, word, code), ⌈d/32⌉ rows per
+    * vector — pure integers end to end, so the cross-engine comparison
+    * needs no IEEE reasoning at all.
+    */
+  def bqCodes(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol),
+        posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col(idCol), expr("pos div 32").as("word"))
+      .agg(expr("bit_or(CASE WHEN x > 0.0D THEN shiftleft(1L, pos % 32) " +
+        "ELSE 0L END)").as("code"))
+
+  /** Retrieval recall of binary quantization — the quality side of
+    * [[bqCodes]]'s 32× compression, measured in BOTH serving modes: the
+    * raw Hamming top-k ('hamming'), and the production two-stage
+    * ('rerank') where the Hamming pass keeps `rerank` candidates and an
+    * exact float cosine re-ranks them to k — the BQ + rescore pipeline
+    * every binary index ships behind. Hamming ties are broken by id
+    * (distances are small integers over a large corpus, so ties are the
+    * NORM, not an edge case — deterministic order is what makes the
+    * ranking oracle-comparable). Hit counts left-join the variant list
+    * ([[mrlRecallSweep]]'s zero-row discipline).
+    *
+    * Scale shape: the code table is the 32×-compressed scan (integer
+    * XOR/popcount, no floats); queries broadcast (per-query work like
+    * [[bruteTopK]], never per-corpus-pair); the re-rank leg touches only
+    * `rerank · |queries|` float rows — metadata-sized. Output:
+    * (variant, n_hits, recall_bp), ordered.
+    */
+  def bqRecall(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int = 10,
+      rerank: Int = 40,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"bqRecall: rerank pool $rerank < k $k")
+    val nq = emb.filter(queryPred).count()
+    require(nq > 0, s"bqRecall: queryPred selects no rows — " +
+      "recall_bp would divide by zero in the generated SQL")
+    val truth = bruteTopK(emb, queryPred, k, idCol, embCol)
+      .select(col("q_id"), col(idCol))
+    val codes = bqCodes(emb, idCol, embCol)
+    val qCodes = codes.filter(queryPred)
+      .select(col(idCol).as("q_id"), col("word"), col("code").as("qcode"))
+    val ham = codes.join(broadcast(qCodes), Seq("word"))
+      .filter(col(idCol) =!= col("q_id"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(expr("bit_count(code ^ qcode)").cast("long")).as("ham"))
+    val hw = Window.partitionBy(col("q_id")).orderBy(col("ham"), col(idCol))
+    val ranked = ham.withColumn("rnk", row_number().over(hw))
+    val hamTop = ranked.filter(col("rnk") <= k).select(col("q_id"), col(idCol))
+    val n = normalized(emb, idCol, embCol)
+    val qv = n.filter(queryPred)
+      .select(col(idCol).as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val rescored = ranked.filter(col("rnk") <= rerank)
+      .select(col("q_id"), col(idCol))
+      .join(n, Seq(idCol))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col(idCol),
+        (dot(col("qe"), col("e")) / (col("qn") * col("nrm"))).as("cos"))
+    val rw = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol))
+    val rerTop = rescored.withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col(idCol))
+    val hits = hamTop.select(lit("hamming").as("variant"), col("q_id"), col(idCol))
+      .unionByName(rerTop.select(lit("rerank").as("variant"), col("q_id"), col(idCol)))
+      .join(truth, Seq("q_id", idCol))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("h"))
+    val session = emb.sparkSession
+    import session.implicits._
+    Seq("hamming", "rerank").toDF("variant")
+      .join(hits, Seq("variant"), "left")
+      .select(col("variant"), coalesce(col("h"), lit(0L)).as("n_hits"))
+      .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nq * k}"))
+      .orderBy(col("variant"))
+  }
+
   /** Bucket id from the sign bits of `bits` dimensions starting at
     * `offset` — axis-aligned hyperplane LSH for cosine similarity.
     */

@@ -177,6 +177,31 @@ case class OpenSession(start: Long, end: Long, n: Long)
 /** A closed session emitted by [[StreamingOps.sessionize]]. */
 case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
+/** [[StreamingOps.forgetStream]] input: an ingest or takedown naming a
+  * document by id AND content (`text` carries what the fingerprint is
+  * computed from — the id→content resolution a real takedown performs
+  * against the metadata store before it can touch a content-keyed
+  * registry).
+  */
+case class ForgetEvent(op: String, doc_id: Long, text: String)
+
+/** Fingerprinted [[ForgetEvent]] — the stateless stage's output. */
+case class FpItem(fp_md5: String, op: String, doc_id: Long)
+
+/** Per-fingerprint registry state for [[StreamingOps.forgetStream]]:
+  * `members` holds the tracked ids SORTED ASCENDING (under a cap, the
+  * `maxMembers` smallest ids alive — see the min-exactness invariant in
+  * the operator doc), `nUntracked` the exact count of over-cap members
+  * whose ids were not recorded.
+  */
+case class FpRegistry(members: List[Long], nUntracked: Long)
+
+/** Audit row emitted by [[StreamingOps.forgetStream]], one per event:
+  * `rep` is the group representative AFTER the op (None on
+  * purge/degrade/unknown-content noop).
+  */
+case class ForgetEventRow(fp_md5: String, doc_id: Long, action: String, rep: Option[Long])
+
 /** Structured Streaming surface — north-star extension; the reference has no
   * data-plane streaming (its only loop is the 5 s control-plane heartbeat,
   * `Server.java:588-650`, which Spark replaces with executor heartbeats).
@@ -295,6 +320,135 @@ object StreamingOps {
       media: Dataset[graft.operators.MediaRow], modulus: Int = 32): DataFrame =
     graft.operators.MultimodalOps.cdcChunks(media, modulus).toDF()
       .dropDuplicates("chunk_md5")
+
+  /** Streaming takedown / right-to-be-forgotten maintenance — the
+    * `mapGroupsWithState` twin of [[graft.operators.DedupOps.dedupForget]]
+    * applied to the EXACT-dedup registry (the content-fingerprint index
+    * [[dedupIngest]]'s anti-join reads): ingests and tombstones flow
+    * through one keyed state, the group representative is re-elected on
+    * deletion, and content whose every copy is forgotten is PURGED so a
+    * fresh legitimate arrival re-admits as new — the actual
+    * right-to-be-forgotten contract (a registry that remembers purged
+    * fingerprints forever has not forgotten them).
+    *
+    * Fingerprint stage (stateless, row-local): md5 of the normalized
+    * token stream — bit-identical to [[graft.operators.DedupOps.exactDedup]]
+    * and `incrementalNew`'s rule, so the registry and the batch table
+    * agree on content identity.
+    *
+    * Registry semantics, one audit row per event ([[ForgetEventRow]]):
+    *  - ingest, no state: `admitted`, rep = the arrival.
+    *  - ingest, state: member inserted, `suppressed`, rep = min(members)
+    *    AFTER insertion (the batch `keep_id` rule, so a smaller-id
+    *    arrival takes over as rep — exactly [[DedupOps.exactDedup]]'s
+    *    min; same-id redelivery is idempotent).
+    *  - forget, tracked member: removed; survivors → `forgotten` with
+    *    the re-elected rep; none and nothing untracked → `purged`, state
+    *    REMOVED (re-admission open).
+    *  - forget, unknown content / non-member id: `noop` (rep = current
+    *    rep if any) — a takedown for content the store never had.
+    *
+    * `maxMembers` > 0 is the hot-content guard (the same boilerplate doc
+    * arrives millions of times at 100 TB): the registry tracks only the
+    * `maxMembers` SMALLEST ids alive plus an exact untracked COUNT.
+    * Min-exactness invariant (why "smallest", not "first"): members only
+    * leave the tracked set by eviction of its MAXIMUM (a smaller arrival
+    * displacing it) or by takedown, so max(tracked) is non-increasing,
+    * every untracked id was ≥ max(tracked) at its suppression time and
+    * therefore ≥ every current and future tracked id — min(tracked) IS
+    * the global min whenever tracked is non-empty, under ANY interleaving
+    * of ingests and forgets. The cap therefore prices only DELETION
+    * capacity: a forget naming an untracked copy decrements the count
+    * (`forgotten_untracked`, rep unchanged — provably still exact); only
+    * when takedowns exhaust the whole tracked set while untracked copies
+    * remain does the registry emit `degraded` and clear, handing the key
+    * to the downstream batch pass ([[graft.operators.DedupOps.dedupForget]])
+    * — size `maxMembers` to the takedowns-per-content budget, not to the
+    * duplicate volume. Parity is pinned uncapped (every twin's rule);
+    * within-batch events apply in (doc_id, op) order — deterministic
+    * under re-execution; cross-batch order is arrival order.
+    *
+    * State is O(distinct content · min(copies, cap)) longs — the
+    * registry an incremental exact dedup keeps anyway, now deletable.
+    */
+  def forgetStream(
+      events: Dataset[ForgetEvent],
+      maxMembers: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      opCol: String = "op"): Dataset[ForgetEventRow] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .select(md5(concat_ws(" ", TextOps.tokens(col(textCol)))).as("fp_md5"),
+        col(opCol).as("op"), col(idCol).cast("long").as("doc_id"))
+      .as[FpItem]
+      .groupByKey(_.fp_md5)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (fp: String, batch: Iterator[FpItem], state: GroupState[FpRegistry]) => {
+          val tracked = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(_.members.foreach(tracked += _))
+          var nUntracked = state.getOption.map(_.nUntracked).getOrElse(0L)
+          val out = List.newBuilder[ForgetEventRow]
+          batch.toList.sortBy(it => (it.doc_id, it.op)).foreach { it =>
+            it.op match {
+              case "ingest" =>
+                if (tracked.contains(it.doc_id)) // same-id redelivery
+                  out += ForgetEventRow(fp, it.doc_id, "suppressed",
+                    Some(tracked.head))
+                else if (tracked.isEmpty && nUntracked == 0L) {
+                  tracked += it.doc_id
+                  out += ForgetEventRow(fp, it.doc_id, "admitted",
+                    Some(it.doc_id))
+                } else {
+                  if (maxMembers <= 0 || tracked.size < maxMembers)
+                    tracked += it.doc_id
+                  else if (it.doc_id < tracked.last) {
+                    // keep the cap's SMALLEST ids: evict the max to the
+                    // untracked count (the min-exactness invariant)
+                    tracked -= tracked.last
+                    tracked += it.doc_id
+                    nUntracked += 1L
+                  } else nUntracked += 1L
+                  out += ForgetEventRow(fp, it.doc_id, "suppressed",
+                    Some(tracked.head))
+                }
+              case "forget" =>
+                if (tracked.contains(it.doc_id)) {
+                  tracked -= it.doc_id
+                  if (tracked.nonEmpty)
+                    out += ForgetEventRow(fp, it.doc_id, "forgotten",
+                      Some(tracked.head))
+                  else if (nUntracked == 0L)
+                    out += ForgetEventRow(fp, it.doc_id, "purged", None)
+                  else {
+                    // takedowns exhausted the tracked set with untracked
+                    // copies alive: the registry cannot re-elect — hand
+                    // the key to the batch pass
+                    nUntracked = 0L
+                    out += ForgetEventRow(fp, it.doc_id, "degraded", None)
+                  }
+                } else if (nUntracked > 0L) {
+                  // an untracked copy (or an id the store never had — a
+                  // capped registry cannot tell; production backs this
+                  // with the store's own key lookup): rep provably
+                  // unchanged, count decremented
+                  nUntracked -= 1L
+                  out += ForgetEventRow(fp, it.doc_id, "forgotten_untracked",
+                    Some(tracked.head))
+                } else
+                  out += ForgetEventRow(fp, it.doc_id, "noop",
+                    tracked.headOption)
+              case other =>
+                throw new IllegalArgumentException(
+                  s"forgetStream: unknown op '$other' (expect ingest|forget)")
+            }
+          }
+          if (tracked.isEmpty && nUntracked == 0L) state.remove()
+          else state.update(FpRegistry(tracked.toList, nUntracked))
+          out.result()
+        })
+      .flatMap(identity)
+  }
 
   /** Watermarked stream-stream interval self-join: view → purchase
     * conversions within `withinSec` — the streaming twin of

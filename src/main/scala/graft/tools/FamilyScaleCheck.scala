@@ -133,7 +133,18 @@ object FamilyScaleCheck {
       // doc_id; the legs are individually measured, this row prices the
       // COMPOSITION at ×10/×100 under both growth modes
       "q_curate_multimodal" ->
-        ((dir: String) => graft.SparkEntry.queries("q_curate_multimodal")(spark, dir)))
+        ((dir: String) => graft.SparkEntry.queries("q_curate_multimodal")(spark, dir)),
+      // r18: the takedown pass (two CC closures around the tombstone
+      // filter — the law: tracks the pairs→clusters chain ~linearly; at
+      // production the before-labels are the stored cluster table, so
+      // the incremental cost is ONE closure over affected clusters) and
+      // the BQ audit (the Hamming leg is the 32×-compressed production
+      // scan — integer XOR/popcount per (query, vector), linear in
+      // corpus; the float legs are fixed-k metadata)
+      "q_dedup_forget" ->
+        ((dir: String) => graft.SparkEntry.queries("q_dedup_forget")(spark, dir)),
+      "q_bq_recall" ->
+        ((dir: String) => SimOps.bqRecall(embs(dir), col("vec_id") < 5)))
 
     // noop-write timing, NOT count(): under count() Catalyst prunes the
     // unobserved columns (strike's md5 reassembly, spans' positions) and

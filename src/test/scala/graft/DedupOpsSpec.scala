@@ -225,6 +225,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupForget: a tombstoned BRIDGE splits its cluster — the min-id patch would be wrong") {
+    // cluster {1,2,3} is held together only by 2 (pairs 1-2, 2-3);
+    // deleting 2 must split it into singletons 1 and 3, which a naive
+    // "re-elect min(surviving ids) per old cluster" would merge under 1
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = DedupOps.dedupForget(pairs, Seq(2L).toDF("doc_id"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1L, 0L, 1L), (3L, 1L, 3L, 1L, 1L)),
+      s"bridge split wrong: $out")
+  }
+
+  test("dedupForget: rep re-election without split; unaffected clusters and tombstones emit no rows") {
+    // triangle {1,2,3}: deleting 1 leaves 2-3 connected under new rep 2;
+    // cluster {8,9} contains no tombstone so it must NOT appear; the
+    // tombstoned doc itself never emits a row
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val out = DedupOps.dedupForget(pairs, Seq(1L).toDF("doc_id"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 1L, 2L, 1L, 0L), (3L, 1L, 2L, 1L, 0L)),
+      s"re-election wrong: $out")
+  }
+
   test("dedupClusters: 33-node chain converges in O(log n) rounds, one cluster") {
     // a path graph is the worst case for min-label propagation (O(n)
     // rounds); large-star/small-star must collapse it logarithmically

@@ -89,7 +89,13 @@ class PlanBudgetSpec extends SparkSpec {
     "q_cap_audit_phash" -> Pin(1, 2, 0, 0),
     "q_text_tfidf" -> Pin(3, 6, 0, 2),
     "q_bigram_lm" -> Pin(1, 2, 1, 1),
-    "q_sim_ivfpq_kmeans" -> Pin(14, 12, 3, 15))
+    "q_sim_ivfpq_kmeans" -> Pin(14, 12, 3, 15),
+    // r18: BQ recall audit (integer Hamming leg + float re-rank leg,
+    // queries broadcast) and the forget pass's post-CC label joins
+    // (the CC loops themselves end in localCheckpoints, pinned by the
+    // round-budget tests below)
+    "q_bq_recall" -> Pin(6, 10, 0, 7),
+    "q_dedup_forget" -> Pin(3, 7, 3, 4))
 
   for ((name, pin) <- pins) {
     test(s"plan budget: $name") {

@@ -340,6 +340,55 @@ class SimOpsSpec extends SparkSpec {
     assert(bp >= 9000, s"SQ8 lost top-10 recall on the fixture: $r")
   }
 
+  test("bqCodes: 32-bit word packing matches hand bits; the all-zero defect row codes to zero words") {
+    // dims 0 and 33 strictly positive, everything else <= 0 -> word 0
+    // carries bit 0, word 1 carries bit 1; the all-zero row (the failed-
+    // encoder defect a 100 TB corpus will contain) must code to zero
+    // words deterministically, never throw
+    val rows = Seq(
+      (1L, (0 until 64).map(i => if (i == 0 || i == 33) 1.0f else -1.0f)),
+      (2L, (0 until 64).map(_ => 0.0f)))
+    val out = SimOps.bqCodes(rows.toDF("vec_id", "embedding"))
+      .orderBy("vec_id", "word")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 1L), (1L, 1L, 2L), (2L, 0L, 0L), (2L, 1L, 0L)),
+      s"word packing wrong: $out")
+  }
+
+  test("bqRecall: an exact duplicate survives both legs; rerank never below hamming") {
+    // vec 100 duplicates query vec 0 bit-for-bit -> Hamming 0 and cos 1:
+    // it must be in the truth AND in both approximate top-k sets
+    val mk = (seed: Long) =>
+      (0 until 64).map(j => (((seed * 37 + j * 11) % 13).toInt - 6).toFloat / 6f)
+    val corpus = ((1L to 9L).map(i => (i, mk(i))) :+ (0L, mk(0L)) :+ (100L, mk(0L)))
+      .toDF("vec_id", "embedding")
+    val out = SimOps.bqRecall(corpus, col("vec_id") === 0, k = 2, rerank = 4)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq("hamming", "rerank"), s"variant rows: $out")
+    out.foreach { case (v, h, bp) =>
+      assert(h >= 1, s"$v leg lost the exact duplicate: $out")
+      assert(bp == h * 10000 / 2, s"$v recall arithmetic: $out")
+    }
+  }
+
+  test("bqRecall: fixture regime — hamming finds signal; rerank recall is provably monotone over it") {
+    // monotonicity is a THEOREM here, not a fixture fact: rerank's
+    // candidate pool contains the hamming top-k, and a truth member has
+    // < k vectors above it in the (cos desc, id) total order, so exact
+    // re-ranking can never evict it — any regression is a bug
+    val out = SimOps.bqRecall(sf("embeddings"), col("vec_id") < 5)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq("hamming", "rerank"), s"variant rows: $out")
+    val m = out.map(r => r._1 -> r._3).toMap
+    out.foreach { case (v, h, bp) =>
+      assert(h <= 50, s"$v hits exceed candidates: $out")
+      assert(bp == h * 10000 / 50, s"$v recall arithmetic: $out")
+    }
+    info(s"bq recall: hamming ${m("hamming")}, rerank ${m("rerank")}")
+    assert(m("hamming") > 0, s"hamming leg found none of the truth: $out")
+    assert(m("rerank") >= m("hamming"), s"rerank recall below hamming: $out")
+  }
+
   test("cellArgmaxHier c2sHier: two-level c2s keeps the vector universe; fixture agreement pinned") {
     // the megacell-training knob (exact c2s is nlist·√nlist sims —
     // dominant past ~4M cells): recursing the centroid→supercell stage

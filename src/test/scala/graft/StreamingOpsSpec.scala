@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.{EventOps, SimOps}
-import graft.streaming.{AsofMatch, EmbedItem, EmbedPairRow, ExtremaDelta, ExtremaRow, MinhashPairRow, PhashItem, PhashPairRow, StreamEvent, StreamIdEvent, StreamingOps, TransitionRow}
+import graft.streaming.{AsofMatch, EmbedItem, EmbedPairRow, ExtremaDelta, ExtremaRow, ForgetEvent, ForgetEventRow, MinhashPairRow, PhashItem, PhashPairRow, StreamEvent, StreamIdEvent, StreamingOps, TransitionRow}
 
 class StreamingOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -842,6 +842,103 @@ class StreamingOpsSpec extends SparkSpec {
       assert(exactPairs.nonEmpty, "fixture must contain exact-text dups")
       exactPairs.foreach { p =>
         assert(capped.getOrElse(p, 0L) == 4L, s"exact pair $p lost under cap") }
+    } finally q.stop()
+  }
+
+  test("forgetStream: admit/suppress/re-elect/purge lifecycle; purged content re-admits; batch parity") {
+    // content A streamed as docs 5, then {3, 9}; forgetting 3, 5, 9 in
+    // turn walks rep 3 -> 5 -> 9 -> purged, and doc 7 then RE-ADMITS the
+    // same content (the right-to-be-forgotten contract: once every copy
+    // is gone the registry must not remember the fingerprint); content B
+    // is untouched. Final reps must equal batch exactDedup over the
+    // surviving docs.
+    val tA = "alpha beta gamma delta"
+    val tB = "omega psi chi phi"
+    val input = MemoryStream[ForgetEvent]
+    val q = StreamingOps.forgetStream(input.toDS())
+      .writeStream.format("memory").queryName("forget1").outputMode("update").start()
+    try {
+      Seq(
+        Seq(ForgetEvent("ingest", 5L, tA), ForgetEvent("ingest", 100L, tB)),
+        Seq(ForgetEvent("ingest", 3L, tA), ForgetEvent("ingest", 9L, tA)),
+        Seq(ForgetEvent("forget", 3L, tA)),
+        Seq(ForgetEvent("forget", 5L, tA)),
+        Seq(ForgetEvent("forget", 9L, tA)),
+        Seq(ForgetEvent("ingest", 7L, tA)),
+        Seq(ForgetEvent("forget", 42L, tB)) // id B never had: noop
+      ).foreach { b => input.addData(b); q.processAllAvailable() }
+      val evs = spark.table("forget1").as[ForgetEventRow].collect().toSeq
+      val aFp = evs.find(_.doc_id == 5L).get.fp_md5
+      val aSeq = evs.filter(_.fp_md5 == aFp)
+        .map(e => (e.doc_id, e.action, e.rep))
+      assert(aSeq == Seq(
+        (5L, "admitted", Some(5L)),
+        (3L, "suppressed", Some(3L)), // smaller id takes over as rep
+        (9L, "suppressed", Some(3L)),
+        (3L, "forgotten", Some(5L)),
+        (5L, "forgotten", Some(9L)),
+        (9L, "purged", None),
+        (7L, "admitted", Some(7L))), s"content A lifecycle: $aSeq")
+      assert(evs.exists(e => e.doc_id == 42L && e.action == "noop" &&
+        e.rep == Some(100L)), s"noop row missing: $evs")
+      // batch parity: last rep per fp == exactDedup keep_id over survivors
+      val survivors = Seq((7L, tA), (100L, tB)).toDF("doc_id", "text")
+      val batch = graft.operators.DedupOps.exactDedup(survivors)
+        .select("fp_md5", "keep_id").as[(String, Long)].collect().toMap
+      val finalRep = evs.groupBy(_.fp_md5)
+        .map { case (fp, es) => fp -> es.last.rep }
+      batch.foreach { case (fp, keep) =>
+        assert(finalRep(fp) == Some(keep), s"final rep for $fp: ${finalRep(fp)} vs batch $keep")
+      }
+    } finally q.stop()
+  }
+
+  test("forgetStream: capped registry keeps the SMALLEST ids — rep exact under eviction, untracked deletes, and degrade") {
+    // maxMembers = 2. Content X: tracked {5}, {5,6}, then 1 arrives and
+    // EVICTS 6 to the untracked count (tracked holds the smallest ids,
+    // which is what keeps min(tracked) == global min under any
+    // interleaving); forgetting 5 re-elects 1, forgetting 6 hits the
+    // untracked count (rep provably unchanged), forgetting 1 purges.
+    // Content Y exhausts its tracked set while an untracked copy is
+    // alive -> degraded + cleared, and the next arrival re-admits.
+    val tX = "xray yankee zulu quebec"
+    val tY = "lima mike november oscar"
+    val input = MemoryStream[ForgetEvent]
+    val q = StreamingOps.forgetStream(input.toDS(), maxMembers = 2)
+      .writeStream.format("memory").queryName("forget2").outputMode("update").start()
+    try {
+      Seq(
+        Seq(ForgetEvent("ingest", 5L, tX)),
+        Seq(ForgetEvent("ingest", 6L, tX)),
+        Seq(ForgetEvent("ingest", 1L, tX)),
+        Seq(ForgetEvent("forget", 5L, tX)),
+        Seq(ForgetEvent("forget", 6L, tX)),
+        Seq(ForgetEvent("forget", 1L, tX)),
+        Seq(ForgetEvent("ingest", 10L, tY), ForgetEvent("ingest", 11L, tY),
+          ForgetEvent("ingest", 12L, tY)),
+        Seq(ForgetEvent("forget", 10L, tY)),
+        Seq(ForgetEvent("forget", 11L, tY)),
+        Seq(ForgetEvent("ingest", 13L, tY))
+      ).foreach { b => input.addData(b); q.processAllAvailable() }
+      val evs = spark.table("forget2").as[ForgetEventRow].collect().toSeq
+      val xFp = evs.find(_.doc_id == 5L).get.fp_md5
+      val xSeq = evs.filter(_.fp_md5 == xFp).map(e => (e.doc_id, e.action, e.rep))
+      assert(xSeq == Seq(
+        (5L, "admitted", Some(5L)),
+        (6L, "suppressed", Some(5L)),
+        (1L, "suppressed", Some(1L)), // 6 evicted to the untracked count
+        (5L, "forgotten", Some(1L)),
+        (6L, "forgotten_untracked", Some(1L)),
+        (1L, "purged", None)), s"content X lifecycle: $xSeq")
+      val yFp = evs.find(_.doc_id == 10L).get.fp_md5
+      val ySeq = evs.filter(_.fp_md5 == yFp).map(e => (e.doc_id, e.action, e.rep))
+      assert(ySeq == Seq(
+        (10L, "admitted", Some(10L)),
+        (11L, "suppressed", Some(10L)),
+        (12L, "suppressed", Some(10L)), // over cap: counted, not tracked
+        (10L, "forgotten", Some(11L)),
+        (11L, "degraded", None), // tracked exhausted, copy 12 untracked
+        (13L, "admitted", Some(13L))), s"content Y lifecycle: $ySeq")
     } finally q.stop()
   }
 
