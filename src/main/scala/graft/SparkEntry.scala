@@ -1117,6 +1117,15 @@ object SparkEntry {
     // windows, realized without a global sort.
     "q_pack_curriculum" -> ((s, dir) =>
       TextOps.packCurriculum(t(s, dir, "documents"), budget = 512)),
+    // Takedown blast radius: which packed training sequences contain a
+    // tombstoned doc (same rule as q_dedup_forget) and what regeneration
+    // costs — the compliance query downstream of the dedup repair.
+    "q_forget_blast" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.forgetBlastRadius(docs,
+        docs.filter(col("doc_id") % 13 === 3).select(col("doc_id")),
+        budget = 512)
+    }),
     // Packing on the POST-BPE token budget — the composition an actual
     // batch assembler runs: trained-tokenizer counts (q_bpe_encode) feed
     // the two-level prefix-sum packer. Whitespace counts over-estimate
@@ -3562,6 +3571,25 @@ object SparkEntry {
         "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
         "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
         "FROM b GROUP BY seq_id ORDER BY seq_id"),
+    // mirrors TextOps.forgetBlastRadius: the q_pack_sequences assignment
+    // chain joined to the q_dedup_forget tombstone rule, affected
+    // sequences only
+    "q_forget_blast" ->
+      (s"WITH d AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nbefore FROM d), " +
+        "b AS (SELECT doc_id, n_tokens, nbefore // 512 AS seq_id FROM r), " +
+        "tb AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 13 = 3), " +
+        "j AS (SELECT b.seq_id, b.n_tokens, " +
+        "CASE WHEN tb.doc_id IS NOT NULL THEN 1 ELSE 0 END AS tombed " +
+        "FROM b LEFT JOIN tb ON b.doc_id = tb.doc_id) " +
+        "SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(tombed) AS BIGINT) AS n_tombstoned, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(sum(CASE WHEN tombed = 1 THEN n_tokens END), 0) AS BIGINT) " +
+        "AS tokens_lost " +
+        "FROM j GROUP BY seq_id HAVING sum(tombed) > 0 ORDER BY seq_id"),
     // mirrors q_pack_bpe: the q_bpe_encode counts feeding the same flat
     // prefix-sum packer (budget 512); BIGINT casts per the note above
     "q_pack_bpe" ->

@@ -1244,13 +1244,17 @@ object DedupOps {
     * members of every AFFECTED cluster (old cluster ∩ tombstones ≠ ∅)
     * report their old and new labels.
     *
-    * Scale shape: two [[dedupClusters]] closures over the pair set (state
-    * O(clustered docs), never the corpus — same bound as the forward
-    * pass; at 100 TB the before-labels are the stored cluster table, not
-    * a recompute, leaving ONE closure over the surviving pairs of
-    * affected clusters only), plus metadata-sized anti/semi joins on the
-    * tombstone list. Docs whose every pair died become singletons:
-    * `new_cluster = doc_id`, `now_singleton = 1`.
+    * Scale shape: the before-labels are one [[dedupClusters]] closure
+    * (at 100 TB they are the STORED cluster table, not a recompute); the
+    * re-derivation closure runs over the AFFECTED-CLUSTER SUBGRAPH only —
+    * a pair's two endpoints always share a component, so semi-joining
+    * `id_a` against affected-cluster members selects exactly the pairs
+    * whose clusters changed, and the second closure's state is
+    * O(members of affected clusters), never the corpus (takedowns are
+    * rare; this is the incremental-maintenance bound that makes the op
+    * runnable per takedown batch instead of per full re-cluster). The
+    * tombstone joins are metadata-sized. Docs whose every pair died
+    * become singletons: `new_cluster = doc_id`, `now_singleton = 1`.
     *
     * Output: (doc_id, old_cluster, new_cluster, rep_changed,
     * now_singleton) — one row per surviving member of an affected
@@ -1259,13 +1263,16 @@ object DedupOps {
   def dedupForget(pairs: DataFrame, tombstones: DataFrame): DataFrame = {
     val tomb = tombstones.select(col("doc_id")).distinct()
     val before = dedupClusters(pairs)
-    val survivingPairs = pairs
-      .join(tomb.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
-      .join(tomb.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
-    val after = dedupClusters(survivingPairs)
-      .withColumnRenamed("cluster_id", "nc")
     val affected = before.join(tomb, Seq("doc_id"), "leftsemi")
       .select(col("cluster_id")).distinct()
+    val affectedDocs = before.join(affected, Seq("cluster_id"), "leftsemi")
+      .select(col("doc_id"))
+    val survivingAffectedPairs = pairs
+      .join(tomb.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(tomb.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
+      .join(affectedDocs.select(col("doc_id").as("id_a")), Seq("id_a"), "leftsemi")
+    val after = dedupClusters(survivingAffectedPairs)
+      .withColumnRenamed("cluster_id", "nc")
     before
       .join(affected, Seq("cluster_id"), "leftsemi")
       .join(tomb, Seq("doc_id"), "left_anti")

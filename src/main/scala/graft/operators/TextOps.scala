@@ -1183,12 +1183,32 @@ object TextOps {
     * scan costs two cheap corpus passes.
     */
   def packCounts(perDocCounts: DataFrame, budget: Long, shardSize: Long = 1000L,
-      idCol: String = "doc_id"): DataFrame = {
-    // read twice (shard-totals broadcast branch + final join) but NOT
-    // persisted: a lazy persist on a frame returned to the caller can never
-    // be unpersisted and leaks for the session lifetime, and both reads are
-    // a single corpus pass each now that bpeEncode's lineage is a literal
-    // vocab join rather than the training loop
+      idCol: String = "doc_id"): DataFrame =
+    packAssignments(perDocCounts, budget, shardSize, idCol)
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+      .orderBy(col("seq_id"))
+
+  /** The packer's per-document assignment stage — the ONE place the
+    * doc → sequence rule lives ([[packCounts]] aggregates it per
+    * sequence; [[forgetBlastRadius]] audits it per takedown — shared so
+    * the audit cannot drift from the packing it audits). Output:
+    * (idCol, n_tokens, seq_id), where seq_id = (running token offset in
+    * id order) div budget via the two-level shard decomposition (the
+    * global order realized without a global sort: shard offsets are a
+    * broadcast-sized prefix sum, within-shard offsets a per-shard
+    * window).
+    *
+    * Two scans of `perDocCounts` (shard-totals branch + final join), NOT
+    * persisted here — [[packCounts]]' documented contract; expensive
+    * count pipelines go through [[packCountsMaterialized]]'s barrier.
+    */
+  def packAssignments(perDocCounts: DataFrame, budget: Long,
+      shardSize: Long = 1000L, idCol: String = "doc_id"): DataFrame = {
     val perDoc = perDocCounts.select(
       col(idCol), expr(s"$idCol div $shardSize").as("shard"), col("n_tokens"))
     val shardTotals = perDoc.groupBy(col("shard"))
@@ -1205,13 +1225,46 @@ object TextOps {
       .join(broadcast(offsets), "shard")
       .withColumn("before",
         col("offset") + coalesce(sum(col("n_tokens")).over(wInShard), lit(0L)))
-      .withColumn("seq_id", expr(s"before div $budget"))
+      .select(col(idCol), col("n_tokens"), expr(s"before div $budget").as("seq_id"))
+  }
+
+  /** Takedown blast radius over packed training sequences — the
+    * compliance query a right-to-be-forgotten request triggers AFTER the
+    * packer has materialized context windows: which sequences contain a
+    * tombstoned document (and must be regenerated or excluded from
+    * further epochs), and what regeneration costs in documents and
+    * tokens. [[graft.operators.DedupOps.dedupForget]] repairs the dedup
+    * index; this prices the damage downstream of it, riding the SAME
+    * assignment stage as [[packCounts]] ([[packAssignments]]).
+    *
+    * Scale shape: the count pipeline is materialized once behind the
+    * [[graft.Spill]] barrier (the [[packSequences]] discipline — the
+    * assignment stage's two-scan contract would tokenize twice); the
+    * tombstone join is metadata-sized; one per-sequence aggregation.
+    * Output: one row per AFFECTED sequence (n_tombstoned > 0):
+    * (seq_id, n_docs, n_tombstoned, n_tokens, tokens_lost), ordered.
+    */
+  def forgetBlastRadius(docs: DataFrame, tombstones: DataFrame, budget: Long,
+      shardSize: Long = 1000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val counts = docs.select(
+      col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val path = graft.Spill.newDir("graft-blastcounts")
+    counts.write.mode("overwrite").parquet(path)
+    val tomb = tombstones.select(col(idCol)).distinct()
+      .withColumn("tombed", lit(1L))
+    packAssignments(spark.read.schema(counts.schema).parquet(path),
+        budget, shardSize, idCol)
+      .join(tomb, Seq(idCol), "left")
       .groupBy(col("seq_id"))
       .agg(
         count(lit(1)).as("n_docs"),
+        sum(coalesce(col("tombed"), lit(0L))).as("n_tombstoned"),
         sum(col("n_tokens")).as("n_tokens"),
-        min(col(idCol)).as("first_doc"),
-        max(col(idCol)).as("last_doc"))
+        coalesce(sum(when(col("tombed") === 1L, col("n_tokens"))), lit(0L))
+          .as("tokens_lost"))
+      .filter(col("n_tombstoned") > 0)
       .orderBy(col("seq_id"))
   }
 

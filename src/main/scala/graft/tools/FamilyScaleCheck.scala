@@ -144,7 +144,12 @@ object FamilyScaleCheck {
       "q_dedup_forget" ->
         ((dir: String) => graft.SparkEntry.queries("q_dedup_forget")(spark, dir)),
       "q_bq_recall" ->
-        ((dir: String) => SimOps.bqRecall(embs(dir), col("vec_id") < 5)))
+        ((dir: String) => SimOps.bqRecall(embs(dir), col("vec_id") < 5)),
+      // the blast-radius audit is the pack family's shape (one tokenize
+      // behind the Spill barrier + two narrow-count scans + one
+      // metadata join) — the law: ~linear in corpus tokens
+      "q_forget_blast" ->
+        ((dir: String) => graft.SparkEntry.queries("q_forget_blast")(spark, dir)))
 
     // noop-write timing, NOT count(): under count() Catalyst prunes the
     // unobserved columns (strike's md5 reassembly, spans' positions) and

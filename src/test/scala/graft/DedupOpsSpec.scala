@@ -247,6 +247,23 @@ class DedupOpsSpec extends SparkSpec {
       s"re-election wrong: $out")
   }
 
+  test("dedupForget: affected-subgraph closure equals the full recompute (component property)") {
+    // three clusters {1,2,3} / {5,6} / {8,9,10-cycle}; tombstones hit 2
+    // and 9. The re-derivation runs only over affected-cluster surviving
+    // pairs — the 8-10 edge must survive the restriction (both endpoints
+    // in an affected cluster, neither tombstoned) and keep {8,10}
+    // together, while {5,6} stays out of the output entirely
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 8L))
+      .toDF("id_a", "id_b")
+    val out = DedupOps.dedupForget(pairs, Seq(2L, 9L).toDF("doc_id"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, 0L, 1L),
+      (3L, 1L, 3L, 1L, 1L),
+      (8L, 8L, 8L, 0L, 0L),
+      (10L, 8L, 8L, 0L, 0L)), s"subgraph closure wrong: $out")
+  }
+
   test("dedupClusters: 33-node chain converges in O(log n) rounds, one cluster") {
     // a path graph is the worst case for min-label propagation (O(n)
     // rounds); large-star/small-star must collapse it logarithmically

@@ -95,7 +95,10 @@ class PlanBudgetSpec extends SparkSpec {
     // (the CC loops themselves end in localCheckpoints, pinned by the
     // round-budget tests below)
     "q_bq_recall" -> Pin(6, 10, 0, 7),
-    "q_dedup_forget" -> Pin(3, 7, 3, 4))
+    "q_dedup_forget" -> Pin(3, 7, 3, 4),
+    // one documents scan (the tokenize, Spill-materialized once) + the
+    // assignment stage's documented two scans of the narrow count table
+    "q_forget_blast" -> Pin(3, 6, 0, 3))
 
   for ((name, pin) <- pins) {
     test(s"plan budget: $name") {

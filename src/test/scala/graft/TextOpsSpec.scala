@@ -381,6 +381,17 @@ class TextOpsSpec extends SparkSpec {
       (4L, 1L, 1L, 4L, 4L)))
   }
 
+  test("forgetBlastRadius: only affected sequences emit; token accounting exact") {
+    // budget 5, one shard: offsets 0,3,5,6,10,11 -> seqs 0,0,1,1,2,2;
+    // tombstoning doc 3 must flag seq 1 ONLY, losing exactly its 4 tokens
+    val d = docs(
+      (0L, "a b c"), (1L, "d e"), (2L, "f"),
+      (3L, "g h i j"), (4L, "k"), (5L, "l m"))
+    val got = TextOps.forgetBlastRadius(d, Seq(3L).toDF("doc_id"), budget = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 5L, 4L)), s"blast radius wrong: $got")
+  }
+
   test("packSequences: sharded prefix sum equals the single-window form") {
     val d = sf("documents")
     def run(shard: Long) =
