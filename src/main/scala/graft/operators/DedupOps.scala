@@ -1260,9 +1260,19 @@ object DedupOps {
     * now_singleton) — one row per surviving member of an affected
     * cluster, ordered by doc_id.
     */
-  def dedupForget(pairs: DataFrame, tombstones: DataFrame): DataFrame = {
+  def dedupForget(pairs: DataFrame, tombstones: DataFrame): DataFrame =
+    dedupForgetWith(dedupClusters(pairs), pairs, tombstones)
+
+  /** [[dedupForget]] with CALLER-SUPPLIED before-labels — the production
+    * form: at 100 TB the forward pass's (doc_id, cluster_id) table is
+    * STORED, so a takedown batch pays only the metadata joins plus the
+    * affected-subgraph closure — never a corpus-wide re-cluster.
+    * [[dedupForget]] is exactly this with `before = dedupClusters(pairs)`
+    * (spec-pinned equal on a materialized-labels fixture).
+    */
+  def dedupForgetWith(
+      before: DataFrame, pairs: DataFrame, tombstones: DataFrame): DataFrame = {
     val tomb = tombstones.select(col("doc_id")).distinct()
-    val before = dedupClusters(pairs)
     val affected = before.join(tomb, Seq("doc_id"), "leftsemi")
       .select(col("cluster_id")).distinct()
     val affectedDocs = before.join(affected, Seq("cluster_id"), "leftsemi")

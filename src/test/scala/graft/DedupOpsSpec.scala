@@ -264,6 +264,23 @@ class DedupOpsSpec extends SparkSpec {
       (10L, 8L, 8L, 0L, 0L)), s"subgraph closure wrong: $out")
   }
 
+  test("dedupForgetWith: stored before-labels reproduce the recompute path exactly") {
+    // the production form: the forward pass's label table is STORED —
+    // handing it in must produce byte-identical output to the
+    // recompute-everything entry point
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 8L))
+      .toDF("id_a", "id_b")
+    val tomb = Seq(2L, 9L).toDF("doc_id")
+    // materialize the labels like a stored table (no live lineage to pairs)
+    val stored = DedupOps.dedupClusters(pairs).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toDF("doc_id", "cluster_id")
+    val viaStored = DedupOps.dedupForgetWith(stored, pairs, tomb)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val viaRecompute = DedupOps.dedupForget(pairs, tomb)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(viaStored == viaRecompute, s"stored-labels path diverged: $viaStored")
+  }
+
   test("dedupClusters: 33-node chain converges in O(log n) rounds, one cluster") {
     // a path graph is the worst case for min-label propagation (O(n)
     // rounds); large-star/small-star must collapse it logarithmically
