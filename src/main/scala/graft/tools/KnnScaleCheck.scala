@@ -276,6 +276,68 @@ object KnnScaleCheck {
       return
     }
 
+    // FORGETSTREAM mode (r18): state-store receipts for the takedown
+    // registry twin — the claims to price: state rows ∝ DISTINCT content
+    // (not arrival volume), redelivery touches keys without growing
+    // state, and a takedown batch's checkpoint delta ∝ takedowns, never
+    // the corpus (the megastream "untouched keys are not rewritten"
+    // discipline applied to the forget registry).
+    if (args.contains("forgetstream")) {
+      import spark.implicits._
+      import graft.streaming.{ForgetEvent, StreamingOps}
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val b1 = sys.env.getOrElse("SPARK_GRAFT_FORGET_B1", "50000").toInt
+      val redeliver = sys.env.getOrElse("SPARK_GRAFT_FORGET_REDELIVER", "1000").toInt
+      val tombEvery = sys.env.getOrElse("SPARK_GRAFT_FORGET_EVERY", "100").toLong
+      val rows = spark.read.parquet("/tmp/graft_scale10/documents.parquet")
+        .select(col("doc_id"), col("text")).limit(b1)
+        .as[(Long, String)].collect()
+      val ingests = rows.map { case (id, t) => ForgetEvent("ingest", id, t) }
+      val tombs = rows.filter(_._1 % tombEvery == 3)
+        .map { case (id, t) => ForgetEvent("forget", id, t) }
+      val ckpt = java.nio.file.Files.createTempDirectory("forgetstream_ckpt")
+      def dirBytes(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ForgetEvent]
+      val q = StreamingOps.forgetStream(input.toDS(), maxMembers = 64)
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        var prevBytes = 0L
+        val batches = Seq(
+          ("ingest", ingests.toSeq),
+          ("redeliver", ingests.take(redeliver).toSeq),
+          ("takedown", tombs.toSeq))
+        for (((label, batch), bi) <- batches.zipWithIndex) {
+          val t0 = System.nanoTime()
+          input.addData(batch)
+          q.processAllAvailable()
+          val t = (System.nanoTime() - t0) / 1e9
+          val bytes = dirBytes(ckpt)
+          val so = q.lastProgress.stateOperators.headOption
+          val (tot, upd, rem) = so
+            .map(s => (s.numRowsTotal, s.numRowsUpdated, s.numRowsRemoved))
+            .getOrElse((-1L, -1L, -1L))
+          println(f"[knnscale] forgetstream batch ${bi + 1} $label%-9s " +
+            f"(${batch.length} events): $t%.1f s, " +
+            f"updated $upd / removed $rem of $tot keys, " +
+            f"checkpoint +${(bytes - prevBytes) >> 10} KiB (total ${bytes >> 10} KiB)")
+          System.out.flush()
+          prevBytes = bytes
+        }
+      } finally {
+        q.stop()
+        spark.stop()
+      }
+      return
+    }
+
     // HIERRECALL mode (r16): the q_recall_audit_ivf_hier curve at the
     // decades — recall@10 of hier IVF search vs brute force at
     // superProbes 1/2 (nProbe 4, the declared fixture cells 100..115).
