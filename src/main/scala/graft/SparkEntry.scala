@@ -1484,12 +1484,18 @@ object SparkEntry {
     // 4x compression (its err_bp rows are the reconstruction side).
     "q_sq_recall" -> ((s, dir) =>
       SimOps.sqRecall(t(s, dir, "embeddings"), col("vec_id") < 5)),
-    // Binary (1-bit sign) quantization retrieval recall, both serving
-    // modes: raw Hamming top-10 over the 32x-compressed codes, and the
-    // production two-stage (Hamming top-40 candidates re-ranked by exact
-    // float cosine) — the BQ + rescore pipeline every binary index ships.
+    // Binary (1-bit sign) quantization retrieval recall, all three
+    // serving modes: symmetric Hamming top-10 over the 32x-compressed
+    // codes, asymmetric distance (float query vs the ±1 decode — FAISS
+    // ADC), and the production two-stage (Hamming top-40 candidates
+    // re-ranked by exact float cosine — the BQ + rescore pipeline).
     "q_bq_recall" -> ((s, dir) =>
       SimOps.bqRecall(t(s, dir, "embeddings"), col("vec_id") < 5)),
+    // Recall-per-table curve of the multi-table sign-LSH search — the
+    // knob an LSH deployment tunes (each table ORs in another
+    // sign-slice's buckets); monotone by the candidate-superset theorem.
+    "q_lsh_recall" -> ((s, dir) =>
+      SimOps.lshRecallSweep(t(s, dir, "embeddings"), col("vec_id") < 5)),
     // Sign-bucket LSH variant: equi-join on the bucket key, the 100 TB path.
     "q_sim_lsh" -> ((s, dir) =>
       SimOps.lshTopK(t(s, dir, "embeddings"), col("vec_id") < 5)),
@@ -4140,14 +4146,60 @@ object SparkEntry {
         "WHERE hr.rnk <= 40), " +
         "rt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk2 FROM cd) WHERE rnk2 <= 10), " +
+        "sv AS (SELECT vec_id, list_transform(e, x -> " +
+        "CASE WHEN x > 0.0 THEN 1.0 ELSE -1.0 END) AS sv FROM n), " +
+        "ap AS (SELECT q.q_id, sv.vec_id, list_dot_product(q.qe, sv.sv) AS s " +
+        "FROM sv JOIN q ON sv.vec_id <> q.q_id), " +
+        "at AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY s DESC, vec_id) AS rnk3 FROM ap) WHERE rnk3 <= 10), " +
         "hh AS (SELECT 'hamming' AS variant, CAST(count(*) AS BIGINT) AS h " +
         "FROM ht JOIN bt USING (q_id, vec_id) " +
         "UNION ALL SELECT 'rerank' AS variant, CAST(count(*) AS BIGINT) AS h " +
-        "FROM rt JOIN bt USING (q_id, vec_id)), " +
-        "v AS (SELECT unnest(['hamming', 'rerank']) AS variant) " +
+        "FROM rt JOIN bt USING (q_id, vec_id) " +
+        "UNION ALL SELECT 'asym' AS variant, CAST(count(*) AS BIGINT) AS h " +
+        "FROM at JOIN bt USING (q_id, vec_id)), " +
+        "v AS (SELECT unnest(['asym', 'hamming', 'rerank']) AS variant) " +
         "SELECT v.variant, CAST(coalesce(hh.h, 0) AS BIGINT) AS n_hits, " +
         "CAST((coalesce(hh.h, 0) * 10000) // 50 AS BIGINT) AS recall_bp " +
         "FROM v LEFT JOIN hh USING (variant) ORDER BY variant"),
+    // mirrors SimOps.lshRecallSweep: the q_sim_lsh multi-table chain
+    // instantiated per swept table count, hits vs the brute truth
+    "q_lsh_recall" -> {
+      def leg(s: Int): String = {
+        val tableSelects = (0 until s).map { t =>
+          val bucket = (0 until 4)
+            .map(i => s"(CASE WHEN e[${t * 4 + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+            .mkString(" + ")
+          s"SELECT vec_id, e, nrm, '$t:' || ($bucket) AS tb FROM n"
+        }.mkString(" UNION ALL ")
+        s"tb$s AS ($tableSelects), " +
+          s"lq$s AS (SELECT vec_id AS q_id, qe, qn, tb FROM " +
+          s"(SELECT vec_id, e AS qe, nrm AS qn, tb FROM tb$s) WHERE vec_id < 5), " +
+          s"lp$s AS (SELECT q_id, vec_id, min(cos) AS cos FROM " +
+          s"(SELECT lq$s.q_id, c.vec_id, list_dot_product(qe, e) / (qn * nrm) AS cos " +
+          s"FROM tb$s c JOIN lq$s ON c.tb = lq$s.tb AND c.vec_id <> lq$s.q_id) " +
+          "GROUP BY q_id, vec_id), " +
+          s"lt$s AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER " +
+          s"(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM lp$s) " +
+          "WHERE rnk <= 10), " +
+          s"lh$s AS (SELECT $s AS n_tables, CAST(count(*) AS BIGINT) AS h " +
+          s"FROM lt$s JOIN bt USING (q_id, vec_id))"
+      }
+      "WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5), " +
+        "bp AS (SELECT q.q_id, n.vec_id, " +
+        "list_dot_product(qe, e) / (qn * nrm) AS cos FROM n JOIN q ON n.vec_id <> q.q_id), " +
+        "bt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM bp) WHERE rnk <= 10), " +
+        Seq(1, 4, 8).map(leg).mkString(", ") + ", " +
+        "v AS (SELECT unnest([1, 4, 8]) AS n_tables), " +
+        "hh AS (SELECT * FROM lh1 UNION ALL SELECT * FROM lh4 UNION ALL SELECT * FROM lh8) " +
+        "SELECT v.n_tables, CAST(coalesce(hh.h, 0) AS BIGINT) AS n_hits, " +
+        "CAST((coalesce(hh.h, 0) * 10000) // 50 AS BIGINT) AS recall_bp " +
+        "FROM v LEFT JOIN hh USING (n_tables) ORDER BY n_tables"
+    },
     // mirrors SimOps.ivfTrainedRecallAudit: one bp-integer Lloyd round
     // from the fixture seeds through EXACT assignment (the
     // q_sim_ivf_kmeans chain) and through the TWO-LEVEL assignment (the

@@ -362,21 +362,29 @@ object SimOps {
         "ELSE 0L END)").as("code"))
 
   /** Retrieval recall of binary quantization — the quality side of
-    * [[bqCodes]]'s 32× compression, measured in BOTH serving modes: the
-    * raw Hamming top-k ('hamming'), and the production two-stage
-    * ('rerank') where the Hamming pass keeps `rerank` candidates and an
-    * exact float cosine re-ranks them to k — the BQ + rescore pipeline
-    * every binary index ships behind. Hamming ties are broken by id
-    * (distances are small integers over a large corpus, so ties are the
-    * NORM, not an edge case — deterministic order is what makes the
-    * ranking oracle-comparable). Hit counts left-join the variant list
-    * ([[mrlRecallSweep]]'s zero-row discipline).
+    * [[bqCodes]]'s 32× compression, measured in ALL THREE standard
+    * serving modes: the symmetric Hamming top-k ('hamming', query and
+    * corpus both binary), the ASYMMETRIC distance ('asym', FAISS's ADC:
+    * the float query scored against the ±1 decode of each corpus code —
+    * dot(q, sign(c)); the corpus-side sign vector has constant norm √d,
+    * so the dot IS the cosine order — keeping the query un-quantized
+    * recovers recall the symmetric pass loses), and the production
+    * two-stage ('rerank': Hamming keeps `rerank` candidates, exact float
+    * cosine re-ranks to k — the BQ + rescore pipeline every binary index
+    * ships behind). Hamming ties are broken by id (distances are small
+    * integers over a large corpus, so ties are the NORM, not an edge
+    * case — deterministic order is what makes the ranking
+    * oracle-comparable); sign decode uses the strict `x > 0` bit rule of
+    * [[bqCodes]] so code and decode agree. Hit counts left-join the
+    * variant list ([[mrlRecallSweep]]'s zero-row discipline).
     *
-    * Scale shape: the code table is the 32×-compressed scan (integer
-    * XOR/popcount, no floats); queries broadcast (per-query work like
-    * [[bruteTopK]], never per-corpus-pair); the re-rank leg touches only
-    * `rerank · |queries|` float rows — metadata-sized. Output:
-    * (variant, n_hits, recall_bp), ordered.
+    * Scale shape: the hamming leg scans the 32×-compressed code table
+    * (integer XOR/popcount, no floats); the asym leg is one ±1-decode
+    * projection + the broadcast-query dot scan (ADC's real cost shape:
+    * corpus-linear but float); queries broadcast throughout (per-query
+    * work like [[bruteTopK]], never per-corpus-pair); the re-rank leg
+    * touches only `rerank · |queries|` float rows — metadata-sized.
+    * Output: (variant, n_hits, recall_bp), ordered by variant.
     */
   def bqRecall(
       emb: DataFrame,
@@ -414,18 +422,81 @@ object SimOps {
     val rerTop = rescored.withColumn("rnk", row_number().over(rw))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col(idCol))
+    // ADC: float query against the ±1 decode (bqCodes' strict x > 0 bit
+    // rule); both sides cast to double so the fold matches the oracle's
+    // DOUBLE[] list_dot_product bit-for-bit
+    val adc = n
+      .select(col(idCol),
+        transform(col("e").cast("array<double>"),
+          x => when(x > 0.0, lit(1.0)).otherwise(lit(-1.0))).as("sv"))
+      .crossJoin(broadcast(qv.select(col("q_id"),
+        col("qe").cast("array<double>").as("qd"))))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol), dot(col("qd"), col("sv")).as("s"))
+    val aw = Window.partitionBy(col("q_id")).orderBy(col("s").desc, col(idCol))
+    val asymTop = adc.withColumn("rnk", row_number().over(aw))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col(idCol))
     val hits = hamTop.select(lit("hamming").as("variant"), col("q_id"), col(idCol))
       .unionByName(rerTop.select(lit("rerank").as("variant"), col("q_id"), col(idCol)))
+      .unionByName(asymTop.select(lit("asym").as("variant"), col("q_id"), col(idCol)))
       .join(truth, Seq("q_id", idCol))
       .groupBy(col("variant"))
       .agg(count(lit(1)).as("h"))
     val session = emb.sparkSession
     import session.implicits._
-    Seq("hamming", "rerank").toDF("variant")
+    Seq("asym", "hamming", "rerank").toDF("variant")
       .join(hits, Seq("variant"), "left")
       .select(col("variant"), coalesce(col("h"), lit(0L)).as("n_hits"))
       .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nq * k}"))
       .orderBy(col("variant"))
+  }
+
+  /** Recall@k of multi-table sign-LSH search ([[lshTopK]]) vs brute
+    * force, swept over the TABLE COUNT — the recall-per-table knob an
+    * LSH deployment tunes (each extra table ORs in another sign-slice's
+    * buckets; the last ANN leg that had no declared recall audit).
+    * Recall is provably monotone in `tables`: a wider OR's candidate set
+    * is a superset, and a true top-k member present in any candidate set
+    * survives its exact re-ranking (fewer than k vectors beat it in the
+    * (cos desc, id) total order — [[ivfRecallSweep]]'s argument,
+    * spec-pinned). Hit counts left-join the swept list
+    * ([[mrlRecallSweep]]'s zero-row discipline). Output:
+    * (n_tables, n_hits, recall_bp), ordered by n_tables.
+    *
+    * Scale shape: one brute-force truth pass plus one [[lshTopK]] per
+    * swept value — each is the equi-join-on-bucket-key shape (queries
+    * broadcast, candidate fan-out per query = bucket population); the
+    * join + recall aggregation is k·|queries| rows, metadata-sized.
+    */
+  def lshRecallSweep(
+      emb: DataFrame,
+      queryPred: Column,
+      tableSweep: Seq[Int] = Seq(1, 4, 8),
+      k: Int = 10,
+      bits: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(tableSweep.nonEmpty, "lshRecallSweep: empty table sweep")
+    val nq = emb.filter(queryPred).count()
+    require(nq > 0, s"lshRecallSweep: queryPred selects no rows — " +
+      "recall_bp would divide by zero in the generated SQL")
+    val truth = bruteTopK(emb, queryPred, k, idCol, embCol)
+      .select(col("q_id"), col(idCol))
+    val hits = tableSweep.map { t =>
+      lshTopK(emb, queryPred, k, bits, t, idCol, embCol)
+        .select(lit(t).as("n_tables"), col("q_id"), col(idCol))
+    }.reduce(_ unionByName _)
+      .join(truth, Seq("q_id", idCol))
+      .groupBy(col("n_tables"))
+      .agg(count(lit(1)).as("h"))
+    val session = emb.sparkSession
+    import session.implicits._
+    tableSweep.toDF("n_tables")
+      .join(hits, Seq("n_tables"), "left")
+      .select(col("n_tables"), coalesce(col("h"), lit(0L)).as("n_hits"))
+      .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nq * k}"))
+      .orderBy(col("n_tables"))
   }
 
   /** Bucket id from the sign bits of `bits` dimensions starting at

@@ -94,7 +94,8 @@ class PlanBudgetSpec extends SparkSpec {
     // queries broadcast) and the forget pass's post-CC label joins
     // (the CC loops themselves end in localCheckpoints, pinned by the
     // round-budget tests below)
-    "q_bq_recall" -> Pin(6, 10, 0, 7),
+    "q_bq_recall" -> Pin(8, 11, 0, 8),
+    "q_lsh_recall" -> Pin(8, 14, 0, 7),
     "q_dedup_forget" -> Pin(3, 7, 3, 4),
     // one documents scan (the tokenize, Spill-materialized once) + the
     // assignment stage's documented two scans of the narrow count table

@@ -355,16 +355,17 @@ class SimOpsSpec extends SparkSpec {
       s"word packing wrong: $out")
   }
 
-  test("bqRecall: an exact duplicate survives both legs; rerank never below hamming") {
-    // vec 100 duplicates query vec 0 bit-for-bit -> Hamming 0 and cos 1:
-    // it must be in the truth AND in both approximate top-k sets
+  test("bqRecall: an exact duplicate survives every leg; rerank never below hamming") {
+    // vec 100 duplicates query vec 0 bit-for-bit -> Hamming 0, cos 1,
+    // and the MAXIMUM possible ADC score (dot(q, sign(q)) = ||q||_1):
+    // it must be in the truth AND in all three approximate top-k sets
     val mk = (seed: Long) =>
       (0 until 64).map(j => (((seed * 37 + j * 11) % 13).toInt - 6).toFloat / 6f)
     val corpus = ((1L to 9L).map(i => (i, mk(i))) :+ (0L, mk(0L)) :+ (100L, mk(0L)))
       .toDF("vec_id", "embedding")
     val out = SimOps.bqRecall(corpus, col("vec_id") === 0, k = 2, rerank = 4)
       .as[(String, Long, Long)].collect().toSeq
-    assert(out.map(_._1) == Seq("hamming", "rerank"), s"variant rows: $out")
+    assert(out.map(_._1) == Seq("asym", "hamming", "rerank"), s"variant rows: $out")
     out.foreach { case (v, h, bp) =>
       assert(h >= 1, s"$v leg lost the exact duplicate: $out")
       assert(bp == h * 10000 / 2, s"$v recall arithmetic: $out")
@@ -378,15 +379,33 @@ class SimOpsSpec extends SparkSpec {
     // re-ranking can never evict it — any regression is a bug
     val out = SimOps.bqRecall(sf("embeddings"), col("vec_id") < 5)
       .as[(String, Long, Long)].collect().toSeq
-    assert(out.map(_._1) == Seq("hamming", "rerank"), s"variant rows: $out")
+    assert(out.map(_._1) == Seq("asym", "hamming", "rerank"), s"variant rows: $out")
     val m = out.map(r => r._1 -> r._3).toMap
     out.foreach { case (v, h, bp) =>
       assert(h <= 50, s"$v hits exceed candidates: $out")
       assert(bp == h * 10000 / 50, s"$v recall arithmetic: $out")
     }
-    info(s"bq recall: hamming ${m("hamming")}, rerank ${m("rerank")}")
+    info(s"bq recall: asym ${m("asym")}, hamming ${m("hamming")}, rerank ${m("rerank")}")
     assert(m("hamming") > 0, s"hamming leg found none of the truth: $out")
     assert(m("rerank") >= m("hamming"), s"rerank recall below hamming: $out")
+    assert(m("asym") > 0, s"asym leg found none of the truth: $out")
+  }
+
+  test("lshRecallSweep: recall monotone in tables; 8-table search recovers the q_sim_lsh regime") {
+    // monotonicity is the candidate-superset theorem (each extra table
+    // ORs in buckets; a truth member present in any candidate set
+    // survives exact re-ranking) — any violation is a bug
+    val out = SimOps.lshRecallSweep(sf("embeddings"), col("vec_id") < 5)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1, 4, 8), s"sweep rows: $out")
+    out.foreach { case (t, h, bp) =>
+      assert(h <= 50, s"tables=$t hits exceed candidates: $out")
+      assert(bp == h * 10000 / 50, s"tables=$t recall arithmetic: $out")
+    }
+    val curve = out.map(_._3)
+    info(s"lsh recall curve (1/4/8 tables): $curve")
+    assert(curve == curve.sorted, s"recall not monotone in tables: $out")
+    assert(curve.last > 0, s"8-table search found none of the truth: $out")
   }
 
   test("cellArgmaxHier c2sHier: two-level c2s keeps the vector universe; fixture agreement pinned") {
