@@ -1609,6 +1609,15 @@ object SparkEntry {
     "q_knn_graph" -> ((s, dir) =>
       SimOps.knnGraph(t(s, dir, "embeddings"),
         centroidPred = SimOps.sqrtCentroidPred(t(s, dir, "embeddings")))),
+    // Hard-negative mining over the PLANTED corpus (real duplicates to
+    // exclude): the kNN graph's candidate stage band-filtered to
+    // cos_bp < 9900 before ranking — similar-but-not-duplicate neighbors,
+    // the contrastive-training data op (a duplicate labeled "negative"
+    // poisons the loss; the exclusion rule is semDedup's own threshold).
+    "q_hard_negatives" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      SimOps.hardNegatives(planted, SimOps.sqrtCentroidPred(planted))
+    }),
     // The kNN graph through the TWO-LEVEL coarse quantizer
     // (cellArgmaxHier): ~2·√nlist similarity evaluations per vector and
     // no broadcast array past √nlist entries — the shape that carries
@@ -4608,6 +4617,32 @@ object SparkEntry {
         "FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id), " +
         "r AS (SELECT id_a, id_b, cos, row_number() OVER (PARTITION BY id_a " +
         "ORDER BY cos DESC, id_b) AS rank FROM p) " +
+        s"SELECT id_a, rank, id_b, ${TextOps.roundBpSql("cos")} AS cos_bp " +
+        "FROM r WHERE rank <= 3 ORDER BY id_a, rank"),
+    // mirrors SimOps.hardNegatives over plantedVectors: the q_knn_graph
+    // chain on the planted corpus, pairs band-filtered to the bp-rounded
+    // cosine < 9900 (semDedup's near-dup rule) before ranking
+    "q_hard_negatives" ->
+      ("WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+        s"UNION ALL SELECT vec_id + ${DedupOps.plantStepSql("embeddings", "vec_id")} " +
+        "AS vec_id, embedding " +
+        "FROM embeddings WHERE vec_id % 100 = 0), " +
+        "n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+        "FROM base), " +
+        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n " +
+        s"WHERE ${SimOps.sqrtCentroidPredSql("base")}), " +
+        "cs AS (SELECT n.vec_id, n.e, n.nrm, c.c_id, " +
+        "list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS csim FROM n CROSS JOIN c), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY csim DESC, c_id) AS crn FROM cs), " +
+        "asg AS (SELECT vec_id, e, nrm, c_id FROM rk WHERE crn = 1), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos " +
+        "FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id), " +
+        s"f AS (SELECT * FROM p WHERE ${TextOps.roundBpSql("cos")} < 9900), " +
+        "r AS (SELECT id_a, id_b, cos, row_number() OVER (PARTITION BY id_a " +
+        "ORDER BY cos DESC, id_b) AS rank FROM f) " +
         s"SELECT id_a, rank, id_b, ${TextOps.roundBpSql("cos")} AS cos_bp " +
         "FROM r WHERE rank <= 3 ORDER BY id_a, rank"),
     // mirrors q_knn_graph_probe2: the SOURCE side takes its 2 nearest

@@ -1227,7 +1227,19 @@ object SimOps {
       k: Int = 3,
       probes: Int = 1,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding"): DataFrame =
+    rankNeighborPairs(knnCellPairs(emb, centroidPred, probes, idCol, embCol), k)
+
+  /** The kNN graph's candidate-pair stage — the ONE place the cell-bounded
+    * (id_a, id_b, cos) candidate set is built ([[knnGraph]] ranks it
+    * directly; [[hardNegatives]] band-filters it first — shared so the
+    * mining op cannot drift from the graph it subsets). */
+  private def knnCellPairs(
+      emb: DataFrame,
+      centroidPred: Column,
+      probes: Int,
+      idCol: String,
+      embCol: String): DataFrame = {
     val n = normalized(emb, idCol, embCol)
     val cents = n.filter(centroidPred)
       .select(col(idCol).as("c_id"), col("e").as("ce"), col("nrm").as("cn"))
@@ -1242,10 +1254,15 @@ object SimOps {
     val b = ranked.filter(col("crn") === 1)
       .select(col("c_id"), col(idCol).as("id_b"),
       col("e").as("eb"), col("nrm").as("nb"))
-    val pairs = a.join(b, "c_id")
+    a.join(b, "c_id")
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+  }
+
+  /** Per-source top-k ranking of a (id_a, id_b, cos) pair set — the
+    * output tail shared by [[knnGraph]] and [[hardNegatives]]. */
+  private def rankNeighborPairs(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
     pairs
       .withColumn("rank", row_number().over(w))
@@ -1253,6 +1270,36 @@ object SimOps {
       .select(col("id_a"), col("rank"), col("id_b"), TextOps.roundBp(col("cos")).as("cos_bp"))
       .orderBy(col("id_a"), col("rank"))
   }
+
+  /** Hard-negative mining for contrastive / embedding training — per
+    * vector, the top-`k` most-similar candidates that are NOT
+    * near-duplicates: similar enough to be informative negatives, not so
+    * similar they are actually positives (a duplicate labeled "negative"
+    * poisons the contrastive loss — the standard mining pitfall). The
+    * candidate set is [[knnGraph]]'s cell-bounded pair stage (shared
+    * [[knnCellPairs]], no drift) filtered to `cos_bp < dupBp` BEFORE
+    * ranking, where `dupBp` defaults to the SAME ≥ 9900 near-dup rule
+    * [[semDedup]] collapses on — what dedup would collapse, mining must
+    * not emit. The boundary tests the bp-ROUNDED cosine so both engines
+    * agree on it exactly.
+    *
+    * Scale shape: identical to [[knnGraph]] (one assignment pass, in-cell
+    * pairing, per-source window) — the band filter is a pre-rank
+    * predicate, no extra shuffle. Output: (id_a, rank, id_b, cos_bp),
+    * rank over the surviving candidates.
+    */
+  def hardNegatives(
+      emb: DataFrame,
+      centroidPred: Column,
+      k: Int = 3,
+      dupBp: Int = 9900,
+      probes: Int = 1,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    rankNeighborPairs(
+      knnCellPairs(emb, centroidPred, probes, idCol, embCol)
+        .filter(TextOps.roundBp(col("cos")) < dupBp),
+      k)
 
   /** Embedding distribution drift between two corpus snapshots — the
     * monitor a production pipeline runs when a new crawl lands: assign

@@ -99,7 +99,10 @@ class PlanBudgetSpec extends SparkSpec {
     "q_dedup_forget" -> Pin(3, 7, 3, 4),
     // one documents scan (the tokenize, Spill-materialized once) + the
     // assignment stage's documented two scans of the narrow count table
-    "q_forget_blast" -> Pin(3, 6, 0, 3))
+    "q_forget_blast" -> Pin(3, 6, 0, 3),
+    // the knnGraph chain over the planted corpus + the pre-rank band
+    // filter (no extra shuffle — the mining op's whole point)
+    "q_hard_negatives" -> Pin(4, 4, 1, 3))
 
   for ((name, pin) <- pins) {
     test(s"plan budget: $name") {

@@ -391,6 +391,37 @@ class SimOpsSpec extends SparkSpec {
     assert(m("asym") > 0, s"asym leg found none of the truth: $out")
   }
 
+  test("hardNegatives: near-duplicates never emitted as negatives; ranks re-pack over survivors") {
+    // the planted corpus carries exact duplicates (cos_bp = 10000) that
+    // the kNN graph DOES emit — mining must exclude every one of them
+    // (a duplicate labeled "negative" poisons the contrastive loss) and
+    // re-rank the survivors contiguously from 1
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    val pred = SimOps.sqrtCentroidPred(planted)
+    val kg = SimOps.knnGraph(planted, pred)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(kg.exists(_._4 >= 9900),
+      "fixture has no near-dup in the graph — the exclusion test is vacuous")
+    val hn = SimOps.hardNegatives(planted, pred)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(hn.nonEmpty, "no hard negatives mined")
+    assert(hn.forall(_._4 < 9900), s"a near-dup leaked into the negatives: " +
+      s"${hn.filter(_._4 >= 9900).take(3)}")
+    hn.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted == (1 to g.length),
+        s"ranks not contiguous for ${g.head._1}: ${g.sortBy(_._2)}")
+    }
+    // every mined pair is a graph candidate rule: subset of the pair set
+    // the graph would rank given a deep enough k — spot-check via the
+    // shared chain: identical (id_a, id_b) never disagree on cos_bp
+    val kgMap = kg.map(r => (r._1, r._3) -> r._4).toMap
+    hn.foreach { r =>
+      kgMap.get((r._1, r._3)).foreach { c =>
+        assert(c == r._4, s"cos drifted between graph and mining: $r vs $c")
+      }
+    }
+  }
+
   test("lshRecallSweep: recall monotone in tables; 8-table search recovers the q_sim_lsh regime") {
     // monotonicity is the candidate-superset theorem (each extra table
     // ORs in buckets; a truth member present in any candidate set
