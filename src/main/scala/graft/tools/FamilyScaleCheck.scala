@@ -149,7 +149,15 @@ object FamilyScaleCheck {
       // behind the Spill barrier + two narrow-count scans + one
       // metadata join) — the law: ~linear in corpus tokens
       "q_forget_blast" ->
-        ((dir: String) => graft.SparkEntry.queries("q_forget_blast")(spark, dir)))
+        ((dir: String) => graft.SparkEntry.queries("q_forget_blast")(spark, dir)),
+      // the r18 ANN-audit closers: lsh sweep = 3 lshTopK passes + one
+      // brute truth (per-query work, corpus-linear); hard negatives =
+      // the knnGraph chain + a band filter (corpus-linear in-cell
+      // pairing at self-sized √n cells)
+      "q_lsh_recall" ->
+        ((dir: String) => SimOps.lshRecallSweep(embs(dir), col("vec_id") < 5)),
+      "q_hard_negatives" ->
+        ((dir: String) => graft.SparkEntry.queries("q_hard_negatives")(spark, dir)))
 
     // noop-write timing, NOT count(): under count() Catalyst prunes the
     // unobserved columns (strike's md5 reassembly, spans' positions) and
