@@ -192,9 +192,19 @@ case class FpItem(fp_md5: String, op: String, doc_id: Long)
   * `members` holds the tracked ids SORTED ASCENDING (under a cap, the
   * `maxMembers` smallest ids alive — see the min-exactness invariant in
   * the operator doc), `nUntracked` the exact count of over-cap members
-  * whose ids were not recorded.
+  * whose ids were not recorded, and `untrackedMin` a LOWER BOUND on
+  * every untracked id still alive (Long.MaxValue when none). The bound
+  * is what keeps min(tracked) exact after takedowns re-open tracked
+  * slots: an ingest with id ≥ `untrackedMin` might not be smaller than
+  * every untracked copy, so it is routed to the count instead of the
+  * tracked set — max(tracked) < untrackedMin ≤ every untracked id holds
+  * under any interleaving. The bound is conservative (a forget of an
+  * untracked copy may leave it stale-low, routing some admissible ids
+  * to the count), never unsound; it resets when the count reaches zero.
   */
-case class FpRegistry(members: List[Long], nUntracked: Long)
+case class FpRegistry(
+    members: List[Long], nUntracked: Long,
+    untrackedMin: Long = Long.MaxValue)
 
 /** Audit row emitted by [[StreamingOps.forgetStream]], one per event:
   * `rep` is the group representative AFTER the op (None on
@@ -341,32 +351,53 @@ object StreamingOps {
     *  - ingest, state: member inserted, `suppressed`, rep = min(members)
     *    AFTER insertion (the batch `keep_id` rule, so a smaller-id
     *    arrival takes over as rep — exactly [[DedupOps.exactDedup]]'s
-    *    min; same-id redelivery is idempotent).
+    *    min; same-id redelivery of a TRACKED id is idempotent — see the
+    *    capped-mode delivery contract below for untracked ids).
     *  - forget, tracked member: removed; survivors → `forgotten` with
     *    the re-elected rep; none and nothing untracked → `purged`, state
     *    REMOVED (re-admission open).
     *  - forget, unknown content / non-member id: `noop` (rep = current
     *    rep if any) — a takedown for content the store never had.
     *
+    * Within-batch ordering: events apply in (doc_id, ingest-before-
+    * forget) order — deterministic under re-execution, and an ingest and
+    * a takedown of the SAME doc landing in one micro-batch resolve with
+    * the takedown winning (the ingest admits, then the forget removes
+    * it), never the reverse — the safe resolution for a compliance op.
+    * Cross-batch order is arrival order.
+    *
     * `maxMembers` > 0 is the hot-content guard (the same boilerplate doc
     * arrives millions of times at 100 TB): the registry tracks only the
-    * `maxMembers` SMALLEST ids alive plus an exact untracked COUNT.
-    * Min-exactness invariant (why "smallest", not "first"): members only
-    * leave the tracked set by eviction of its MAXIMUM (a smaller arrival
-    * displacing it) or by takedown, so max(tracked) is non-increasing,
-    * every untracked id was ≥ max(tracked) at its suppression time and
-    * therefore ≥ every current and future tracked id — min(tracked) IS
-    * the global min whenever tracked is non-empty, under ANY interleaving
-    * of ingests and forgets. The cap therefore prices only DELETION
-    * capacity: a forget naming an untracked copy decrements the count
+    * `maxMembers` SMALLEST ids alive plus an exact untracked COUNT and a
+    * lower bound `untrackedMin` on the untracked ids ([[FpRegistry]]).
+    * Min-exactness invariant: max(tracked) < untrackedMin ≤ every
+    * untracked id. It holds because an id only reaches the count when it
+    * is ≥ the bound or evicted as the tracked MAXIMUM (the bound then
+    * absorbs it), and an ingest while copies are untracked only enters
+    * the tracked set when its id is < the bound — so even after
+    * takedowns re-open tracked slots, nothing larger than a live
+    * untracked copy can join, and min(tracked) IS the global min
+    * whenever tracked is non-empty, under ANY interleaving of ingests
+    * and forgets. The cap therefore prices only DELETION capacity: a
+    * forget naming an untracked copy decrements the count
     * (`forgotten_untracked`, rep unchanged — provably still exact); only
     * when takedowns exhaust the whole tracked set while untracked copies
     * remain does the registry emit `degraded` and clear, handing the key
     * to the downstream batch pass ([[graft.operators.DedupOps.dedupForget]])
     * — size `maxMembers` to the takedowns-per-content budget, not to the
-    * duplicate volume. Parity is pinned uncapped (every twin's rule);
-    * within-batch events apply in (doc_id, op) order — deterministic
-    * under re-execution; cross-batch order is arrival order.
+    * duplicate volume. Parity is pinned uncapped (every twin's rule).
+    *
+    * Capped-mode delivery contract: the untracked COUNT is exact under
+    * exactly-once event delivery. Under at-least-once redelivery the
+    * registry cannot distinguish a redelivered untracked ingest from a
+    * genuine new copy (it kept no identity for it — that is the cap),
+    * so a redelivery inflates the count by one and the fingerprint can
+    * then only leave via `degraded`→batch, never `purged`. Run capped
+    * mode behind an exactly-once source (Kafka transactional / the
+    * store's own key lookup), or accept that over-counted keys resolve
+    * through the batch [[graft.operators.DedupOps.dedupForget]] pass —
+    * the degrade handoff is the designed escape hatch, not a data-loss
+    * path. Uncapped mode is redelivery-idempotent unconditionally.
     *
     * State is O(distinct content · min(copies, cap)) longs — the
     * registry an incremental exact dedup keeps anyway, now deletable.
@@ -388,11 +419,18 @@ object StreamingOps {
           val tracked = scala.collection.mutable.TreeSet.empty[Long]
           state.getOption.foreach(_.members.foreach(tracked += _))
           var nUntracked = state.getOption.map(_.nUntracked).getOrElse(0L)
+          var untrackedMin =
+            state.getOption.map(_.untrackedMin).getOrElse(Long.MaxValue)
           val out = List.newBuilder[ForgetEventRow]
-          batch.toList.sortBy(it => (it.doc_id, it.op)).foreach { it =>
+          // (doc_id, ingest-before-forget): a same-batch ingest+forget of
+          // one doc applies the takedown LAST — forget wins, never the
+          // alphabetical accident of applying it to pre-ingest state
+          batch.toList
+            .sortBy(it => (it.doc_id, if (it.op == "ingest") 0 else 1))
+            .foreach { it =>
             it.op match {
               case "ingest" =>
-                if (tracked.contains(it.doc_id)) // same-id redelivery
+                if (tracked.contains(it.doc_id)) // tracked-id redelivery
                   out += ForgetEventRow(fp, it.doc_id, "suppressed",
                     Some(tracked.head))
                 else if (tracked.isEmpty && nUntracked == 0L) {
@@ -400,15 +438,26 @@ object StreamingOps {
                   out += ForgetEventRow(fp, it.doc_id, "admitted",
                     Some(it.doc_id))
                 } else {
-                  if (maxMembers <= 0 || tracked.size < maxMembers)
-                    tracked += it.doc_id
+                  if (maxMembers <= 0) tracked += it.doc_id
+                  else if (it.doc_id >= untrackedMin) {
+                    // might not be smaller than every live untracked
+                    // copy: tracking it could fake the min after future
+                    // takedowns — route to the count (bound unchanged:
+                    // doc_id ≥ untrackedMin already)
+                    nUntracked += 1L
+                  } else if (tracked.size < maxMembers) tracked += it.doc_id
                   else if (it.doc_id < tracked.last) {
                     // keep the cap's SMALLEST ids: evict the max to the
                     // untracked count (the min-exactness invariant)
-                    tracked -= tracked.last
+                    val evicted = tracked.last
+                    tracked -= evicted
                     tracked += it.doc_id
                     nUntracked += 1L
-                  } else nUntracked += 1L
+                    untrackedMin = math.min(untrackedMin, evicted)
+                  } else {
+                    nUntracked += 1L
+                    untrackedMin = math.min(untrackedMin, it.doc_id)
+                  }
                   out += ForgetEventRow(fp, it.doc_id, "suppressed",
                     Some(tracked.head))
                 }
@@ -425,14 +474,17 @@ object StreamingOps {
                     // copies alive: the registry cannot re-elect — hand
                     // the key to the batch pass
                     nUntracked = 0L
+                    untrackedMin = Long.MaxValue
                     out += ForgetEventRow(fp, it.doc_id, "degraded", None)
                   }
                 } else if (nUntracked > 0L) {
                   // an untracked copy (or an id the store never had — a
                   // capped registry cannot tell; production backs this
                   // with the store's own key lookup): rep provably
-                  // unchanged, count decremented
+                  // unchanged, count decremented. The bound may go
+                  // stale-low here — conservative, reset at zero.
                   nUntracked -= 1L
+                  if (nUntracked == 0L) untrackedMin = Long.MaxValue
                   out += ForgetEventRow(fp, it.doc_id, "forgotten_untracked",
                     Some(tracked.head))
                 } else
@@ -444,7 +496,7 @@ object StreamingOps {
             }
           }
           if (tracked.isEmpty && nUntracked == 0L) state.remove()
-          else state.update(FpRegistry(tracked.toList, nUntracked))
+          else state.update(FpRegistry(tracked.toList, nUntracked, untrackedMin))
           out.result()
         })
       .flatMap(identity)

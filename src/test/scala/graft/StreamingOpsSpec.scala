@@ -942,6 +942,84 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("forgetStream: same-batch ingest+forget of one doc — the takedown wins") {
+    // op-ordering pin: within a micro-batch, ingest applies BEFORE a
+    // forget of the same doc_id (alphabetically 'forget' < 'ingest', so
+    // a naive (doc_id, op) sort would apply the forget to pre-ingest
+    // state — a silently lost takedown). Doc 4 ingested and taken down
+    // in ONE batch must end forgotten; doc 2 stays as rep.
+    val t = "sierra tango uniform victor"
+    val input = MemoryStream[ForgetEvent]
+    val q = StreamingOps.forgetStream(input.toDS())
+      .writeStream.format("memory").queryName("forget3").outputMode("update").start()
+    try {
+      input.addData(Seq(ForgetEvent("ingest", 2L, t)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        ForgetEvent("forget", 4L, t), ForgetEvent("ingest", 4L, t)))
+      q.processAllAvailable()
+      // same-batch admit-then-takedown on a FRESH fingerprint: must end
+      // purged (re-admission open), not admitted
+      val t2 = "whiskey xray yankee zulu"
+      input.addData(Seq(
+        ForgetEvent("forget", 8L, t2), ForgetEvent("ingest", 8L, t2)))
+      q.processAllAvailable()
+      input.addData(Seq(ForgetEvent("ingest", 9L, t2)))
+      q.processAllAvailable()
+      val evs = spark.table("forget3").as[ForgetEventRow].collect().toSeq
+      val fp1 = evs.find(_.doc_id == 2L).get.fp_md5
+      val s1 = evs.filter(_.fp_md5 == fp1).map(e => (e.doc_id, e.action, e.rep))
+      assert(s1 == Seq(
+        (2L, "admitted", Some(2L)),
+        (4L, "suppressed", Some(2L)),  // ingest first...
+        (4L, "forgotten", Some(2L))),  // ...then the takedown wins
+        s"same-batch ingest+forget: $s1")
+      val fp2 = evs.find(_.doc_id == 9L).get.fp_md5
+      val s2 = evs.filter(_.fp_md5 == fp2).map(e => (e.doc_id, e.action, e.rep))
+      assert(s2 == Seq(
+        (8L, "admitted", Some(8L)),
+        (8L, "purged", None),          // forget landed AFTER the ingest
+        (9L, "admitted", Some(9L))),   // fp fully forgotten: re-admits
+        s"fresh-fp same-batch: $s2")
+    } finally q.stop()
+  }
+
+  test("forgetStream: capped — re-opened tracked slot never admits an id above a live untracked copy") {
+    // The soundness trap the untrackedMin bound exists for: cap 2,
+    // tracked {7,8}, copies 9 and 10 go to the untracked count. A
+    // takedown of 7 re-opens a slot; ingest 12 must NOT enter tracked
+    // (12 > untracked 9,10 — tracking it would let a later takedown of
+    // 8 elect rep 12 while copies 9,10 are alive, a WRONG min). With
+    // the bound, 12 joins the count and the takedown of 8 degrades —
+    // the safe handoff, never a wrong rep.
+    val t = "golf hotel india juliet"
+    val input = MemoryStream[ForgetEvent]
+    val q = StreamingOps.forgetStream(input.toDS(), maxMembers = 2)
+      .writeStream.format("memory").queryName("forget4").outputMode("update").start()
+    try {
+      Seq(
+        Seq(ForgetEvent("ingest", 7L, t)),
+        Seq(ForgetEvent("ingest", 8L, t)),
+        Seq(ForgetEvent("ingest", 9L, t)),
+        Seq(ForgetEvent("ingest", 10L, t)),
+        Seq(ForgetEvent("forget", 7L, t)),
+        Seq(ForgetEvent("ingest", 12L, t)),
+        Seq(ForgetEvent("forget", 8L, t))
+      ).foreach { b => input.addData(b); q.processAllAvailable() }
+      val evs = spark.table("forget4").as[ForgetEventRow].collect().toSeq
+      val s = evs.map(e => (e.doc_id, e.action, e.rep))
+      assert(s == Seq(
+        (7L, "admitted", Some(7L)),
+        (8L, "suppressed", Some(7L)),
+        (9L, "suppressed", Some(7L)),   // over cap: counted (bound 9)
+        (10L, "suppressed", Some(7L)),  // counted (bound stays 9)
+        (7L, "forgotten", Some(8L)),    // slot re-opens
+        (12L, "suppressed", Some(8L)),  // 12 ≥ bound: counted, NOT tracked
+        (8L, "degraded", None)),        // never "forgotten rep 12"
+        s"re-opened-slot lifecycle: $s")
+    } finally q.stop()
+  }
+
   test("typeTransitionsStream: matrix recomputed from emitted pairs equals batch") {
     // three users' interleaved timelines, split mid-user so the stored
     // tail carries a lag pair across the batch boundary
