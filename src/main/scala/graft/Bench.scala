@@ -49,8 +49,75 @@ import org.apache.spark.sql.SparkSession
   * clean-box closing profile) is contended exactly like an external-load
   * pass; the retry after a JVM-contended pass rebuilds the SparkSession
   * first. The artifact records per-pass flags + both bounds.
+  *
+  * SELF-CLEANING (r18: the gate above DETECTED the driver's official run
+  * as contended — inherited-JVM heap 24-35 GB from whatever ran
+  * correctness first — but the artifact of record still documented a
+  * polluted JVM): `main` now inspects the JVM it woke up in, and when it
+  * is not the clean calibration profile (max heap beyond
+  * `SPARK_GRAFT_BENCH_FORK_MAXHEAP_MB`, default 12288, or post-GC used
+  * heap already beyond `SPARK_GRAFT_BENCH_FORK_USED_MB`, default 4096 —
+  * a fresh 8 GB bench JVM starts under 1 GB), it RELAUNCHES itself in a
+  * fresh child JVM sized to the clean profile (`-Xmx$SPARK_DRIVER_MEM`,
+  * default 8g, same module opens as build.sbt) and relays the child's
+  * stdout/artifact/exit code. `SPARK_GRAFT_BENCH_FORK` = auto (default)
+  * | always | never; the artifact records `forked_fresh`. An
+  * sbt-forked closing run skips the fork (it IS the clean profile); a
+  * driver run inheriting a correctness JVM cannot produce a contended
+  * official artifact anymore — the measurement never runs in that JVM.
   */
 object Bench {
+
+  /** build.sbt's jdk17AddOpens, duplicated for self-relaunch — Spark 4.x
+    * on JDK 17 needs them when SparkSession is created outside
+    * spark-submit.
+    */
+  private val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Relaunch the bench in a fresh clean-profile JVM when this one is
+    * polluted (or always/never per SPARK_GRAFT_BENCH_FORK). Returns the
+    * child's exit code, or None when no fork is needed.
+    */
+  private def relaunchFresh(): Option[Int] = {
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "auto")
+    if (mode == "never") return None
+    def polluted: Boolean = {
+      System.gc()
+      val rt = Runtime.getRuntime
+      val usedMb = (rt.totalMemory - rt.freeMemory) >> 20
+      val maxMb = rt.maxMemory >> 20
+      val maxBound =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK_MAXHEAP_MB", "12288").toLong
+      val usedBound =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK_USED_MB", "4096").toLong
+      val p = maxMb > maxBound || usedMb > usedBound
+      if (p) System.err.println(s"[bench] JVM not the clean profile " +
+        s"(maxHeap ${maxMb} MB, post-GC used ${usedMb} MB) — relaunching fresh")
+      p
+    }
+    if (mode != "always" && !polluted) return None
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val cmd = Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_BENCH_FORK", "never") // recursion guard
+    pb.environment().put("SPARK_GRAFT_BENCH_FORKED", "1")   // artifact marker
+    pb.inheritIO()
+    Some(pb.start().waitFor())
+  }
 
   private def execute(
       spark: SparkSession, name: String, dir: String): Either[String, Double] = {
@@ -75,6 +142,12 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    relaunchFresh().foreach { code =>
+      // the child produced the official line + artifact; propagate only
+      // failure (callers that continue after Bench.main keep running)
+      if (code != 0) sys.exit(code)
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     def newSession(): SparkSession = {
@@ -431,6 +504,7 @@ object Bench {
       s""""pass_jvm_contended":$jvmContJson,""" +
       s""""gc_bound":$gcBound,"heap_bound_mb":$heapBound,""" +
       s""""pass_contended":$contJson,"load_bound":$loadBound,""" +
+      s""""forked_fresh":${sys.env.contains("SPARK_GRAFT_BENCH_FORKED")},""" +
       s""""contended":$allContended$soloExtJson,"passes":$passes}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile), fullJson.getBytes("UTF-8"))
