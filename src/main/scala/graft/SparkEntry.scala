@@ -1597,6 +1597,15 @@ object SparkEntry {
         centroidPred = col("vec_id").between(100, 115),
         codebookPred = col("vec_id") < 8,
         coarseIters = 1)),
+    // End-to-end recall audit of the production composition itself:
+    // recall@10 of ivfPqTopK (the declared operator, not a re-derivation)
+    // vs brute truth, swept over the shortlist depth at nProbe=4 — the
+    // quality/cost knob that prices the ADC approximation.
+    "q_recall_audit_ivfpq" -> ((s, dir) =>
+      SimOps.ivfPqRecallSweep(t(s, dir, "embeddings"),
+        queryPred = col("vec_id") < 5,
+        centroidPred = col("vec_id").between(100, 115),
+        codebookPred = col("vec_id") < 8)),
     // k-NN majority-label prediction over the brute-force neighbors.
     "q_embed_knn" -> ((s, dir) =>
       SimOps.knnLabel(t(s, dir, "embeddings"), col("vec_id") < 5)),
@@ -2943,13 +2952,16 @@ object SparkEntry {
       "cb AS (SELECT cb0.s, cb0.c_id, coalesce(cb1.ce, cb0.ce) AS ce " +
       "FROM cb0 LEFT JOIN cb1 ON cb0.s = cb1.s AND cb0.c_id = cb1.c_id)"
 
-  /** Full IVF-PQ oracle SQL, parameterized by the CTE chain that produces
-    * the coarse centroid table `c(c_id, ce, cn)` from `n` — the sampled
+  /** Shared IVF-PQ oracle CTE chain through the ADC scores `sc(q_id,
+    * vec_id, adc_bp)`, parameterized by the CTE chain that produces the
+    * coarse centroid table `c(c_id, ce, cn)` from `n` — the sampled
     * one-liner for q_sim_ivfpq, the Lloyd-refinement chain for
-    * q_sim_ivfpq_kmeans. Everything downstream (probe, PQ refinement via
-    * [[duckPqRefineCtes]], codes, ADC, shortlist, exact rerank) is shared.
+    * q_sim_ivfpq_kmeans. Probe, PQ refinement via [[duckPqRefineCtes]],
+    * codes and ADC are shared; the shortlist cut + exact rerank tail
+    * differs between the top-k queries ([[duckIvfPqSql]]) and the
+    * recall audit (q_recall_audit_ivfpq, which sweeps the cut).
     */
-  private def duckIvfPqSql(coarseCtes: String): String =
+  private def duckIvfPqScoreCtes(coarseCtes: String): String =
     "WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
       "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
       s"$coarseCtes, " +
@@ -2975,7 +2987,13 @@ object SparkEntry {
       "JOIN codes ON codes.vec_id = a.vec_id " +
       "JOIN adc ON adc.q_id = pr.q_id AND adc.s = codes.s AND adc.pq_id = codes.pq_id " +
       "JOIN qn ON qn.q_id = pr.q_id WHERE a.vec_id <> pr.q_id " +
-      "GROUP BY pr.q_id, a.vec_id), " +
+      "GROUP BY pr.q_id, a.vec_id)"
+
+  /** Full IVF-PQ top-k oracle SQL: [[duckIvfPqScoreCtes]] + the fixed
+    * 32-deep shortlist cut and exact-cosine rerank.
+    */
+  private def duckIvfPqSql(coarseCtes: String): String =
+    duckIvfPqScoreCtes(coarseCtes) + ", " +
       "sl AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id " +
       "ORDER BY adc_bp DESC, vec_id) AS srn FROM sc) WHERE srn <= 32), " +
       "qv AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn2 FROM n WHERE vec_id < 5), " +
@@ -4553,6 +4571,36 @@ object SparkEntry {
     // the full production composition: the same chain with the coarse
     // quantizer Lloyd-refined first (q_sim_ivf_kmeans's refinement CTEs)
     "q_sim_ivfpq_kmeans" -> duckIvfPqSql(duckKmeansCoarseCtes),
+    // mirrors SimOps.ivfPqRecallSweep: the q_sim_ivfpq ADC-score chain with
+    // the shortlist cut as a cross-joined sweep dimension, each cut's
+    // exact-cosine top-10 scored against the brute-force top-10 (zero-hit
+    // sweep rows preserved by the left join)
+    "q_recall_audit_ivfpq" ->
+      (duckIvfPqScoreCtes(
+        "c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n " +
+          "WHERE vec_id BETWEEN 100 AND 115)") + ", " +
+        "sw AS (SELECT unnest([8, 32]) AS shortlist), " +
+        "slr AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY adc_bp DESC, vec_id) AS srn FROM sc), " +
+        "sl AS (SELECT sw.shortlist, slr.q_id, slr.vec_id FROM slr, sw " +
+        "WHERE slr.srn <= sw.shortlist), " +
+        "qv AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn2 FROM n WHERE vec_id < 5), " +
+        "pp AS (SELECT sl.shortlist, sl.q_id, sl.vec_id, " +
+        "list_dot_product(qv.qe, n.e) / (qv.qn2 * n.nrm) AS cos " +
+        "FROM sl JOIN n USING (vec_id) JOIN qv ON qv.q_id = sl.q_id), " +
+        "it AS (SELECT shortlist, q_id, vec_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY shortlist, q_id ORDER BY cos DESC, vec_id) AS rnk FROM pp) " +
+        "WHERE rnk <= 10), " +
+        "bpq AS (SELECT q.q_id, m.vec_id, " +
+        "list_dot_product(q.qe, m.e) / (q.qn2 * m.nrm) AS cos " +
+        "FROM qv q JOIN n m ON m.vec_id <> q.q_id), " +
+        "bt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY cos DESC, vec_id) AS rnk FROM bpq) WHERE rnk <= 10), " +
+        "h AS (SELECT it.shortlist, CAST(count(*) AS BIGINT) AS n_hits FROM it " +
+        "JOIN bt ON it.q_id = bt.q_id AND it.vec_id = bt.vec_id GROUP BY it.shortlist) " +
+        "SELECT sw.shortlist, coalesce(h.n_hits, 0) AS n_hits, " +
+        "CAST((coalesce(h.n_hits, 0) * 10000) // 50 AS BIGINT) AS recall_bp " +
+        "FROM sw LEFT JOIN h USING (shortlist) ORDER BY shortlist"),
     // mirrors DedupOps.dupSpanPairs over the planted corpus: the
     // q_doc_winnow fingerprint chain, then capped postings pairing with a
     // shared-fingerprint threshold

@@ -499,6 +499,71 @@ object SimOps {
       .orderBy(col("n_tables"))
   }
 
+  /** Recall@k of the full IVF-PQ composition ([[ivfPqTopK]]) vs brute
+    * force, swept over the SHORTLIST depth at fixed nProbe — the
+    * end-to-end audit of THE production serving shape (every other leg:
+    * flat/hier/trained IVF, cells, sign-LSH tables, MinHash, SimHash,
+    * SQ8, MRL, BQ, already declares a recall number; this is the
+    * composition a 100 TB deployment actually runs). The sweep calls the
+    * DECLARED operator itself per value — the audit measures
+    * `ivfPqTopK`, not a re-derivation of its stages — so shortlist is
+    * the only thing that moves between rows.
+    *
+    * Recall is provably monotone in `shortlist`: the shortlist is a
+    * prefix of the (adc_bp desc, id) total order, so a deeper cut's
+    * candidate set is a superset, and every true top-k member in a
+    * candidate set survives the exact rerank (all of true-top-k ∩
+    * candidates sorts before any non-member under (cos desc, id) — the
+    * [[bqRecall]] rerank-dominates-hamming theorem). Corollary, spec-
+    * pinned: at shortlist ≥ the probed-cell population the curve equals
+    * [[ivfRecallSweep]] at the same nProbe — the PQ approximation price
+    * goes to zero and only the cell-boundary miss remains.
+    *
+    * Hit counts left-join the swept list ([[mrlRecallSweep]]'s zero-row
+    * discipline). Output: (shortlist, n_hits, recall_bp) ascending.
+    *
+    * Scale shape: one brute-force truth pass (queries broadcast) plus
+    * one [[ivfPqTopK]] per swept value — each is the probed-cells
+    * equi-join shape with broadcast ADC tables; the recall join +
+    * aggregation is k·|queries| rows, metadata-sized. Fixture-scale by
+    * construction (fixed query set).
+    */
+  def ivfPqRecallSweep(
+      emb: DataFrame,
+      queryPred: Column,
+      centroidPred: Column,
+      codebookPred: Column,
+      shortlists: Seq[Int] = Seq(8, 32),
+      k: Int = 10,
+      nProbe: Int = 4,
+      m: Int = 4,
+      pqIters: Int = 1,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(shortlists.nonEmpty, "ivfPqRecallSweep: empty shortlist sweep")
+    val nq = emb.filter(queryPred).count()
+    require(nq > 0, s"ivfPqRecallSweep: queryPred selects no rows — " +
+      "recall_bp would divide by zero in the generated SQL")
+    val truth = bruteTopK(emb, queryPred, k, idCol, embCol)
+      .select(col("q_id"), col(idCol))
+    val hits = shortlists.map { sl =>
+      ivfPqTopK(emb, queryPred, centroidPred, codebookPred, k, nProbe, m,
+        shortlist = sl, pqIters = pqIters, coarseIters = 0,
+        idCol = idCol, embCol = embCol)
+        .select(lit(sl).as("shortlist"), col("q_id"), col(idCol))
+    }.reduce(_ unionByName _)
+      .join(truth, Seq("q_id", idCol))
+      .groupBy(col("shortlist"))
+      .agg(count(lit(1)).as("h"))
+    val session = emb.sparkSession
+    import session.implicits._
+    shortlists.toDF("shortlist")
+      .join(hits, Seq("shortlist"), "left")
+      .select(col("shortlist"), coalesce(col("h"), lit(0L)).as("n_hits"))
+      .withColumn("recall_bp", expr(s"(n_hits * 10000) div ${nq * k}"))
+      .orderBy(col("shortlist"))
+  }
+
   /** Bucket id from the sign bits of `bits` dimensions starting at
     * `offset` — axis-aligned hyperplane LSH for cosine similarity.
     */

@@ -157,7 +157,13 @@ object FamilyScaleCheck {
       "q_lsh_recall" ->
         ((dir: String) => SimOps.lshRecallSweep(embs(dir), col("vec_id") < 5)),
       "q_hard_negatives" ->
-        ((dir: String) => graft.SparkEntry.queries("q_hard_negatives")(spark, dir)))
+        ((dir: String) => graft.SparkEntry.queries("q_hard_negatives")(spark, dir)),
+      // r19: the IVF-PQ end-to-end recall audit — two declared ivfPqTopK
+      // calls + one brute truth pass; the law: each leg is the
+      // probed-cells equi-join over 3-small-int code rows (corpus-linear
+      // candidate volume at fixed queries), truth is per-query brute
+      "q_recall_audit_ivfpq" ->
+        ((dir: String) => graft.SparkEntry.queries("q_recall_audit_ivfpq")(spark, dir)))
 
     // noop-write timing, NOT count(): under count() Catalyst prunes the
     // unobserved columns (strike's md5 reassembly, spans' positions) and

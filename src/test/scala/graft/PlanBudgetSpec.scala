@@ -90,6 +90,10 @@ class PlanBudgetSpec extends SparkSpec {
     "q_text_tfidf" -> Pin(3, 6, 0, 2),
     "q_bigram_lm" -> Pin(1, 2, 1, 1),
     "q_sim_ivfpq_kmeans" -> Pin(14, 12, 3, 15),
+    // r19: the end-to-end IVF-PQ recall audit — two declared-operator
+    // calls (shortlist 8/32) + one brute truth pass; reuse floor kept
+    // loose (checkpoint-free diamond, unification races run-to-run)
+    "q_recall_audit_ivfpq" -> Pin(14, 17, 3, 16),
     // r18: BQ recall audit (integer Hamming leg + float re-rank leg,
     // queries broadcast) and the forget pass's post-CC label joins
     // (the CC loops themselves end in localCheckpoints, pinned by the

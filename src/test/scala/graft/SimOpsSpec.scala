@@ -664,6 +664,31 @@ class SimOpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF-PQ recall dropped to $recall")
   }
 
+  test("ivfPqRecallSweep: monotone in shortlist; a full-depth shortlist recovers the flat-IVF nProbe ceiling") {
+    val df = sf("embeddings")
+    val qp = col("vec_id") < 5
+    val cp = col("vec_id").between(100, 115)
+    val bp = col("vec_id") < 8
+    val got = SimOps.ivfPqRecallSweep(df, qp, cp, bp)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(8, 32))
+    val recalls = got.map(_._3)
+    // a deeper shortlist is a prefix-superset of candidates, and every
+    // true top-k member among candidates survives the exact rerank
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    assert(recalls.head > 0L && recalls.last <= 10000L)
+    // shortlist ≥ the probed-cell population: the ADC approximation price
+    // is zero and only the cell-boundary miss remains — the curve's
+    // ceiling IS flat IVF recall at the same nProbe, exactly
+    val ceiling = SimOps.ivfPqRecallSweep(df, qp, cp, bp,
+      shortlists = Seq(1000000)).as[(Int, Long, Long)].collect().head._3
+    val flat = SimOps.ivfRecallSweep(df, qp, cp, probes = Seq(4))
+      .as[(Int, Long, Long)].collect().head._3
+    assert(ceiling == flat,
+      s"full-depth IVF-PQ recall $ceiling != flat IVF nProbe=4 recall $flat")
+    assert(recalls.last <= ceiling, "swept recall exceeded its own ceiling")
+  }
+
   test("scalarQuantize: hand-checked codes and reconstruction error") {
     val df = emb(
       (0L, Seq(0f, 10f), 0),
