@@ -1876,6 +1876,20 @@ object SparkEntry {
           .select(col("id_a"), col("id_b")))
         .withColumnRenamed("doc_id", "media_id")
     }),
+    // Takedown on the MEDIA modality: dedupForget is pair-set-generic —
+    // the phash pair graph + media tombstones drive the same affected-
+    // subgraph re-derivation as the text pass (a removed variant can be
+    // the only bridge between two halves of its visual cluster; takedown
+    // requests name images as often as text).
+    "q_media_forget" -> ((s, dir) => {
+      val m = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents")))
+      val pairs = MultimodalOps.phashPairs(m, grid = MultimodalOps.autoPhashGrid(m))
+        .select(col("id_a"), col("id_b"))
+      val tomb = m.filter(col("media_id") % 13 === 3)
+        .select(col("media_id").as("doc_id"))
+      DedupOps.dedupForget(pairs, tomb)
+        .withColumnRenamed("doc_id", "media_id")
+    }),
 
     // --- Time-series / events (north star; EventOps) --------------------
 
@@ -5524,6 +5538,36 @@ object SparkEntry {
         "UNION SELECT e.src AS id, reach.lab FROM e JOIN reach ON e.dst = reach.id) " +
         "SELECT id AS media_id, min(lab) AS cluster_id FROM reach " +
         "GROUP BY id ORDER BY media_id"),
+    // mirrors q_media_forget: the phash pair CTE + the q_dedup_forget
+    // recursive tail (before-closure, tombstone-filtered after-closure,
+    // affected-cluster restriction) keyed on media ids
+    "q_media_forget" ->
+      (s"WITH RECURSIVE $duckPhashCtes, " +
+        "tb AS (SELECT DISTINCT media_id AS did FROM m WHERE media_id % 13 = 3), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM pp " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM pp), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM e), " +
+        "reach AS (SELECT id, id AS lab FROM nodes " +
+        "UNION SELECT e.src AS id, reach.lab FROM e JOIN reach ON e.dst = reach.id), " +
+        "cl AS (SELECT id AS mid, min(lab) AS cluster_id FROM reach GROUP BY id), " +
+        "pp2 AS (SELECT id_a, id_b FROM pp " +
+        "WHERE id_a NOT IN (SELECT did FROM tb) " +
+        "AND id_b NOT IN (SELECT did FROM tb)), " +
+        "e2 AS (SELECT id_a AS src, id_b AS dst FROM pp2 " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM pp2), " +
+        "nodes2 AS (SELECT DISTINCT src AS id FROM e2), " +
+        "reach2 AS (SELECT id, id AS lab FROM nodes2 " +
+        "UNION SELECT e2.src AS id, reach2.lab FROM e2 JOIN reach2 ON e2.dst = reach2.id), " +
+        "cl2 AS (SELECT id AS mid, min(lab) AS nc FROM reach2 GROUP BY id), " +
+        "aff AS (SELECT DISTINCT cluster_id FROM cl WHERE mid IN (SELECT did FROM tb)) " +
+        "SELECT cl.mid AS media_id, cl.cluster_id AS old_cluster, " +
+        "coalesce(cl2.nc, cl.mid) AS new_cluster, " +
+        "CAST(CASE WHEN coalesce(cl2.nc, cl.mid) <> cl.cluster_id " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS rep_changed, " +
+        "CAST(CASE WHEN cl2.nc IS NULL THEN 1 ELSE 0 END AS BIGINT) AS now_singleton " +
+        "FROM cl LEFT JOIN cl2 USING (mid) " +
+        "WHERE cl.cluster_id IN (SELECT cluster_id FROM aff) " +
+        "AND cl.mid NOT IN (SELECT did FROM tb) ORDER BY media_id"),
     // mirrors MultimodalOps.cdcChunks + cdcDuplicateChunks on the planted
     // dedup corpus: the oracle replays the rolling 4-byte window hash
     // (b0*27+b1*9+b2*3+b3 ≡ 0 mod 32, interior cuts only) over the SAME

@@ -283,6 +283,41 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(md5s.distinct.length == md5s.length)
   }
 
+  test("media takedown: dedupForget over the phash pair set re-derives visual clusters") {
+    // the pair-set-generic takedown on the MEDIA modality (q_media_forget):
+    // tombstone a clustered variant and check the composition against the
+    // recomputed after-closure over surviving pairs
+    val media = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(phashDocs(24)))
+    val pairs = MultimodalOps.phashPairs(media, maxBucket = 0)
+      .select(col("id_a"), col("id_b"))
+    val before = graft.operators.DedupOps.dedupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(before.nonEmpty, "fixture produced no visual clusters")
+    // tombstone every cluster REPRESENTATIVE (the min id): reps must
+    // re-elect, so every surviving member of a >=3 cluster reports a
+    // changed label
+    val tombs = before.map(_._2).distinct.sorted
+    val out = graft.operators.DedupOps.dedupForget(pairs, tombs.toSeq.toDF("doc_id"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall { case (id, _, _, _, _) => !tombs.contains(id) },
+      "a tombstoned media id appeared in the output")
+    // every reported row's old cluster was led by a tombstone, so the new
+    // label can never equal it
+    assert(out.forall { case (_, oldC, newC, repChanged, _) =>
+      newC != oldC && repChanged == 1L }, s"rep not re-elected: $out")
+    // parity: non-singleton labels equal the recomputed closure over
+    // surviving pairs; singletons have no surviving pair
+    val surviving = pairs
+      .filter(!col("id_a").isInCollection(tombs) && !col("id_b").isInCollection(tombs))
+    val after = graft.operators.DedupOps.dedupClusters(surviving)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, _, newC, _, single) =>
+      if (single == 1L) assert(!after.contains(id) && newC == id)
+      else assert(after(id) == newC, s"label mismatch for $id")
+    }
+  }
+
   test("phashPairs: exact-dup saturation cannot overflow the cap (dedup-first default)") {
     // Two exact groups of 20 byte-identical payloads each: 40 raw items per
     // band bucket would blow any cap <= 40 and silently emit NOTHING under
