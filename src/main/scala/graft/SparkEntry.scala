@@ -1126,6 +1126,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 13 === 3).select(col("doc_id")),
         budget = 512)
     }),
+    // The blast radius in POST-TOKENIZER units: the same takedown audit
+    // over bpeEncode counts — training batches fill on BPE tokens, so
+    // regeneration cost in whitespace tokens under-prices the real batch
+    // budget (q_pack_bpe's composition, audited).
+    "q_forget_blast_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.forgetBlastRadiusCounts(
+        TextOps.bpeEncode(docs)
+          .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+        docs.filter(col("doc_id") % 13 === 3).select(col("doc_id")),
+        budget = 512)
+    }),
     // Packing on the POST-BPE token budget — the composition an actual
     // batch assembler runs: trained-tokenizer counts (q_bpe_encode) feed
     // the two-level prefix-sum packer. Whitespace counts over-estimate
@@ -3624,6 +3636,27 @@ object SparkEntry {
     "q_forget_blast" ->
       (s"WITH d AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens " +
         "FROM documents), " +
+        "r AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nbefore FROM d), " +
+        "b AS (SELECT doc_id, n_tokens, nbefore // 512 AS seq_id FROM r), " +
+        "tb AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 13 = 3), " +
+        "j AS (SELECT b.seq_id, b.n_tokens, " +
+        "CASE WHEN tb.doc_id IS NOT NULL THEN 1 ELSE 0 END AS tombed " +
+        "FROM b LEFT JOIN tb ON b.doc_id = tb.doc_id) " +
+        "SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(tombed) AS BIGINT) AS n_tombstoned, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(sum(CASE WHEN tombed = 1 THEN n_tokens END), 0) AS BIGINT) " +
+        "AS tokens_lost " +
+        "FROM j GROUP BY seq_id HAVING sum(tombed) > 0 ORDER BY seq_id"),
+    // mirrors q_forget_blast_bpe: the q_pack_bpe count CTEs feeding the
+    // q_forget_blast tombstone tail — same packer rule, post-BPE units
+    "q_forget_blast_bpe" ->
+      (duckBpeCtes(3) + ", " +
+        "wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS wlen FROM s3), " +
+        s"dk AS (SELECT doc_id, unnest($duckToks) AS word FROM documents), " +
+        "d AS (SELECT doc_id, CAST(sum(wlen) AS BIGINT) AS n_tokens " +
+        "FROM dk JOIN wl USING (word) GROUP BY doc_id), " +
         "r AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nbefore FROM d), " +
         "b AS (SELECT doc_id, n_tokens, nbefore // 512 AS seq_id FROM r), " +

@@ -1246,15 +1246,31 @@ object TextOps {
     */
   def forgetBlastRadius(docs: DataFrame, tombstones: DataFrame, budget: Long,
       shardSize: Long = 1000L, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    val counts = docs.select(
-      col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      textCol: String = "text"): DataFrame =
+    forgetBlastRadiusCounts(
+      docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens")),
+      tombstones, budget, shardSize, idCol)
+
+  /** [[forgetBlastRadius]] over CALLER-SUPPLIED per-doc token counts
+    * (`idCol`, `n_tokens`) — the POST-TOKENIZER form: training batches
+    * fill on BPE counts, not whitespace counts ([[packCounts]]' own
+    * caller-counts rationale), so the regeneration price of a takedown
+    * is only honest in the units the packer actually budgeted with —
+    * feed it [[bpeEncode]]'s `n_bpe_tokens` and the audit prices the
+    * same context windows the batch assembler filled. The counts frame
+    * is materialized ONCE behind the [[graft.Spill]] barrier before
+    * [[packAssignments]]'s documented two-scan contract (an expensive
+    * count pipeline — a full BPE encode — must not run twice).
+    */
+  def forgetBlastRadiusCounts(perDocCounts: DataFrame, tombstones: DataFrame,
+      budget: Long, shardSize: Long = 1000L,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = perDocCounts.sparkSession
     val path = graft.Spill.newDir("graft-blastcounts")
-    counts.write.mode("overwrite").parquet(path)
+    perDocCounts.write.mode("overwrite").parquet(path)
     val tomb = tombstones.select(col(idCol)).distinct()
       .withColumn("tombed", lit(1L))
-    packAssignments(spark.read.schema(counts.schema).parquet(path),
+    packAssignments(spark.read.schema(perDocCounts.schema).parquet(path),
         budget, shardSize, idCol)
       .join(tomb, Seq(idCol), "left")
       .groupBy(col("seq_id"))

@@ -104,6 +104,9 @@ class PlanBudgetSpec extends SparkSpec {
     // one documents scan (the tokenize, Spill-materialized once) + the
     // assignment stage's documented two scans of the narrow count table
     "q_forget_blast" -> Pin(3, 6, 0, 3),
+    // the post-BPE form: one documents scan (the encode pipeline behind
+    // the same Spill barrier) + the two narrow count-table scans
+    "q_forget_blast_bpe" -> Pin(3, 6, 0, 3),
     // the knnGraph chain over the planted corpus + the pre-rank band
     // filter (no extra shuffle — the mining op's whole point)
     "q_hard_negatives" -> Pin(4, 4, 1, 3))

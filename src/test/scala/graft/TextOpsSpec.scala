@@ -392,6 +392,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1L, 5L, 4L)), s"blast radius wrong: $got")
   }
 
+  test("forgetBlastRadiusCounts: caller counts reproduce the tokenize path; BPE units re-price the same takedown") {
+    // the whitespace path IS the counts path fed whitespace counts
+    val d = docs(
+      (0L, "a b c"), (1L, "d e"), (2L, "f"),
+      (3L, "g h i j"), (4L, "k"), (5L, "l m"))
+    val viaDocs = TextOps.forgetBlastRadius(d, Seq(3L).toDF("doc_id"), budget = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val wsCounts = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val viaCounts = TextOps.forgetBlastRadiusCounts(
+      wsCounts, Seq(3L).toDF("doc_id"), budget = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(viaDocs == viaCounts, s"counts path diverged: $viaCounts vs $viaDocs")
+    // post-tokenizer units: doubling every count halves what fits per
+    // window — same docs, different sequence geometry, losses re-priced
+    // in the doubled units (8 tokens lost for doc 3, not 4)
+    val bpeish = wsCounts.select(col("doc_id"), (col("n_tokens") * 2).as("n_tokens"))
+    val rePriced = TextOps.forgetBlastRadiusCounts(
+      bpeish, Seq(3L).toDF("doc_id"), budget = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rePriced == Seq((1L, 2L, 1L, 10L, 8L)), s"re-priced blast wrong: $rePriced")
+  }
+
   test("packSequences: sharded prefix sum equals the single-window form") {
     val d = sf("documents")
     def run(shard: Long) =
