@@ -100,8 +100,11 @@ case class PhashPairRow(id_a: Long, id_b: Long, hamming: Long)
   */
 case class MinhashDocSig(doc_id: Long, sig: Seq[Long])
 
-/** One (band-bucket, doc) pair for [[StreamingOps.minhashPairsStream]]. */
-case class MinhashBucketItem(bkey: String, band: Int, doc_id: Long, sig: Seq[Long])
+/** One (band-bucket, doc) event for [[StreamingOps.minhashPairsStream]] /
+  * [[StreamingOps.minhashPairsForgetStream]] (`op` ∈ ingest|forget).
+  */
+case class MinhashBucketItem(
+    bkey: String, band: Int, doc_id: Long, sig: Seq[Long], op: String)
 
 /** Per-band-bucket seen-set for [[StreamingOps.minhashPairsStream]]: the
   * exact-SIGNATURE groups that have landed in this bucket (rep id, the
@@ -955,48 +958,110 @@ object StreamingOps {
       numHashes: Int = 8,
       bands: Int = 4,
       maxBucket: Int = 0): Dataset[MinhashPairRow] = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     import docs.sparkSession.implicits._
+    minhashPairsForgetStream(
+      docs.select(lit("ingest").as("op"),
+        col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+        .as[ForgetEvent],
+      numHashes, bands, maxBucket)
+  }
+
+  /** [[minhashPairsStream]] with TAKEDOWN support — the near-dup
+    * registry twin made deletable (the [[forgetStream]] discipline
+    * applied to band-bucket state; previously only the EXACT-dedup
+    * registry had a tombstone path). One event stream carries ingests
+    * and forgets; [[minhashPairsStream]] is exactly this operator fed
+    * all-ingest events, so there is ONE state machine for both (the
+    * shared-helper anti-drift rule).
+    *
+    * Forget semantics, per band bucket of the named content: the doc
+    * leaves its exact-signature group's member list; the group rep
+    * re-elects by the batch min rule (min of surviving members); a
+    * group whose last member leaves is PURGED — its signature is
+    * forgotten and a fresh arrival of the same content founds a new
+    * group (and cross-pairs normally), the re-admission contract.
+    * Forgets are SILENT state edits (a stream cannot un-emit pairs
+    * already produced — retracting published pairs is the downstream
+    * batch [[graft.operators.DedupOps.dedupForget]]'s job); the
+    * observable contract is on FUTURE emission: an arrival after a
+    * takedown pairs exactly as if the tombstoned docs had never been
+    * ingested (spec-pinned against the batch operator over surviving
+    * docs, including across a checkpoint resume). Within a micro-batch,
+    * events apply in (doc_id, ingest-before-forget) order — a same-batch
+    * ingest+takedown of one doc resolves with the takedown winning
+    * ([[forgetStream]]'s rule). A forget of unknown content or a
+    * non-member id is a noop.
+    *
+    * Capped mode: forgetting a FROZEN group's member edits it in place;
+    * a purged UNFROZEN group frees its cap slot (nActive decrements), so
+    * deletion capacity recovers exactly like [[forgetStream]]'s. Unlike
+    * the untracked COUNT there, band state keeps every member id, so
+    * forgets here are always exact — the cap only bounds cross-pairing.
+    */
+  def minhashPairsForgetStream(
+      events: Dataset[ForgetEvent],
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 0): Dataset[MinhashPairRow] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import events.sparkSession.implicits._
     val r = numHashes / bands
     val hs = transform(
-      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), 3)),
+      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)),
       sh => StableHash.hash60(sh))
     val sigCol = array((0 until numHashes).map(i =>
       array_min(transform(col("hs"), h => StableHash.familyOf(h, i)))): _*)
-    docs
-      .select(col(idCol).cast("long").as("doc_id"), hs.as("hs"))
+    events.toDF()
+      .select(col("op"), col("doc_id").cast("long").as("doc_id"), hs.as("hs"))
       .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), sigCol.as("sig"))
-      .as[MinhashDocSig]
-      .flatMap(d => (0 until bands).map { b =>
-        val key = (b.toLong +: (0 until r).map(j => d.sig(b * r + j))).mkString(":")
-        MinhashBucketItem(key, b, d.doc_id, d.sig)
-      })
+      .select(col("op"), col("doc_id"), sigCol.as("sig"))
+      .as[(String, Long, Seq[Long])]
+      .flatMap { case (op, docId, sig) => (0 until bands).map { b =>
+        val key = (b.toLong +: (0 until r).map(j => sig(b * r + j))).mkString(":")
+        MinhashBucketItem(key, b, docId, sig, op)
+      }}
       .groupByKey(_.bkey)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
         (_: String, batch: Iterator[MinhashBucketItem], state: GroupState[MinhashBucket]) => {
           // transient per-invocation indexes over the persisted List state
-          // (the [[embedNearDupStream]]/phash discipline): member-id set
-          // for the seen check, signature → group index for the
-          // exact-group lookup — per-arrival BOOKKEEPING is O(1) instead
-          // of the r17 `indexWhere`/`exists` scans (quadratic per bucket
-          // on the uncapped path). The cross-pairing loop stays O(active
-          // groups) per DISTINCT arrival — the operator's semantics
-          // (every new signature pairs against each group), O(cap) when
-          // `maxBucket` > 0.
+          // (the [[embedNearDupStream]]/phash discipline): member-id → group
+          // index for the seen check AND the forget lookup, signature →
+          // group index for the exact-group lookup — per-arrival
+          // BOOKKEEPING is O(1) instead of the r17 `indexWhere`/`exists`
+          // scans (quadratic per bucket on the uncapped path). The
+          // cross-pairing loop stays O(active groups) per DISTINCT arrival
+          // — the operator's semantics (every new signature pairs against
+          // each group), O(cap) when `maxBucket` > 0. Purges blank the
+          // group in place (indices stay stable within the batch) and the
+          // final state.update filters the empties out.
           val groups = scala.collection.mutable.ArrayBuffer.empty[
             (Long, Seq[Long], List[Long], Boolean)]
           state.getOption.foreach(_.groups.foreach(groups += _))
-          val memberIds = scala.collection.mutable.HashSet.empty[Long]
+          val memberIdx = scala.collection.mutable.HashMap.empty[Long, Int]
           val sigIdx = scala.collection.mutable.HashMap.empty[Seq[Long], Int]
           groups.zipWithIndex.foreach { case (g, i) =>
-            g._3.foreach(memberIds += _)
+            g._3.foreach(memberIdx(_) = i)
             if (!sigIdx.contains(g._2)) sigIdx(g._2) = i
           }
           var nActive = groups.count(!_._4)
           val out = List.newBuilder[(Long, Long, Int)]
-          batch.toList.sortBy(_.doc_id).foreach { it =>
-            if (!memberIds.contains(it.doc_id)) sigIdx.get(it.sig) match {
+          batch.toList
+            .sortBy(it => (it.doc_id, if (it.op == "ingest") 0 else 1))
+            .foreach { it =>
+            if (it.op == "forget") memberIdx.get(it.doc_id).foreach { gi =>
+              val (rep, sig, members, frozen) = groups(gi)
+              val left = members.filterNot(_ == it.doc_id)
+              memberIdx -= it.doc_id
+              if (left.isEmpty) {
+                // purge: forget the signature so the same content
+                // re-admits as new; an unfrozen purge frees its cap slot
+                groups(gi) = (rep, sig, Nil, frozen)
+                if (sigIdx.get(sig).contains(gi)) sigIdx -= sig
+                if (!frozen) nActive -= 1
+              } else
+                // re-elect the rep by the batch min rule
+                groups(gi) = (left.min, sig, left, frozen)
+            } else if (!memberIdx.contains(it.doc_id)) sigIdx.get(it.sig) match {
               case Some(gi) =>
                 // exact-signature arrival: intra events in EVERY band (the
                 // batch pair carries n_shared_bands = bands for identical
@@ -1006,13 +1071,13 @@ object StreamingOps {
                 members.foreach { id =>
                   out += ((math.min(id, it.doc_id), math.max(id, it.doc_id), it.band))
                 }
-                if (!frozen) groups.foreach { case (rp, _, om, ofz) =>
-                  if (rp != rep && !ofz) om.foreach { id =>
+                if (!frozen) groups.zipWithIndex.foreach { case ((_, _, om, ofz), oi) =>
+                  if (oi != gi && !ofz) om.foreach { id =>
                     out += ((math.min(id, it.doc_id), math.max(id, it.doc_id), it.band))
                   }
                 }
                 groups(gi) = (rep, sig, members :+ it.doc_id, frozen)
-                memberIds += it.doc_id
+                memberIdx(it.doc_id) = gi
               case None =>
                 val capped = maxBucket > 0 && nActive >= maxBucket
                 if (!capped) {
@@ -1022,6 +1087,7 @@ object StreamingOps {
                     }
                   }
                   sigIdx(it.sig) = groups.length
+                  memberIdx(it.doc_id) = groups.length
                   groups += ((it.doc_id, it.sig, List(it.doc_id), false))
                   nActive += 1
                 } else {
@@ -1029,12 +1095,14 @@ object StreamingOps {
                   // intra-recall home is every shared bucket here), so its
                   // exact-signature duplicates still emit intra events
                   sigIdx(it.sig) = groups.length
+                  memberIdx(it.doc_id) = groups.length
                   groups += ((it.doc_id, it.sig, List(it.doc_id), true))
                 }
-                memberIds += it.doc_id
             }
           }
-          state.update(MinhashBucket(groups.toList))
+          val kept = groups.filter(_._3.nonEmpty).toList
+          if (kept.isEmpty) state.remove()
+          else state.update(MinhashBucket(kept))
           out.result()
         })
       .flatMap(_.map { case (a, b, k) => MinhashPairRow(a, b, k) })

@@ -845,6 +845,121 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashPairsForgetStream: takedown edits the band registry — post-forget arrivals pair as if tombstones never ingested") {
+    // the near-dup registry made deletable: ingest 60% of the planted
+    // corpus, tombstone a few paired docs, then ingest the rest plus a
+    // RE-ADMISSION doc (new id, a tombstoned doc's text). Everything
+    // emitted after the takedown must equal the batch operator over
+    // (survivors ∪ late) restricted to pairs involving a late doc —
+    // including the re-admitted content pairing like a fresh arrival —
+    // and no post-takedown event may touch a tombstoned id.
+    val corpus = graft.operators.DedupOps.plantedCorpus(sf("documents"))
+    val rows = corpus.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .sortBy { case (id, _) => (id * 2654435761L) % 1000003L }
+    val (initial, late0) = rows.splitAt(rows.length * 3 / 5)
+    val batchAll = graft.operators.DedupOps.minhashBandPairs(corpus, maxBucket = 0)
+      .as[(Long, Long, Long)].collect()
+    val initialIds = initial.map(_._1).toSet
+    // tombstones: initial-phase docs that demonstrably pair in batch
+    val tombIds = batchAll.flatMap(p => Seq(p._1, p._2))
+      .filter(initialIds.contains).distinct.sorted.take(5).toSet
+    assert(tombIds.size == 5, "fixture must have >= 5 paired initial docs")
+    val textOf = rows.toMap
+    val readmit = (rows.map(_._1).max + 1L, textOf(tombIds.head))
+    val late = late0 :+ readmit
+    val input = MemoryStream[ForgetEvent]
+    val q = StreamingOps.minhashPairsForgetStream(input.toDS())
+      .writeStream.format("memory").queryName("mhforget").outputMode("update").start()
+    try {
+      input.addData(initial.map { case (id, t) => ForgetEvent("ingest", id, t) }.toSeq)
+      q.processAllAvailable()
+      val phase1 = spark.table("mhforget").as[MinhashPairRow].collect().toSet
+      input.addData(tombIds.toSeq.map(id => ForgetEvent("forget", id, textOf(id))))
+      q.processAllAvailable()
+      val phase2 = spark.table("mhforget").as[MinhashPairRow].collect().toSet
+      assert(phase2 == phase1, "a takedown emitted pair events")
+      input.addData(late.map { case (id, t) => ForgetEvent("ingest", id, t) }.toSeq)
+      q.processAllAvailable()
+      val newEvents = spark.table("mhforget").as[MinhashPairRow].collect().toSet -- phase2
+      assert(newEvents.forall(p => !tombIds.contains(p.id_a) && !tombIds.contains(p.id_b)),
+        "a post-takedown event touched a tombstoned id")
+      val streamed = newEvents.groupBy(p => (p.id_a, p.id_b))
+        .map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+      val lateIds = late.map(_._1).toSet
+      val survivors = spark.createDataset(
+        (initial.filterNot(r => tombIds.contains(r._1)) ++ late).toIndexedSeq)
+        .toDF("doc_id", "text")
+      val expected = graft.operators.DedupOps.minhashBandPairs(survivors, maxBucket = 0)
+        .as[(Long, Long, Long)].collect()
+        .filter(p => lateIds.contains(p._1) || lateIds.contains(p._2)).toSet
+      assert(streamed == expected,
+        s"post-takedown stream ${streamed.size} vs survivor batch ${expected.size}")
+      assert(streamed.nonEmpty)
+      // the re-admitted content genuinely pairs (purge re-opened the sig)
+      assert(streamed.exists(p => p._1 == readmit._1 || p._2 == readmit._1),
+        "re-admitted content emitted nothing")
+    } finally q.stop()
+  }
+
+  test("minhashPairsForgetStream: resumed registry carries takedowns across a checkpoint restart") {
+    // the resumed-registry twin: ingest + takedown, crash, feed the late
+    // batch while down, restart from the SAME checkpoint — the recovered
+    // band state must already exclude the tombstones, so post-restart
+    // emission equals the survivor-batch expectation of the live test.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mhforget").toString
+    val corpus = graft.operators.DedupOps.plantedCorpus(sf("documents"))
+    val rows = corpus.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .sortBy { case (id, _) => (id * 2654435761L) % 1000003L }
+    val (initial, late) = rows.splitAt(rows.length * 3 / 5)
+    val batchAll = graft.operators.DedupOps.minhashBandPairs(corpus, maxBucket = 0)
+      .as[(Long, Long, Long)].collect()
+    val initialIds = initial.map(_._1).toSet
+    val tombIds = batchAll.flatMap(p => Seq(p._1, p._2))
+      .filter(initialIds.contains).distinct.sorted.take(5).toSet
+    val textOf = rows.toMap
+    val outDir = java.nio.file.Files.createTempDirectory("graft-mhforget-out").toString
+    val input = MemoryStream[ForgetEvent]
+    // memory sink cannot recover from a checkpoint — foreachBatch (a
+    // replayable sink) records every emission with its batch id, so the
+    // post-restart slice is mechanically separable
+    def start() = StreamingOps.minhashPairsForgetStream(input.toDS())
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[MinhashPairRow], id: Long) =>
+        df.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir): Unit
+      }
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      input.addData(initial.map { case (id, t) => ForgetEvent("ingest", id, t) }.toSeq)
+      q1.processAllAvailable()
+      input.addData(tombIds.toSeq.map(id => ForgetEvent("forget", id, textOf(id))))
+      q1.processAllAvailable()
+    } finally q1.stop() // crash after the takedown committed
+    val preCrashMax = spark.read.parquet(outDir)
+      .agg(max(col("batch_id"))).as[Long].collect().head
+    input.addData(late.map { case (id, t) => ForgetEvent("ingest", id, t) }.toSeq)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .filter(col("batch_id") > preCrashMax)
+        .as[(Long, Long, Int, Long)].collect()
+        .groupBy(p => (p._1, p._2))
+        .map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+      val lateIds = late.map(_._1).toSet
+      val survivors = spark.createDataset(
+        (initial.filterNot(r => tombIds.contains(r._1)) ++ late).toIndexedSeq)
+        .toDF("doc_id", "text")
+      val expected = graft.operators.DedupOps.minhashBandPairs(survivors, maxBucket = 0)
+        .as[(Long, Long, Long)].collect()
+        .filter(p => lateIds.contains(p._1) || lateIds.contains(p._2)).toSet
+      assert(streamed == expected,
+        s"resumed stream ${streamed.size} vs survivor batch ${expected.size}")
+      assert(streamed.nonEmpty)
+    } finally q2.stop()
+  }
+
   test("forgetStream: admit/suppress/re-elect/purge lifecycle; purged content re-admits; batch parity") {
     // content A streamed as docs 5, then {3, 9}; forgetting 3, 5, 9 in
     // turn walks rep 3 -> 5 -> 9 -> purged, and doc 7 then RE-ADMITS the
