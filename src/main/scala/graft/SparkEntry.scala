@@ -1639,6 +1639,15 @@ object SparkEntry {
       val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
       SimOps.hardNegatives(planted, SimOps.sqrtCentroidPred(planted))
     }),
+    // The TEXT member of the mining pair: per anchor doc, top-k most
+    // LEXICALLY similar docs below the exact-Jaccard near-dup threshold —
+    // retrieval training mines text negatives from lexical search; the
+    // candidates and scores are the recall audits' anchor-postings truth
+    // chain, band-filtered at q_dedup_verified's own >= 8000 bp verify
+    // rule (what dedup collapses, mining never emits). Planted corpus so
+    // real near-dups exist to exclude.
+    "q_hard_negatives_text" -> ((s, dir) =>
+      DedupOps.hardNegativesText(DedupOps.plantedCorpus(t(s, dir, "documents")))),
     // The kNN graph through the TWO-LEVEL coarse quantizer
     // (cellArgmaxHier): ~2·√nlist similarity evaluations per vector and
     // no broadcast array past √nlist entries — the shape that carries
@@ -4740,6 +4749,31 @@ object SparkEntry {
         "ORDER BY cos DESC, id_b) AS rank FROM f) " +
         s"SELECT id_a, rank, id_b, ${TextOps.roundBpSql("cos")} AS cos_bp " +
         "FROM r WHERE rank <= 3 ORDER BY id_a, rank"),
+    // mirrors q_hard_negatives_text: the recall audits' anchor-postings
+    // exact-Jaccard chain (anchd/ashx/shx/cidx), scored per candidate,
+    // band-filtered below the q_dedup_verified >= 8000 bp rule, ranked
+    // per anchor
+    "q_hard_negatives_text" ->
+      (s"WITH corpus AS ($duckCorpus), " +
+        s"t AS (SELECT doc_id, $duckToks AS t FROM corpus), " +
+        s"sl AS (SELECT doc_id, list_distinct($duckShingles3) AS shs FROM t), " +
+        "anchd AS (SELECT doc_id AS a_id, shs AS a_shs FROM sl " +
+        s"WHERE ${StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % " +
+        "greatest(1, CAST(ceil((SELECT count(*) FROM corpus) / 64.0) AS BIGINT)) = 0), " +
+        "ashx AS (SELECT a_id, unnest(a_shs) AS sx FROM anchd), " +
+        "shx AS (SELECT doc_id, unnest(shs) AS sx FROM sl), " +
+        "cidx AS (SELECT DISTINCT ashx.a_id, shx.doc_id FROM ashx " +
+        "JOIN shx ON ashx.sx = shx.sx AND shx.doc_id <> ashx.a_id), " +
+        "scd AS (SELECT cidx.a_id, cidx.doc_id, " +
+        s"${TextOps.roundBpSql(
+          "CAST(len(list_filter(anchd.a_shs, e -> list_contains(sl.shs, e))) AS DOUBLE) / " +
+            "CAST(len(list_distinct(list_concat(anchd.a_shs, sl.shs))) AS DOUBLE)")} AS jac_bp " +
+        "FROM cidx JOIN anchd ON cidx.a_id = anchd.a_id " +
+        "JOIN sl ON sl.doc_id = cidx.doc_id), " +
+        "r AS (SELECT a_id, doc_id, jac_bp, row_number() OVER (PARTITION BY a_id " +
+        "ORDER BY jac_bp DESC, doc_id) AS rank FROM scd WHERE jac_bp < 8000) " +
+        "SELECT a_id, rank, doc_id, jac_bp FROM r WHERE rank <= 3 " +
+        "ORDER BY a_id, rank"),
     // mirrors q_knn_graph_probe2: the SOURCE side takes its 2 nearest
     // cells (crn <= 2), candidates stay in their home cell (crn = 1)
     "q_knn_graph_probe2" ->

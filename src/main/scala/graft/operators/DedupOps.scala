@@ -1044,6 +1044,30 @@ object DedupOps {
   private def jaccardAnchorTruth(
       corpus: DataFrame, idCol: String, textCol: String, thresholdBp: Int)
       : (DataFrame, DataFrame) = {
+    val (anch, scores) = anchorJaccardScores(corpus, idCol, textCol)
+    val truth = scores
+      .select(
+        least(col("a_id"), col(idCol)).as("pa"),
+        greatest(col("a_id"), col(idCol)).as("pb"),
+        col("jac_bp"))
+      .filter(col("jac_bp") >= thresholdBp)
+      .select(col("pa"), col("pb")).distinct()
+    (anch, truth)
+  }
+
+  /** The anchor-postings exact-Jaccard SCORE stage shared by
+    * [[jaccardAnchorTruth]] (which thresholds it into recall truth) and
+    * [[hardNegativesText]] (which band-filters and ranks it) — the
+    * shared-helper anti-drift rule: the mining op scores candidates with
+    * the SAME arithmetic the recall audits call truth. Returns
+    * (anchors (a_id, a_shs), scores (a_id, idCol, jac_bp) — one row per
+    * (anchor, doc) sharing ≥ 1 shingle, exact Jaccard in bp via postings
+    * arithmetic: the hit count per pair IS the intersection, union by
+    * inclusion–exclusion).
+    */
+  private def anchorJaccardScores(
+      corpus: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
     val nDocs = corpus.count()
     val every = math.max(1L, math.ceil(nDocs / 64.0).toLong)
     val s = corpus.select(
@@ -1056,18 +1080,52 @@ object DedupOps {
       explode(col("a_shs")).as("sh"))
     val inv = s.select(col(idCol), size(col("shs")).as("n_d"),
       explode(col("shs")).as("sh"))
-    val truth = inv.join(broadcast(ainv), Seq("sh"))
+    val scores = inv.join(broadcast(ainv), Seq("sh"))
       .filter(col(idCol) =!= col("a_id"))
       .groupBy(col("a_id"), col("n_a"), col(idCol), col("n_d"))
       .agg(count(lit(1)).as("inter"))
-      .select(
-        least(col("a_id"), col(idCol)).as("pa"),
-        greatest(col("a_id"), col(idCol)).as("pb"),
+      .select(col("a_id"), col(idCol),
         TextOps.roundBp(col("inter").cast("double") /
           (col("n_a") + col("n_d") - col("inter")).cast("double")).as("jac_bp"))
-      .filter(col("jac_bp") >= thresholdBp)
-      .select(col("pa"), col("pb")).distinct()
-    (anch, truth)
+    (anch, scores)
+  }
+
+  /** Hard-negative mining on the TEXT side — per anchor doc, the top-`k`
+    * most LEXICALLY similar docs that fail the exact-Jaccard near-dup
+    * threshold: similar enough to be informative contrastive negatives,
+    * not so similar they are actually positives
+    * ([[graft.operators.SimOps.hardNegatives]] is the embedding member;
+    * retrieval training mines text negatives from lexical search, and a
+    * near-duplicate labeled "negative" poisons the loss). Candidates and
+    * scores are the anchor-postings exact-Jaccard stage shared with the
+    * recall audits ([[anchorJaccardScores]] — what the audits call
+    * truth, mining ranks), band-filtered to `jac_bp < dupBp` BEFORE
+    * ranking where `dupBp` defaults to the SAME ≥ 8000 bp rule
+    * [[verifiedNearDups]] verifies at — what dedup would collapse,
+    * mining never emits. The boundary tests the bp-ROUNDED Jaccard so
+    * both engines agree exactly.
+    *
+    * Scale shape: one shingle pipeline pass + the anchor-postings join
+    * (O(Σ docfreq(anchor shingles)), never corpus²) + one per-anchor
+    * window over the surviving candidates. Output:
+    * (a_id, rank, idCol, jac_bp), rank re-packed over survivors,
+    * ordered (a_id, rank).
+    */
+  def hardNegativesText(
+      corpus: DataFrame,
+      k: Int = 3,
+      dupBp: Int = 8000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (_, scores) = anchorJaccardScores(corpus, idCol, textCol)
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("jac_bp").desc, col(idCol))
+    scores
+      .filter(col("jac_bp") < dupBp)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a_id"), col("rank"), col(idCol), col("jac_bp"))
+      .orderBy(col("a_id"), col("rank"))
   }
 
   /** Anchor-restrict the found pairs (id_a, id_b) and fold the three

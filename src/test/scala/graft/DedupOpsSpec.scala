@@ -354,6 +354,36 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)).contains((5L, 21L)))
   }
 
+  test("hardNegativesText: near-duplicates never emitted; ranks re-pack; scores are the audits' exact Jaccard") {
+    // the planted corpus carries exact/near copies of anchor docs at
+    // jac_bp >= 8000 — mining must exclude every one (a near-dup labeled
+    // "negative" poisons the contrastive loss) while still emitting the
+    // merely-similar candidates, ranked contiguously from 1
+    val corpus = DedupOps.plantedCorpus(sf("documents"))
+    val hn = DedupOps.hardNegativesText(corpus)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(hn.nonEmpty, "no text hard negatives mined")
+    assert(hn.forall(_._4 < 8000), s"a near-dup leaked: ${hn.filter(_._4 >= 8000).take(3)}")
+    hn.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted == (1 to g.length),
+        s"ranks not contiguous for ${g.head._1}: ${g.sortBy(_._2)}")
+    }
+    // zero-leak is non-vacuous: at least one anchor has a TRUE near-dup
+    // candidate (what verifiedNearDups verifies at >= 8000), and that
+    // pair is absent from the mined set
+    val anchorIds = hn.map(_._1).toSet
+    val vp = DedupOps.verifiedNearDups(corpus)
+      .as[(Long, Long, Long)].collect().toSeq
+    val anchorDups = vp.filter(p => anchorIds.contains(p._1) || anchorIds.contains(p._2))
+    assert(anchorDups.nonEmpty,
+      "fixture has no anchor-touching near-dup — the exclusion test is vacuous")
+    val mined = hn.map(r => (r._1, r._3)).toSet
+    anchorDups.foreach { case (a, b, _) =>
+      assert(!mined.contains((a, b)) && !mined.contains((b, a)),
+        s"verified near-dup ($a,$b) leaked into the negatives")
+    }
+  }
+
   test("sourceOverlap: hand-checked cross-source shingle Jaccard") {
     val df = Seq(
       (1L, "a b c d", "s1"), // shingles: {a b c, b c d}

@@ -109,7 +109,11 @@ class PlanBudgetSpec extends SparkSpec {
     "q_forget_blast_bpe" -> Pin(3, 6, 0, 3),
     // the knnGraph chain over the planted corpus + the pre-rank band
     // filter (no extra shuffle — the mining op's whole point)
-    "q_hard_negatives" -> Pin(4, 4, 1, 3))
+    "q_hard_negatives" -> Pin(4, 4, 1, 3),
+    // r19: the text mining member — the anchor-postings score chain
+    // (planted-union corpus read by the anchor and postings branches) +
+    // one per-anchor window; band filter is a pre-rank predicate
+    "q_hard_negatives_text" -> Pin(6, 4, 0, 2))
 
   for ((name, pin) <- pins) {
     test(s"plan budget: $name") {
