@@ -338,6 +338,75 @@ object KnnScaleCheck {
       return
     }
 
+    // DEGRADEHANDOFF mode (r19): execute the capped registry's degrade
+    // contract END TO END — the claim the docs and unit pins make
+    // ("takedowns exhausting the tracked set hand the key to the batch
+    // pass") run as one composed pipeline: hot content ingested past
+    // maxMembers, takedowns exhaust every tracked set on half the
+    // contents (emitting `degraded`), the batch pass
+    // (DedupOps.exactDedup over survivors) finishes exactly those keys,
+    // and the COMPOSED rep table (stream reps for live keys + batch reps
+    // for degraded keys) must equal the uncapped truth key-for-key.
+    if (args.contains("degradehandoff")) {
+      import spark.implicits._
+      import graft.streaming.{ForgetEvent, ForgetEventRow, StreamingOps}
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val nContent = sys.env.getOrElse("SPARK_GRAFT_HANDOFF_CONTENTS", "200").toInt
+      val copies = sys.env.getOrElse("SPARK_GRAFT_HANDOFF_COPIES", "64").toInt
+      val cap = sys.env.getOrElse("SPARK_GRAFT_HANDOFF_CAP", "8").toInt
+      val texts = spark.read.parquet(s"$sf01/documents.parquet")
+        .select(col("text")).limit(nContent).as[String].collect()
+      def docId(c: Int, i: Int): Long = c.toLong * copies + i
+      val allDocs = for ((t, c) <- texts.zipWithIndex; i <- 0 until copies)
+        yield (docId(c, i), t)
+      val ingests = allDocs.map { case (id, t) => ForgetEvent("ingest", id, t) }
+      // takedowns on the EVEN contents: exactly the `cap` smallest ids —
+      // the whole tracked set — so the last one must degrade (untracked
+      // copies alive, registry cannot re-elect)
+      val tombs = for ((t, c) <- texts.zipWithIndex if c % 2 == 0; i <- 0 until cap)
+        yield ForgetEvent("forget", docId(c, i), t)
+      val tombIds = tombs.map(_.doc_id).toSet
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ForgetEvent]
+      val q = StreamingOps.forgetStream(input.toDS(), maxMembers = cap)
+        .writeStream.format("memory").queryName("handoff")
+        .outputMode("update").start()
+      val t0 = System.nanoTime()
+      val evs = try {
+        input.addData(ingests.toSeq); q.processAllAvailable()
+        input.addData(tombs.toSeq); q.processAllAvailable()
+        spark.table("handoff").as[ForgetEventRow].collect().toSeq
+      } finally q.stop()
+      val tStream = (System.nanoTime() - t0) / 1e9
+      val degradedFps = evs.filter(_.action == "degraded").map(_.fp_md5).toSet
+      // live keys: last audit rep per fp not handed off
+      val streamReps = evs.groupBy(_.fp_md5).collect {
+        case (fp, es) if !degradedFps.contains(fp) => fp -> es.last.rep.get
+      }
+      // the batch pass finishes the degraded keys: exactDedup over the
+      // SURVIVING docs, restricted to the handed-off fingerprints
+      val t1 = System.nanoTime()
+      val survivors = spark.createDataset(
+        allDocs.filterNot(d => tombIds.contains(d._1)).toIndexedSeq)
+        .toDF("doc_id", "text")
+      val batchAll = graft.operators.DedupOps.exactDedup(survivors)
+        .select(col("fp_md5"), col("keep_id")).as[(String, Long)].collect()
+        .toMap
+      val tBatch = (System.nanoTime() - t1) / 1e9
+      val batchReps = batchAll.filter { case (fp, _) => degradedFps.contains(fp) }
+      val composed = streamReps ++ batchReps
+      // uncapped truth: the batch rule over every surviving doc
+      val ok = composed == batchAll
+      println(f"[knnscale] degrade-handoff: contents=$nContent copies=$copies cap=$cap " +
+        f"handed_off=${degradedFps.size} live=${streamReps.size} " +
+        f"stream $tStream%.1f s + batch finish $tBatch%.1f s, " +
+        f"composed==uncapped_truth: $ok (${composed.size} keys)")
+      System.out.flush()
+      require(ok, "degrade handoff composition diverged from the uncapped truth")
+      spark.stop()
+      return
+    }
+
     // HIERRECALL mode (r16): the q_recall_audit_ivf_hier curve at the
     // decades — recall@10 of hier IVF search vs brute force at
     // superProbes 1/2 (nProbe 4, the declared fixture cells 100..115).
