@@ -150,6 +150,11 @@ object FamilyScaleCheck {
       // metadata join) — the law: ~linear in corpus tokens
       "q_forget_blast" ->
         ((dir: String) => graft.SparkEntry.queries("q_forget_blast")(spark, dir)),
+      // r19: the post-BPE form — the same packer-audit shape with the
+      // count pipeline being the full BPE encode (explode + vocab join)
+      // behind the Spill barrier; the law: ~linear in corpus tokens
+      "q_forget_blast_bpe" ->
+        ((dir: String) => graft.SparkEntry.queries("q_forget_blast_bpe")(spark, dir)),
       // the r18 ANN-audit closers: lsh sweep = 3 lshTopK passes + one
       // brute truth (per-query work, corpus-linear); hard negatives =
       // the knnGraph chain + a band filter (corpus-linear in-cell
