@@ -1906,9 +1906,18 @@ object SparkEntry {
       val m = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(t(s, dir, "documents")))
       val pairs = MultimodalOps.phashPairs(m, grid = MultimodalOps.autoPhashGrid(m))
         .select(col("id_a"), col("id_b"))
+      // the recompute entry evaluates the pair set twice (before-closure
+      // + surviving restriction) and the phash chain is the suite's most
+      // expensive pair source — materialize it ONCE behind the Spill
+      // barrier (the packCountsMaterialized discipline; at production
+      // the pair set and before-labels are stored tables anyway —
+      // dedupForgetWith)
+      val path = graft.Spill.newDir("graft-mediapairs")
+      pairs.write.mode("overwrite").parquet(path)
+      val stored = s.read.schema(pairs.schema).parquet(path)
       val tomb = m.filter(col("media_id") % 13 === 3)
         .select(col("media_id").as("doc_id"))
-      DedupOps.dedupForget(pairs, tomb)
+      DedupOps.dedupForget(stored, tomb)
         .withColumnRenamed("doc_id", "media_id")
     }),
 

@@ -101,6 +101,11 @@ class PlanBudgetSpec extends SparkSpec {
     "q_bq_recall" -> Pin(8, 11, 0, 8),
     "q_lsh_recall" -> Pin(8, 14, 0, 7),
     "q_dedup_forget" -> Pin(3, 7, 3, 4),
+    // r19: the media takedown — ONE documents scan (the tombstone
+    // projection; the phash pair chain is Spill-materialized before the
+    // forget pass, so the final plan reads stored pairs + the
+    // checkpointed closures)
+    "q_media_forget" -> Pin(1, 7, 3, 4),
     // one documents scan (the tokenize, Spill-materialized once) + the
     // assignment stage's documented two scans of the narrow count table
     "q_forget_blast" -> Pin(3, 6, 0, 3),
