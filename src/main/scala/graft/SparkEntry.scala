@@ -1691,6 +1691,23 @@ object SparkEntry {
       val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
       SimOps.nearDupPairs(planted, bits = SimOps.autoSignBits(planted))
     }),
+    // Takedown on the EMBEDDING modality — the third member of the
+    // forget family (text q_dedup_forget, media q_media_forget):
+    // dedupForget over the sign-LSH near-dup pair graph with vector
+    // tombstones; affected semantic clusters re-derived over surviving
+    // pairs, the same bridge-doc rule as the other modalities.
+    "q_embed_forget" -> ((s, dir) => {
+      val planted = SimOps.plantedVectors(t(s, dir, "embeddings"))
+      val pairs = SimOps.nearDupPairs(planted, bits = SimOps.autoSignBits(planted))
+        .select(col("id_a"), col("id_b"))
+      // tombstone the planted ORIGINALS (the raw-table % 100 rule the
+      // plant copies from): every planted cluster loses its min-id rep,
+      // so survivors re-elect — the takedown fixture with teeth
+      val tomb = t(s, dir, "embeddings").filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("doc_id"))
+      DedupOps.dedupForget(pairs, tomb)
+        .withColumnRenamed("doc_id", "vec_id")
+    }),
     // SemDeDup: semantic dedup within IVF cells over a planted corpus —
     // cell-bounded pairing, exact copies always caught (same cell as
     // their original), survivors emitted with their cell. Centroids are
@@ -5344,6 +5361,36 @@ object SparkEntry {
     "q_embed_neardup" ->
       (s"WITH $duckNearDupCtes " +
         "SELECT id_a, id_b, cos_bp FROM vp2 ORDER BY id_a, id_b"),
+    // mirrors q_embed_forget: the vp2 pair set under the q_dedup_forget
+    // recursive tail (before-closure, tombstone-filtered after-closure,
+    // affected-cluster restriction) keyed on vector ids
+    "q_embed_forget" ->
+      (s"WITH RECURSIVE $duckNearDupCtes, " +
+        "tb AS (SELECT DISTINCT vec_id AS did FROM embeddings WHERE vec_id % 100 = 0), " +
+        "fe AS (SELECT id_a AS src, id_b AS dst FROM vp2 " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM vp2), " +
+        "fnodes AS (SELECT DISTINCT src AS id FROM fe), " +
+        "freach AS (SELECT id, id AS lab FROM fnodes " +
+        "UNION SELECT fe.src AS id, freach.lab FROM fe JOIN freach ON fe.dst = freach.id), " +
+        "fcl AS (SELECT id AS vid, min(lab) AS cluster_id FROM freach GROUP BY id), " +
+        "vp3 AS (SELECT id_a, id_b FROM vp2 " +
+        "WHERE id_a NOT IN (SELECT did FROM tb) " +
+        "AND id_b NOT IN (SELECT did FROM tb)), " +
+        "fe2 AS (SELECT id_a AS src, id_b AS dst FROM vp3 " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM vp3), " +
+        "fnodes2 AS (SELECT DISTINCT src AS id FROM fe2), " +
+        "freach2 AS (SELECT id, id AS lab FROM fnodes2 " +
+        "UNION SELECT fe2.src AS id, freach2.lab FROM fe2 JOIN freach2 ON fe2.dst = freach2.id), " +
+        "fcl2 AS (SELECT id AS vid, min(lab) AS nc FROM freach2 GROUP BY id), " +
+        "faff AS (SELECT DISTINCT cluster_id FROM fcl WHERE vid IN (SELECT did FROM tb)) " +
+        "SELECT fcl.vid AS vec_id, fcl.cluster_id AS old_cluster, " +
+        "coalesce(fcl2.nc, fcl.vid) AS new_cluster, " +
+        "CAST(CASE WHEN coalesce(fcl2.nc, fcl.vid) <> fcl.cluster_id " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS rep_changed, " +
+        "CAST(CASE WHEN fcl2.nc IS NULL THEN 1 ELSE 0 END AS BIGINT) AS now_singleton " +
+        "FROM fcl LEFT JOIN fcl2 USING (vid) " +
+        "WHERE fcl.cluster_id IN (SELECT cluster_id FROM faff) " +
+        "AND fcl.vid NOT IN (SELECT did FROM tb) ORDER BY vec_id"),
     // mirrors SimOps.nearDupRecallAudit: ~64 hash-chosen anchor reps
     // scored exactly against every rep (truth), the rp2 bucket pairing's
     // anchor-touching pairs divided in (found)

@@ -424,7 +424,12 @@ object SimOps {
       .select(col("q_id"), col(idCol))
     // ADC: float query against the ±1 decode (bqCodes' strict x > 0 bit
     // rule); both sides cast to double so the fold matches the oracle's
-    // DOUBLE[] list_dot_product bit-for-bit
+    // DOUBLE[] list_dot_product bit-for-bit. NOTE the corpus × queries
+    // crossJoin is the honest ADC cost SHAPE at this fixed 5-query
+    // fixture; a production ADC pass rides the probed-cells restriction
+    // exactly like [[ivfPqTopK]] (whose end-to-end recall is declared by
+    // [[ivfPqRecallSweep]] / q_recall_audit_ivfpq) — candidates bounded
+    // by the coarse quantizer, never all-pairs
     val adc = n
       .select(col(idCol),
         transform(col("e").cast("array<double>"),

@@ -106,6 +106,9 @@ class PlanBudgetSpec extends SparkSpec {
     // forget pass, so the final plan reads stored pairs + the
     // checkpointed closures)
     "q_media_forget" -> Pin(1, 7, 3, 4),
+    // the embedding takedown: one embeddings scan (the tombstone
+    // projection — the pair chain feeds the checkpointed closures)
+    "q_embed_forget" -> Pin(1, 8, 3, 3),
     // one documents scan (the tokenize, Spill-materialized once) + the
     // assignment stage's documented two scans of the narrow count table
     "q_forget_blast" -> Pin(3, 6, 0, 3),
