@@ -77,8 +77,18 @@ case class PriSampleRow(group: String, rank: Int, id: Long, w_bp: Long)
   */
 case class PhashItem(media_id: Long, bands: Seq[Long])
 
-/** One (band-bucket, item) pair for [[StreamingOps.phashPairsStream]]. */
-case class PhashBucketItem(bkey: String, media_id: Long, bands: Seq[Long])
+/** One perceptual-hash EVENT for
+  * [[StreamingOps.phashPairsForgetStream]] (`op` ∈ ingest|forget; a
+  * forget carries the same decoded bands as the ingest so it routes to
+  * the same buckets).
+  */
+case class PhashForgetEvent(op: String, media_id: Long, bands: Seq[Long])
+
+/** One (band-bucket, item) event for [[StreamingOps.phashPairsStream]] /
+  * [[StreamingOps.phashPairsForgetStream]].
+  */
+case class PhashBucketItem(
+    bkey: String, media_id: Long, bands: Seq[Long], op: String)
 
 /** Per-bucket seen-set for [[StreamingOps.phashPairsStream]] — the EXACT
   * hash groups that have landed in this band bucket so far (rep id, the
@@ -834,9 +844,41 @@ object StreamingOps {
       maxDist: Int = 6,
       maxBucket: Int = 0): Dataset[PhashPairRow] = {
     import items.sparkSession.implicits._
-    items
+    phashPairsForgetStream(
+      items.map(it => PhashForgetEvent("ingest", it.media_id, it.bands)),
+      maxDist, maxBucket)
+  }
+
+  /** [[phashPairsStream]] with TAKEDOWN support — the perceptual-media
+    * registry made deletable at ingest time (the
+    * [[minhashPairsForgetStream]] discipline on the second band-bucket
+    * twin; takedown requests name images as often as text). One event
+    * stream carries ingests and forgets; [[phashPairsStream]] is this
+    * operator fed all-ingest events — ONE state machine for both.
+    *
+    * Forget semantics, per band bucket of the named hash: the media id
+    * leaves its exact-hash group's member list; the group rep re-elects
+    * by the batch min rule; a group whose last member leaves is PURGED —
+    * the hash is forgotten, a fresh arrival of the same content founds a
+    * new group and cross-pairs normally (re-admission), and a purged
+    * unfrozen group frees its cap slot. Forgets are SILENT state edits
+    * (retraction of published pairs is the downstream batch
+    * [[graft.operators.DedupOps.dedupForget]]'s job — q_media_forget);
+    * the pinned contract is on FUTURE emission: post-takedown arrivals
+    * pair exactly as if the tombstoned media had never been ingested.
+    * Within a micro-batch events apply in (media_id,
+    * ingest-before-forget) order — a same-batch ingest+takedown resolves
+    * with the takedown winning. A forget of unknown content or a
+    * non-member id is a noop.
+    */
+  def phashPairsForgetStream(
+      events: Dataset[PhashForgetEvent],
+      maxDist: Int = 6,
+      maxBucket: Int = 0): Dataset[PhashPairRow] = {
+    import events.sparkSession.implicits._
+    events
       .flatMap(it => it.bands.zipWithIndex.map { case (v, k) =>
-        PhashBucketItem(s"$k:$v", it.media_id, it.bands)
+        PhashBucketItem(s"$k:$v", it.media_id, it.bands, it.op)
       })
       .groupByKey(_.bkey)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
@@ -846,7 +888,25 @@ object StreamingOps {
           val isBandZero = bkey.startsWith("0:")
           var groups = state.getOption.map(_.groups).getOrElse(Nil)
           val out = List.newBuilder[(Long, Long, Long)]
-          batch.toList.sortBy(_.media_id).foreach { it =>
+          batch.toList
+            .sortBy(it => (it.media_id, if (it.op == "ingest") 0 else 1))
+            .foreach { it =>
+            if (it.op == "forget") {
+              groups.indexWhere(_._3.contains(it.media_id)) match {
+                case gi if gi >= 0 =>
+                  val (_, bs, members, frozen) = groups(gi)
+                  val left = members.filterNot(_ == it.media_id)
+                  if (left.isEmpty)
+                    // purge: the hash is forgotten (re-admission open);
+                    // an unfrozen purge frees its cap slot via the
+                    // groups.count(!_._4) recount below
+                    groups = groups.patch(gi, Nil, 1)
+                  else
+                    // re-elect the rep by the batch min rule
+                    groups = groups.updated(gi, (left.min, bs, left, frozen))
+                case _ => // unknown content / non-member id: noop
+              }
+            } else {
             val seen = groups.exists(_._3.contains(it.media_id))
             if (!seen) groups.indexWhere(_._2 == it.bands) match {
               case gi if gi >= 0 =>
@@ -888,8 +948,10 @@ object StreamingOps {
                   groups = groups :+ ((it.media_id, it.bands, List(it.media_id), true))
                 }
             }
+            }
           }
-          state.update(PhashBucket(groups))
+          if (groups.isEmpty) state.remove()
+          else state.update(PhashBucket(groups))
           out.result()
         })
       .flatMap(_.map { case (a, b, d) => PhashPairRow(a, b, d) })

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.{EventOps, SimOps}
-import graft.streaming.{AsofMatch, EmbedItem, EmbedPairRow, ExtremaDelta, ExtremaRow, ForgetEvent, ForgetEventRow, MinhashPairRow, PhashItem, PhashPairRow, StreamEvent, StreamIdEvent, StreamingOps, TransitionRow}
+import graft.streaming.{AsofMatch, EmbedItem, EmbedPairRow, ExtremaDelta, ExtremaRow, ForgetEvent, ForgetEventRow, MinhashPairRow, PhashForgetEvent, PhashItem, PhashPairRow, StreamEvent, StreamIdEvent, StreamingOps, TransitionRow}
 
 class StreamingOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -842,6 +842,69 @@ class StreamingOpsSpec extends SparkSpec {
       assert(exactPairs.nonEmpty, "fixture must contain exact-text dups")
       exactPairs.foreach { p =>
         assert(capped.getOrElse(p, 0L) == 4L, s"exact pair $p lost under cap") }
+    } finally q.stop()
+  }
+
+  test("phashPairsForgetStream: takedown edits the perceptual registry — post-forget arrivals pair as if tombstones never ingested") {
+    import graft.operators.{MediaRow, MultimodalOps}
+    // planted phash corpus (groups of brightness variants); ingest 60%,
+    // tombstone a few paired items, ingest the rest plus a re-admission
+    // (new id, a tombstoned item's exact hash). Post-takedown emission
+    // must equal batch phashPairs over (survivors ∪ late) restricted to
+    // pairs involving a late item, and never touch a tombstone.
+    val docs24 = (0 until 24).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val media = MultimodalOps.plantPhashCorpus(MultimodalOps.asMedia(docs24))
+    val decoded = MultimodalOps.phashBands(media.as[MediaRow])
+      .collect().map(p => PhashItem(p.media_id, p.bands)).sortBy(_.media_id)
+    val (initial, late0) = decoded.splitAt(14)
+    def batchPairs(items: Seq[PhashItem]) = {
+      // brute-force truth over replayed hashes (the phashPairsStream
+      // parity spec's rule: maxDist 6 < 8 bands -> LSH recall is 1)
+      (for {
+        i <- items.indices; j <- (i + 1) until items.length
+        a = items(i); b = items(j)
+        d = a.bands.zip(b.bands).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+        if d <= 6
+      } yield (math.min(a.media_id, b.media_id), math.max(a.media_id, b.media_id), d)).toSet
+    }
+    val initialIds = initial.map(_.media_id).toSet
+    // one tombstone per variant group (media_id / 4), so the re-admitted
+    // hash still has surviving same-group partners to pair with
+    val tombIds = batchPairs(initial.toIndexedSeq).flatMap(p => Seq(p._1, p._2))
+      .filter(initialIds.contains)
+      .groupBy(_ / 4).values.map(_.min).toSeq.sorted.take(3).toSet
+    assert(tombIds.size == 3, "fixture must have >= 3 paired initial groups")
+    val bandsOf = decoded.map(p => p.media_id -> p.bands).toMap
+    val readmit = PhashItem(decoded.map(_.media_id).max + 1L, bandsOf(tombIds.head))
+    val late = late0 :+ readmit
+    val input = MemoryStream[PhashForgetEvent]
+    val q = StreamingOps.phashPairsForgetStream(input.toDS())
+      .writeStream.format("memory").queryName("phforget").outputMode("update").start()
+    try {
+      input.addData(initial.map(p => PhashForgetEvent("ingest", p.media_id, p.bands)).toSeq)
+      q.processAllAvailable()
+      val phase1 = spark.table("phforget").as[PhashPairRow].collect().toSeq
+      input.addData(tombIds.toSeq.map(id => PhashForgetEvent("forget", id, bandsOf(id))))
+      q.processAllAvailable()
+      val phase2 = spark.table("phforget").as[PhashPairRow].collect().toSeq
+      assert(phase2.size == phase1.size, "a takedown emitted pair events")
+      input.addData(late.map(p => PhashForgetEvent("ingest", p.media_id, p.bands)).toSeq)
+      q.processAllAvailable()
+      // multi-band collisions emit once per band: distinct is the dedup
+      // (the phashPairsStream parity rule)
+      val newEvents = spark.table("phforget").as[PhashPairRow].collect()
+        .map(p => (p.id_a, p.id_b, p.hamming)).toSet -- phase2.map(p => (p.id_a, p.id_b, p.hamming))
+      assert(newEvents.forall(p => !tombIds.contains(p._1) && !tombIds.contains(p._2)),
+        "a post-takedown event touched a tombstoned id")
+      val lateIds = late.map(_.media_id).toSet
+      val survivors = initial.filterNot(p => tombIds.contains(p.media_id)) ++ late
+      val expected = batchPairs(survivors.toIndexedSeq)
+        .filter(p => lateIds.contains(p._1) || lateIds.contains(p._2))
+      assert(newEvents == expected,
+        s"post-takedown stream ${newEvents.size} vs survivor batch ${expected.size}")
+      assert(newEvents.nonEmpty)
+      assert(newEvents.exists(p => p._1 == readmit.media_id || p._2 == readmit.media_id),
+        "re-admitted content emitted nothing")
     } finally q.stop()
   }
 
