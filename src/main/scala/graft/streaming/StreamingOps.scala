@@ -135,6 +135,12 @@ case class MinhashPairRow(id_a: Long, id_b: Long, band: Int)
 /** One embedding arrival for [[StreamingOps.embedNearDupStream]]. */
 case class EmbedItem(vec_id: Long, embedding: Seq[Float])
 
+/** One embedding EVENT for [[StreamingOps.embedForgetStream]]
+  * (`op` ∈ ingest|forget; a forget carries the embedding so it routes
+  * to the same sign-LSH bucket).
+  */
+case class EmbedForgetEvent(op: String, vec_id: Long, embedding: Seq[Float])
+
 /** Per-bucket exact-dedup groups for [[StreamingOps.embedNearDupStream]]:
   * (rep id, the raw embedding, its L2 norm, member ids id-ascending,
   * frozen flag) per DISTINCT vector — the same exact-dedup-first state
@@ -1214,6 +1220,42 @@ object StreamingOps {
       maxBucket: Int = 0,
       initialState: Option[Dataset[(Int, EmbedBucket)]] = None): Dataset[EmbedPairRow] = {
     import items.sparkSession.implicits._
+    embedForgetStream(
+      items.map(it => EmbedForgetEvent("ingest", it.vec_id, it.embedding)),
+      thresholdBp, bits, maxBucket, initialState)
+  }
+
+  /** [[embedNearDupStream]] with TAKEDOWN support — the EMBEDDING
+    * streaming registry made deletable, completing the family: with
+    * [[minhashPairsForgetStream]] (text) and [[phashPairsForgetStream]]
+    * (media), every streaming near-dup registry now has a tombstone
+    * path, mirroring the batch forget trio
+    * (q_dedup_forget / q_media_forget / q_embed_forget). One event
+    * stream carries ingests and forgets; [[embedNearDupStream]] is this
+    * operator fed all-ingest events — ONE state machine for both.
+    *
+    * Forget semantics, in the vector's single sign-LSH bucket: the id
+    * leaves its exact-vector group's member list; the group rep
+    * re-elects by the batch min rule; a group whose last member leaves
+    * is PURGED — the vector is forgotten, a fresh arrival of the same
+    * embedding founds a new group and cross-pairs normally
+    * (re-admission), and a purged unfrozen group frees its cap slot.
+    * Forgets are SILENT state edits (retraction of published pairs is
+    * batch [[graft.operators.DedupOps.dedupForget]]'s job —
+    * q_embed_forget); the pinned contract is on FUTURE emission:
+    * post-takedown arrivals pair exactly as if the tombstoned vectors
+    * had never been ingested. Within a micro-batch events apply in
+    * (vec_id, ingest-before-forget) order — a same-batch
+    * ingest+takedown resolves with the takedown winning. A forget of
+    * unknown content or a non-member id is a noop.
+    */
+  def embedForgetStream(
+      events: Dataset[EmbedForgetEvent],
+      thresholdBp: Int = 4000,
+      bits: Int = 4,
+      maxBucket: Int = 0,
+      initialState: Option[Dataset[(Int, EmbedBucket)]] = None): Dataset[EmbedPairRow] = {
+    import events.sparkSession.implicits._
     def dot(a: Seq[Float], b: Seq[Float]): Double = {
       var s = 0.0; var i = 0
       val n = math.min(a.length, b.length)
@@ -1223,36 +1265,54 @@ object StreamingOps {
     def bp(c: Double): Long = math.floor(c * 10000.0 + 0.5).toLong
     def bucketOf(e: Seq[Float]): Int =
       (0 until math.min(bits, e.length)).map(i => if (e(i) >= 0f) 1 << i else 0).sum
-    val grouped = items.groupByKey(it => bucketOf(it.embedding))
+    val grouped = events.groupByKey(it => bucketOf(it.embedding))
     val update =
-        (bucket: Int, batch: Iterator[EmbedItem], state: GroupState[EmbedBucket]) => {
+        (bucket: Int, batch: Iterator[EmbedForgetEvent], state: GroupState[EmbedBucket]) => {
           // transient per-invocation indexes over the persisted List state:
-          // member-id set (seen check) and embedding → group index (exact-
-          // dup lookup), so per-arrival BOOKKEEPING is O(1) instead of the
-          // O(groups·members) linear scans r13 shipped. The cross-pairing
-          // loop below stays O(active groups) per distinct arrival — that
-          // is the operator's semantics (every new vector must dot against
-          // each group rep), bounded by `maxBucket` when capped.
+          // member-id → group index (seen check AND forget lookup) and
+          // embedding → group index (exact-dup lookup), so per-arrival
+          // BOOKKEEPING is O(1) instead of the O(groups·members) linear
+          // scans r13 shipped. The cross-pairing loop below stays
+          // O(active groups) per distinct arrival — that is the
+          // operator's semantics (every new vector must dot against each
+          // group rep), bounded by `maxBucket` when capped. Purges blank
+          // the group in place (indices stay stable within the batch);
+          // the final state.update filters the empties out.
           val groups = scala.collection.mutable.ArrayBuffer.empty[
             (Long, Seq[Float], Double, List[Long], Boolean)]
           state.getOption.foreach(_.groups.foreach(groups += _))
-          val memberIds = scala.collection.mutable.HashSet.empty[Long]
+          val memberIdx = scala.collection.mutable.HashMap.empty[Long, Int]
           val embIdx = scala.collection.mutable.HashMap.empty[Seq[Float], Int]
           groups.zipWithIndex.foreach { case (g, i) =>
-            g._4.foreach(memberIds += _)
+            g._4.foreach(memberIdx(_) = i)
             if (!embIdx.contains(g._2)) embIdx(g._2) = i
           }
           var nActive = groups.count(!_._5)
           val out = List.newBuilder[(Long, Long, Long)]
-          batch.toList.sortBy(_.vec_id).foreach { it =>
-            if (!memberIds.contains(it.vec_id)) embIdx.get(it.embedding) match {
+          batch.toList
+            .sortBy(it => (it.vec_id, if (it.op == "ingest") 0 else 1))
+            .foreach { it =>
+            if (it.op == "forget") memberIdx.get(it.vec_id).foreach { gi =>
+              val (_, e, nr, members, frozen) = groups(gi)
+              val left = members.filterNot(_ == it.vec_id)
+              memberIdx -= it.vec_id
+              if (left.isEmpty) {
+                // purge: the vector is forgotten (re-admission open); an
+                // unfrozen purge frees its cap slot
+                groups(gi) = (0L, e, nr, Nil, frozen)
+                if (embIdx.get(e).contains(gi)) embIdx -= e
+                if (!frozen) nActive -= 1
+              } else
+                // re-elect the rep by the batch min rule
+                groups(gi) = (left.min, e, nr, left, frozen)
+            } else if (!memberIdx.contains(it.vec_id)) embIdx.get(it.embedding) match {
               case Some(gi) =>
                 val (rep, e, nr, members, frozen) = groups(gi)
                 members.foreach { id =>
                   out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), 10000L))
                 }
-                if (!frozen) groups.foreach { case (r, oe, onr, om, ofz) =>
-                  if (r != rep && !ofz) {
+                if (!frozen) groups.zipWithIndex.foreach { case ((_, oe, onr, om, ofz), oi) =>
+                  if (oi != gi && !ofz) {
                     val c = bp(dot(e, oe) / (nr * onr))
                     if (c >= thresholdBp) om.foreach { id =>
                       out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), c))
@@ -1260,7 +1320,7 @@ object StreamingOps {
                   }
                 }
                 groups(gi) = (rep, e, nr, members :+ it.vec_id, frozen)
-                memberIds += it.vec_id
+                memberIdx(it.vec_id) = gi
               case None =>
                 val nr = math.sqrt(dot(it.embedding, it.embedding))
                 val capped = maxBucket > 0 && nActive >= maxBucket
@@ -1274,17 +1334,20 @@ object StreamingOps {
                     }
                   }
                   embIdx(it.embedding) = groups.length
+                  memberIdx(it.vec_id) = groups.length
                   groups += ((it.vec_id, it.embedding, nr, List(it.vec_id), false))
                   nActive += 1
                 } else {
                   // frozen: exact-dup registry entry — intra pairs only
                   embIdx(it.embedding) = groups.length
+                  memberIdx(it.vec_id) = groups.length
                   groups += ((it.vec_id, it.embedding, nr, List(it.vec_id), true))
                 }
-                memberIds += it.vec_id
             }
           }
-          state.update(EmbedBucket(groups.toList))
+          val kept = groups.filter(_._4.nonEmpty).toList
+          if (kept.isEmpty) state.remove()
+          else state.update(EmbedBucket(kept))
           out.result()
         }
     (initialState match {
