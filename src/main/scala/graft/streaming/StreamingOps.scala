@@ -1410,39 +1410,80 @@ object StreamingOps {
       maxCell: Int = 0,
       initialState: Option[Dataset[(Long, EmbedBucket)]] = None): Dataset[EmbedPairRow] = {
     import items.sparkSession.implicits._
+    cellForgetStream(
+      items.map(it => EmbedForgetEvent("ingest", it.vec_id, it.embedding)),
+      centroids, thresholdBp, maxCell, initialState)
+  }
+
+  /** [[cellNearDupStream]] with TAKEDOWN support — the CELL-GEOMETRY
+    * embedding registry made deletable (the last of the four streaming
+    * near-dup registries: minhash-band, phash-band, sign-LSH embed, and
+    * this one all now carry the [[minhashPairsForgetStream]] forget
+    * discipline). One event stream carries ingests and forgets;
+    * [[cellNearDupStream]] is this operator fed all-ingest events — ONE
+    * state machine for both. Forget semantics in the vector's cell:
+    * member removed from its exact-embedding group, rep re-elected by
+    * the batch min rule, emptied groups purged (re-admission open; a
+    * purged unfrozen group frees its cap slot); events apply in
+    * (vec_id, ingest-before-forget) order; unknown content is a noop.
+    * Forgets are silent state edits — the pinned contract is on future
+    * emission (batch parity over survivors), and the cluster repair
+    * downstream is batch q_embed_forget's job.
+    */
+  def cellForgetStream(
+      events: Dataset[EmbedForgetEvent],
+      centroids: Seq[(Long, Seq[Float])],
+      thresholdBp: Int = 4000,
+      maxCell: Int = 0,
+      initialState: Option[Dataset[(Long, EmbedBucket)]] = None): Dataset[EmbedPairRow] = {
+    import events.sparkSession.implicits._
     val keyOf = cellKeyFn(centroids)
-    val keyed = items
+    val keyed = events
       .map(it => (keyOf(it.embedding), it))
       .groupByKey(_._1)
       .mapValues(_._2)
     val update =
-        (cell: Long, batch: Iterator[EmbedItem], state: GroupState[EmbedBucket]) => {
-          // identical state discipline to embedNearDupStream's update —
-          // transient O(1) indexes, id-ascending in-batch order, frozen
-          // groups past the cap; the reserved -1 cell (non-assignable
-          // vectors) additionally skips BOTH cross loops — its
-          // similarities are non-finite by construction, and batch drops
-          // these vectors before pairing (intra emission still runs)
+        (cell: Long, batch: Iterator[EmbedForgetEvent], state: GroupState[EmbedBucket]) => {
+          // identical state discipline to embedForgetStream's update —
+          // transient O(1) indexes, (id, ingest-first) in-batch order,
+          // frozen groups past the cap, purge-in-place on forget; the
+          // reserved -1 cell (non-assignable vectors) additionally skips
+          // BOTH cross loops — its similarities are non-finite by
+          // construction, and batch drops these vectors before pairing
+          // (intra emission still runs)
           val groups = scala.collection.mutable.ArrayBuffer.empty[
             (Long, Seq[Float], Double, List[Long], Boolean)]
           state.getOption.foreach(_.groups.foreach(groups += _))
-          val memberIds = scala.collection.mutable.HashSet.empty[Long]
+          val memberIdx = scala.collection.mutable.HashMap.empty[Long, Int]
           val embIdx = scala.collection.mutable.HashMap.empty[Seq[Float], Int]
           groups.zipWithIndex.foreach { case (g, i) =>
-            g._4.foreach(memberIds += _)
+            g._4.foreach(memberIdx(_) = i)
             if (!embIdx.contains(g._2)) embIdx(g._2) = i
           }
           var nActive = groups.count(!_._5)
           val out = List.newBuilder[(Long, Long, Long)]
-          batch.toList.sortBy(_.vec_id).foreach { it =>
-            if (!memberIds.contains(it.vec_id)) embIdx.get(it.embedding) match {
+          batch.toList
+            .sortBy(it => (it.vec_id, if (it.op == "ingest") 0 else 1))
+            .foreach { it =>
+            if (it.op == "forget") memberIdx.get(it.vec_id).foreach { gi =>
+              val (_, e, nr, members, frozen) = groups(gi)
+              val left = members.filterNot(_ == it.vec_id)
+              memberIdx -= it.vec_id
+              if (left.isEmpty) {
+                groups(gi) = (0L, e, nr, Nil, frozen)
+                if (embIdx.get(e).contains(gi)) embIdx -= e
+                if (!frozen) nActive -= 1
+              } else
+                groups(gi) = (left.min, e, nr, left, frozen)
+            } else if (!memberIdx.contains(it.vec_id)) embIdx.get(it.embedding) match {
               case Some(gi) =>
                 val (rep, e, nr, members, frozen) = groups(gi)
                 members.foreach { id =>
                   out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), 10000L))
                 }
-                if (cell >= 0 && !frozen) groups.foreach { case (r, oe, onr, om, ofz) =>
-                  if (r != rep && !ofz) {
+                if (cell >= 0 && !frozen) groups.zipWithIndex.foreach {
+                  case ((_, oe, onr, om, ofz), oi) =>
+                  if (oi != gi && !ofz) {
                     val c = bpOf(dotF(e, oe) / (nr * onr))
                     if (c >= thresholdBp) om.foreach { id =>
                       out += ((math.min(id, it.vec_id), math.max(id, it.vec_id), c))
@@ -1450,7 +1491,7 @@ object StreamingOps {
                   }
                 }
                 groups(gi) = (rep, e, nr, members :+ it.vec_id, frozen)
-                memberIds += it.vec_id
+                memberIdx(it.vec_id) = gi
               case None =>
                 val nr = math.sqrt(dotF(it.embedding, it.embedding))
                 val capped = maxCell > 0 && nActive >= maxCell
@@ -1464,16 +1505,19 @@ object StreamingOps {
                     }
                   }
                   embIdx(it.embedding) = groups.length
+                  memberIdx(it.vec_id) = groups.length
                   groups += ((it.vec_id, it.embedding, nr, List(it.vec_id), false))
                   nActive += 1
                 } else {
                   embIdx(it.embedding) = groups.length
+                  memberIdx(it.vec_id) = groups.length
                   groups += ((it.vec_id, it.embedding, nr, List(it.vec_id), true))
                 }
-                memberIds += it.vec_id
             }
           }
-          state.update(EmbedBucket(groups.toList))
+          val kept = groups.filter(_._4.nonEmpty).toList
+          if (kept.isEmpty) state.remove()
+          else state.update(EmbedBucket(kept))
           out.result()
         }
     (initialState match {

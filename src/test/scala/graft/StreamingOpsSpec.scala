@@ -1452,6 +1452,59 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cellForgetStream: takedown edits the cell registry — post-forget arrivals pair as if tombstones never ingested") {
+    import graft.streaming.EmbedForgetEvent
+    // the fourth and last streaming near-dup registry made deletable:
+    // same construction as the embedForgetStream pin, under the
+    // cell-geometry keying with the batch operator's own centroid set
+    val planted = SimOps.plantedVectors(sf("embeddings"))
+    val snap = planted.filter(SimOps.hashCentroidPred(64))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val rows = planted.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .sortBy { case (id, _) => (id * 2654435761L) % 1000003L }
+    val (initial, late0) = rows.splitAt(rows.length * 3 / 5)
+    def batchPairs(items: Seq[(Long, Seq[Float])]) = {
+      val df = spark.createDataset(items.toIndexedSeq).toDF("vec_id", "embedding")
+      SimOps.cellNearDupPairs(df,
+        centroidPred = col("vec_id").isInCollection(snap.map(_._1)), maxCell = 0)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    val initialIds = initial.map(_._1).toSet
+    val tombIds = batchPairs(initial.toIndexedSeq).flatMap(p => Seq(p._1, p._2))
+      .filter(initialIds.contains)
+      .groupBy(_ % 97).values.map(_.min).toSeq.distinct.sorted.take(3).toSet
+    assert(tombIds.size == 3, "fixture must have >= 3 paired initial vectors")
+    val embOf = rows.toMap
+    val readmit = (rows.map(_._1).max + 1L, embOf(tombIds.head))
+    val late = late0 :+ readmit
+    val input = MemoryStream[EmbedForgetEvent]
+    val q = StreamingOps.cellForgetStream(input.toDS(), snap)
+      .writeStream.format("memory").queryName("cellforget").outputMode("update").start()
+    try {
+      input.addData(initial.map { case (id, e) => EmbedForgetEvent("ingest", id, e) }.toSeq)
+      q.processAllAvailable()
+      val phase1 = spark.table("cellforget").as[EmbedPairRow].collect().toSeq
+      input.addData(tombIds.toSeq.map(id => EmbedForgetEvent("forget", id, embOf(id))))
+      q.processAllAvailable()
+      val phase2 = spark.table("cellforget").as[EmbedPairRow].collect().toSeq
+      assert(phase2.size == phase1.size, "a takedown emitted pair events")
+      input.addData(late.map { case (id, e) => EmbedForgetEvent("ingest", id, e) }.toSeq)
+      q.processAllAvailable()
+      val newEvents = spark.table("cellforget").as[EmbedPairRow].collect()
+        .map(p => (p.id_a, p.id_b, p.cos_bp)).toSet --
+        phase2.map(p => (p.id_a, p.id_b, p.cos_bp))
+      assert(newEvents.forall(p => !tombIds.contains(p._1) && !tombIds.contains(p._2)),
+        "a post-takedown event touched a tombstoned id")
+      val lateIds = late.map(_._1).toSet
+      val survivors = initial.filterNot(r => tombIds.contains(r._1)) ++ late
+      val expected = batchPairs(survivors.toIndexedSeq)
+        .filter(p => lateIds.contains(p._1) || lateIds.contains(p._2))
+      assert(newEvents == expected,
+        s"post-takedown stream ${newEvents.size} vs survivor batch ${expected.size}")
+      assert(newEvents.nonEmpty)
+    } finally q.stop()
+  }
+
   test("cellNearDupStream: cap freezes new groups to intra-only emission") {
     // one centroid -> one cell; cap=1: e1 founds the only unfrozen group,
     // e2 arrives over cap (cos ~ 0.997 would pair) and is frozen; exact
